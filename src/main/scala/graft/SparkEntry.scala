@@ -1,13 +1,32 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.queries._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + BASELINE.md.
+  *
+  * `queries` is the engine's registered operator inventory: one entry per
+  * implemented operator from SURVEY.md §2 (reference parity) plus the
+  * extension surface (relational breadth, dedup, similarity, text analysis,
+  * events/windows). `oracleSql` carries the DuckDB-equivalent SQL for every
+  * SQL-expressible query; non-SQL-expressible ops are covered by ScalaTest
+  * instead and get the driver's rows-only check.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query (the reference's only query: word count) on sf0.001;
+    * driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    CoreQueries.queries("wordcount")(spark, "/root/testdata/sf0.001")
+
+  private val registries: Seq[(Map[String, (SparkSession, String) => DataFrame],
+                               Map[String, String])] =
+    Seq(
+      (CoreQueries.queries, CoreQueries.oracles))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    registries.map(_._1).reduce(_ ++ _)
+
+  def oracleSql: Map[String, String] =
+    registries.map(_._2).reduce(_ ++ _)
 }

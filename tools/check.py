@@ -1,0 +1,114 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's correctness gate (BASELINE.md t2).
+
+Usage: python3 tools/check.py <sfDir> <verifyOutDir>
+
+Reads each <verifyOutDir>/<name>/ parquet (written by graft.Verify), runs the
+corresponding oracle SQL from <verifyOutDir>/oracle_sql.json in DuckDB over
+views named after the fixture tables, and compares: sort columns by name,
+sort rows, exact value compare (with a float-bit report so FP divergence is
+visible before the driver sees it).
+"""
+import sys, os, json, glob
+import duckdb
+import pandas as pd
+import numpy as np
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    # normalize dtypes for compare
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].map(lambda v: tuple(v) if isinstance(
+                (v := v.tolist() if isinstance(v, np.ndarray) else v), list) else v)
+        if str(df[c].dtype).startswith("datetime64"):
+            df[c] = df[c].astype("datetime64[us]")
+        if str(df[c].dtype) in ("int32", "int8", "int16", "uint32"):
+            df[c] = df[c].astype("int64")
+        if str(df[c].dtype) == "float32":
+            df[c] = df[c].astype("float64")
+        if str(df[c].dtype).startswith("decimal") or df[c].map(
+                lambda v: type(v).__name__ == "Decimal").any():
+            df[c] = df[c].astype("float64")
+    return df.sort_values(by=list(df.columns), ignore_index=True)
+
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
+    results = {}
+    names = sorted(d for d in os.listdir(out_dir)
+                   if os.path.isdir(os.path.join(out_dir, d)))
+    for name in names:
+        files = glob.glob(f"{out_dir}/{name}/*.parquet")
+        if not files:
+            results[name] = "NO_SPARK_OUTPUT"
+            continue
+        spark_df = pd.concat([pd.read_parquet(f) for f in files],
+                             ignore_index=True)
+        if name not in oracles:
+            results[name] = f"ROWS_ONLY rows={len(spark_df)}"
+            continue
+        try:
+            duck_df = con.sql(oracles[name]).df()
+        except Exception as e:
+            results[name] = f"ORACLE_SQL_ERROR: {e}"
+            continue
+        try:
+            s, d = canon(spark_df), canon(duck_df)
+        except Exception as e:
+            results[name] = f"CANON_ERROR: {e}"
+            continue
+        if list(s.columns) != list(d.columns):
+            results[name] = f"SCHEMA_MISMATCH spark={list(s.columns)} duck={list(d.columns)}"
+            continue
+        if len(s) != len(d):
+            results[name] = f"ROWCOUNT_MISMATCH spark={len(s)} duck={len(d)}"
+            continue
+        exact = True
+        approx = True
+        detail = ""
+        for c in s.columns:
+            a, b = s[c].values, d[c].values
+            if a.dtype.kind == "f" or b.dtype.kind == "f":
+                af = a.astype("float64"); bf = b.astype("float64")
+                both_nan = np.isnan(af) & np.isnan(bf)
+                eq = (af == bf) | both_nan
+                if not eq.all():
+                    exact = False
+                    rel = np.abs(af - bf) / np.maximum(np.abs(bf), 1e-12)
+                    rel[both_nan] = 0
+                    if np.nanmax(rel) > 1e-9:
+                        approx = False
+                    i = int(np.argmax(~eq))
+                    detail += f" [{c}: max_rel={np.nanmax(rel):.2e} e.g. {af[i]!r} vs {bf[i]!r}]"
+            else:
+                eq = pd.Series(a).eq(pd.Series(b)) | (pd.Series(a).isna() & pd.Series(b).isna())
+                if not eq.all():
+                    exact = False; approx = False
+                    i = int(np.argmax(~eq.values))
+                    detail += f" [{c}: e.g. row{i} {a[i]!r} vs {b[i]!r}]"
+        if exact:
+            results[name] = f"OK rows={len(s)}"
+        elif approx:
+            results[name] = f"FLOAT_DRIFT rows={len(s)}{detail}"
+        else:
+            results[name] = f"VALUE_MISMATCH{detail}"
+    width = max(len(n) for n in results) if results else 0
+    n_ok = sum(1 for v in results.values() if v.startswith(("OK", "ROWS_ONLY")))
+    for n in sorted(results):
+        print(f"{n:<{width}}  {results[n]}")
+    print(f"\n{n_ok}/{len(results)} clean")
+    return 0 if n_ok == len(results) else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
