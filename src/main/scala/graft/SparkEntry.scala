@@ -22,7 +22,8 @@ object SparkEntry {
   private val registries: Seq[(Map[String, (SparkSession, String) => DataFrame],
                                Map[String, String])] =
     Seq(
-      (CoreQueries.queries, CoreQueries.oracles))
+      (CoreQueries.queries, CoreQueries.oracles),
+      (RelationalQueries.queries, RelationalQueries.oracles))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     registries.map(_._1).reduce(_ ++ _)
