@@ -23,7 +23,11 @@ object SparkEntry {
                                Map[String, String])] =
     Seq(
       (CoreQueries.queries, CoreQueries.oracles),
-      (RelationalQueries.queries, RelationalQueries.oracles))
+      (RelationalQueries.queries, RelationalQueries.oracles),
+      (TextQueries.queries, TextQueries.oracles),
+      (DedupQueries.queries, DedupQueries.oracles),
+      (SimilarityQueries.queries, SimilarityQueries.oracles),
+      (graft.multimodal.Multimodal.queries, graft.multimodal.Multimodal.oracles))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     registries.map(_._1).reduce(_ ++ _)

@@ -1,0 +1,106 @@
+package graft.multimodal
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: media payloads ride as opaque `binary`
+  * columns with typed metadata extracted executor-side in batches.
+  *
+  * The container has no image/audio codecs, so `decodeStub` is a
+  * DETERMINISTIC FAKE decode (clearly marked) — but everything around it
+  * is the real production shape:
+  *  - binary column in the DataFrame (here derived from `documents.text`
+  *    bytes, standing in for image/audio payloads);
+  *  - typed metadata schema via a case class Encoder;
+  *  - per-partition batch iteration (`mapPartitions` — the Scala analogue
+  *    of arrow-batched `mapInPandas`): one "decoder" init per partition,
+  *    streamed rows, no driver collection;
+  *  - frame sampling as a generator (explode) producing (doc, frame_idx,
+  *    frame signature) rows.
+  *
+  * Scale: decode is per-row map work — linear, shuffle-free; partition
+  * count controls decoder parallelism. Real codecs drop into
+  * [[MediaDecoder.decode]] without touching the plumbing.
+  */
+object Multimodal {
+
+  /** Typed metadata the "decoder" yields per media payload. */
+  final case class MediaMeta(
+      doc_id: Long,
+      n_bytes: Int,
+      width: Int,
+      height: Int,
+      n_frames: Int,
+      format: String,
+      header_hex: String)
+
+  /** The decoder seam. STUB: deterministic fake — replace `decode` with a
+    * real codec (JPEG/PNG/ffmpeg) in production; signature and batching
+    * stay identical. */
+  object MediaDecoder {
+    def decode(docId: Long, bytes: Array[Byte]): MediaMeta = {
+      val n = bytes.length
+      // ---- deterministic fake decode (no codecs in this container) ----
+      val width = n % 640 + 1
+      val height = (n * 31) % 480 + 1
+      val nFrames = n % 10 + 1
+      val header = bytes.take(8).map(b => f"$b%02X").mkString
+      MediaMeta(docId, n, width, height, nFrames, "fake/raw", header)
+    }
+  }
+
+  /** documents.text → binary payload column (the multimodal stand-in). */
+  def withPayload(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("text").cast("binary").as("payload"))
+
+  /** Batch metadata extraction over the binary column. */
+  def decodeMeta(spark: SparkSession, docs: DataFrame): Dataset[MediaMeta] = {
+    import spark.implicits._
+    withPayload(docs)
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        // per-partition decoder init would go here (one codec instance
+        // per partition, like @StartBundle / mapInPandas batch setup)
+        it.map { case (id, bytes) => MediaDecoder.decode(id, bytes) }
+      }
+  }
+
+  /** Frame sampling: one row per sampled frame with a deterministic frame
+    * signature (md5 of payload + frame index — stands in for a real frame
+    * grab + perceptual hash). */
+  def sampleFrames(docs: DataFrame): DataFrame =
+    withPayload(docs)
+      .withColumn("n_frames", length(col("payload")) % 10 + 1)
+      .select(col("doc_id"),
+        explode(sequence(lit(1), col("n_frames"))).as("frame_idx"))
+      .withColumn("frame_sig",
+        md5(concat(col("doc_id").cast("string"), lit("#"),
+          col("frame_idx").cast("string")).cast("binary")))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_decode_meta" -> ((s, d) =>
+      decodeMeta(s, Tables.documents(s, d)).toDF()),
+    "mm_frame_sample" -> ((s, d) =>
+      sampleFrames(Tables.documents(s, d))))
+
+  val oracles: Map[String, String] = Map(
+    "mm_decode_meta" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+        |  CAST(octet_length(encode(text)) % 640 + 1 AS INTEGER) AS width,
+        |  CAST((octet_length(encode(text)) * 31) % 480 + 1 AS INTEGER) AS height,
+        |  CAST(octet_length(encode(text)) % 10 + 1 AS INTEGER) AS n_frames,
+        |  'fake/raw' AS format,
+        |  hex(encode(substring(text, 1, 8))) AS header_hex
+        |FROM documents""".stripMargin,
+    "mm_frame_sample" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    unnest(generate_series(1, octet_length(encode(text)) % 10 + 1)) AS frame_idx
+        |  FROM documents)
+        |SELECT doc_id, CAST(frame_idx AS INTEGER) AS frame_idx,
+        |  md5(CAST(doc_id AS VARCHAR) || '#' || CAST(frame_idx AS VARCHAR)) AS frame_sig
+        |FROM f""".stripMargin)
+}

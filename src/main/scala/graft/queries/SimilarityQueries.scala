@@ -1,0 +1,110 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.VectorFunctions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` fixture (`array<float>` 64-dim).
+  *
+  *  - brute-force cosine top-k: the exact baseline — broadcast the query
+  *    vector, one linear scan, TakeOrderedAndProject for the top-k (heap
+  *    per partition + driver merge of k rows; no global sort);
+  *  - LSH-bucketed ANN: random-hyperplane signatures shrink the candidate
+  *    set; the scale path for 100 TB (bucket join instead of full scan per
+  *    query). Approximate ⇒ rows-only + recall pinned in SimilaritySpec.
+  */
+object SimilarityQueries {
+
+  /** Deterministic random hyperplanes (fixed seed) for the ANN bucketer. */
+  private[graft] def hyperplanes(nPlanes: Int, dim: Int): Seq[Seq[Double]] = {
+    val rnd = new scala.util.Random(42)
+    Seq.fill(nPlanes)(Seq.fill(dim)(rnd.nextGaussian()))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Exact top-10 nearest (cosine) to the vec_id=0 embedding.
+    "sim_topk_bruteforce" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val q = broadcast(e.filter(col("vec_id") === 0)
+        .select(col("embedding").as("q_emb")))
+      e.filter(col("vec_id") =!= 0)
+        .join(q)
+        .select(col("vec_id"),
+          round(cosine(col("embedding"), col("q_emb")), 6).as("cos"))
+        .orderBy(col("cos").desc, col("vec_id").asc)
+        .limit(10)
+    }),
+
+    // KNN-join flavor: for every label-0 vector, its nearest label-1
+    // neighbor (exact, windowed rank over the filtered cross product —
+    // both sides small after the label filter; at scale the right side
+    // would be LSH-bucketed first).
+    "sim_nn_cross_label" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val a = e.filter(col("label") === 0).select(col("vec_id").as("qid"),
+        col("embedding").as("q_emb"))
+      val b = e.filter(col("label") === 1).select(col("vec_id").as("cid"),
+        col("embedding").as("c_emb"))
+      val w = Window.partitionBy("qid")
+        .orderBy(col("cos_raw").desc, col("cid").asc)
+      a.join(broadcast(b))
+        .select(col("qid"), col("cid"),
+          cosine(col("q_emb"), col("c_emb")).as("cos_raw"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("qid"), col("cid").as("nn_id"),
+          round(col("cos_raw"), 6).as("cos"))
+    }),
+
+    // ANN: 6-bit random-hyperplane signatures (64 buckets — sized so a
+    // bucket + its hamming-1 probes hold ~10% of this corpus; more planes
+    // as the corpus grows); candidates = query bucket or a flip-1-bit
+    // neighbor, then exact cosine rerank. Rows-only (approximate).
+    "sim_ann_lsh" -> ((s, d) => {
+      val planes = hyperplanes(6, 64)
+      val e = Tables.embeddings(s, d)
+        .withColumn("bucket", lshBucket(col("embedding"), planes))
+      val q = broadcast(e.filter(col("vec_id") === 0)
+        .select(col("embedding").as("q_emb"), col("bucket").as("q_bucket")))
+      // multi-probe: buckets within hamming radius 2. On this fixture the
+      // true neighbors sit at cos 0.4–0.55 (≈60° — barely tighter than
+      // random), so per-bit agreement is only ~0.65 and a radius-1 probe
+      // finds almost nothing; radius 2 trades ~1/3 of the corpus as
+      // candidates for ~2/3 recall. Clustered real-world embeddings
+      // (cos ≥ 0.8) would use more planes and radius 1.
+      e.filter(col("vec_id") =!= 0)
+        .join(q)
+        .filter(bit_count(col("bucket").bitwiseXOR(col("q_bucket"))) <= 2)
+        .select(col("vec_id"),
+          round(cosine(col("embedding"), col("q_emb")), 6).as("cos"))
+        .orderBy(col("cos").desc, col("vec_id").asc)
+        .limit(10)
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "sim_topk_bruteforce" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+        |q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+        |SELECT e.vec_id,
+        |  ROUND(list_dot_product(e.v, q.qv) /
+        |        sqrt(list_dot_product(e.v, e.v) * list_dot_product(q.qv, q.qv)),
+        |        6) AS cos
+        |FROM e, q WHERE e.vec_id <> 0
+        |ORDER BY cos DESC, vec_id ASC LIMIT 10""".stripMargin,
+    "sim_nn_cross_label" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+        |pairs AS (
+        |  SELECT a.vec_id AS qid, b.vec_id AS cid,
+        |    list_dot_product(a.v, b.v) /
+        |      sqrt(list_dot_product(a.v, a.v) * list_dot_product(b.v, b.v)) AS cos_raw
+        |  FROM e a JOIN e b ON a.label = 0 AND b.label = 1),
+        |ranked AS (
+        |  SELECT qid, cid, cos_raw,
+        |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_raw DESC, cid ASC) AS rn
+        |  FROM pairs)
+        |SELECT qid, cid AS nn_id, ROUND(cos_raw, 6) AS cos
+        |FROM ranked WHERE rn = 1""".stripMargin)
+}

@@ -1,0 +1,149 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a training-data pipeline over `documents`:
+  * token statistics, quality scoring, language-ID heuristic, document
+  * fingerprinting. All per-document map work — embarrassingly parallel, no
+  * shuffle except final aggregates; scales linearly with corpus size.
+  *
+  * Language-ID is an honest marker-word heuristic (fixed stopword lists per
+  * language, deterministic argmax) — on this synthetic corpus it mostly
+  * answers 'en'/'und', and the oracle checks the *formula*, not the
+  * fixture's random `lang` column.
+  */
+object TextQueries {
+
+  private val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "is"),
+    "es" -> Seq("el", "la", "de", "y", "es"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "fr" -> Seq("le", "la", "de", "et", "est"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "ta_token_stats" -> ((s, d) => {
+      val toks = tokens(col("text"))
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        size(toks).as("n_tokens"),
+        size(array_distinct(toks)).as("n_distinct"),
+        length(col("text")).as("n_chars_text"),
+        round(
+          aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double")
+            / size(toks), 4).as("avg_token_len"),
+        // BPE-ish token estimate: letter runs, digit runs, single symbols
+        size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"),
+          lit(0))).as("n_bpeish"))
+    }),
+
+    // Ratios reported in exact basis points (floor((k*10000)/n)): integer
+    // arithmetic end-to-end, so values are bit-identical across engines.
+    // (round(double, 4) is NOT cross-engine stable: Spark rounds the
+    // shortest decimal repr via BigDecimal.valueOf, DuckDB rounds the true
+    // binary value — they disagree on half-boundary values.)
+    "ta_quality" -> ((s, d) => {
+      def bp(num: Column, den: Column): Column =
+        floor(num.cast("double") * 10000 / den).cast("long")
+      val toks = tokens(col("text"))
+      val nToks = size(toks)
+      val punct = length(regexp_replace(col("text"), "[\\p{L}\\s]", ""))
+      val stopHits = size(filter(toks, t =>
+        t.isin(langMarkers.flatMap(_._2).distinct: _*)))
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        nToks.as("n_tokens"),
+        bp(punct, length(col("text"))).as("punct_bp"),
+        bp(stopHits, nToks).as("stopword_bp"),
+        (least(lit(10000L), nToks.cast("long") * 200)
+          - floor(punct.cast("double") * 5000 / length(col("text"))).cast("long")
+          + floor(stopHits.cast("double") * 1000 / nToks).cast("long"))
+          .as("quality_bp"))
+    }),
+
+    "ta_langid" -> ((s, d) => {
+      val toks = tokens(col("text"))
+      val scored = Tables.documents(s, d).select(
+        (Seq(col("doc_id"), col("lang").as("labeled_lang")) ++
+          langMarkers.map { case (l, ms) =>
+            size(filter(toks, t => t.isin(ms: _*))).as(s"s_$l")
+          }): _*)
+      scored.select(
+        col("doc_id"), col("labeled_lang"),
+        col("s_en"), col("s_es"), col("s_de"), col("s_fr"),
+        when(col("s_en") > 0 && col("s_en") >= col("s_es") &&
+          col("s_en") >= col("s_de") && col("s_en") >= col("s_fr"), "en")
+          .when(col("s_es") > 0 && col("s_es") >= col("s_de") &&
+            col("s_es") >= col("s_fr"), "es")
+          .when(col("s_de") > 0 && col("s_de") >= col("s_fr"), "de")
+          .when(col("s_fr") > 0, "fr")
+          .otherwise("und").as("predicted_lang"))
+    }),
+
+    "ta_fingerprint" -> ((s, d) => {
+      val toks = tokens(col("text"))
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        // content fingerprint: md5 of the normalized (single-spaced) text
+        md5(concat_ws(" ", toks).cast("binary")).as("md5_fp"),
+        // order-sensitive Karp–Rabin rolling hash (Scala/xxhash-based —
+        // covered by ScalaTest, not SQL-expressible)
+        rollingFingerprint(toks).as("rolling_fp"))
+        .select(col("doc_id"), col("md5_fp"), col("rolling_fp"))
+    }))
+
+  // ta_fingerprint's rolling_fp column is xxhash64-based and not
+  // reproducible in DuckDB; its oracle checks doc_id+md5 via a projection
+  // trick is not possible (column sets must match), so it is rows-only and
+  // its md5/rolling determinism is pinned in TextQueriesSpec instead.
+  val oracles: Map[String, String] = Map(
+    "ta_token_stats" ->
+      """WITH t AS (SELECT doc_id, text,
+        |  list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(toks) AS INTEGER) AS n_tokens,
+        |  CAST(len(list_distinct(toks)) AS INTEGER) AS n_distinct,
+        |  CAST(LENGTH(text) AS INTEGER) AS n_chars_text,
+        |  ROUND(CAST(list_sum(list_transform(toks, x -> LENGTH(x))) AS DOUBLE)
+        |        / len(toks), 4) AS avg_token_len,
+        |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))
+        |       AS INTEGER) AS n_bpeish
+        |FROM t""".stripMargin,
+    "ta_quality" ->
+      """WITH t AS (SELECT doc_id, text,
+        |  list_filter(string_split(text, ' '), x -> x <> '') AS toks,
+        |  LENGTH(regexp_replace(text, '[\p{L}\s]', '', 'g')) AS punct
+        |  FROM documents),
+        |u AS (SELECT doc_id, text, toks, punct,
+        |  len(list_filter(toks, x -> x IN ('the','a','of','and','is','el','la','de','y','es','der','die','das','und','ist','le','et','est'))) AS stop_hits
+        |  FROM t)
+        |SELECT doc_id,
+        |  CAST(len(toks) AS INTEGER) AS n_tokens,
+        |  CAST(FLOOR(CAST(punct AS DOUBLE) * 10000 / LENGTH(text)) AS BIGINT) AS punct_bp,
+        |  CAST(FLOOR(CAST(stop_hits AS DOUBLE) * 10000 / len(toks)) AS BIGINT) AS stopword_bp,
+        |  LEAST(10000, CAST(len(toks) AS BIGINT) * 200)
+        |    - CAST(FLOOR(CAST(punct AS DOUBLE) * 5000 / LENGTH(text)) AS BIGINT)
+        |    + CAST(FLOOR(CAST(stop_hits AS DOUBLE) * 1000 / len(toks)) AS BIGINT) AS quality_bp
+        |FROM u""".stripMargin,
+    "ta_langid" ->
+      """WITH t AS (SELECT doc_id, lang AS labeled_lang,
+        |  list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |sc AS (SELECT doc_id, labeled_lang,
+        |  CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','is'))) AS INTEGER) AS s_en,
+        |  CAST(len(list_filter(toks, x -> x IN ('el','la','de','y','es'))) AS INTEGER) AS s_es,
+        |  CAST(len(list_filter(toks, x -> x IN ('der','die','das','und','ist'))) AS INTEGER) AS s_de,
+        |  CAST(len(list_filter(toks, x -> x IN ('le','la','de','et','est'))) AS INTEGER) AS s_fr
+        |  FROM t)
+        |SELECT doc_id, labeled_lang, s_en, s_es, s_de, s_fr,
+        |  CASE WHEN s_en > 0 AND s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+        |       WHEN s_es > 0 AND s_es >= s_de AND s_es >= s_fr THEN 'es'
+        |       WHEN s_de > 0 AND s_de >= s_fr THEN 'de'
+        |       WHEN s_fr > 0 THEN 'fr'
+        |       ELSE 'und' END AS predicted_lang
+        |FROM sc""".stripMargin)
+}

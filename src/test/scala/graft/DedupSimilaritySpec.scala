@@ -1,0 +1,111 @@
+package graft
+
+import graft.queries.{DedupQueries, SimilarityQueries}
+import graft.functions.TextFunctions
+import org.apache.spark.sql.functions._
+
+/** Pins the probabilistic/hash-based operators that the DuckDB oracle
+  * can't express: MinHash-LSH recall vs the exact Jaccard method, SimHash
+  * behavior on near-dups, ANN recall vs brute force, fingerprints.
+  */
+class DedupSimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def pairs(name: String) =
+    DedupQueries.queries(name)(spark, sf001)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+
+  test("minhash-lsh candidates find every exact-jaccard near-dup pair") {
+    val exact = pairs("dedup_ngram_jaccard")
+    val lsh = pairs("dedup_minhash_lsh")
+    assert(exact.nonEmpty) // fixture plants ~25 near-dup pairs
+    // LSH output is verified against exact jaccard, so it can only be a
+    // subset; on this fixture (j≈0.9+) recall is 100% — pin it.
+    assert(lsh == exact, s"missed=${exact.diff(lsh)} extra=${lsh.diff(exact)}")
+  }
+
+  test("simhash pairs (hamming<=3) are true bag-of-words near-dups") {
+    val exact = pairs("dedup_ngram_jaccard")
+    val sim = pairs("dedup_simhash")
+    assert(sim.nonEmpty)
+    assert(sim.size >= exact.size / 2, s"recall too low: ${sim.size}/${exact.size}")
+    // SimHash measures unordered token-set similarity (unigrams), not the
+    // order-sensitive 3-gram shingle jaccard — so instead of subset-of-
+    // shingle-dups, assert every flagged pair really has high token-set
+    // jaccard (catches pairs shingling misses, e.g. reordered docs).
+    val toks = Tables.documents(spark, sf001)
+      .select(col("doc_id"),
+        array_distinct(TextFunctions.tokens(col("text"))).as("w"))
+      .as[(Long, Seq[String])].collect().toMap
+    sim.foreach { case (a, b) =>
+      val (wa, wb) = (toks(a).toSet, toks(b).toSet)
+      val jac = wa.intersect(wb).size.toDouble / wa.union(wb).size
+      assert(jac >= 0.7, s"pair ($a,$b) token-jaccard=$jac")
+    }
+  }
+
+  test("ann lsh top-10 recall vs brute force is usable") {
+    val brute = SimilarityQueries.queries("sim_topk_bruteforce")(spark, sf001)
+      .select("vec_id").as[Long].collect().toSet
+    val ann = SimilarityQueries.queries("sim_ann_lsh")(spark, sf001)
+      .select("vec_id").as[Long].collect().toSet
+    val recall = brute.intersect(ann).size.toDouble / brute.size
+    assert(recall >= 0.3, s"recall=$recall") // 6-bit buckets, radius-2
+    // probe on a diffuse random corpus — pinned floor; clustered
+    // real-world data recalls far higher
+  }
+
+  test("rolling fingerprint: equal docs equal, reorder changes, order-sensitive") {
+    val df = Seq(
+      (1L, "a b c d"), (2L, "a b c d"), (3L, "d c b a"), (4L, "a b c e"))
+      .toDF("id", "text")
+      .select(col("id"),
+        TextFunctions.rollingFingerprint(
+          TextFunctions.tokens(col("text"))).as("fp"))
+    val m = df.as[(Long, Long)].collect().toMap
+    assert(m(1L) == m(2L))        // identical text -> identical fingerprint
+    assert(m(1L) != m(3L))        // reordered tokens -> different (order-sensitive)
+    assert(m(1L) != m(4L))        // changed token -> different
+    assert(m.values.forall(v => v >= 0 && v < 2147483647L))
+  }
+
+  test("simhash: identical docs identical; near-dup closer than random") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"),
+      (3L, "the quick brown fox jumps over the lazy cat again and again"),
+      (4L, "completely different words here nothing shared at all whatsoever"))
+      .toDF("id", "text")
+      .select(col("id"),
+        TextFunctions.simHash(TextFunctions.tokens(col("text"))).as("sig"))
+    val m = df.as[(Long, Long)].collect().toMap
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(m(1L) == m(2L))
+    assert(hamming(m(1L), m(3L)) < hamming(m(1L), m(4L)))
+  }
+
+  test("dedup_exact marks planted identical texts") {
+    import spark.implicits._
+    // synthesize exact dups to prove the canonical-id assignment
+    val df = Seq((1L, "x y z"), (2L, "x y z"), (3L, "p q r"))
+      .toDF("doc_id", "text")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(md5(col("text").cast("binary")))
+    val out = df.withColumn("canonical_id", min(col("doc_id")).over(w))
+      .select(col("doc_id"), col("canonical_id"))
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 3L))
+  }
+
+  test("multimodal decode meta matches spark-side recomputation") {
+    val meta = graft.multimodal.Multimodal
+      .decodeMeta(spark, Tables.documents(spark, sf0001))
+    val rows = meta.collect()
+    assert(rows.length == 500)
+    rows.take(20).foreach { m =>
+      assert(m.width == m.n_bytes % 640 + 1)
+      assert(m.height == (m.n_bytes * 31) % 480 + 1)
+      assert(m.header_hex.length == math.min(8, m.n_bytes) * 2)
+    }
+  }
+}

@@ -1,0 +1,71 @@
+package graft
+
+import graft.sink.InMemoryDocumentStore
+import graft.streaming.StreamingJobs
+import graft.core.WordCount
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Streaming surface: replayed fixture parquet must converge to the same
+  * results as the equivalent batch queries. */
+class StreamingSpec extends SparkSpec {
+
+  test("streaming tumbling window counts match batch window()") {
+    val stream = StreamingJobs.eventsStream(spark, sf0001)
+    val q = StreamingJobs.windowedEventCounts(stream)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("win_out").start()
+    try { q.processAllAvailable() } finally q.stop()
+    val streamed = spark.table("win_out")
+      .select("window_start", "event_type", "n").collect().toSet
+    val batch = Tables.events(spark, sf0001)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("window_start"), col("event_type"), col("n"))
+      .collect().toSet
+    // append mode emits only watermark-finalized windows; with a single
+    // replayed batch the last window(s) may be withheld — everything
+    // emitted must match batch exactly, and coverage must be substantial.
+    assert(streamed.nonEmpty)
+    assert(streamed.subsetOf(batch),
+      s"streamed results not a subset of batch: ${streamed.diff(batch).take(3)}")
+    assert(streamed.size >= batch.size / 2)
+  }
+
+  test("streaming word count converges to batch counts in the doc store") {
+    val name = "stream-wc"
+    InMemoryDocumentStore.clear(name)
+    // stream the documents table's text column via file source
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val textStream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(sf0001)
+    val q = StreamingJobs.wordCountToStore(
+      spark, textStream, InMemoryDocumentStore.factory(name), "wc", 100)
+    try { q.processAllAvailable() } finally q.stop()
+    val expected = WordCount
+      .countWords(Tables.documents(spark, sf0001), "text")
+      .collect().map(r => r.getString(0) -> Map("count" -> r.getLong(1))).toMap
+    val got = InMemoryDocumentStore.storeFor(name).toMap
+      .map { case ((_, id), fields) => id -> fields }
+    assert(got == expected)
+  }
+
+  test("streaming session windows emit subset of batch session_window") {
+    val stream = StreamingJobs.eventsStream(spark, sf0001)
+    val q = StreamingJobs.sessionCounts(stream)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sess_out").start()
+    try { q.processAllAvailable() } finally q.stop()
+    val streamed = spark.table("sess_out").collect().toSet
+    val batch = Tables.events(spark, sf0001)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("n_events"))
+      .collect().toSet
+    assert(streamed.nonEmpty && streamed.subsetOf(batch))
+  }
+}
