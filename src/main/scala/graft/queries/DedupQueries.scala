@@ -36,11 +36,10 @@ object DedupQueries {
       .repartition(col("doc_id"))
       .select(col("doc_id"), explode(shingles(col("text"), 3)).as("s"))
 
-  /** Exact-jaccard pairs over a candidate-pair DataFrame (doc_a, doc_b)
-    * given the shingle index: |A∩B| via co-occurrence count, sizes joined
-    * in, jaccard = inter/(|A|+|B|-inter). */
-  private def exactJaccardPairs(s: SparkSession, d: String): DataFrame = {
-    val sh = shingleIndex(s, d)
+  /** Exact-jaccard pairs over a shingle index (doc_id, s): |A∩B| via
+    * co-occurrence count, sizes joined in,
+    * jaccard = inter/(|A|+|B|-inter). */
+  private def exactJaccardOn(sh: DataFrame): DataFrame = {
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val a = sh.toDF("doc_a", "s")
     val b = sh.toDF("doc_b", "s")
@@ -54,6 +53,9 @@ object DedupQueries {
         (col("inter").cast("double") /
           (col("na") + col("nb") - col("inter"))).as("jaccard"))
   }
+
+  private def exactJaccardPairs(s: SparkSession, d: String): DataFrame =
+    exactJaccardOn(shingleIndex(s, d))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -76,25 +78,41 @@ object DedupQueries {
           .as("jaccard"))),
 
     // MinHash(64) + LSH(8 bands × 8 rows) candidates, then exact-jaccard
-    // verification of candidates only. Probabilistic recall (>0.99 at
+    // verification of candidate docs only. Probabilistic recall (>0.99 at
     // j≥0.9); pinned against dedup_ngram_jaccard in DedupSpec.
-    // The repartition is load-bearing twice over: it spreads the
-    // signature computation across cores (the parquet is one file = one
-    // partition) AND it is the exchange barrier that keeps the shingle
-    // array an attribute — see the eval-once warning on minHashBands.
+    //
+    // Cost shape (this was a 345 s hotspot as an interpreted-HOF
+    // pipeline):
+    //  - shingles explode once, base-hash in a codegen'd projection;
+    //  - all 64 minima in ONE JVM-native pass via the custom
+    //    MinHashAggregator (partial agg before the shuffle — signatures
+    //    cross the wire, never shingles);
+    //  - bucket pairs come from groupBy+collect_list (bands computed once)
+    //    instead of a self-join that re-evaluates the signature pipeline;
+    //  - exact-jaccard verification runs on the candidate docs' shingles
+    //    only (semi-join pushdown), not the whole corpus.
     "dedup_minhash_lsh" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-        .select(col("doc_id"), shingles(col("text"), 3).as("sh"))
-        .repartition(col("doc_id"))
-        .select(col("doc_id"), minHashBands(col("sh"), 8, 8).as("bands"))
-      val exploded = docs.select(col("doc_id"),
-        posexplode(col("bands")).as(Seq("band_idx", "band_hash")))
-      val cand = exploded.toDF("doc_a", "band_idx", "band_hash")
-        .join(exploded.toDF("doc_b", "band_idx", "band_hash"),
-          Seq("band_idx", "band_hash"))
-        .filter(col("doc_a") < col("doc_b"))
-        .select("doc_a", "doc_b").distinct()
-      cand.join(exactJaccardPairs(s, d), Seq("doc_a", "doc_b"))
+      val minhash64 = udaf(graft.functions.MinHashAggregator)
+      val banded = shingleIndex(s, d)
+        .select(col("doc_id"), xxhash64(col("s")).as("h"))
+        .groupBy("doc_id").agg(minhash64(col("h")).as("sig"))
+        .select(col("doc_id"), bandHashes(col("sig"), 8, 8).as("bands"))
+      val cand = banded
+        .select(col("doc_id"),
+          posexplode(col("bands")).as(Seq("band_idx", "band_hash")))
+        .groupBy("band_idx", "band_hash")
+        .agg(collect_list("doc_id").as("ids"))
+        .filter(size(col("ids")) > 1)
+        .select(explode(flatten(transform(col("ids"), a =>
+          transform(filter(col("ids"), x => x > a), x =>
+            struct(a.as("doc_a"), x.as("doc_b")))))).as("p"))
+        .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+        .distinct()
+      val candDocs = cand.select(col("doc_a").as("doc_id"))
+        .union(cand.select(col("doc_b").as("doc_id"))).distinct()
+      val candShingles = shingleIndex(s, d)
+        .join(broadcast(candDocs), Seq("doc_id"), "left_semi")
+      cand.join(exactJaccardOn(candShingles), Seq("doc_a", "doc_b"))
         .filter(col("jaccard") >= JaccardThreshold)
         .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6)
           .as("jaccard"))
@@ -128,16 +146,25 @@ object DedupQueries {
     // tighter clusters). Brute force n²/2 — oracle-checkable baseline; the
     // LSH-bucketed variant (sim_ann_lsh) is the scale path.
     "dedup_embedding" -> ((s, d) => {
-      val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
-      // left side repartitioned: the broadcast-NL join's parallelism is
-      // the stream side's partition count (the parquet is one file)
-      val a = e.toDF("vec_a", "emb_a").repartition(col("vec_a"))
-      val b = e.toDF("vec_b", "emb_b")
+      // Normalize once per vector (norm and unit projections each behind
+      // an exchange barrier — eval-once), so every pair costs ONE dot
+      // product instead of three. Oracle mirrors the normalize-then-dot
+      // op order for bit-stable doubles.
+      val unit = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        .repartition(col("vec_id"))
+        .select(col("vec_id"), col("v"),
+          sqrt(VectorFunctions.dot(col("v"), col("v"))).as("nrm"))
+        .repartition(col("vec_id"))
+        .select(col("vec_id"),
+          transform(col("v"), x => x / col("nrm")).as("u"))
+        .repartition(col("vec_id"))
+      val a = unit.toDF("vec_a", "u_a")
+      val b = unit.toDF("vec_b", "u_b")
       a.join(b, col("vec_a") < col("vec_b"))
+        .filter(VectorFunctions.dot(col("u_a"), col("u_b")) >= 0.4)
         .select(col("vec_a"), col("vec_b"),
-          VectorFunctions.cosine(col("emb_a"), col("emb_b")).as("cos"))
-        .filter(col("cos") >= 0.4)
-        .select(col("vec_a"), col("vec_b"), round(col("cos"), 6).as("cos"))
+          round(VectorFunctions.dot(col("u_a"), col("u_b")), 6).as("cos"))
     }))
 
   val oracles: Map[String, String] = Map(
@@ -170,13 +197,11 @@ object DedupQueries {
         |WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8""".stripMargin,
     "dedup_embedding" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v
-        |           FROM embeddings)
+        |           FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+        |u AS (SELECT vec_id, list_transform(v, x -> x / nrm) AS u FROM n)
         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-        |  ROUND(list_dot_product(a.v, b.v) /
-        |        sqrt(list_dot_product(a.v, a.v) * list_dot_product(b.v, b.v)),
-        |        6) AS cos
-        |FROM e a JOIN e b ON a.vec_id < b.vec_id
-        |WHERE list_dot_product(a.v, b.v) /
-        |      sqrt(list_dot_product(a.v, a.v) * list_dot_product(b.v, b.v))
-        |      >= 0.4""".stripMargin)
+        |  ROUND(list_dot_product(a.u, b.u), 6) AS cos
+        |FROM u a JOIN u b ON a.vec_id < b.vec_id
+        |WHERE list_dot_product(a.u, b.u) >= 0.4""".stripMargin)
 }

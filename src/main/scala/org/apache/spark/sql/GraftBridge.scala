@@ -1,0 +1,13 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Bridge to the private[sql] Column↔Expression converters of the classic
+  * API — the supported low-level seam for third-party native expressions
+  * (graft.functions.DotProduct et al.). Kept to two one-liners so the
+  * private-API surface we touch is minimal and auditable.
+  */
+object GraftBridge {
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}
