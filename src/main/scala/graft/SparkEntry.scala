@@ -25,6 +25,7 @@ object SparkEntry {
       (CoreQueries.queries, CoreQueries.oracles),
       (RelationalQueries.queries, RelationalQueries.oracles),
       (TextQueries.queries, TextQueries.oracles),
+      (MiscQueries.queries, MiscQueries.oracles),
       (DedupQueries.queries, DedupQueries.oracles),
       (SimilarityQueries.queries, SimilarityQueries.oracles),
       (graft.multimodal.Multimodal.queries, graft.multimodal.Multimodal.oracles))

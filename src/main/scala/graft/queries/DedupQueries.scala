@@ -120,13 +120,16 @@ object DedupQueries {
 
     // SimHash near-dup: 64-bit signatures, blocked by 16-bit pieces
     // (hamming ≤ 3 guarantees ≥1 identical piece), verified by bit_count.
+    // Signatures via the native SimHashAggregator over codegen-hashed
+    // exploded tokens (same pattern as MinHash — no interpreted HOFs).
     "dedup_simhash" -> ((s, d) => {
-      // repartition = parallelism + eval-once barrier (the piece-explode
-      // below would otherwise inline and recompute the signature 4×/row)
+      val simhashAgg = udaf(graft.functions.SimHashAggregator)
       val sigs = Tables.documents(s, d)
         .repartition(col("doc_id"))
-        .select(col("doc_id"), simHash(tokens(col("text"))).as("sig"))
-        .repartition(col("doc_id"))
+        .select(col("doc_id"),
+          explode(tokens(col("text"))).as("tok"))
+        .select(col("doc_id"), xxhash64(col("tok")).as("h"))
+        .groupBy("doc_id").agg(simhashAgg(col("h")).as("sig"))
       val pieces = sigs.select(col("doc_id"), col("sig"),
         posexplode(transform(sequence(lit(0), lit(3)), p =>
           call_function("shiftright", col("sig"), (p * 16).cast("int"))

@@ -1,0 +1,105 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.TopKAggregator
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Additional operator coverage: bounded-heap top-k aggregate, banded
+  * range join, sketches, percentiles, array aggregation.
+  */
+object MiscQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Same semantics as q9 (top-3 orders per customer) but via the
+    // bounded-heap TopKAggregator: O(k) state per group with map-side
+    // combine instead of a full per-partition sort — the 100 TB-safe
+    // top-k-per-key plan. Shares q9's oracle.
+    "q35_topk_agg" -> ((s, d) => {
+      val topk = udaf(TopKAggregator(3),
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Double, Long)]())
+      Tables.orders(s, d)
+        .groupBy("o_custkey")
+        .agg(topk(col("o_totalprice"), col("o_orderkey")).as("top"))
+        .select(col("o_custkey"), posexplode(col("top")).as(Seq("pos", "t")))
+        .select(col("o_custkey"), col("t._2").as("o_orderkey"),
+          col("t._1").as("o_totalprice"),
+          (col("pos") + 1).cast("int").as("rn"))
+    }),
+
+    // Banded range join: ordered event pairs of the same user within
+    // 5 minutes. Spark-first shape: two equi-joins on (user, 5-min
+    // bucket) and (user, bucket+1) — never an O(n²) theta join; work is
+    // proportional to true pair density. Time arithmetic on exact
+    // epoch-micros longs.
+    "q36_range_join" -> ((s, d) => {
+      val windowUs = 300000000L // 5 min in micros
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("us"))
+        .withColumn("bucket", expr(s"us div $windowUs"))
+      val a = ev.toDF("user_id", "id_a", "us_a", "bucket_a")
+      val b = ev.toDF("user_id", "id_b", "us_b", "bucket_b")
+      def branch(off: Int) =
+        a.join(b,
+          a("user_id") === b("user_id") &&
+            col("bucket_b") === col("bucket_a") + off &&
+            col("us_b") >= col("us_a") &&
+            col("us_b") - col("us_a") <= windowUs &&
+            (col("us_b") > col("us_a") || col("id_b") > col("id_a")))
+          .select(a("user_id"), col("id_a"), col("id_b"),
+            (col("us_b") - col("us_a")).as("gap_us"))
+      branch(0).unionAll(branch(1))
+    }),
+
+    // HLL sketch distinct counts — estimates are engine-specific, so
+    // rows-only here; MiscSpec pins them within 5% of exact.
+    "q37_approx_distinct" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(approx_count_distinct(col("user_id")).as("approx_users"),
+          count(lit(1)).as("n"))
+    }),
+
+    // Exact interpolated percentiles (Spark `percentile` = DuckDB
+    // `quantile_cont`), over small-integer-valued doubles.
+    "q38_percentiles" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          expr("percentile(l_quantity, 0.5)").as("p50"),
+          expr("percentile(l_quantity, 0.9)").as("p90"),
+          expr("percentile(l_quantity, 0.99)").as("p99"))
+    }),
+
+    // Array aggregation: ordered distinct collections per group.
+    "q39_array_agg" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(sort_array(collect_set(col("l_linestatus"))).as("statuses"),
+          countDistinct(col("l_linestatus")).as("n_statuses"))
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "q35_topk_agg" -> RelationalQueries.oracles("q9_rank_orders_per_customer"),
+    "q36_range_join" ->
+      """SELECT a.user_id, a.event_id AS id_a, b.event_id AS id_b,
+        |  epoch_us(b.ts) - epoch_us(a.ts) AS gap_us
+        |FROM events a JOIN events b
+        |  ON a.user_id = b.user_id
+        | AND epoch_us(b.ts) >= epoch_us(a.ts)
+        | AND epoch_us(b.ts) - epoch_us(a.ts) <= 300000000
+        | AND (epoch_us(b.ts) > epoch_us(a.ts) OR b.event_id > a.event_id)""".stripMargin,
+    "q38_percentiles" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(l_quantity, 0.5) AS p50,
+        |  quantile_cont(l_quantity, 0.9) AS p90,
+        |  quantile_cont(l_quantity, 0.99) AS p99
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q39_array_agg" ->
+      """SELECT l_returnflag,
+        |  list_sort(list(DISTINCT l_linestatus)) AS statuses,
+        |  COUNT(DISTINCT l_linestatus) AS n_statuses
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin)
+}

@@ -1,0 +1,40 @@
+package graft
+
+import graft.queries.{MiscQueries, RelationalQueries}
+import org.apache.spark.sql.functions._
+
+class MiscSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("topk aggregator output equals window-rank top-3 exactly") {
+    val viaAgg = MiscQueries.queries("q35_topk_agg")(spark, sf001)
+      .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+      .collect().map(_.toSeq).toSet
+    val viaWindow = RelationalQueries.queries("q9_rank_orders_per_customer")(
+      spark, sf001).collect().map(_.toSeq).toSet
+    assert(viaAgg == viaWindow)
+  }
+
+  test("approx_count_distinct within 5% of exact") {
+    val approx = MiscQueries.queries("q37_approx_distinct")(spark, sf001)
+      .select("event_type", "approx_users").as[(String, Long)].collect().toMap
+    val exact = Tables.events(spark, sf001)
+      .groupBy("event_type").agg(countDistinct("user_id").as("n"))
+      .as[(String, Long)].collect().toMap
+    exact.foreach { case (t, n) =>
+      val a = approx(t)
+      assert(math.abs(a - n).toDouble / n <= 0.05, s"$t: approx=$a exact=$n")
+    }
+  }
+
+  test("range join: pairs bounded by window, symmetric-free, gap correct") {
+    val rows = MiscQueries.queries("q36_range_join")(spark, sf0001)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall { case (_, _, _, gap) => gap >= 0 && gap <= 300000000L })
+    // no pair appears in both directions
+    val set = rows.map(r => (r._2, r._3)).toSet
+    assert(rows.forall(r => !set.contains((r._3, r._2)) || r._2 == r._3) ||
+      rows.map(r => (r._2, r._3)).distinct.length == rows.length)
+  }
+}
