@@ -79,6 +79,23 @@ object MiscQueries {
         .groupBy("l_returnflag")
         .agg(sort_array(collect_set(col("l_linestatus"))).as("statuses"),
           countDistinct(col("l_linestatus")).as("n_statuses"))
+    }),
+
+    // Map construction + access: per-priority status->count map, queried
+    // back out (map_from_entries / map_keys / element_at). Output stays in
+    // oracle-comparable shapes (sorted key array + scalar lookups).
+    "q40_map_funcs" -> ((s, d) => {
+      Tables.orders(s, d)
+        .groupBy("o_orderpriority", "o_orderstatus")
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy("o_orderpriority")
+        .agg(map_from_entries(
+          sort_array(collect_list(struct(col("o_orderstatus"), col("cnt")))))
+          .as("m"))
+        .select(col("o_orderpriority"),
+          map_keys(col("m")).as("statuses"),
+          coalesce(element_at(col("m"), "F"), lit(0L)).as("n_f"),
+          coalesce(element_at(col("m"), "O"), lit(0L)).as("n_o"))
     }))
 
   val oracles: Map[String, String] = Map(
@@ -101,5 +118,11 @@ object MiscQueries {
       """SELECT l_returnflag,
         |  list_sort(list(DISTINCT l_linestatus)) AS statuses,
         |  COUNT(DISTINCT l_linestatus) AS n_statuses
-        |FROM lineitem GROUP BY l_returnflag""".stripMargin)
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q40_map_funcs" ->
+      """SELECT o_orderpriority,
+        |  list_sort(list(DISTINCT o_orderstatus)) AS statuses,
+        |  COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_f,
+        |  COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_o
+        |FROM orders GROUP BY o_orderpriority""".stripMargin)
 }

@@ -1,0 +1,74 @@
+package graft
+
+import graft.streaming.StatefulOps
+import graft.streaming.StatefulOps.{Alert, Event}
+import org.apache.spark.sql.SparkSession
+
+class ExtensionsStatefulSpec extends SparkSpec {
+
+  test("GraftExtensions registers graft_dot for pure SQL") {
+    // separate session wired through withExtensions (shares the local
+    // SparkContext with the suite session). getOrCreate() would hand back
+    // the suite's active session and silently drop the extensions, so
+    // clear active/default first and restore after.
+    val prev = spark // force suite session init first
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s2 = try {
+      SparkSession.builder()
+        .master("local[4]")
+        .withExtensions(new GraftExtensions)
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    } finally {
+      SparkSession.setDefaultSession(prev)
+      SparkSession.setActiveSession(prev)
+    }
+    val v = s2.sql(
+      "SELECT graft_dot(array(1.0D, 2.0D, 3.0D), array(4.0D, 5.0D, 6.0D)) AS d")
+      .collect()(0).getDouble(0)
+    assert(v == 32.0)
+    // and through the plan of a real table
+    val n = s2.sql(
+      s"SELECT graft_dot(CAST(embedding AS ARRAY<DOUBLE>), CAST(embedding AS ARRAY<DOUBLE>)) AS nn " +
+        s"FROM parquet.`$sf0001/embeddings.parquet`").count()
+    assert(n == 500)
+  }
+
+  test("flatMapGroupsWithState anomaly detector: O(1) state, correct alerts") {
+    import spark.implicits._
+    val events = Seq(
+      Event(1, 1, 10.0), Event(1, 2, 11.0), Event(1, 3, 100.0), // 100 > 3*10.5
+      Event(1, 4, 12.0),
+      Event(2, 5, 5.0), Event(2, 6, 6.0)).toDS()
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream =
+      org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Event]
+    stream.addData(events.collect().toSeq)
+    val q = StatefulOps.detectAnomalies(stream.toDS(), factor = 3.0)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("alerts").start()
+    try q.processAllAvailable() finally q.stop()
+    val alerts = spark.table("alerts").as[Alert].collect().toSeq
+    assert(alerts.map(a => (a.user_id, a.event_id)) == Seq((1L, 3L)))
+    assert(math.abs(alerts.head.running_mean - 10.5) < 1e-9)
+  }
+
+  test("stateful detector carries state across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream =
+      org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Event]
+    val q = StatefulOps.detectAnomalies(stream.toDS(), factor = 2.0)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("alerts2").start()
+    try {
+      stream.addData(Event(7, 1, 10.0), Event(7, 2, 10.0))
+      q.processAllAvailable()
+      stream.addData(Event(7, 3, 50.0)) // vs mean 10 from batch 1 state
+      q.processAllAvailable()
+    } finally q.stop()
+    val alerts = spark.table("alerts2").as[Alert].collect().toSeq
+    assert(alerts.map(_.event_id) == Seq(3L))
+  }
+}
