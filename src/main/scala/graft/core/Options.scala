@@ -35,11 +35,21 @@ object Options {
   /** Parse `--key=value` args with validation-on-parse, mirroring
     * `PipelineOptionsFactory.fromArgs(args).withValidation()`
     * (WordCountToFirestorePipeline.java:25-26). */
+  /** The reference's original flag spellings are accepted as aliases
+    * (WordCountToFirestorePipeline.java:57-85,
+    * impl/BatchWriteImplementation.java:61-68) so its invocations port
+    * verbatim. */
+  private val aliases = Map(
+    "outputGoogleCloudProject" -> "outputDir",
+    "outputFirestoreCollectionPath" -> "outputCollectionPath",
+    "firestoreMaxBatchSize" -> "maxBatchSize")
+
   def parse(args: Array[String]): Options = {
     val kv = args.map { a =>
       require(a.startsWith("--") && a.contains("="), s"bad argument: $a")
       val i = a.indexOf('=')
-      a.substring(2, i) -> a.substring(i + 1)
+      val k = a.substring(2, i)
+      aliases.getOrElse(k, k) -> a.substring(i + 1)
     }.toMap
     val unknown = kv.keySet --
       Set("implementation", "inputFile", "outputDir", "outputCollectionPath",

@@ -52,11 +52,29 @@ object WordCount {
     * A line is "empty" when `trim(line).isEmpty` (WordCount.java:61).
     */
   def lineStats(lines: DataFrame, textCol: String = "value"): DataFrame =
-    lines.agg(
-      sum(when(length(trim(col(textCol))) === 0, 1L).otherwise(0L))
-        .as("empty_lines"),
-      count(lit(1)).as("n_lines"),
-      min(length(col(textCol))).as("min_len"),
-      max(length(col(textCol))).as("max_len"),
-      sum(length(col(textCol))).as("sum_len"))
+    lines.agg(lineStatsExprs(textCol).head, lineStatsExprs(textCol).tail: _*)
+
+  private def lineStatsExprs(textCol: String): Seq[Column] = Seq(
+    sum(when(length(trim(col(textCol))) === 0, 1L).otherwise(0L))
+      .as("empty_lines"),
+    count(lit(1)).as("n_lines"),
+    min(length(col(textCol))).as("min_len"),
+    max(length(col(textCol))).as("max_len"),
+    sum(length(col(textCol))).as("sum_len"))
+
+  /** O10 the way the reference wires it: metrics observed ON the flowing
+    * pipeline (Beam `Metrics.counter`/`distribution` updated inside
+    * ExtractWordsFn, WordCount.java:54-63) rather than a second pass.
+    * Spark's `Observation` collects the same counter + distribution
+    * values as a side effect of whatever action runs downstream.
+    */
+  def countWordsObserved(
+      lines: DataFrame,
+      textCol: String,
+      obs: org.apache.spark.sql.Observation): DataFrame = {
+    val observed = lines.observe(obs, lineStatsExprs(textCol).head,
+      lineStatsExprs(textCol).tail: _*)
+    countWords(observed, textCol)
+  }
+
 }

@@ -55,4 +55,26 @@ class WordCountSpec extends SparkSpec {
       .agg(org.apache.spark.sql.functions.sum("cnt")).as[Long].collect()(0)
     assert(total == summed)
   }
+
+  test("O10 metrics observed on the flowing pipeline (Observation API)") {
+    val obs = new org.apache.spark.sql.Observation("wc_stats")
+    val input = Seq("a b", "  ", "", "c").toDF("value")
+    val counts = graft.core.WordCount.countWordsObserved(input, "value", obs)
+    counts.collect() // action triggers observation
+    val m = obs.get
+    assert(m("empty_lines") == 2L)
+    assert(m("n_lines") == 4L)
+    assert(m("max_len") == 3)
+  }
+
+  test("reference flag aliases parse to the same options") {
+    val o = graft.core.Options.parse(Array(
+      "--inputFile=/x/kinglear.txt",
+      "--outputGoogleCloudProject=/tmp/proj",
+      "--outputFirestoreCollectionPath=mycol",
+      "--firestoreMaxBatchSize=77"))
+    assert(o.outputDir == "/tmp/proj")
+    assert(o.collection == "mycol")
+    assert(o.maxBatchSize == 77)
+  }
 }
