@@ -81,6 +81,22 @@ object MiscQueries {
           countDistinct(col("l_linestatus")).as("n_statuses"))
     }),
 
+    // The first-class as-of join operator (custom LogicalPlan + Strategy
+    // + SparkPlan, graft.plans.AsOfJoin): same semantics and oracle as
+    // q33's union+window encoding, but executed as a co-partitioned
+    // O(n+m) merge.
+    "q41_asof_custom" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val errors = ev.filter(col("event_type") === "error")
+        .select("event_id", "user_id", "ts")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+      graft.plans.AsOf.join(errors, clicks,
+          "user_id", "c_user", "ts", "c_ts")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("c_ts").as("last_click_ts"))
+    }),
+
     // Map construction + access: per-priority status->count map, queried
     // back out (map_from_entries / map_keys / element_at). Output stays in
     // oracle-comparable shapes (sorted key array + scalar lookups).
@@ -100,6 +116,7 @@ object MiscQueries {
 
   val oracles: Map[String, String] = Map(
     "q35_topk_agg" -> RelationalQueries.oracles("q9_rank_orders_per_customer"),
+    "q41_asof_custom" -> RelationalQueries.oracles("q33_asof_last_click"),
     "q36_range_join" ->
       """SELECT a.user_id, a.event_id AS id_a, b.event_id AS id_b,
         |  epoch_us(b.ts) - epoch_us(a.ts) AS gap_us

@@ -10,4 +10,15 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Build a DataFrame from a custom LogicalPlan (classic API). */
+  def ofRows(spark: SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(
+      spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** The analyzed logical plan backing a DataFrame. */
+  def analyzedPlan(df: Dataset[_]):
+      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    df.queryExecution.analyzed
 }
