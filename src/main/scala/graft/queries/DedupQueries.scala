@@ -41,6 +41,13 @@ object DedupQueries {
     * jaccard = inter/(|A|+|B|-inter). */
   private def exactJaccardOn(sh: DataFrame): DataFrame = {
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    // Scale note: on realistic corpora (large vocab, mostly-rare
+    // shingles) the pair join should first semi-join to the df≥2 shingle
+    // subset — exactness-preserving, since only co-occurring shingles
+    // contribute to intersections. On THIS fixture (31-word vocabulary,
+    // nearly every shingle common) the extra aggregation pass measured
+    // net-negative (14s → 19s at sf0.1), so it stays off; revisit when
+    // the corpus changes.
     val a = sh.toDF("doc_a", "s")
     val b = sh.toDF("doc_b", "s")
     val inter = a.join(b, "s")
