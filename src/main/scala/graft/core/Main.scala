@@ -27,6 +27,29 @@ object Main {
       val counts = WordCount.countWords(spark.read.textFile(o.inputFile).toDF("value"))
       DocSink.writeBatched(counts, new FileDocumentStoreFactory(o.outputDir),
         o.collection, o.maxBatchSize)._1
+    },
+    // The north-star sink shape: Structured Streaming + foreachBatch into
+    // the batched document store. Streams the input file(s), converges to
+    // the same store state as "batch" (keyed idempotent upserts).
+    "streaming" -> { (o, spark) =>
+      // the file stream source wants a directory (and partition discovery
+      // must not see unrelated siblings): stage a plain file into its own
+      // temp dir
+      val in = new java.io.File(o.inputFile)
+      val streamDir =
+        if (in.isFile) {
+          val dir = java.nio.file.Files.createTempDirectory("graft-stream")
+          java.nio.file.Files.copy(in.toPath, dir.resolve(in.getName))
+          dir.toString
+        } else o.inputFile
+      val lines = spark.readStream.text(streamDir).toDF("text")
+      val q = graft.streaming.StreamingJobs.wordCountToStore(
+        spark, lines, new FileDocumentStoreFactory(o.outputDir),
+        o.collection, o.maxBatchSize)
+      q.processAllAvailable()
+      q.stop()
+      val f = new FileDocumentStoreFactory(o.outputDir)
+      f.readAll(o.collection).size.toLong
     })
 
   def main(args: Array[String]): Unit = {

@@ -28,13 +28,17 @@ object DedupQueries {
   private val JaccardThreshold = 0.8
 
   /** (doc_id, shingle) inverted index — distinct 3-gram shingles.
-    * Repartition first: the documents parquet is a single file (one
-    * partition); spreading rows lets the shingle computation and the
-    * downstream self-join use all cores. */
+    * First repartition: the documents parquet is a single file (one
+    * partition); spreading rows lets the shingle computation use all
+    * cores. Second repartition (above the explode): queries that consume
+    * the index twice (minhash banding + candidate verification) share one
+    * canonical exchange, so ReuseExchange makes the shingle construction
+    * run once per query instead of once per consumer. */
   private def shingleIndex(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .repartition(col("doc_id"))
       .select(col("doc_id"), explode(shingles(col("text"), 3)).as("s"))
+      .repartition(col("doc_id"))
 
   /** Exact-jaccard pairs over a shingle index (doc_id, s): |A∩B| via
     * co-occurrence count, sizes joined in,
