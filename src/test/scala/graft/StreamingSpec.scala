@@ -68,4 +68,35 @@ class StreamingSpec extends SparkSpec {
       .collect().toSet
     assert(streamed.nonEmpty && streamed.subsetOf(batch))
   }
+
+  test("late data beyond the watermark is dropped from finalized windows") {
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val stream =
+      org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(java.sql.Timestamp, Long)]
+    val agg = stream.toDS().toDF("ts", "v")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window($"ts", "10 minutes").as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select($"w.start".as("ws"), $"n")
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("late_out").start()
+    try {
+      // batch 1: two on-time rows in [10:00,10:10), plus 10:25 which
+      // advances the watermark to 10:15 at batch end
+      stream.addData((ts(1), 1L), (ts(4), 1L), (ts(25), 1L))
+      q.processAllAvailable()
+      // batch 2: a LATE row for the now-closed first window (10:02 <
+      // watermark 10:15) and a fresh row to keep the stream moving
+      stream.addData((ts(2), 1L), (ts(40), 1L))
+      q.processAllAvailable()
+    } finally q.stop()
+    val byWindow = spark.table("late_out")
+      .as[(java.sql.Timestamp, Long)].collect().toMap
+    // the finalized first window holds ONLY the two on-time rows — the
+    // late 10:02 row was dropped, not merged
+    assert(byWindow(java.sql.Timestamp.valueOf("2024-01-01 10:00:00")) == 2L)
+  }
 }
