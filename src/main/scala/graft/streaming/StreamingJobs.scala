@@ -58,6 +58,16 @@ object StreamingJobs {
       .select(col("user_id"), col("w.start").as("session_start"),
         col("n_events"))
 
+  /** Streaming exact deduplication: drop events whose `event_id` was
+    * already seen, with state bounded by the watermark (ids older than
+    * the horizon are forgotten — the standard at-scale trade: exact
+    * within the watermark, memory bounded by the horizon's key count).
+    */
+  def dedupStream(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicates("event_id", "ts")
+
   /** Streaming word count into the batched document store. Each micro-batch
     * upserts the complete current counts (complete output mode), so the
     * store converges to the same state as the batch pipeline — idempotent

@@ -99,4 +99,26 @@ class StreamingSpec extends SparkSpec {
     // late 10:02 row was dropped, not merged
     assert(byWindow(java.sql.Timestamp.valueOf("2024-01-01 10:00:00")) == 2L)
   }
+
+  test("streaming dedup drops repeated event_ids across micro-batches") {
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val stream = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, java.sql.Timestamp)]
+    val deduped = StreamingJobs.dedupStream(
+      stream.toDS().toDF("event_id", "ts"))
+    val q = deduped.writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out").start()
+    try {
+      stream.addData((1L, ts(0)), (2L, ts(1)), (1L, ts(0))) // in-batch dup
+      q.processAllAvailable()
+      stream.addData((2L, ts(1)), (3L, ts(2))) // cross-batch dup
+      q.processAllAvailable()
+    } finally q.stop()
+    val ids = spark.table("dedup_out").select("event_id")
+      .as[Long].collect().sorted.toSeq
+    assert(ids == Seq(1L, 2L, 3L))
+  }
 }
