@@ -97,6 +97,23 @@ object MiscQueries {
           col("c_ts").as("last_click_ts"))
     }),
 
+    // Math + null-handling scalars. Only IEEE-deterministic functions
+    // (abs/ceil/floor/sign/sqrt/mod, x*x) — transcendentals (ln/exp/pow)
+    // are libm-dependent and not bit-stable across engines.
+    "q42_math_null_funcs" -> ((s, d) => {
+      Tables.customer(s, d).select(
+        col("c_custkey"),
+        abs(col("c_acctbal")).as("abs_bal"),
+        ceil(col("c_acctbal")).as("ceil_bal"),
+        floor(col("c_acctbal")).as("floor_bal"),
+        signum(col("c_acctbal")).cast("double").as("sign_bal"),
+        sqrt(abs(col("c_acctbal"))).as("sqrt_bal"),
+        pmod(col("c_custkey"), lit(7L)).as("mod7"),
+        (col("c_acctbal") * col("c_acctbal")).as("bal_sq"),
+        coalesce(nullif(col("c_mktsegment"), lit("BUILDING")),
+          lit("(building)")).as("seg_masked"))
+    }),
+
     // Map construction + access: per-priority status->count map, queried
     // back out (map_from_entries / map_keys / element_at). Output stays in
     // oracle-comparable shapes (sorted key array + scalar lookups).
@@ -117,6 +134,17 @@ object MiscQueries {
   val oracles: Map[String, String] = Map(
     "q35_topk_agg" -> RelationalQueries.oracles("q9_rank_orders_per_customer"),
     "q41_asof_custom" -> RelationalQueries.oracles("q33_asof_last_click"),
+    "q42_math_null_funcs" ->
+      """SELECT c_custkey,
+        |  ABS(c_acctbal) AS abs_bal,
+        |  CAST(CEIL(c_acctbal) AS BIGINT) AS ceil_bal,
+        |  CAST(FLOOR(c_acctbal) AS BIGINT) AS floor_bal,
+        |  CAST(SIGN(c_acctbal) AS DOUBLE) AS sign_bal,
+        |  SQRT(ABS(c_acctbal)) AS sqrt_bal,
+        |  c_custkey % 7 AS mod7,
+        |  c_acctbal * c_acctbal AS bal_sq,
+        |  COALESCE(NULLIF(c_mktsegment, 'BUILDING'), '(building)') AS seg_masked
+        |FROM customer""".stripMargin,
     "q36_range_join" ->
       """SELECT a.user_id, a.event_id AS id_a, b.event_id AS id_b,
         |  epoch_us(b.ts) - epoch_us(a.ts) AS gap_us
