@@ -17,6 +17,16 @@ import org.apache.spark.sql.functions._
   */
 object TextQueries {
 
+  /** documents + a materialized token array (repartition = parallelism
+    * for the single-file parquet AND the eval-once barrier so the many
+    * per-column token expressions read an attribute instead of
+    * re-splitting the text). */
+  private def docsWithToks(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .repartition(col("doc_id"))
+      .withColumn("toks", tokens(col("text")))
+      .repartition(col("doc_id"))
+
   private val langMarkers: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "a", "of", "and", "is"),
     "es" -> Seq("el", "la", "de", "y", "es"),
@@ -26,8 +36,8 @@ object TextQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     "ta_token_stats" -> ((s, d) => {
-      val toks = tokens(col("text"))
-      Tables.documents(s, d).select(
+      val toks = col("toks")
+      docsWithToks(s, d).select(
         col("doc_id"),
         size(toks).as("n_tokens"),
         size(array_distinct(toks)).as("n_distinct"),
@@ -48,12 +58,12 @@ object TextQueries {
     "ta_quality" -> ((s, d) => {
       def bp(num: Column, den: Column): Column =
         floor(num.cast("double") * 10000 / den).cast("long")
-      val toks = tokens(col("text"))
+      val toks = col("toks")
       val nToks = size(toks)
       val punct = length(regexp_replace(col("text"), "[\\p{L}\\s]", ""))
       val stopHits = size(filter(toks, t =>
         t.isin(langMarkers.flatMap(_._2).distinct: _*)))
-      Tables.documents(s, d).select(
+      docsWithToks(s, d).select(
         col("doc_id"),
         nToks.as("n_tokens"),
         bp(punct, length(col("text"))).as("punct_bp"),
@@ -65,8 +75,8 @@ object TextQueries {
     }),
 
     "ta_langid" -> ((s, d) => {
-      val toks = tokens(col("text"))
-      val scored = Tables.documents(s, d).select(
+      val toks = col("toks")
+      val scored = docsWithToks(s, d).select(
         (Seq(col("doc_id"), col("lang").as("labeled_lang")) ++
           langMarkers.map { case (l, ms) =>
             size(filter(toks, t => t.isin(ms: _*))).as(s"s_$l")
@@ -84,8 +94,8 @@ object TextQueries {
     }),
 
     "ta_fingerprint" -> ((s, d) => {
-      val toks = tokens(col("text"))
-      Tables.documents(s, d).select(
+      val toks = col("toks")
+      docsWithToks(s, d).select(
         col("doc_id"),
         // content fingerprint: md5 of the normalized (single-spaced) text
         md5(concat_ws(" ", toks).cast("binary")).as("md5_fp"),
