@@ -18,38 +18,32 @@ import scala.collection.mutable
   * Output: payload array sorted by (orderKey desc, tiebreak asc).
   */
 case class TopKAggregator(k: Int)
-    extends Aggregator[(Double, Long), mutable.PriorityQueue[(Double, Long)],
+    extends Aggregator[(Double, Long), Seq[(Double, Long)],
       Seq[(Double, Long)]] {
 
-  // min-heap on (orderKey asc, tiebreak desc): the head is the weakest
-  // element, evicted first
-  private def ord: Ordering[(Double, Long)] =
-    Ordering.by[(Double, Long), (Double, Long)] { case (v, id) => (-v, id) }
+  // buffer: the current top-≤k, sorted (orderKey desc, tiebreak asc) —
+  // a product-encoded Seq (Tungsten rows) rather than a kryo-blob heap:
+  // the buffer crosses partial→final serialization on every group, and
+  // kryo blobs measured ~2× slower end-to-end. For tiny k an insertion
+  // into a sorted seq is as good as a heap.
+  private val ord: Ordering[(Double, Long)] =
+    Ordering.by { case (v, id) => (-v, id) }
 
-  override def zero: mutable.PriorityQueue[(Double, Long)] =
-    mutable.PriorityQueue.empty(ord)
+  override def zero: Seq[(Double, Long)] = Nil
 
   override def reduce(
-      h: mutable.PriorityQueue[(Double, Long)],
-      x: (Double, Long)): mutable.PriorityQueue[(Double, Long)] = {
-    h.enqueue(x)
-    while (h.size > k) h.dequeue()
-    h
-  }
+      buf: Seq[(Double, Long)], x: (Double, Long)): Seq[(Double, Long)] =
+    if (buf.length >= k && ord.compare(x, buf.last) >= 0) buf
+    else ((x +: buf).sorted(ord)).take(k)
 
   override def merge(
-      a: mutable.PriorityQueue[(Double, Long)],
-      b: mutable.PriorityQueue[(Double, Long)]): mutable.PriorityQueue[(Double, Long)] = {
-    b.foreach(a.enqueue(_))
-    while (a.size > k) a.dequeue()
-    a
-  }
+      a: Seq[(Double, Long)], b: Seq[(Double, Long)]): Seq[(Double, Long)] =
+    (a ++ b).sorted(ord).take(k)
 
-  override def finish(h: mutable.PriorityQueue[(Double, Long)]): Seq[(Double, Long)] =
-    h.toSeq.sortBy { case (v, id) => (-v, id) }
+  override def finish(buf: Seq[(Double, Long)]): Seq[(Double, Long)] = buf
 
-  override def bufferEncoder: Encoder[mutable.PriorityQueue[(Double, Long)]] =
-    org.apache.spark.sql.Encoders.kryo[mutable.PriorityQueue[(Double, Long)]]
+  override def bufferEncoder: Encoder[Seq[(Double, Long)]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Double, Long)]]()
   override def outputEncoder: Encoder[Seq[(Double, Long)]] =
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Double, Long)]]()
 }
