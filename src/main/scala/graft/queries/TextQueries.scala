@@ -103,6 +103,42 @@ object TextQueries {
         // covered by ScalaTest, not SQL-expressible)
         rollingFingerprint(toks).as("rolling_fp"))
         .select(col("doc_id"), col("md5_fp"), col("rolling_fp"))
+    }),
+// Document chunking: 32-token sliding windows, stride 16 (the core
+    // pretraining-prep op). One generator row per chunk; trailing partial
+    // chunks kept. Linear, shuffle-free.
+    "ta_chunks" -> ((s, d) => {
+      val n = size(col("toks"))
+      docsWithToks(s, d)
+        .select(col("doc_id"), col("toks"),
+          posexplode(sequence(lit(1), n, lit(16))).as(Seq("ci", "start")))
+        .select(col("doc_id"),
+          col("ci").cast("int").as("chunk_idx"),
+          concat_ws(" ", slice(col("toks"), col("start"), lit(32)))
+            .as("chunk_text"),
+          size(slice(col("toks"), col("start"), lit(32)))
+            .as("n_chunk_tokens"))
+    }),
+
+    // Normalization: trim, lowercase, collapse whitespace + content hash.
+    "ta_normalize" -> ((s, d) => {
+      val norm = regexp_replace(lower(trim(col("text"))), "\\s+", " ")
+      Tables.documents(s, d).select(
+        col("doc_id"), norm.as("norm_text"),
+        md5(norm.cast("binary")).as("norm_md5"))
+    }),
+
+    // TF-IDF components: term frequency per (doc, word) joined with
+    // document frequency per word — two aggregation levels + a join, all
+    // integer-exact. (The idf logarithm itself is libm-dependent, so the
+    // oracle checks tf/df/N; ln stays engine-side.)
+    "ta_tfidf" -> ((s, d) => {
+      val tf = docsWithToks(s, d)
+        .select(col("doc_id"), explode(col("toks")).as("word"))
+        .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy("word").agg(count(lit(1)).as("df"))
+      tf.join(broadcast(df), "word")
+        .select(col("doc_id"), col("word"), col("tf"), col("df"))
     }))
 
   // ta_fingerprint's rolling_fp column is xxhash64-based and not
@@ -155,5 +191,31 @@ object TextQueries {
         |       WHEN s_de > 0 AND s_de >= s_fr THEN 'de'
         |       WHEN s_fr > 0 THEN 'fr'
         |       ELSE 'und' END AS predicted_lang
-        |FROM sc""".stripMargin)
+        |FROM sc""".stripMargin,
+    "ta_chunks" ->
+      """WITH t AS (SELECT doc_id,
+        |  list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |c AS (SELECT doc_id, toks,
+        |  unnest(generate_series(1, len(toks), 16)) AS start,
+        |  generate_subscripts(generate_series(1, len(toks), 16), 1) AS ci
+        |  FROM t)
+        |SELECT doc_id,
+        |  CAST(ci - 1 AS INTEGER) AS chunk_idx,
+        |  array_to_string(list_slice(toks, start, start + 31), ' ') AS chunk_text,
+        |  CAST(len(list_slice(toks, start, start + 31)) AS INTEGER) AS n_chunk_tokens
+        |FROM c""".stripMargin,
+    "ta_normalize" ->
+      """SELECT doc_id,
+        |  regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm_text,
+        |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS norm_md5
+        |FROM documents""".stripMargin,
+    "ta_tfidf" ->
+      """WITH tf AS (
+        |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word
+        |  FROM documents),
+        |tfc AS (SELECT doc_id, word, COUNT(*) AS tf FROM tf GROUP BY 1, 2),
+        |dfc AS (SELECT word, COUNT(*) AS df FROM tfc GROUP BY 1)
+        |SELECT tfc.doc_id, tfc.word, tfc.tf, dfc.df
+        |FROM tfc JOIN dfc ON tfc.word = dfc.word""".stripMargin)
 }
