@@ -82,9 +82,36 @@ object SimilarityQueries {
           round(cosine(col("embedding"), col("q_emb")), 6).as("cos"))
         .orderBy(col("cos").desc, col("vec_id").asc)
         .limit(10)
-    }))
+    }),
+
+    // int8 quantization — vector preprocessing for storage/ANN at scale.
+    "sim_quantize_int8" -> quantizeQuery)
+
+  private def quantizeQuery: (SparkSession, String) => DataFrame = (s, d) => {
+    // int8 symmetric quantization: q = floor(x*127/maxabs + 0.5).
+    // floor of identically-computed doubles is cross-engine exact (unlike
+    // round(), which goes through shortest-repr BigDecimal in Spark).
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .repartition(col("vec_id"))
+      .select(col("vec_id"), col("v"),
+        array_max(transform(col("v"), x => abs(x))).as("maxabs"))
+      .repartition(col("vec_id")) // barrier: maxabs as attribute
+    e.select(col("vec_id"),
+      transform(col("v"), x =>
+        floor(x * 127 / col("maxabs") + 0.5).cast("int")).as("q8"),
+      col("maxabs").as("scale"))
+  }
 
   val oracles: Map[String, String] = Map(
+    "sim_quantize_int8" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+        |m AS (SELECT vec_id, v,
+        |  list_max(list_transform(v, x -> abs(x))) AS maxabs FROM e)
+        |SELECT vec_id,
+        |  list_transform(v, x -> CAST(FLOOR(x * 127 / maxabs + 0.5) AS INTEGER)) AS q8,
+        |  maxabs AS scale
+        |FROM m""".stripMargin,
     "sim_topk_bruteforce" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
         |q AS (SELECT v AS qv FROM e WHERE vec_id = 0)

@@ -121,4 +121,36 @@ class StreamingSpec extends SparkSpec {
       .as[Long].collect().sorted.toSeq
     assert(ids == Seq(1L, 2L, 3L))
   }
+
+  test("watermarked stream-stream join: clicks joined to later errors") {
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val clicks = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, java.sql.Timestamp)]
+    val errors = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, java.sql.Timestamp)]
+    val c = clicks.toDS().toDF("c_user", "c_ts")
+      .withWatermark("c_ts", "10 minutes")
+    val e = errors.toDS().toDF("e_user", "e_ts")
+      .withWatermark("e_ts", "10 minutes")
+    // join errors to clicks by the same user within the prior 15 minutes
+    val joined = e.join(c,
+      expr("""e_user = c_user AND
+              c_ts <= e_ts AND c_ts >= e_ts - INTERVAL 15 minutes"""))
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("ssj_out").start()
+    try {
+      clicks.addData((1L, ts(0)), (1L, ts(5)), (2L, ts(1)))
+      errors.addData((1L, ts(10)), (2L, ts(30))) // user2 error too late
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("ssj_out")
+      .select("e_user", "c_ts").as[(Long, java.sql.Timestamp)]
+      .collect().toSet
+    // user1 error@10:10 matches clicks at 10:00 and 10:05;
+    // user2 error@10:30 is >15min after the 10:01 click -> no match row
+    assert(rows == Set((1L, ts(0)), (1L, ts(5))))
+  }
 }
