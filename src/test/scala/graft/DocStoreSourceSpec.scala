@@ -1,0 +1,39 @@
+package graft
+
+import graft.core.WordCount
+import graft.sink.{DocSink, FileDocumentStoreFactory}
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+
+/** DSv2 connector round-trip: counts written through the batched sink
+  * read back as a table and match the original DataFrame. */
+class DocStoreSourceSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("sink -> DSv2 source round-trip equals the original counts") {
+    val root = Files.createTempDirectory("graft-dsv2").toString
+    val counts = WordCount.countWords(Tables.documents(spark, sf0001), "text")
+    DocSink.writeBatched(counts, new FileDocumentStoreFactory(root), "wc", 10)
+    val back = spark.read.format("graft.sources.DocStoreDataSource")
+      .option("path", root).load()
+    assert(back.schema.fieldNames.toSeq == Seq("collection", "doc_id", "count"))
+    val got = back.filter($"collection" === "wc")
+      .select($"doc_id", $"count").as[(String, Long)].collect().toMap
+    val expected = counts.as[(String, Long)].collect().toMap
+    assert(got == expected)
+  }
+
+  test("DSv2 source parallelizes by collection and supports SQL") {
+    val root = Files.createTempDirectory("graft-dsv2b").toString
+    val f = new FileDocumentStoreFactory(root)
+    DocSink.writeBatched(Seq(("a", 1L), ("b", 2L)).toDF("d", "v"), f, "c1", 10)
+    DocSink.writeBatched(Seq(("x", 9L)).toDF("d", "v"), f, "c2", 10)
+    val back = spark.read.format("graft.sources.DocStoreDataSource")
+      .option("path", root).load()
+    assert(back.rdd.getNumPartitions == 2) // one partition per collection
+    back.createOrReplaceTempView("docstore")
+    val total = spark.sql(
+      "SELECT SUM(count) FROM docstore").as[Long].collect()(0)
+    assert(total == 12L)
+  }
+}
