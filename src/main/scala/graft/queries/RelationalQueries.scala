@@ -251,8 +251,13 @@ object RelationalQueries {
     }),
 
     "q10_running_sum" -> ((s, d) => {
+      // order must be TOTAL within the partition or running values are
+      // tie-order-dependent: (l_orderkey, l_linenumber) is NOT unique in
+      // the synthetic lineitem — adding partkey+extendedprice makes the
+      // sort key a verified unique tuple at every SF
       val w = Window.partitionBy("l_suppkey")
-        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+          col("l_partkey"), col("l_extendedprice"))
       Tables.lineitem(s, d)
         .withColumn("running_qty",
           sum(dec(col("l_quantity")))
@@ -491,11 +496,11 @@ object RelationalQueries {
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) OVER w AS DOUBLE) AS running_qty,
         |  LAG(l_quantity, 1) OVER w AS prev_qty,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) OVER
-        |    (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |    (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber, l_partkey, l_extendedprice
         |     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS moving3_qty
         |FROM lineitem
         |WINDOW w AS (PARTITION BY l_suppkey
-        |  ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |  ORDER BY l_shipdate, l_orderkey, l_linenumber, l_partkey, l_extendedprice
         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin,
     "q16_dense_rank_global" ->
       """SELECT s_suppkey, s_name, s_acctbal,
