@@ -114,6 +114,19 @@ object MiscQueries {
           lit("(building)")).as("seg_masked"))
     }),
 
+    // Deterministic hash sampling: ~10% of documents selected by a
+    // content-independent hash of the key — replay-stable (unlike
+    // rand()-based sampling), cheap, and exactly reproducible in any
+    // engine (md5 prefix as integer). The training-data subsampling op.
+    "q43_hash_sample" -> ((s, d) => {
+      val bucket = conv(substring(
+        md5(col("doc_id").cast("string").cast("binary")), 1, 8), 16, 10)
+        .cast("long") % 100
+      Tables.documents(s, d)
+        .filter(bucket < 10)
+        .select(col("doc_id"), col("lang"), col("source"))
+    }),
+
     // Map construction + access: per-priority status->count map, queried
     // back out (map_from_entries / map_keys / element_at). Output stays in
     // oracle-comparable shapes (sorted key array + scalar lookups).
@@ -134,6 +147,9 @@ object MiscQueries {
   val oracles: Map[String, String] = Map(
     "q35_topk_agg" -> RelationalQueries.oracles("q9_rank_orders_per_customer"),
     "q41_asof_custom" -> RelationalQueries.oracles("q33_asof_last_click"),
+    "q43_hash_sample" ->
+      """SELECT doc_id, lang, source FROM documents
+        |WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) % 100 < 10""".stripMargin,
     "q42_math_null_funcs" ->
       """SELECT c_custkey,
         |  ABS(c_acctbal) AS abs_bal,
