@@ -114,6 +114,33 @@ object MiscQueries {
           lit("(building)")).as("seg_masked"))
     }),
 
+    // The two at-scale join strategies, forced via hints (at fixture SFs
+    // AQE broadcasts everything, so without these SMJ/SHJ never run):
+    // sort-merge — the default for large fact-fact joins …
+    "q44_smj_join" -> ((s, d) => {
+      val o = Tables.orders(s, d).select("o_orderkey", "o_orderstatus")
+        .hint("merge")
+      val l = Tables.lineitem(s, d).select("l_orderkey", "l_quantity")
+      o.join(l, o("o_orderkey") === l("l_orderkey"))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast(org.apache.spark.sql.types.DecimalType(12, 2)))
+            .cast("double").as("sum_qty"))
+    }),
+
+    // … and shuffled-hash — lower memory than SMJ when one side is
+    // moderately smaller but not broadcastable.
+    "q45_shuffle_hash_join" -> ((s, d) => {
+      val c = Tables.customer(s, d).select("c_custkey", "c_mktsegment")
+        .hint("shuffle_hash")
+      val o = Tables.orders(s, d).select("o_custkey", "o_totalprice")
+      c.join(o, c("c_custkey") === o("o_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(12, 2)))
+            .cast("double").as("sum_price"))
+    }),
+
     // Deterministic hash sampling: ~10% of documents selected by a
     // content-independent hash of the key — replay-stable (unlike
     // rand()-based sampling), cheap, and exactly reproducible in any
@@ -147,6 +174,16 @@ object MiscQueries {
   val oracles: Map[String, String] = Map(
     "q35_topk_agg" -> RelationalQueries.oracles("q9_rank_orders_per_customer"),
     "q41_asof_custom" -> RelationalQueries.oracles("q33_asof_last_click"),
+    "q44_smj_join" ->
+      """SELECT o_orderstatus, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY o_orderstatus""".stripMargin,
+    "q45_shuffle_hash_join" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_mktsegment""".stripMargin,
     "q43_hash_sample" ->
       """SELECT doc_id, lang, source FROM documents
         |WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) % 100 < 10""".stripMargin,
