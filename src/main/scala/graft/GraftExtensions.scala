@@ -20,5 +20,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         DotProduct(exprs(0), exprs(1))))
+    // aggregate(zip_with(a,b,*), 0.0, +) -> native DotProduct
+    e.injectOptimizerRule(_ => graft.plans.RewriteHofDotProduct)
   }
 }

@@ -71,4 +71,31 @@ class ExtensionsStatefulSpec extends SparkSpec {
     val alerts = spark.table("alerts2").as[Alert].collect().toSeq
     assert(alerts.map(_.event_id) == Seq(3L))
   }
+
+  test("optimizer rule rewrites HOF dot idiom to native graft_dot") {
+    val prev = spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s2 = try {
+      SparkSession.builder().master("local[4]")
+        .withExtensions(new GraftExtensions)
+        .config("spark.ui.enabled", "false").getOrCreate()
+    } finally {
+      SparkSession.setDefaultSession(prev)
+      SparkSession.setActiveSession(prev)
+    }
+    val e = s2.read.parquet(s"$sf0001/embeddings.parquet")
+    val hof = e.select(graft.functions.VectorFunctions
+      .dotHof(org.apache.spark.sql.functions.col("embedding"),
+        org.apache.spark.sql.functions.col("embedding")).as("d"))
+    val plan = hof.queryExecution.executedPlan.toString
+    assert(plan.contains("graft_dot"), plan.take(500))
+    assert(!plan.contains("aggregate("), plan.take(500))
+    // and the rewritten plan computes the same values as the native form
+    val native = e.select(graft.functions.VectorFunctions
+      .dot(org.apache.spark.sql.functions.col("embedding"),
+        org.apache.spark.sql.functions.col("embedding")).as("d"))
+    assert(hof.collect().map(_.getDouble(0)).toSeq ==
+      native.collect().map(_.getDouble(0)).toSeq)
+  }
 }
