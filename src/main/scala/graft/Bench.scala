@@ -21,7 +21,10 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // Per-query detail first on its own line; the compact headline total LAST
+    // so a tail-capture of stdout always retains the parseable summary line.
+    println(s"""{"metric":"queries","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","nqueries":${results.size}}""")
     spark.stop()
   }
 }

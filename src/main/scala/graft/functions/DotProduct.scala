@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, GraftBridge}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
 
 /** Native Catalyst expression: dot product of two array<double> columns,
   * with whole-stage-codegen support (SURVEY.md §4.3 — custom `Expression`
@@ -15,23 +15,44 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   *
   * Semantics: sum over i of a[i]*b[i], left-to-right in IEEE double —
   * the exact op order DuckDB's sequential list_dot_product uses, which the
-  * verify oracle relies on. Null arrays propagate null (BinaryExpression
-  * default); null *elements* are not expected (embedding fixtures are
-  * dense) and read as 0.0.
+  * verify oracle relies on. Null arrays propagate null; the result is ALSO
+  * null when the lengths differ or any scanned element is null — exactly
+  * what `aggregate(zip_with(a,b,(x,y)->x*y), 0.0, (acc,v)->acc+v)` yields
+  * (zip_with pads the shorter side with nulls and a null element poisons
+  * the fold), so [[graft.plans.RewriteHofDotProduct]] is semantics-
+  * preserving for ALL inputs, not just dense equal-length ones.
   */
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_dot"
+  // null on null input, length mismatch, or null element
+  override def nullable: Boolean = true
 
-  override protected def nullSafeEval(a: Any, b: Any): Any = {
+  private def elementsNullable: Boolean = Seq(left, right).exists {
+    _.dataType match {
+      case ArrayType(_, containsNull) => containsNull
+      case _ => true
+    }
+  }
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val a = left.eval(input)
+    if (a == null) return null
+    val b = right.eval(input)
+    if (b == null) return null
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (y.numElements() != n) return null
     var s = 0.0
     var i = 0
-    while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      s += x.getDouble(i) * y.getDouble(i)
+      i += 1
+    }
     s
   }
 
@@ -40,13 +61,25 @@ case class DotProduct(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       val sum = ctx.freshName("sum")
+      // the element null check compiles away entirely for containsNull=false
+      // schemas (the common dense-embedding case) — the loop stays a tight
+      // fused multiply-add
+      val nullElemCheck =
+        if (elementsNullable)
+          s"if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"
+        else ""
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $sum = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $sum += $a.getDouble($i) * $b.getDouble($i);
+         |int $n = $a.numElements();
+         |if ($b.numElements() != $n) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $sum = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $nullElemCheck
+         |    $sum += $a.getDouble($i) * $b.getDouble($i);
+         |  }
+         |  if (!${ev.isNull}) { ${ev.value} = $sum; }
          |}
-         |${ev.value} = $sum;
        """.stripMargin
     })
 

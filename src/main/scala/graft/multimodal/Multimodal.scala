@@ -93,7 +93,7 @@ object Multimodal {
         |  CAST((octet_length(encode(text)) * 31) % 480 + 1 AS INTEGER) AS height,
         |  CAST(octet_length(encode(text)) % 10 + 1 AS INTEGER) AS n_frames,
         |  'fake/raw' AS format,
-        |  hex(encode(substring(text, 1, 8))) AS header_hex
+        |  substring(hex(encode(text)), 1, 16) AS header_hex
         |FROM documents""".stripMargin,
     "mm_frame_sample" ->
       """WITH f AS (

@@ -91,21 +91,31 @@ case class AsOfJoinExec(
         val lk = lKeyProj(lRow).get(0, lKey.dataType)
         val lt = lTimeProj(lRow).get(0, lTime.dataType)
         // advance the right side through every row with
-        // (key < lk) or (key == lk && time <= lt); null keys never match
+        // (key < lk) or (key == lk && time <= lt); null keys never match.
+        // Right rows with null key or null time are consumed and discarded:
+        // they can never match any left row, and Ascending sorts NULLS
+        // FIRST, so stopping on one (instead of skipping it) would
+        // permanently block every later valid right row for the key.
         var advancing = lk != null
         while (advancing && rBuf.hasNext) {
           val head = rBuf.head
           val rk = rKeyProj(head).get(0, rKey.dataType)
-          val kc = keyOrd.compare(rk, lk)
-          if (kc < 0) {
-            rBuf.next() // right key already passed; discard
-          } else if (kc == 0) {
-            val rt = rTimeProj(head).get(0, rTime.dataType)
-            if (rt != null && lt != null && timeOrd.compare(rt, lt) <= 0) {
-              lastKey = rk
-              lastRow = rBuf.next().copy()
+          if (rk == null) {
+            rBuf.next() // null key matches nothing; discard
+          } else {
+            val kc = keyOrd.compare(rk, lk)
+            if (kc < 0) {
+              rBuf.next() // right key already passed; discard
+            } else if (kc == 0) {
+              val rt = rTimeProj(head).get(0, rTime.dataType)
+              if (rt == null) {
+                rBuf.next() // null time satisfies no `<= lt`; discard
+              } else if (lt != null && timeOrd.compare(rt, lt) <= 0) {
+                lastKey = rk
+                lastRow = rBuf.next().copy()
+              } else advancing = false
             } else advancing = false
-          } else advancing = false
+          }
         }
         val matched = lastRow != null && lastKey != null && lk != null &&
           keyOrd.compare(lastKey, lk) == 0

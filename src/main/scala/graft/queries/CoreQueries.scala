@@ -55,11 +55,14 @@ object CoreQueries {
         |      FROM documents)
         |WHERE word <> '' GROUP BY word
         |ORDER BY cnt DESC, word ASC LIMIT 25""".stripMargin,
+    // CASTs: DuckDB SUM(int) returns HUGEINT which pandas reads as float64
+    // and the driver then hash-mismatches vs Spark's int64. LENGTH is BIGINT
+    // in DuckDB but Spark's length() is INT — cast MIN/MAX down to match.
     "line_stats" ->
-      """SELECT SUM(CASE WHEN LENGTH(TRIM(text)) = 0 THEN 1 ELSE 0 END) AS empty_lines,
+      """SELECT CAST(SUM(CASE WHEN LENGTH(TRIM(text)) = 0 THEN 1 ELSE 0 END) AS BIGINT) AS empty_lines,
         |       COUNT(*) AS n_lines,
-        |       MIN(LENGTH(text)) AS min_len,
-        |       MAX(LENGTH(text)) AS max_len,
-        |       SUM(LENGTH(text)) AS sum_len
+        |       CAST(MIN(LENGTH(text)) AS INTEGER) AS min_len,
+        |       CAST(MAX(LENGTH(text)) AS INTEGER) AS max_len,
+        |       CAST(SUM(LENGTH(text)) AS BIGINT) AS sum_len
         |FROM documents""".stripMargin)
 }

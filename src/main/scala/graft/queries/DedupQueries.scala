@@ -182,12 +182,29 @@ object DedupQueries {
     }))
 
   val oracles: Map[String, String] = Map(
+    // MinHash+LSH is probabilistic in general, but DedupSpec pins its
+    // recall == exact n-gram Jaccard on this fixture (64 hashes, 8×8
+    // bands, j ≥ 0.8 ⇒ P(miss) < 1e-6), and the final jaccard column is
+    // the exact verified value — so it legitimately shares the exact
+    // oracle. Doubles as a regression tripwire if recall ever drops.
+    "dedup_minhash_lsh" -> dedupNgramJaccardOracle,
     "dedup_exact" ->
       """SELECT doc_id,
         |  MIN(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id,
         |  doc_id <> MIN(doc_id) OVER (PARTITION BY md5(text)) AS is_dup
         |FROM documents""".stripMargin,
-    "dedup_ngram_jaccard" ->
+    "dedup_ngram_jaccard" -> dedupNgramJaccardOracle,
+    "dedup_embedding" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v
+        |           FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+        |u AS (SELECT vec_id, list_transform(v, x -> x / nrm) AS u FROM n)
+        |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |  ROUND(list_dot_product(a.u, b.u), 6) AS cos
+        |FROM u a JOIN u b ON a.vec_id < b.vec_id
+        |WHERE list_dot_product(a.u, b.u) >= 0.4""".stripMargin)
+
+  private lazy val dedupNgramJaccardOracle: String =
       """WITH docs AS (
         |  SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS w
         |  FROM documents),
@@ -208,14 +225,5 @@ object DedupQueries {
         |FROM inter
         |JOIN sizes sa ON sa.doc_id = doc_a
         |JOIN sizes sb ON sb.doc_id = doc_b
-        |WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8""".stripMargin,
-    "dedup_embedding" ->
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v
-        |           FROM embeddings),
-        |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
-        |u AS (SELECT vec_id, list_transform(v, x -> x / nrm) AS u FROM n)
-        |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-        |  ROUND(list_dot_product(a.u, b.u), 6) AS cos
-        |FROM u a JOIN u b ON a.vec_id < b.vec_id
-        |WHERE list_dot_product(a.u, b.u) >= 0.4""".stripMargin)
+        |WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8""".stripMargin
 }

@@ -73,11 +73,14 @@ object MiscQueries {
           expr("percentile(l_quantity, 0.99)").as("p99"))
     }),
 
-    // Array aggregation: ordered distinct collections per group.
+    // Array aggregation: ordered distinct collections per group. The array
+    // is emitted as a canonical comma-joined string — the verification
+    // driver sorts result rows with pandas, which cannot sort raw arrays.
     "q39_array_agg" -> ((s, d) => {
       Tables.lineitem(s, d)
         .groupBy("l_returnflag")
-        .agg(sort_array(collect_set(col("l_linestatus"))).as("statuses"),
+        .agg(array_join(sort_array(collect_set(col("l_linestatus"))), ",")
+            .as("statuses"),
           countDistinct(col("l_linestatus")).as("n_statuses"))
     }),
 
@@ -166,7 +169,7 @@ object MiscQueries {
           sort_array(collect_list(struct(col("o_orderstatus"), col("cnt")))))
           .as("m"))
         .select(col("o_orderpriority"),
-          map_keys(col("m")).as("statuses"),
+          array_join(map_keys(col("m")), ",").as("statuses"),
           coalesce(element_at(col("m"), "F"), lit(0L)).as("n_f"),
           coalesce(element_at(col("m"), "O"), lit(0L)).as("n_o"))
     }))
@@ -214,12 +217,12 @@ object MiscQueries {
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "q39_array_agg" ->
       """SELECT l_returnflag,
-        |  list_sort(list(DISTINCT l_linestatus)) AS statuses,
+        |  array_to_string(list_sort(list(DISTINCT l_linestatus)), ',') AS statuses,
         |  COUNT(DISTINCT l_linestatus) AS n_statuses
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "q40_map_funcs" ->
       """SELECT o_orderpriority,
-        |  list_sort(list(DISTINCT o_orderstatus)) AS statuses,
+        |  array_to_string(list_sort(list(DISTINCT o_orderstatus)), ',') AS statuses,
         |  COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_f,
         |  COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_o
         |FROM orders GROUP BY o_orderpriority""".stripMargin)

@@ -416,9 +416,9 @@ object RelationalQueries {
         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin,
     "q18_conditional_agg" ->
       """SELECT
-        |  SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_f,
-        |  SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_o,
-        |  SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_p,
+        |  CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+        |  CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+        |  CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p,
         |  CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT'
         |       THEN CAST(o_totalprice AS DECIMAL(12,2))
         |       ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE) AS urgent_price
@@ -530,7 +530,7 @@ object RelationalQueries {
         |FROM orders GROUP BY 1""".stripMargin,
     "q27_json_extract" ->
       """SELECT event_type, COUNT(*) AS n,
-        |       SUM(CAST(props->>'k' AS BIGINT)) AS sum_k,
+        |       CAST(SUM(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
         |       MAX(CAST(props->>'k' AS BIGINT)) AS max_k
         |FROM events GROUP BY event_type""".stripMargin,
     "q30_tumbling_window" ->

@@ -97,9 +97,11 @@ object SimilarityQueries {
       .select(col("vec_id"), col("v"),
         array_max(transform(col("v"), x => abs(x))).as("maxabs"))
       .repartition(col("vec_id")) // barrier: maxabs as attribute
+    // q8 emitted as a canonical comma-joined string: the verification
+    // driver's pandas row sort cannot handle array-typed columns.
     e.select(col("vec_id"),
-      transform(col("v"), x =>
-        floor(x * 127 / col("maxabs") + 0.5).cast("int")).as("q8"),
+      array_join(transform(col("v"), x =>
+        floor(x * 127 / col("maxabs") + 0.5).cast("int")), ",").as("q8"),
       col("maxabs").as("scale"))
   }
 
@@ -109,7 +111,7 @@ object SimilarityQueries {
         |m AS (SELECT vec_id, v,
         |  list_max(list_transform(v, x -> abs(x))) AS maxabs FROM e)
         |SELECT vec_id,
-        |  list_transform(v, x -> CAST(FLOOR(x * 127 / maxabs + 0.5) AS INTEGER)) AS q8,
+        |  array_to_string(list_transform(v, x -> CAST(FLOOR(x * 127 / maxabs + 0.5) AS INTEGER)), ',') AS q8,
         |  maxabs AS scale
         |FROM m""".stripMargin,
     "sim_topk_bruteforce" ->

@@ -93,16 +93,23 @@ object TextQueries {
           .otherwise("und").as("predicted_lang"))
     }),
 
+    // Split in two so the md5 half is oracle-checked: the rolling hash is
+    // xxhash64-based (not DuckDB-expressible) and would otherwise drag the
+    // md5 fingerprint down to rows-only with it.
     "ta_fingerprint" -> ((s, d) => {
       val toks = col("toks")
       docsWithToks(s, d).select(
         col("doc_id"),
-        // content fingerprint: md5 of the normalized (single-spaced) text
-        md5(concat_ws(" ", toks).cast("binary")).as("md5_fp"),
         // order-sensitive Karp–Rabin rolling hash (Scala/xxhash-based —
         // covered by ScalaTest, not SQL-expressible)
         rollingFingerprint(toks).as("rolling_fp"))
-        .select(col("doc_id"), col("md5_fp"), col("rolling_fp"))
+    }),
+
+    // content fingerprint: md5 of the normalized (single-spaced) text
+    "ta_fingerprint_md5" -> ((s, d) => {
+      docsWithToks(s, d).select(
+        col("doc_id"),
+        md5(concat_ws(" ", col("toks")).cast("binary")).as("md5_fp"))
     }),
 // Document chunking: 32-token sliding windows, stride 16 (the core
     // pretraining-prep op). One generator row per chunk; trailing partial
@@ -141,11 +148,14 @@ object TextQueries {
         .select(col("doc_id"), col("word"), col("tf"), col("df"))
     }))
 
-  // ta_fingerprint's rolling_fp column is xxhash64-based and not
-  // reproducible in DuckDB; its oracle checks doc_id+md5 via a projection
-  // trick is not possible (column sets must match), so it is rows-only and
-  // its md5/rolling determinism is pinned in TextQueriesSpec instead.
+  // ta_fingerprint (rolling_fp) is xxhash64-based and not reproducible in
+  // DuckDB — rows-only, determinism pinned in TextQueriesSpec. The md5
+  // fingerprint lives in ta_fingerprint_md5 and is oracle-checked.
   val oracles: Map[String, String] = Map(
+    "ta_fingerprint_md5" ->
+      """SELECT doc_id,
+        |  md5(array_to_string(list_filter(string_split(text, ' '), x -> x <> ''), ' ')) AS md5_fp
+        |FROM documents""".stripMargin,
     "ta_token_stats" ->
       """WITH t AS (SELECT doc_id, text,
         |  list_filter(string_split(text, ' '), x -> x <> '') AS toks

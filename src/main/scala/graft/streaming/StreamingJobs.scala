@@ -59,14 +59,17 @@ object StreamingJobs {
         col("n_events"))
 
   /** Streaming exact deduplication: drop events whose `event_id` was
-    * already seen, with state bounded by the watermark (ids older than
-    * the horizon are forgotten — the standard at-scale trade: exact
-    * within the watermark, memory bounded by the horizon's key count).
+    * already seen — id-ONLY dedup, so a redelivered event with the same id
+    * but a different ts is still dropped — with state bounded by the
+    * watermark (ids older than the horizon are forgotten — the standard
+    * at-scale trade: exact within the watermark, memory bounded by the
+    * horizon's key count; `dropDuplicates("event_id")` without the
+    * watermark bound would grow state forever).
     */
   def dedupStream(events: DataFrame): DataFrame =
     events
       .withWatermark("ts", "10 minutes")
-      .dropDuplicates("event_id", "ts")
+      .dropDuplicatesWithinWatermark("event_id")
 
   /** Streaming word count into the batched document store. Each micro-batch
     * upserts the complete current counts (complete output mode), so the

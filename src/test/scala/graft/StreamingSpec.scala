@@ -114,7 +114,9 @@ class StreamingSpec extends SparkSpec {
     try {
       stream.addData((1L, ts(0)), (2L, ts(1)), (1L, ts(0))) // in-batch dup
       q.processAllAvailable()
-      stream.addData((2L, ts(1)), (3L, ts(2))) // cross-batch dup
+      // cross-batch dup + a REDELIVERED id with a different ts (id-only
+      // dedup must drop it too)
+      stream.addData((2L, ts(1)), (3L, ts(2)), (1L, ts(3)))
       q.processAllAvailable()
     } finally q.stop()
     val ids = spark.table("dedup_out").select("event_id")
