@@ -34,7 +34,7 @@ object DedupQueries {
     * the index twice (minhash banding + candidate verification) share one
     * canonical exchange, so ReuseExchange makes the shingle construction
     * run once per query instead of once per consumer. */
-  private def shingleIndex(s: SparkSession, d: String): DataFrame =
+  private[graft] def shingleIndex(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .repartition(col("doc_id"))
       .select(col("doc_id"), explode(shingles(col("text"), 3)).as("s"))
@@ -42,18 +42,30 @@ object DedupQueries {
 
   /** Exact-jaccard pairs over a shingle index (doc_id, s): |A∩B| via
     * co-occurrence count, sizes joined in,
-    * jaccard = inter/(|A|+|B|-inter). */
-  private def exactJaccardOn(sh: DataFrame): DataFrame = {
+    * jaccard = inter/(|A|+|B|-inter).
+    *
+    * `pruneSingletons` semi-joins the pair join's input to the df ≥ 2
+    * shingle subset first. Exactness-preserving either way (df=1 shingles
+    * join with nothing, and sizes na/nb always count the FULL shingle
+    * sets — DedupSpec pins both paths equal); whether it *pays* depends on
+    * the corpus, hence [[singletonPruningPaysOff]]. At the bench scale
+    * (sf0.1: 31-word vocabulary, distinct/total ≈ 0.10, nearly every
+    * shingle common) the extra aggregation pass measured net-negative
+    * (14s → 19s), so the registered query keeps it off; the tiny SFs have
+    * ratio ≈ 0.61 where the heuristic votes to prune, which the spec
+    * exercises end-to-end. */
+  private[graft] def exactJaccardOn(
+      sh: DataFrame, pruneSingletons: Boolean = false): DataFrame = {
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    // Scale note: on realistic corpora (large vocab, mostly-rare
-    // shingles) the pair join should first semi-join to the df≥2 shingle
-    // subset — exactness-preserving, since only co-occurring shingles
-    // contribute to intersections. On THIS fixture (31-word vocabulary,
-    // nearly every shingle common) the extra aggregation pass measured
-    // net-negative (14s → 19s at sf0.1), so it stays off; revisit when
-    // the corpus changes.
-    val a = sh.toDF("doc_a", "s")
-    val b = sh.toDF("doc_b", "s")
+    val joinSide =
+      if (pruneSingletons) {
+        val df2 = sh.groupBy("s").agg(count(lit(1)).as("df"))
+          .filter(col("df") >= 2).select("s")
+        // semi-join reorders columns key-first; restore (doc_id, s)
+        sh.join(df2, Seq("s"), "left_semi").select("doc_id", "s")
+      } else sh
+    val a = joinSide.toDF("doc_a", "s")
+    val b = joinSide.toDF("doc_b", "s")
     val inter = a.join(b, "s")
       .filter(col("doc_a") < col("doc_b"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
@@ -63,6 +75,27 @@ object DedupQueries {
       .select(col("doc_a"), col("doc_b"),
         (col("inter").cast("double") /
           (col("na") + col("nb") - col("inter"))).as("jaccard"))
+  }
+
+  /** Corpus-stats heuristic for the `pruneSingletons` guard: pruning pays
+    * when a large share of index rows are df=1 shingles (big vocabulary,
+    * little repetition — the realistic web-corpus case), and costs an
+    * extra pass for nothing when the vocabulary is tiny and every shingle
+    * is hot (this fixture). The ratio distinct/total approximates the
+    * singleton share from cheap one-pass stats (exact singleton counting
+    * would itself be the aggregation being guarded). */
+  private[graft] def shouldPruneSingletons(
+      distinctShingles: Long, totalShingles: Long): Boolean =
+    totalShingles > 0 && distinctShingles.toDouble / totalShingles >= 0.5
+
+  /** One cheap aggregate over the index (count + HLL distinct) feeding
+    * [[shouldPruneSingletons]] — how a pipeline decides the guard for an
+    * unknown corpus. Not called inside the registered fixture queries
+    * (the decision is pre-measured there, see exactJaccardOn). */
+  private[graft] def singletonPruningPaysOff(sh: DataFrame): Boolean = {
+    val row = sh.agg(count(lit(1)).as("total"),
+      approx_count_distinct(col("s")).as("distinct")).head()
+    shouldPruneSingletons(row.getLong(1), row.getLong(0))
   }
 
   private def exactJaccardPairs(s: SparkSession, d: String): DataFrame =
@@ -157,29 +190,83 @@ object DedupQueries {
     }),
 
     // Embedding near-dup: all pairs with cosine ≥ 0.4 (fixture has no
-    // tighter clusters). Brute force n²/2 — oracle-checkable baseline; the
-    // LSH-bucketed variant (sim_ann_lsh) is the scale path.
+    // tighter clusters). Brute force n²/2 — oracle-checkable baseline;
+    // dedup_embedding_lsh below is the same semantics without the
+    // all-pairs nested-loop join.
     "dedup_embedding" -> ((s, d) => {
-      // Normalize once per vector (norm and unit projections each behind
-      // an exchange barrier — eval-once), so every pair costs ONE dot
-      // product instead of three. Oracle mirrors the normalize-then-dot
-      // op order for bit-stable doubles.
-      val unit = Tables.embeddings(s, d)
-        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-        .repartition(col("vec_id"))
-        .select(col("vec_id"), col("v"),
-          sqrt(VectorFunctions.dot(col("v"), col("v"))).as("nrm"))
-        .repartition(col("vec_id"))
-        .select(col("vec_id"),
-          transform(col("v"), x => x / col("nrm")).as("u"))
-        .repartition(col("vec_id"))
+      val unit = unitEmbeddings(s, d)
       val a = unit.toDF("vec_a", "u_a")
       val b = unit.toDF("vec_b", "u_b")
       a.join(b, col("vec_a") < col("vec_b"))
         .filter(VectorFunctions.dot(col("u_a"), col("u_b")) >= 0.4)
         .select(col("vec_a"), col("vec_b"),
           round(VectorFunctions.dot(col("u_a"), col("u_b")), 6).as("cos"))
+    }),
+
+    // Embedding near-dup via banded projection join — SAME results as
+    // dedup_embedding (recall 1.0 guaranteed, not probabilistic), but the
+    // candidate step is a shuffle equi-join on a band key instead of a
+    // BroadcastNestedLoopJoin over all n²/2 pairs:
+    //
+    //   unit vectors with cos(a,b) ≥ t satisfy ‖a−b‖₂ ≤ √(2−2t); for any
+    //   unit direction w, Cauchy–Schwarz gives |w·a − w·b| ≤ ‖a−b‖₂.
+    //   Banding the projection axis at width W = √(2−2t) therefore puts
+    //   every qualifying pair in the same or adjacent band — candidates
+    //   are exactly the ≤1-band-apart pairs, verified by exact cosine.
+    //
+    // (Sign-bit LSH bucketing cannot do this: measured on this fixture the
+    // qualifying pairs span bucket-hamming 0..6 of 6 bits, so probing to
+    // full recall would visit every bucket. The projection band carries a
+    // proof, not a probability.)
+    //
+    // Scale: pruning power = band width vs projection spread. At this
+    // fixture's loose t=0.4 (W≈1.1 vs ±0.5 spread) everything lands in a
+    // couple of bands — candidates ≈ brute force, but through a hash join
+    // rather than a nested loop. At production near-dup thresholds
+    // (t ≥ 0.9 ⇒ W ≤ 0.45) with clustered corpora the bands thin out and
+    // AND-ing several independent directions (join on the composite band
+    // tuple, 3^p neighbor offsets) multiplies the pruning.
+    "dedup_embedding_lsh" -> ((s, d) => {
+      val t = 0.4
+      val bandW = math.sqrt(2 - 2 * t)
+      // deterministic unit direction: first fixed-seed hyperplane, normalized
+      val w = {
+        val p = SimilarityQueries.hyperplanes(1, 64).head
+        val n = math.sqrt(p.map(x => x * x).sum)
+        p.map(_ / n)
+      }
+      val banded = unitEmbeddings(s, d)
+        .withColumn("band",
+          floor(VectorFunctions.dot(col("u"), typedlit(w)) / bandW)
+            .cast("long"))
+      val a = banded.toDF("vec_a", "u_a", "band_a")
+      val b = banded.toDF("vec_b", "u_b", "band_b")
+      // |band_a − band_b| ≤ 1 as three equi-joins (each pair matches
+      // exactly one offset, so the union is duplicate-free)
+      Seq(-1, 0, 1).map { off =>
+          a.join(b, col("band_b") === col("band_a") + off &&
+            col("vec_a") < col("vec_b"))
+        }.reduce(_ unionAll _)
+        .filter(VectorFunctions.dot(col("u_a"), col("u_b")) >= t)
+        .select(col("vec_a"), col("vec_b"),
+          round(VectorFunctions.dot(col("u_a"), col("u_b")), 6).as("cos"))
     }))
+
+  /** Embeddings normalized to unit vectors — (vec_id, u). Normalize once
+    * per vector (norm and unit projections each behind an exchange
+    * barrier — eval-once), so every pair costs ONE dot product instead of
+    * three. Oracles mirror the normalize-then-dot op order for bit-stable
+    * doubles. */
+  private def unitEmbeddings(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .repartition(col("vec_id"))
+      .select(col("vec_id"), col("v"),
+        sqrt(VectorFunctions.dot(col("v"), col("v"))).as("nrm"))
+      .repartition(col("vec_id"))
+      .select(col("vec_id"),
+        transform(col("v"), x => x / col("nrm")).as("u"))
+      .repartition(col("vec_id"))
 
   val oracles: Map[String, String] = Map(
     // MinHash+LSH is probabilistic in general, but DedupSpec pins its
@@ -188,13 +275,18 @@ object DedupQueries {
     // the exact verified value — so it legitimately shares the exact
     // oracle. Doubles as a regression tripwire if recall ever drops.
     "dedup_minhash_lsh" -> dedupNgramJaccardOracle,
+    // identical semantics by the band-containment proof above — shares the
+    // brute-force oracle
+    "dedup_embedding_lsh" -> dedupEmbeddingOracle,
     "dedup_exact" ->
       """SELECT doc_id,
         |  MIN(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id,
         |  doc_id <> MIN(doc_id) OVER (PARTITION BY md5(text)) AS is_dup
         |FROM documents""".stripMargin,
     "dedup_ngram_jaccard" -> dedupNgramJaccardOracle,
-    "dedup_embedding" ->
+    "dedup_embedding" -> dedupEmbeddingOracle)
+
+  private lazy val dedupEmbeddingOracle: String =
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v
         |           FROM embeddings),
         |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
@@ -202,7 +294,7 @@ object DedupQueries {
         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
         |  ROUND(list_dot_product(a.u, b.u), 6) AS cos
         |FROM u a JOIN u b ON a.vec_id < b.vec_id
-        |WHERE list_dot_product(a.u, b.u) >= 0.4""".stripMargin)
+        |WHERE list_dot_product(a.u, b.u) >= 0.4""".stripMargin
 
   private lazy val dedupNgramJaccardOracle: String =
       """WITH docs AS (

@@ -32,6 +32,22 @@ class AsOfJoinSpec extends SparkSpec {
       (3L, 7L, None)))      // key absent on right
   }
 
+  test("as-of join skips null right keys/times instead of blocking the merge") {
+    // Ascending sorts NULLS FIRST: a null-time right row for a key would
+    // sit in front of every valid row for that key, and a null-key row in
+    // front of the whole partition — the merge must consume them, not stop.
+    val left = Seq((1L, 20L), (2L, 20L)).toDF("k", "t")
+    val right = Seq(
+      (Option.empty[Long], Option(5L), "nullkey"),
+      (Option(1L), Option.empty[Long], "nulltime"),
+      (Option(1L), Option(10L), "good1"),
+      (Option(2L), Option(15L), "good2"))
+      .toDF("rk", "rt", "v")
+    val got = AsOf.join(left, right, "k", "rk", "t", "rt")
+      .select("k", "v").as[(Long, Option[String])].collect().toMap
+    assert(got == Map(1L -> Some("good1"), 2L -> Some("good2")))
+  }
+
   test("as-of join handles multiple right rows at equal time and key skew") {
     val left = (1 to 100).map(i => (1L, i.toLong * 10)).toDF("k", "t")
     val right = (1 to 50).map(i => (1L, i.toLong * 20, i)).toDF("rk", "rt", "v")

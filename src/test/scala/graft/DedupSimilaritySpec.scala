@@ -55,6 +55,47 @@ class DedupSimilaritySpec extends SparkSpec {
     // real-world data recalls far higher
   }
 
+  test("banded-projection embedding dedup equals brute force exactly") {
+    // not a recall pin — band containment is PROVEN (|w·a − w·b| ≤ ‖a−b‖
+    // ≤ √(2−2t) for unit vectors), so the two queries must be identical
+    // row-for-row including the cosine values
+    def rows(name: String) =
+      DedupQueries.queries(name)(spark, sf001)
+        .select("vec_a", "vec_b", "cos")
+        .as[(Long, Long, Double)].collect().toSet
+    val brute = rows("dedup_embedding")
+    val banded = rows("dedup_embedding_lsh")
+    assert(brute.nonEmpty)
+    assert(banded == brute,
+      s"missed=${brute.diff(banded)} extra=${banded.diff(brute)}")
+  }
+
+  test("df>=2 singleton pruning preserves exact jaccard pairs") {
+    val sh = DedupQueries.shingleIndex(spark, sf001)
+    def result(prune: Boolean) =
+      DedupQueries.exactJaccardOn(sh, pruneSingletons = prune)
+        .filter(col("jaccard") >= 0.8)
+        .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6))
+        .as[(String, String, Double)].collect().toSet
+    val off = result(false)
+    val on = result(true)
+    assert(off.nonEmpty)
+    assert(on == off, s"missed=${off.diff(on)} extra=${on.diff(off)}")
+  }
+
+  test("singleton-pruning heuristic: on for sparse vocab, off for hot vocab") {
+    // realistic web corpus: most shingles unique -> prune
+    assert(DedupQueries.shouldPruneSingletons(900L, 1000L))
+    // hot-vocab corpus (the sf0.1 fixture's shape, distinct/total ≈ 0.10,
+    // where pruning measured net-negative) -> don't
+    assert(!DedupQueries.shouldPruneSingletons(50L, 1000L))
+    assert(!DedupQueries.shouldPruneSingletons(0L, 0L))
+    // one-pass stats helper end-to-end: the sf0.001 corpus is small enough
+    // that most shingles ARE singletons (ratio ≈ 0.61) -> prune
+    assert(DedupQueries.singletonPruningPaysOff(
+      DedupQueries.shingleIndex(spark, sf0001)))
+  }
+
   test("rolling fingerprint: equal docs equal, reorder changes, order-sensitive") {
     val df = Seq(
       (1L, "a b c d"), (2L, "a b c d"), (3L, "d c b a"), (4L, "a b c e"))

@@ -33,6 +33,23 @@ class DotProductSpec extends SparkSpec {
     assert(got(2).isNullAt(0))
   }
 
+  test("dot matches the HOF idiom on length mismatch and null elements") {
+    // zip_with pads the shorter array with nulls and a null element poisons
+    // the fold — DotProduct must agree (it's substituted for the HOF by
+    // RewriteHofDotProduct session-wide, so divergence = wrong answers)
+    val df = Seq(
+      (Seq(Some(1.0), Some(2.0), Some(3.0)), Seq(Some(4.0), Some(5.0))),
+      (Seq(Some(1.0), None), Seq(Some(3.0), Some(4.0))),
+      (Seq(Some(1.0), Some(2.0)), Seq(Some(3.0), Some(4.0))))
+      .toDF("a", "b")
+    val got = df.select(
+      VectorFunctions.dot(col("a"), col("b")).as("native"),
+      VectorFunctions.dotHof(col("a"), col("b")).as("hof")).collect()
+    assert(got(0).isNullAt(0) && got(0).isNullAt(1)) // length mismatch
+    assert(got(1).isNullAt(0) && got(1).isNullAt(1)) // null element
+    assert(got(2).getDouble(0) == 11.0 && got(2).getDouble(1) == 11.0)
+  }
+
   test("codegen path actually engages (no fallback in explain)") {
     val e = Tables.embeddings(spark, sf0001)
     val plan = e.select(VectorFunctions.dot(col("embedding"), col("embedding")))

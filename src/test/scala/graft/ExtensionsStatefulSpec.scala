@@ -97,5 +97,29 @@ class ExtensionsStatefulSpec extends SparkSpec {
         org.apache.spark.sql.functions.col("embedding")).as("d"))
     assert(hof.collect().map(_.getDouble(0)).toSeq ==
       native.collect().map(_.getDouble(0)).toSeq)
+
+    // near-miss shapes must NOT rewrite: the rule is session-wide, so a
+    // loose pattern would silently change user results
+    import org.apache.spark.sql.functions._
+    val nearMisses = Seq(
+      // (x, y) -> x * x: not a product of both lambda args
+      e.select(aggregate(
+        zip_with(col("embedding").cast("array<double>"),
+          col("embedding").cast("array<double>"), (x, _) => x * x),
+        lit(0.0), (acc, v) => acc + v).as("d")),
+      // (acc, v) -> v + v: accumulator unused
+      e.select(aggregate(
+        zip_with(col("embedding").cast("array<double>"),
+          col("embedding").cast("array<double>"), (x, y) => x * y),
+        lit(0.0), (_, v) => v + v).as("d")),
+      // non-identity finish lambda
+      e.select(aggregate(
+        zip_with(col("embedding").cast("array<double>"),
+          col("embedding").cast("array<double>"), (x, y) => x * y),
+        lit(0.0), (acc, v) => acc + v, s => s + lit(1.0)).as("d")))
+    nearMisses.foreach { df =>
+      val p = df.queryExecution.optimizedPlan.toString
+      assert(!p.contains("graft_dot"), p.take(300))
+    }
   }
 }
