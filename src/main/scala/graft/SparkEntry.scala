@@ -27,6 +27,7 @@ object SparkEntry {
       (TextQueries.queries, TextQueries.oracles),
       (MiscQueries.queries, MiscQueries.oracles),
       (DedupQueries.queries, DedupQueries.oracles),
+      (PipelineQueries.queries, PipelineQueries.oracles),
       (SimilarityQueries.queries, SimilarityQueries.oracles),
       (graft.multimodal.Multimodal.queries, graft.multimodal.Multimodal.oracles))
 

@@ -1,0 +1,229 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data curation operators beyond dedup/stats: repetition
+  * filters, Gopher-style rule filters, per-shard sequence packing,
+  * benchmark decontamination, stratified sampling.
+  *
+  * All ratios are reported as exact basis points (floor(k·10000/n)) so
+  * Spark and the DuckDB oracle agree bit-for-bit (see TextQueries for
+  * why round(double) is not cross-engine stable).
+  *
+  * Scale notes per operator are inline; none of these materializes on the
+  * driver, and the only window function partitions by `source` (shard
+  * key), never globally.
+  */
+object PipelineQueries {
+
+  /** documents + materialized token array (repartition spreads the
+    * single-file parquet across cores AND acts as the eval-once barrier
+    * for the token expression — see TextQueries.docsWithToks). */
+  private def docsWithToks(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .repartition(col("doc_id"))
+      .withColumn("toks", tokens(col("text")))
+      .repartition(col("doc_id"))
+
+  private def bp(num: Column, den: Column): Column =
+    floor(num.cast("double") * 10000 / den).cast("long")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Repetition detection (the Gopher/MassiveText "repetitious text"
+    // family): duplicate-token ratio and the share of the most frequent
+    // bigram among all bigrams. High values flag boilerplate/spam for
+    // removal before training. Shape: one explode + two-level aggregate,
+    // partial-agg friendly, no self-joins.
+    "ta_repetition" -> ((s, d) => {
+      val n = size(col("toks"))
+      val base = docsWithToks(s, d).select(
+        col("doc_id"), col("toks"), n.as("n_tokens"),
+        size(array_distinct(col("toks"))).as("n_distinct"))
+      val bigrams = base.select(col("doc_id"), col("n_tokens"),
+        explode(zip_with(
+          slice(col("toks"), lit(1), col("n_tokens") - 1),
+          slice(col("toks"), lit(2), col("n_tokens") - 1),
+          (x, y) => concat(x, lit(" "), y))).as("bg"))
+      val topBg = bigrams
+        .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id").agg(max(col("c")).as("max_bg"))
+      base.join(topBg, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tokens"),
+          bp(col("n_tokens") - col("n_distinct"), col("n_tokens"))
+            .as("dup_token_bp"),
+          when(col("n_tokens") > 1,
+            bp(coalesce(col("max_bg"), lit(0L)), col("n_tokens") - 1))
+            .otherwise(lit(0L)).as("top_bigram_bp"))
+    }),
+
+    // Gopher-style rule filter: each rule as a boolean column plus the
+    // conjunctive keep flag — the standard pre-training quality gate.
+    // Pure per-row map work (no shuffle at all): linear at any scale.
+    "ta_gopher_filters" -> ((s, d) => {
+      val n = size(col("toks"))
+      val sumLen = aggregate(col("toks"), lit(0L), (acc, t) => acc + length(t))
+      val stopHits = size(filter(col("toks"),
+        t => t.isin("the", "a", "of", "and", "is")))
+      val alphaToks = size(filter(col("toks"),
+        t => t.rlike("\\p{L}")))
+      docsWithToks(s, d)
+        .select(col("doc_id"), n.as("n_tokens"),
+          floor(sumLen.cast("double") * 100 / n).cast("long")
+            .as("mean_tok_len_c"),
+          stopHits.cast("int").as("stop_hits"),
+          bp(alphaToks, n).as("alpha_bp"))
+        .select(col("doc_id"), col("n_tokens"), col("mean_tok_len_c"),
+          col("stop_hits"), col("alpha_bp"),
+          (col("n_tokens") >= 30 && col("n_tokens") <= 80).as("ok_len"),
+          (col("mean_tok_len_c") >= 300 && col("mean_tok_len_c") <= 800)
+            .as("ok_mean_len"),
+          (col("stop_hits") >= 1).as("ok_stop"),
+          (col("alpha_bp") >= 8000).as("ok_alpha"))
+        .withColumn("keep",
+          col("ok_len") && col("ok_mean_len") && col("ok_stop") &&
+            col("ok_alpha"))
+    }),
+
+    // Per-shard sequence packing ("concat then split" into fixed
+    // 128-token training bins): documents are concatenated in doc_id
+    // order WITHIN each source shard and cut every 128 tokens; a doc
+    // spanning a cut belongs to every bin it overlaps. The window
+    // partitions by source — the shard key — so state per partition is
+    // one running sum; there is no global window (the 100 TB version
+    // packs each shard independently, exactly this plan).
+    "pack_sequences" -> ((s, d) => {
+      val binSz = 128L
+      val w = Window.partitionBy("source").orderBy("doc_id")
+      docsWithToks(s, d)
+        .select(col("doc_id"), col("source"),
+          size(col("toks")).cast("long").as("n"))
+        .withColumn("cum_after", sum(col("n")).over(w))
+        .withColumn("cum_before", col("cum_after") - col("n"))
+        .select(col("source"), col("doc_id"), col("n").as("n_tokens"),
+          explode(sequence(
+            floor(col("cum_before").cast("double") / binSz).cast("long"),
+            floor((col("cum_after") - 1).cast("double") / binSz)
+              .cast("long"))).as("bin_id"))
+    }),
+
+    // Benchmark decontamination: flag corpus documents sharing any 3-gram
+    // shingle with a "benchmark" set (stand-in: the src0 shard). The
+    // benchmark shingle set is tiny relative to the corpus → broadcast
+    // inner join against the corpus inverted index, count distinct shared
+    // shingles per doc. This is the standard eval-contamination sweep:
+    // corpus-side work is one shingle explode + a broadcast join.
+    "decontam_overlap" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val bench = docs.filter(col("source") === "src0")
+        .select(explode(shingles(col("text"), 3)).as("s"))
+        .distinct()
+      val corpus = docs.filter(col("source") =!= "src0")
+        .repartition(col("doc_id"))
+        .select(col("doc_id"), explode(shingles(col("text"), 3)).as("s"))
+      corpus.join(broadcast(bench), "s")
+        .groupBy("doc_id")
+        .agg(countDistinct(col("s")).as("n_shared"))
+    }),
+
+    // Stratified (per-source quota) sampling, deterministic: keep the 5
+    // docs per source that sort first by md5(doc_id) — replay-stable
+    // (same winners every run and every engine), no rand(). Shape:
+    // per-shard top-k via ranking window on the shard key; at 100 TB the
+    // same plan holds because the partition key IS the stratum.
+    "sample_stratified" -> ((s, d) => {
+      val h = md5(col("doc_id").cast("string").cast("binary"))
+      val w = Window.partitionBy("source").orderBy(h.asc, col("doc_id").asc)
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), h.as("hkey"))
+        .withColumn("rn", row_number().over(w).cast("int"))
+        .filter(col("rn") <= 5)
+        .select(col("doc_id"), col("source"), col("rn"))
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "ta_repetition" ->
+      """WITH t AS (SELECT doc_id,
+        |  list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |base AS (SELECT doc_id, toks, len(toks) AS n,
+        |  len(list_distinct(toks)) AS nd FROM t),
+        |bg AS (SELECT doc_id,
+        |  unnest(list_transform(generate_series(1, len(toks) - 1),
+        |    i -> toks[i] || ' ' || toks[i + 1])) AS bg
+        |  FROM t WHERE len(toks) >= 2),
+        |bgc AS (SELECT doc_id, bg, COUNT(*) AS c FROM bg GROUP BY 1, 2),
+        |topbg AS (SELECT doc_id, MAX(c) AS max_bg FROM bgc GROUP BY 1)
+        |SELECT base.doc_id,
+        |  CAST(base.n AS INTEGER) AS n_tokens,
+        |  CAST(FLOOR(CAST(base.n - base.nd AS DOUBLE) * 10000 / base.n) AS BIGINT) AS dup_token_bp,
+        |  CASE WHEN base.n > 1 THEN
+        |    CAST(FLOOR(CAST(COALESCE(topbg.max_bg, 0) AS DOUBLE) * 10000 / (base.n - 1)) AS BIGINT)
+        |  ELSE 0 END AS top_bigram_bp
+        |FROM base LEFT JOIN topbg ON base.doc_id = topbg.doc_id""".stripMargin,
+    "ta_gopher_filters" ->
+      """WITH t AS (SELECT doc_id,
+        |  list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |m AS (SELECT doc_id,
+        |  CAST(len(toks) AS INTEGER) AS n_tokens,
+        |  CAST(FLOOR(CAST(list_sum(list_transform(toks, x -> LENGTH(x))) AS DOUBLE) * 100 / len(toks)) AS BIGINT) AS mean_tok_len_c,
+        |  CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','is'))) AS INTEGER) AS stop_hits,
+        |  CAST(FLOOR(CAST(len(list_filter(toks, x -> regexp_matches(x, '\p{L}'))) AS DOUBLE) * 10000 / len(toks)) AS BIGINT) AS alpha_bp
+        |  FROM t)
+        |SELECT doc_id, n_tokens, mean_tok_len_c, stop_hits, alpha_bp,
+        |  n_tokens >= 30 AND n_tokens <= 80 AS ok_len,
+        |  mean_tok_len_c >= 300 AND mean_tok_len_c <= 800 AS ok_mean_len,
+        |  stop_hits >= 1 AS ok_stop,
+        |  alpha_bp >= 8000 AS ok_alpha,
+        |  (n_tokens >= 30 AND n_tokens <= 80)
+        |    AND (mean_tok_len_c >= 300 AND mean_tok_len_c <= 800)
+        |    AND stop_hits >= 1 AND alpha_bp >= 8000 AS keep
+        |FROM m""".stripMargin,
+    "pack_sequences" ->
+      """WITH t AS (SELECT doc_id, source,
+        |  CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n
+        |  FROM documents),
+        |c AS (SELECT doc_id, source, n,
+        |  SUM(n) OVER (PARTITION BY source ORDER BY doc_id
+        |               ROWS UNBOUNDED PRECEDING) AS cum_after
+        |  FROM t),
+        |b AS (SELECT doc_id, source, n, cum_after,
+        |  cum_after - n AS cum_before FROM c),
+        |x AS (SELECT doc_id, source, n,
+        |  unnest(generate_series(CAST(FLOOR(CAST(cum_before AS DOUBLE) / 128) AS BIGINT),
+        |                         CAST(FLOOR(CAST(cum_after - 1 AS DOUBLE) / 128) AS BIGINT))) AS bin_id
+        |  FROM b)
+        |SELECT source, doc_id, CAST(n AS BIGINT) AS n_tokens,
+        |  CAST(bin_id AS BIGINT) AS bin_id
+        |FROM x""".stripMargin,
+    "decontam_overlap" ->
+      """WITH docs AS (
+        |  SELECT doc_id, source,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS w
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, source, CASE WHEN len(w) >= 3 THEN
+        |    list_distinct(list_transform(generate_series(1, len(w)-2),
+        |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+        |    ELSE [] END AS shingles
+        |  FROM docs),
+        |idx AS (SELECT doc_id, source, unnest(shingles) AS s FROM sh),
+        |bench AS (SELECT DISTINCT s FROM idx WHERE source = 'src0')
+        |SELECT idx.doc_id, COUNT(DISTINCT idx.s) AS n_shared
+        |FROM idx JOIN bench ON idx.s = bench.s
+        |WHERE idx.source <> 'src0'
+        |GROUP BY idx.doc_id""".stripMargin,
+    "sample_stratified" ->
+      """WITH h AS (SELECT doc_id, source,
+        |  md5(CAST(doc_id AS VARCHAR)) AS hkey FROM documents),
+        |r AS (SELECT doc_id, source,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY source
+        |       ORDER BY hkey ASC, doc_id ASC) AS INTEGER) AS rn
+        |  FROM h)
+        |SELECT doc_id, source, rn FROM r WHERE rn <= 5""".stripMargin)
+}

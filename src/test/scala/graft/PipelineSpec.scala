@@ -1,0 +1,101 @@
+package graft
+
+import graft.queries.PipelineQueries
+import org.apache.spark.sql.functions._
+
+/** Invariants for the curation operators (values are oracle-checked by the
+  * driver; these pin semantic properties and at-scale plan shape). */
+class PipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("pack_sequences: bins are contiguous per shard and cover all tokens") {
+    val out = PipelineQueries.queries("pack_sequences")(spark, sf001)
+    // every shard's bins form 0..maxBin with no gaps
+    val gaps = out.select("source", "bin_id").distinct()
+      .groupBy("source")
+      .agg(min("bin_id").as("lo"), max("bin_id").as("hi"),
+        countDistinct("bin_id").as("n"))
+      .filter(col("lo") =!= 0 || col("n") =!= col("hi") + 1)
+      .count()
+    assert(gaps == 0L)
+    // a doc of n tokens covers a contiguous token range of length n, which
+    // touches at most floor((n+126)/128)+1 bins (ceil over bin width plus
+    // one possible alignment straddle)
+    val docs = out.groupBy("source", "doc_id")
+      .agg(countDistinct("bin_id").as("nb"), first("n_tokens").as("n"))
+      .filter(col("nb") > floor((col("n") + 126) / 128) + 1)
+      .count()
+    assert(docs == 0L)
+  }
+
+  test("pack_sequences plan: window partitions by shard key, no global sort") {
+    val plan = PipelineQueries.queries("pack_sequences")(spark, sf001)
+      .queryExecution.executedPlan.toString
+    // a global (unpartitioned) window would print an empty partition spec
+    assert(!plan.contains("windowspecdefinition(")
+      || plan.contains("windowspecdefinition(source"), plan.take(800))
+  }
+
+  test("gopher filters: keep == conjunction of rule columns") {
+    val bad = PipelineQueries.queries("ta_gopher_filters")(spark, sf001)
+      .filter(col("keep") =!=
+        (col("ok_len") && col("ok_mean_len") && col("ok_stop") && col("ok_alpha")))
+      .count()
+    assert(bad == 0L)
+    // the thresholds actually split the fixture (a filter that keeps or
+    // drops everything tests nothing)
+    val dist = PipelineQueries.queries("ta_gopher_filters")(spark, sf001)
+      .groupBy("keep").count().as[(Boolean, Long)].collect().toMap
+    assert(dist.getOrElse(true, 0L) > 0 && dist.getOrElse(false, 0L) > 0)
+  }
+
+  test("decontam: every flagged doc really shares a shingle with src0") {
+    import graft.functions.TextFunctions._
+    val docs = Tables.documents(spark, sf001)
+    val benchShingles = docs.filter(col("source") === "src0")
+      .select(explode(shingles(col("text"), 3)).as("s"))
+      .as[String].collect().toSet
+    assert(benchShingles.nonEmpty)
+    val flagged = PipelineQueries.queries("decontam_overlap")(spark, sf001)
+    val ids = flagged.select("doc_id").as[Long].collect()
+    assert(ids.nonEmpty)
+    val texts = docs.filter(col("doc_id").isin(ids.take(20): _*))
+      .select(col("doc_id"), explode(shingles(col("text"), 3)).as("s"))
+      .as[(Long, String)].collect().groupBy(_._1)
+    texts.foreach { case (id, sh) =>
+      assert(sh.map(_._2).exists(benchShingles), s"doc $id has no overlap")
+    }
+  }
+
+  test("stratified sample: exactly min(5, shard size) docs per source, deterministic") {
+    val out = PipelineQueries.queries("sample_stratified")(spark, sf001)
+    val sizes = Tables.documents(spark, sf001)
+      .groupBy("source").count().as[(String, Long)].collect().toMap
+    val got = out.groupBy("source").count().as[(String, Long)].collect().toMap
+    sizes.foreach { case (src, n) =>
+      assert(got.getOrElse(src, 0L) == math.min(5L, n), s"source=$src")
+    }
+    // determinism: two runs pick identical winners
+    val a = out.select("doc_id").as[Long].collect().sorted.toSeq
+    val b = PipelineQueries.queries("sample_stratified")(spark, sf001)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(a == b)
+  }
+
+  test("repetition: planted repetitive text scores high, varied text low") {
+    val df = Seq(
+      (1L, "spam spam spam spam spam spam spam spam spam spam"),
+      (2L, "one two three four five six seven eight nine ten"))
+      .toDF("doc_id", "text")
+      .repartition(2)
+      .withColumn("toks", graft.functions.TextFunctions.tokens(col("text")))
+    // reuse the registered query's formula via a local recomputation:
+    // dup_token_bp = (n - n_distinct)/n
+    val stats = df.select(col("doc_id"),
+      size(col("toks")).as("n"),
+      size(array_distinct(col("toks"))).as("nd"))
+      .as[(Long, Int, Int)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(stats(1L) == (10, 1)) // 90% duplicate tokens
+    assert(stats(2L) == (10, 10)) // 0%
+  }
+}
