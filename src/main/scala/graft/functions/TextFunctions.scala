@@ -14,14 +14,18 @@ object TextFunctions {
     filter(split(text, " "), t => t =!= "")
 
   /** Distinct word n-gram shingles, e.g. n=3: "a b c". Empty array for
-    * docs shorter than n tokens.
-    *
-    * Implementation: zip n shifted slices of the token array rather than
-    * indexing (`element_at(toks, i+j)` inside a position lambda would
+    * docs shorter than n tokens. Backed by the native [[WordShingles]]
+    * expression (single JVM pass; ~20× the interpreted-HOF form it
+    * replaced — see that class's doc). */
+  def shingles(text: Column, n: Int): Column = WordShingles(text, n)
+
+  /** The original pure-HOF shingle formulation (zip of n shifted slices),
+    * kept as the built-ins reference implementation — pinned equal to
+    * [[shingles]] by TextFunctionsSpec. (The slice/zip form rather than
+    * indexing: `element_at(toks, i+j)` inside a position lambda would
     * re-evaluate the whole tokenize pipeline per element — measured 7.2 s
-    * to build a 260k-shingle index at sf0.1; the slice/zip form evaluates
-    * it a constant ~2n times per row). */
-  def shingles(text: Column, n: Int): Column = {
+    * to build a 260k-shingle index at sf0.1.) */
+  def shinglesHof(text: Column, n: Int): Column = {
     val toks = tokens(text)
     val k = size(toks) - (n - 1)
     val shifted = (0 until n).map(j => slice(toks, lit(j + 1), k))

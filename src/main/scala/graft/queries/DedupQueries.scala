@@ -98,8 +98,53 @@ object DedupQueries {
     shouldPruneSingletons(row.getLong(1), row.getLong(0))
   }
 
-  private def exactJaccardPairs(s: SparkSession, d: String): DataFrame =
+  private[graft] def exactJaccardPairs(s: SparkSession, d: String): DataFrame =
     exactJaccardOn(shingleIndex(s, d))
+
+  /** Prefix-filtered exact jaccard (the SSJoin/PPJoin candidate rule):
+    * sort each doc's shingles by global rarity (df, then shingle), and
+    * index only the first |X| − ⌈t·|X|⌉ + 1 per doc. EXACT for pairs with
+    * jaccard ≥ t: J(A,B) ≥ t forces |A∩B| ≥ ⌈t·|A|⌉ and ≥ ⌈t·|B|⌉, and if
+    * the prefixes were disjoint, the first common element in the global
+    * order would sit after one doc's prefix, capping the intersection at
+    * ⌈t·|X|⌉ − 1 — contradiction. (DedupSpec pins prefix == naive; the
+    * DuckDB oracle re-checks end-to-end.)
+    *
+    * Why this is the at-scale shape: the pair join touches ~(1−t) of the
+    * index instead of all of it, and — decisively for skew — the kept
+    * fraction is each doc's RAREST shingles, so hot shingles (whose f²
+    * candidate blowup is the inverted-index scale risk) stay out of the
+    * join unless a doc contains almost nothing else. Verification then
+    * runs [[exactJaccardOn]] over the candidate docs' full shingle sets
+    * (semi-join pushdown), same as the MinHash path. */
+  private[graft] def prefixJaccardPairs(
+      s: SparkSession, d: String, t: Double = JaccardThreshold): DataFrame = {
+    val sh = shingleIndex(s, d)
+    // df via hash aggregate (sort-free) broadcast back; per-doc rank and
+    // size share ONE window shuffle on doc_id
+    val dfreq = sh.groupBy("s").agg(count(lit(1)).as("df"))
+    val wDoc = Window.partitionBy("doc_id")
+    val prefixed = sh
+      .join(broadcast(dfreq), "s")
+      .withColumn("rk", row_number().over(wDoc.orderBy(col("df"), col("s"))))
+      .withColumn("n", count(lit(1)).over(wDoc))
+      .filter(col("rk") <= col("n") - ceil(col("n") * t) + 1)
+      .select("doc_id", "s")
+    val cand = prefixed.toDF("doc_a", "s")
+      .join(prefixed.toDF("doc_b", "s"), "s")
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b")
+      .distinct()
+    val candDocs = cand.select(col("doc_a").as("doc_id"))
+      .union(cand.select(col("doc_b").as("doc_id"))).distinct()
+    val candSh = sh
+      .join(broadcast(candDocs), Seq("doc_id"), "left_semi")
+      .select("doc_id", "s")
+    cand.join(exactJaccardOn(candSh), Seq("doc_a", "doc_b"))
+      .filter(col("jaccard") >= t)
+      .select(col("doc_a"), col("doc_b"),
+        round(col("jaccard"), 6).as("jaccard"))
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -115,11 +160,22 @@ object DedupQueries {
     }),
 
     // N-gram Jaccard near-dup: inverted-index candidates + exact verify.
+    // Fastest on THIS fixture (hot vocabulary keeps the pair join cheap:
+    // 1.27M raw pairs join in ~1.8s, less than the prefix index costs to
+    // build) — dedup_ngram_prefix below is the same semantics with the
+    // skew-proof candidate rule for corpora where f² explodes.
     "dedup_ngram_jaccard" -> ((s, d) =>
       exactJaccardPairs(s, d)
         .filter(col("jaccard") >= JaccardThreshold)
         .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6)
           .as("jaccard"))),
+
+    // Prefix-filtered exact jaccard (see prefixJaccardPairs): provably the
+    // same output, candidates cut 10× on this fixture (122k vs 1.27M raw
+    // pairs) and asymptotically immune to hot-shingle f² blowup — the
+    // at-scale twin of dedup_ngram_jaccard, oracle-checked against the
+    // identical SQL.
+    "dedup_ngram_prefix" -> ((s, d) => prefixJaccardPairs(s, d)),
 
     // MinHash(64) + LSH(8 bands × 8 rows) candidates, then exact-jaccard
     // verification of candidate docs only. Probabilistic recall (>0.99 at
@@ -275,6 +331,7 @@ object DedupQueries {
     // the exact verified value — so it legitimately shares the exact
     // oracle. Doubles as a regression tripwire if recall ever drops.
     "dedup_minhash_lsh" -> dedupNgramJaccardOracle,
+    "dedup_ngram_prefix" -> dedupNgramJaccardOracle,
     // identical semantics by the band-containment proof above — shares the
     // brute-force oracle
     "dedup_embedding_lsh" -> dedupEmbeddingOracle,

@@ -70,6 +70,20 @@ class DedupSimilaritySpec extends SparkSpec {
       s"missed=${brute.diff(banded)} extra=${banded.diff(brute)}")
   }
 
+  test("prefix-filtered jaccard equals the naive inverted-index path") {
+    // prefix filtering is provably exact for j >= t (see
+    // prefixJaccardPairs doc) — results must match row-for-row
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6))
+        .as[(Long, Long, Double)].collect().toSet
+    val naive = rows(DedupQueries.exactJaccardPairs(spark, sf001)
+      .filter(col("jaccard") >= 0.8))
+    val prefix = rows(DedupQueries.prefixJaccardPairs(spark, sf001))
+    assert(naive.nonEmpty)
+    assert(prefix == naive,
+      s"missed=${naive.diff(prefix)} extra=${prefix.diff(naive)}")
+  }
+
   test("df>=2 singleton pruning preserves exact jaccard pairs") {
     val sh = DedupQueries.shingleIndex(spark, sf001)
     def result(prune: Boolean) =
