@@ -59,6 +59,52 @@ object SimilarityQueries {
           round(col("cos_raw"), 6).as("cos"))
     }),
 
+    // The at-scale KNN-join twin of sim_nn_cross_label: both sides banded
+    // on one unit projection (the dedup_embedding_lsh machinery) and
+    // joined only within ±1 band — a shuffle equi-join whose cost tracks
+    // band co-occupancy instead of |A|×|B|. Approximate for *nearest*
+    // (argmax has no distance threshold to carry the band-containment
+    // proof, so a true NN further than the band width W from the query's
+    // projection can be missed) ⇒ rows-only; SimilaritySpec pins coverage
+    // (every query answered) and recall vs the exact cross product. Band
+    // width here = √(2−2·0.2): any neighbor with cos ≥ 0.2 is inside the
+    // probe window, i.e. misses can only happen for queries whose true NN
+    // is barely better than random.
+    "sim_knn_banded" -> ((s, d) => {
+      val t = 0.2
+      val bandW = math.sqrt(2 - 2 * t)
+      val w0 = {
+        val p = hyperplanes(1, 64).head
+        val n = math.sqrt(p.map(x => x * x).sum)
+        p.map(_ / n)
+      }
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label"),
+          col("embedding").cast("array<double>").as("v"))
+        .repartition(col("vec_id"))
+        .select(col("vec_id"), col("label"), col("v"),
+          floor(dot(col("v"), typedlit(w0)) / bandW)
+            .cast("long").as("band"))
+        .repartition(col("vec_id"))
+      val a = e.filter(col("label") === 0)
+        .select(col("vec_id").as("qid"), col("v").as("q_v"),
+          col("band").as("q_band"))
+      val b = e.filter(col("label") === 1)
+        .select(col("vec_id").as("cid"), col("v").as("c_v"),
+          col("band").as("c_band"))
+      val w = Window.partitionBy("qid")
+        .orderBy(col("cos_raw").desc, col("cid").asc)
+      Seq(-1, 0, 1).map { off =>
+          a.join(b, col("c_band") === col("q_band") + off)
+        }.reduce(_ unionAll _)
+        .select(col("qid"), col("cid"),
+          cosine(col("q_v"), col("c_v")).as("cos_raw"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("qid"), col("cid").as("nn_id"),
+          round(col("cos_raw"), 6).as("cos"))
+    }),
+
     // ANN: 6-bit random-hyperplane signatures (64 buckets — sized so a
     // bucket + its hamming-1 probes hold ~10% of this corpus; more planes
     // as the corpus grows); candidates = query bucket or a flip-1-bit
@@ -84,8 +130,90 @@ object SimilarityQueries {
         .limit(10)
     }),
 
+    // IVF (inverted-file) ANN — the other classic scale path next to LSH:
+    // a k-means coarse quantizer partitions the corpus into cells; a query
+    // probes only the nProbe nearest cells and exact-reranks inside them.
+    // Cell assignment is a broadcast argmin over centroids (native
+    // graft_dot: |v−c|² argmin ≡ argmin of |c|²−2·v·c, row norm cancels);
+    // at 100 TB the scan per query touches nProbe/k of the data and the
+    // cell column doubles as the partition key for vector storage.
+    // Deterministic (fixed seed-by-id init, fixed Lloyd iterations).
+    // Approximate ⇒ rows-only; recall vs brute force pinned in spec.
+    "sim_ann_ivf" -> ((s, d) => {
+      import s.implicits._
+      val e = rawVecs(s, d)
+      val centroids = ivfCentroids(e, k = 16, iters = 2)
+      val assigned = assignCells(e, centroids)
+      // probe cells: nearest 4 centroids to the query vector — O(k·dim)
+      // driver arithmetic on already-materialized model state
+      val qv = e.filter(col("vec_id") === 0).select("v")
+        .as[Seq[Double]].head()
+      val probe = centroids.zipWithIndex
+        .map { case (c, i) =>
+          (i, c.zip(qv).map { case (x, y) => (x - y) * (x - y) }.sum) }
+        .sortBy(_._2).take(4).map(_._1)
+      val q = broadcast(e.filter(col("vec_id") === 0)
+        .select(col("v").as("q_v")))
+      assigned.filter(col("vec_id") =!= 0 &&
+          col("cell").isin(probe: _*))
+        .join(q)
+        .select(col("vec_id"),
+          round(cosine(col("v"), col("q_v")), 6).as("cos"))
+        .orderBy(col("cos").desc, col("vec_id").asc)
+        .limit(10)
+    }),
+
     // int8 quantization — vector preprocessing for storage/ANN at scale.
     "sim_quantize_int8" -> quantizeQuery)
+
+  private def rawVecs(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .repartition(col("vec_id"))
+
+  /** Nearest-centroid cell per vector: argmin |v−c|² = argmin |c|² − 2·v·c
+    * (the row's own norm cancels), evaluated as an array_min over a
+    * (distance, cell) struct array with native graft_dot per centroid —
+    * codegen-friendly, no UDF, broadcastable model state. */
+  private[graft] def assignCells(
+      e: DataFrame, centroids: Seq[Seq[Double]]): DataFrame = {
+    val cands = array(centroids.zipWithIndex.map { case (c, i) =>
+      val cSq = c.map(x => x * x).sum
+      struct(
+        (lit(cSq) - dot(col("v"), typedlit(c)) * 2)
+          .as("d"),
+        lit(i).as("cell"))
+    }: _*)
+    e.withColumn("cell", array_min(cands).getField("cell"))
+  }
+
+  /** Lloyd's k-means for the IVF coarse quantizer: deterministic init
+    * (the k lowest vec_ids), `iters` assignment/update rounds. Each round
+    * collects exactly the k×dim centroid matrix to the driver — bounded
+    * MODEL state, not data (the same thing Spark MLlib's KMeans does per
+    * iteration); everything row-scaled stays distributed (assignment is a
+    * map, the update is a positional-explode aggregate). Empty cells keep
+    * their previous centroid. */
+  private[graft] def ivfCentroids(
+      e: DataFrame, k: Int, iters: Int): Seq[Seq[Double]] = {
+    import e.sparkSession.implicits._
+    var centroids: Seq[Seq[Double]] = e.orderBy("vec_id").limit(k)
+      .select("v").as[Seq[Double]].collect().toSeq
+    for (_ <- 0 until iters) {
+      val means = assignCells(e, centroids)
+        .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("cell", "pos").agg(avg(col("x")).as("m"))
+        .groupBy("cell")
+        .agg(transform(
+          sort_array(collect_list(struct(col("pos"), col("m")))),
+          p => p.getField("m")).as("c"))
+        .as[(Int, Seq[Double])].collect().toMap
+      centroids = centroids.zipWithIndex.map { case (old, i) =>
+        means.getOrElse(i, old)
+      }
+    }
+    centroids
+  }
 
   private def quantizeQuery: (SparkSession, String) => DataFrame = (s, d) => {
     // int8 symmetric quantization: q = floor(x*127/maxabs + 0.5).

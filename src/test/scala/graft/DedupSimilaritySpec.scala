@@ -110,6 +110,44 @@ class DedupSimilaritySpec extends SparkSpec {
       DedupQueries.shingleIndex(spark, sf0001)))
   }
 
+  test("banded KNN join: full coverage and high agreement with exact NN") {
+    val exact = SimilarityQueries.queries("sim_nn_cross_label")(spark, sf001)
+      .select("qid", "nn_id").as[(Long, Long)].collect().toMap
+    val banded = SimilarityQueries.queries("sim_knn_banded")(spark, sf001)
+      .select("qid", "nn_id").as[(Long, Long)].collect().toMap
+    // coverage: every query that has an exact NN gets SOME banded answer
+    assert(banded.keySet == exact.keySet,
+      s"missing=${exact.keySet.diff(banded.keySet)}")
+    // agreement: the ±1-band probe window covers any NN with cos >= 0.2,
+    // so on this corpus most answers are identical — pin a floor
+    val agree = exact.count { case (q, nn) => banded.get(q).contains(nn) }
+    assert(agree.toDouble / exact.size >= 0.8,
+      s"agreement=$agree/${exact.size}")
+  }
+
+  test("ivf ann: recall vs brute force and sane cell assignment") {
+    val brute = SimilarityQueries.queries("sim_topk_bruteforce")(spark, sf001)
+      .select("vec_id").as[Long].collect().toSet
+    val ivf = SimilarityQueries.queries("sim_ann_ivf")(spark, sf001)
+      .select("vec_id").as[Long].collect().toSet
+    assert(ivf.size == 10)
+    val recall = brute.intersect(ivf).size.toDouble / brute.size
+    // 4 of 16 cells probed on a diffuse corpus — floor matches sim_ann_lsh
+    assert(recall >= 0.3, s"recall=$recall")
+    // every vector lands in exactly one cell in [0, 16)
+    val e = Tables.embeddings(spark, sf001)
+      .select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v"))
+    val cents = SimilarityQueries.ivfCentroids(e, k = 16, iters = 2)
+    assert(cents.size == 16 && cents.forall(_.size == 64))
+    val cells = SimilarityQueries.assignCells(e, cents)
+      .groupBy("cell").count().as[(Int, Long)].collect()
+    assert(cells.map(_._2).sum == e.count())
+    assert(cells.forall { case (c, _) => c >= 0 && c < 16 })
+    // the quantizer actually partitions (not everything in one cell)
+    assert(cells.length > 1)
+  }
+
   test("rolling fingerprint: equal docs equal, reorder changes, order-sensitive") {
     val df = Seq(
       (1L, "a b c d"), (2L, "a b c d"), (3L, "d c b a"), (4L, "a b c e"))
