@@ -24,6 +24,7 @@ object SparkEntry {
     Seq(
       (CoreQueries.queries, CoreQueries.oracles),
       (RelationalQueries.queries, RelationalQueries.oracles),
+      (ExtraRelationalQueries.queries, ExtraRelationalQueries.oracles),
       (TextQueries.queries, TextQueries.oracles),
       (MiscQueries.queries, MiscQueries.oracles),
       (DedupQueries.queries, DedupQueries.oracles),

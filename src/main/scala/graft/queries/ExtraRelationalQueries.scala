@@ -1,0 +1,158 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Round-2 relational depth: correlated subqueries, unpivot, value-based
+  * (RANGE) window frames, the full ranking-function family, and
+  * first/last/nth_value frames. Same determinism rules as
+  * [[RelationalQueries]] (DECIMAL sums, total window orders).
+  */
+object ExtraRelationalQueries {
+
+  private def dec(c: Column): Column = c.cast(DecimalType(12, 2))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Correlated EXISTS through the SQL surface — Catalyst decorrelates
+    // to a left semi join (same plan class as q7; the point here is the
+    // subquery rewrite, exercised via spark.sql on registered views).
+    "q46_exists_subquery" -> ((s, d) => {
+      Tables.customer(s, d).createOrReplaceTempView("customer")
+      Tables.orders(s, d).createOrReplaceTempView("orders")
+      s.sql("""
+        SELECT c_custkey, c_mktsegment
+        FROM customer c
+        WHERE EXISTS (
+          SELECT 1 FROM orders o
+          WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+      """)
+    }),
+
+    // Unpivot (stack generator): the inverse of q34's pivot — wide
+    // per-priority status counts back to long (priority, status, cnt)
+    // rows. Pure map-side generator above one aggregation.
+    "q47_unpivot" -> ((s, d) => {
+      Tables.orders(s, d)
+        .groupBy("o_orderpriority")
+        .agg(
+          sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L)).as("n_f"),
+          sum(when(col("o_orderstatus") === "O", 1L).otherwise(0L)).as("n_o"),
+          sum(when(col("o_orderstatus") === "P", 1L).otherwise(0L)).as("n_p"))
+        .select(col("o_orderpriority"),
+          expr("stack(3, 'F', n_f, 'O', n_o, 'P', n_p) AS (o_orderstatus, cnt)"))
+    }),
+
+    // Value-based RANGE window frame: per customer, rolling 30-day order
+    // revenue (frame = orders whose date falls in [current-30d, current]).
+    // RANGE frames are value-deterministic — peers (equal dates) share a
+    // result regardless of tie order — and the window partitions by
+    // customer, never globally.
+    "q49_range_frame" -> ((s, d) => {
+      val days = datediff(col("o_orderdate"), lit("1970-01-01").cast("date"))
+      val w = Window.partitionBy("o_custkey").orderBy(days)
+        .rangeBetween(-30, 0)
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+          dec(col("o_totalprice")).as("p"))
+        .withColumn("rev_30d", sum(col("p")).over(w).cast("double"))
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("rev_30d"))
+    }),
+
+    // The full ranking-function family over one total order
+    // (o_totalprice, o_orderkey — unique, so rank == dense_rank == rn and
+    // every function is engine-deterministic).
+    "q50_rank_family" -> ((s, d) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("rk", rank().over(w))
+        .withColumn("drk", dense_rank().over(w))
+        .withColumn("pctr", round(percent_rank().over(w), 6))
+        .withColumn("cumd", round(cume_dist().over(w), 6))
+        .withColumn("tile", ntile(4).over(w))
+        .filter(col("rn") <= 5)
+        .select(col("o_custkey"), col("o_orderkey"), col("rn"), col("rk"),
+          col("drk"), col("pctr"), col("cumd"), col("tile"))
+    }),
+
+    // first/last/nth_value with explicit full-partition frames (the
+    // default frame stops at CURRENT ROW — a classic last_value trap,
+    // made explicit here on both engines).
+    "q53_first_last" -> ((s, d) => {
+      val ord = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      val full = ord.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"),
+          col("o_orderdate"), col("o_totalprice"))
+        .withColumn("first_price", first(col("o_totalprice")).over(full))
+        .withColumn("last_price", last(col("o_totalprice")).over(full))
+        .withColumn("second_price",
+          nth_value(col("o_totalprice"), 2).over(full))
+        .withColumn("rn", row_number().over(ord))
+        .filter(col("rn") === 1)
+        .select(col("o_custkey"), col("first_price"), col("last_price"),
+          col("second_price"))
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "q46_exists_subquery" ->
+      """SELECT c_custkey, c_mktsegment
+        |FROM customer c
+        |WHERE EXISTS (
+        |  SELECT 1 FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)""".stripMargin,
+    "q47_unpivot" ->
+      """WITH wide AS (
+        |  SELECT o_orderpriority,
+        |    CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+        |    CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+        |    CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p
+        |  FROM orders GROUP BY o_orderpriority)
+        |SELECT o_orderpriority, 'F' AS o_orderstatus, n_f AS cnt FROM wide
+        |UNION ALL
+        |SELECT o_orderpriority, 'O', n_o FROM wide
+        |UNION ALL
+        |SELECT o_orderpriority, 'P', n_p FROM wide""".stripMargin,
+    "q49_range_frame" ->
+      """SELECT o_orderkey, o_custkey,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate
+        |    RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW)
+        |    AS DOUBLE) AS rev_30d
+        |FROM orders""".stripMargin,
+    "q50_rank_family" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(ROW_NUMBER() OVER w AS INTEGER) AS rn,
+        |  CAST(RANK() OVER w AS INTEGER) AS rk,
+        |  CAST(DENSE_RANK() OVER w AS INTEGER) AS drk,
+        |  ROUND(PERCENT_RANK() OVER w, 6) AS pctr,
+        |  ROUND(CUME_DIST() OVER w, 6) AS cumd,
+        |  CAST(NTILE(4) OVER w AS INTEGER) AS tile
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey
+        |             ORDER BY o_totalprice DESC, o_orderkey ASC)
+        |QUALIFY rn <= 5""".stripMargin,
+    "q53_first_last" ->
+      """WITH x AS (
+        |  SELECT o_custkey,
+        |    FIRST_VALUE(o_totalprice) OVER f AS first_price,
+        |    LAST_VALUE(o_totalprice) OVER f AS last_price,
+        |    NTH_VALUE(o_totalprice, 2) OVER f AS second_price,
+        |    ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |                       ORDER BY o_orderdate ASC, o_orderkey ASC) AS rn
+        |  FROM orders
+        |  WINDOW f AS (PARTITION BY o_custkey
+        |               ORDER BY o_orderdate ASC, o_orderkey ASC
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
+        |SELECT o_custkey, first_price, last_price, second_price
+        |FROM x WHERE rn = 1""".stripMargin)
+}
