@@ -99,7 +99,8 @@ object DedupQueries {
   }
 
   private[graft] def exactJaccardPairs(s: SparkSession, d: String): DataFrame =
-    exactJaccardOn(shingleIndex(s, d))
+    // one index materialization for sizes + both self-join sides
+    exactJaccardOn(shingleIndex(s, d).localCheckpoint())
 
   /** Prefix-filtered exact jaccard (the SSJoin/PPJoin candidate rule):
     * sort each doc's shingles by global rarity (df, then shingle), and
@@ -119,7 +120,17 @@ object DedupQueries {
     * (semi-join pushdown), same as the MinHash path. */
   private[graft] def prefixJaccardPairs(
       s: SparkSession, d: String, t: Double = JaccardThreshold): DataFrame = {
-    val sh = shingleIndex(s, d)
+    // Materialize the index ONCE (localCheckpoint cuts lineage): this
+    // pipeline references it from five places, and each DataFrame
+    // reference re-expands the whole upstream plan — measured 40 parquet
+    // scans / 40 shingle evaluations for this one query without the
+    // checkpoint. (.cache() is NOT the tool: registering these big plans
+    // in the session cache manager measurably slowed the PLANNING of
+    // every later query in the suite — plan-match lookups — while
+    // localCheckpoint keeps the materialization query-local and lets the
+    // ContextCleaner reap it. At 100 TB the index would be a persisted
+    // table; "build the inverted index once" is part of the operator.)
+    val sh = shingleIndex(s, d).localCheckpoint()
     // df via hash aggregate (sort-free) broadcast back; per-doc rank and
     // size share ONE window shuffle on doc_id
     val dfreq = sh.groupBy("s").agg(count(lit(1)).as("df"))
@@ -130,11 +141,13 @@ object DedupQueries {
       .withColumn("n", count(lit(1)).over(wDoc))
       .filter(col("rk") <= col("n") - ceil(col("n") * t) + 1)
       .select("doc_id", "s")
+      .localCheckpoint() // both sides of the candidate self-join
     val cand = prefixed.toDF("doc_a", "s")
       .join(prefixed.toDF("doc_b", "s"), "s")
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b")
       .distinct()
+      .localCheckpoint() // candDocs + the verification join
     val candDocs = cand.select(col("doc_a").as("doc_id"))
       .union(cand.select(col("doc_b").as("doc_id"))).distinct()
     val candSh = sh
@@ -193,7 +206,10 @@ object DedupQueries {
     //    only (semi-join pushdown), not the whole corpus.
     "dedup_minhash_lsh" -> ((s, d) => {
       val minhash64 = udaf(graft.functions.MinHashAggregator)
-      val banded = shingleIndex(s, d)
+      // one materialization of the index for banding + verification
+      // (see prefixJaccardPairs for why localCheckpoint, not cache)
+      val sh = shingleIndex(s, d).localCheckpoint()
+      val banded = sh
         .select(col("doc_id"), xxhash64(col("s")).as("h"))
         .groupBy("doc_id").agg(minhash64(col("h")).as("sig"))
         .select(col("doc_id"), bandHashes(col("sig"), 8, 8).as("bands"))
@@ -208,10 +224,12 @@ object DedupQueries {
             struct(a.as("doc_a"), x.as("doc_b")))))).as("p"))
         .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
         .distinct()
+        .localCheckpoint() // candDocs + the verification join
       val candDocs = cand.select(col("doc_a").as("doc_id"))
         .union(cand.select(col("doc_b").as("doc_id"))).distinct()
-      val candShingles = shingleIndex(s, d)
+      val candShingles = sh
         .join(broadcast(candDocs), Seq("doc_id"), "left_semi")
+        .select("doc_id", "s")
       cand.join(exactJaccardOn(candShingles), Seq("doc_a", "doc_b"))
         .filter(col("jaccard") >= JaccardThreshold)
         .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6)
@@ -230,6 +248,7 @@ object DedupQueries {
           explode(tokens(col("text"))).as("tok"))
         .select(col("doc_id"), xxhash64(col("tok")).as("h"))
         .groupBy("doc_id").agg(simhashAgg(col("h")).as("sig"))
+        .localCheckpoint() // both sides of the piece-blocked self-join
       val pieces = sigs.select(col("doc_id"), col("sig"),
         posexplode(transform(sequence(lit(0), lit(3)), p =>
           call_function("shiftright", col("sig"), (p * 16).cast("int"))
@@ -323,6 +342,7 @@ object DedupQueries {
       .select(col("vec_id"),
         transform(col("v"), x => x / col("nrm")).as("u"))
       .repartition(col("vec_id"))
+      .localCheckpoint() // both self-join sides, in two queries
 
   val oracles: Map[String, String] = Map(
     // MinHash+LSH is probabilistic in general, but DedupSpec pins its
