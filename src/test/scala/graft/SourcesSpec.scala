@@ -46,6 +46,22 @@ class SourcesSpec extends SparkSpec {
     assert(back.collect().toSet == df.collect().toSet)
   }
 
+  test("orc write/read round-trip is exact and pushes filters") {
+    val dir = Files.createTempDirectory("orc").toString
+    val df = Tables.customer(spark, sf0001)
+    df.write.mode("overwrite").orc(dir)
+    val back = spark.read.orc(dir)
+    assert(back.collect().toSet == df.collect().toSet)
+    val filtered = back.filter(col("c_custkey") === 42)
+      .select("c_custkey", "c_mktsegment")
+    val plan = filtered.queryExecution.executedPlan.toString
+    // predicate + projection reach the ORC scan like they do for parquet
+    assert(plan.contains("PushedFilters: [IsNotNull(c_custkey), EqualTo(c_custkey,42)"),
+      plan.take(600))
+    assert(plan.contains("ReadSchema: struct<c_custkey:bigint,c_mktsegment:string>"),
+      plan.take(600))
+  }
+
   test("partitioned parquet write enables partition pruning") {
     val dir = Files.createTempDirectory("pqpart").toString
     Tables.orders(spark, sf0001)
