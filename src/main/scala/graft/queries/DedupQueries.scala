@@ -159,7 +159,63 @@ object DedupQueries {
         round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** Connected components over the near-dup pair graph by iterative
+    * min-label propagation (the "label = min(label, neighbors' labels)"
+    * Pregel step, run to fixpoint): turns PAIRS into CLUSTERS with one
+    * canonical doc per component — the step an actual dedup pipeline
+    * needs before dropping rows (A~B, B~C must keep ONE of {A,B,C}, which
+    * pairwise output alone cannot express).
+    *
+    * Distributed shape: each iteration is one equi-join of the edge list
+    * with the label table + a min-aggregate, localCheckpoint'ed so the
+    * loop's plan doesn't grow; iterations = component diameter (near-dup
+    * clusters are shallow — single digits even at 100 TB). The driver
+    * sees only the per-iteration change COUNT (a scalar) — labels never
+    * leave the cluster. Deterministic: min is order-free. */
+  private[graft] def connectedComponents(pairs: DataFrame): DataFrame = {
+    val edges = pairs.toDF("src", "dst")
+      .unionAll(pairs.toDF("dst", "src").select("src", "dst"))
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint()
+    var changed = 1L
+    while (changed > 0) {
+      val nbrMin = edges
+        .join(labels.toDF("dst", "nl"), "dst")
+        .groupBy("src").agg(min(col("nl")).as("nbr_label"))
+      val next = labels
+        .join(nbrMin.toDF("id", "nbr_label"), Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nbr_label"), col("label")))
+            .as("label"))
+        .localCheckpoint()
+      changed = next.toDF("id", "nl")
+        .join(labels, "id").filter(col("nl") =!= col("label")).count()
+      labels = next
+    }
+    labels
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Near-dup clustering: n-gram jaccard pairs -> connected components ->
+    // one canonical (min doc_id) per cluster, over the FULL corpus
+    // (singleton docs are their own canonical). The complete dedup
+    // verdict a training pipeline filters on.
+    "dedup_clusters" -> ((s, d) => {
+      val pairs = exactJaccardPairs(s, d)
+        .filter(col("jaccard") >= JaccardThreshold)
+        .select("doc_a", "doc_b")
+      val comp = connectedComponents(pairs)
+      Tables.documents(s, d)
+        .select(col("doc_id"))
+        .join(comp.toDF("doc_id", "cluster"), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("cluster"), col("doc_id")).as("cluster_id"),
+          (coalesce(col("cluster"), col("doc_id")) =!= col("doc_id"))
+            .as("is_dup"))
+    }),
 
     // Exact dedup: canonical = min doc_id among identical texts. Shuffles
     // on an md5 fingerprint (16 bytes), not the full text — at 100 TB the
@@ -352,6 +408,42 @@ object DedupQueries {
     // oracle. Doubles as a regression tripwire if recall ever drops.
     "dedup_minhash_lsh" -> dedupNgramJaccardOracle,
     "dedup_ngram_prefix" -> dedupNgramJaccardOracle,
+    // connected components via recursive CTE: root r reaches node n along
+    // the (bidirectional) dup edges ⇒ same component; min reachable root
+    // = the canonical id the Spark label propagation converges to
+    "dedup_clusters" ->
+      """WITH RECURSIVE docs AS (
+        |  SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS w
+        |  FROM documents),
+        |sht AS (
+        |  SELECT doc_id, CASE WHEN len(w) >= 3 THEN
+        |    list_distinct(list_transform(generate_series(1, len(w)-2),
+        |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+        |    ELSE [] END AS shingles
+        |  FROM docs),
+        |idx AS (SELECT doc_id, unnest(shingles) AS s FROM sht),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM idx GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+        |  FROM idx a JOIN idx b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT doc_a, doc_b FROM inter
+        |  JOIN sizes sa ON sa.doc_id = doc_a
+        |  JOIN sizes sb ON sb.doc_id = doc_b
+        |  WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8),
+        |edges AS (
+        |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |r(node, root) AS (
+        |  SELECT DISTINCT src, src FROM edges
+        |  UNION
+        |  SELECT e.dst, r.root FROM r JOIN edges e ON e.src = r.node),
+        |comp AS (SELECT node, MIN(root) AS cluster FROM r GROUP BY node)
+        |SELECT d.doc_id,
+        |  COALESCE(c.cluster, d.doc_id) AS cluster_id,
+        |  COALESCE(c.cluster, d.doc_id) <> d.doc_id AS is_dup
+        |FROM documents d LEFT JOIN comp c ON c.node = d.doc_id""".stripMargin,
     // identical semantics by the band-containment proof above — shares the
     // brute-force oracle
     "dedup_embedding_lsh" -> dedupEmbeddingOracle,

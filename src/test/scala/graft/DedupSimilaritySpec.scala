@@ -70,6 +70,26 @@ class DedupSimilaritySpec extends SparkSpec {
       s"missed=${brute.diff(banded)} extra=${banded.diff(brute)}")
   }
 
+  test("dedup clusters: transitive closure of pairs, canonical = min id") {
+    val pairList = DedupQueries.queries("dedup_ngram_jaccard")(spark, sf001)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect()
+    val clusters = DedupQueries.queries("dedup_clusters")(spark, sf001)
+      .select("doc_id", "cluster_id").as[(Long, Long)].collect().toMap
+    // every pair ends up in the same cluster (transitivity is what the
+    // component step adds over raw pairs)
+    pairList.foreach { case (a, b) =>
+      assert(clusters(a) == clusters(b), s"pair ($a,$b) split")
+    }
+    // the canonical id is the minimum member of its cluster
+    clusters.groupBy(_._2).foreach { case (cid, members) =>
+      assert(members.keys.min == cid, s"cluster $cid min=${members.keys.min}")
+    }
+    // docs in no pair are their own singleton cluster
+    val inPairs = pairList.flatMap(p => Seq(p._1, p._2)).toSet
+    clusters.filterNot { case (id, _) => inPairs(id) }
+      .foreach { case (id, cid) => assert(id == cid) }
+  }
+
   test("prefix-filtered jaccard equals the naive inverted-index path") {
     // prefix filtering is provably exact for j >= t (see
     // prefixJaccardPairs doc) — results must match row-for-row
