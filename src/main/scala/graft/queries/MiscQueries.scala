@@ -157,6 +157,20 @@ object MiscQueries {
         .select(col("doc_id"), col("lang"), col("source"))
     }),
 
+    // Skew-safe aggregation as a first-class query: 60k rows over THREE
+    // status keys is exactly the hot-key shape that pins a reducer at
+    // scale. Two-stage salted aggregate (deterministic xxhash salt, 16
+    // buckets): both shuffles bounded by keys × buckets. Oracle = the
+    // plain GROUP BY — salting must be result-invisible.
+    "q48_salted_agg" -> ((s, d) =>
+      graft.operators.Salting.saltedCountSum(
+          Tables.orders(s, d),
+          col("o_orderstatus"),
+          col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(12, 2)),
+          col("o_orderkey"))
+        .select(col("k").as("o_orderstatus"), col("cnt"),
+          col("sum_v").cast("double").as("sum_price"))),
+
     // Map construction + access: per-priority status->count map, queried
     // back out (map_from_entries / map_keys / element_at). Output stays in
     // oracle-comparable shapes (sorted key array + scalar lookups).
@@ -187,6 +201,10 @@ object MiscQueries {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
         |FROM customer JOIN orders ON c_custkey = o_custkey
         |GROUP BY c_mktsegment""".stripMargin,
+    "q48_salted_agg" ->
+      """SELECT o_orderstatus, COUNT(*) AS cnt,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+        |FROM orders GROUP BY o_orderstatus""".stripMargin,
     "q43_hash_sample" ->
       """SELECT doc_id, lang, source FROM documents
         |WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) % 100 < 10""".stripMargin,

@@ -59,6 +59,34 @@ class DocStoreSourceSpec extends SparkSpec {
       || msg.contains("INCOMPATIBLE_DATA_FOR_TABLE"), e.toString)
   }
 
+  test("streaming foreachBatch writes through the DSv2 connector") {
+    // the streaming word count upserting via the DSv2 WRITE path instead
+    // of DocSink — complete-mode batches are idempotent upserts, so the
+    // store converges to the batch answer through either sink surface
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val root = Files.createTempDirectory("graft-dsv2s").toString
+    val stream = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[String]
+    val counts = WordCount.countWords(stream.toDS().toDF("text"), "text")
+    val q = counts.writeStream.outputMode("complete")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.select(lit("wcs").as("collection"), col("word").as("doc_id"),
+            col("cnt").cast("long").as("count"))
+          .write.format("graft.sources.DocStoreDataSource")
+          .option("path", root).mode("append").save()
+      }.start()
+    try {
+      stream.addData("hi there hi")
+      q.processAllAvailable()
+      stream.addData("hi sue")
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.read.format("graft.sources.DocStoreDataSource")
+      .option("path", root).load()
+      .select($"doc_id", $"count").as[(String, Long)].collect().toMap
+    assert(got == Map("hi" -> 3L, "there" -> 1L, "sue" -> 1L))
+  }
+
   test("DSv2 source parallelizes by collection and supports SQL") {
     val root = Files.createTempDirectory("graft-dsv2b").toString
     val f = new FileDocumentStoreFactory(root)
