@@ -79,11 +79,70 @@ object Multimodal {
         md5(concat(col("doc_id").cast("string"), lit("#"),
           col("frame_idx").cast("string")).cast("binary")))
 
+  /** Typed result of the fake resize: target box + the bytes a real
+    * resampler would emit (here a deterministic signature of the payload
+    * + box, standing in for pixel data). */
+  final case class ResizedMedia(
+      doc_id: Long,
+      out_w: Int,
+      out_h: Int,
+      resized_sig: String)
+
+  /** Resize-to-box: per-payload target dims preserving the fake decode's
+    * aspect ratio, computed batch-wise like decodeMeta (the mapPartitions
+    * seam is where a real resampler runs; one codec instance per
+    * partition). Output dims = largest (w,h) fitting 64×64 with the
+    * source aspect — integer math, engine-reproducible. */
+  def resizeToBox(spark: SparkSession, docs: DataFrame): Dataset[ResizedMedia] = {
+    import spark.implicits._
+    withPayload(docs)
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val m = MediaDecoder.decode(id, bytes)
+          // fit into 64x64, preserve aspect (integer floor like a real
+          // resampler's dimension math), min 1px
+          val (ow, oh) =
+            if (m.width >= m.height)
+              (64, math.max(1, m.height * 64 / m.width))
+            else (math.max(1, m.width * 64 / m.height), 64)
+          val sig = java.security.MessageDigest.getInstance("MD5")
+            .digest(s"$id:$ow:$oh".getBytes("UTF-8"))
+            .map(b => f"$b%02x").mkString
+          ResizedMedia(id, ow, oh, sig)
+        }
+      }
+  }
+
+  /** Feature extraction: fixed-width float feature vector per payload
+    * (here: deterministic byte-statistics features standing in for an
+    * embedding model's output — the schema/batch shape is the real
+    * contract: array<float> column, linear scan, no shuffle). */
+  def extractFeatures(docs: DataFrame): DataFrame =
+    withPayload(docs)
+      .select(col("doc_id"),
+        array(
+          octet_length(col("payload")).cast("float"),
+          (octet_length(col("payload")) % 251).cast("float"),
+          (octet_length(col("payload")) % 63).cast("float"),
+          (octet_length(col("payload")) % 17).cast("float"))
+          .as("features"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_decode_meta" -> ((s, d) =>
       decodeMeta(s, Tables.documents(s, d)).toDF()),
     "mm_frame_sample" -> ((s, d) =>
-      sampleFrames(Tables.documents(s, d))))
+      sampleFrames(Tables.documents(s, d))),
+    "mm_resize" -> ((s, d) =>
+      resizeToBox(s, Tables.documents(s, d)).toDF()),
+    // features stringified for the driver compare (array cells don't
+    // sort in pandas); real consumers read the array column directly
+    "mm_features" -> ((s, d) =>
+      extractFeatures(Tables.documents(s, d))
+        .select(col("doc_id"),
+          array_join(col("features").cast("array<int>"), ",")
+            .as("features"))))
 
   val oracles: Map[String, String] = Map(
     "mm_decode_meta" ->
@@ -94,6 +153,31 @@ object Multimodal {
         |  CAST(octet_length(encode(text)) % 10 + 1 AS INTEGER) AS n_frames,
         |  'fake/raw' AS format,
         |  substring(hex(encode(text)), 1, 16) AS header_hex
+        |FROM documents""".stripMargin,
+    "mm_resize" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    octet_length(encode(text)) % 640 + 1 AS w,
+        |    (octet_length(encode(text)) * 31) % 480 + 1 AS h
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id,
+        |    CASE WHEN w >= h THEN 64
+        |         ELSE GREATEST(1, w * 64 // h) END AS out_w,
+        |    CASE WHEN w >= h THEN GREATEST(1, h * 64 // w)
+        |         ELSE 64 END AS out_h
+        |  FROM m)
+        |SELECT doc_id, CAST(out_w AS INTEGER) AS out_w,
+        |  CAST(out_h AS INTEGER) AS out_h,
+        |  md5(CAST(doc_id AS VARCHAR) || ':' || CAST(out_w AS VARCHAR)
+        |      || ':' || CAST(out_h AS VARCHAR)) AS resized_sig
+        |FROM r""".stripMargin,
+    "mm_features" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS VARCHAR) || ',' ||
+        |  CAST(octet_length(encode(text)) % 251 AS VARCHAR) || ',' ||
+        |  CAST(octet_length(encode(text)) % 63 AS VARCHAR) || ',' ||
+        |  CAST(octet_length(encode(text)) % 17 AS VARCHAR) AS features
         |FROM documents""".stripMargin,
     "mm_frame_sample" ->
       """WITH f AS (
