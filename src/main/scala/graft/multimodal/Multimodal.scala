@@ -39,7 +39,12 @@ object Multimodal {
     * real codec (JPEG/PNG/ffmpeg) in production; signature and batching
     * stay identical. */
   object MediaDecoder {
-    def decode(docId: Long, bytes: Array[Byte]): MediaMeta = {
+    def decode(docId: Long, bytesOrNull: Array[Byte]): MediaMeta = {
+      // null payload (missing media) decodes like an empty payload — a
+      // production decoder would quarantine; either way it must not kill
+      // the job (RobustnessSpec)
+      val bytes =
+        if (bytesOrNull == null) Array.emptyByteArray else bytesOrNull
       val n = bytes.length
       // ---- deterministic fake decode (no codecs in this container) ----
       val width = n % 640 + 1

@@ -29,8 +29,10 @@ object PipelineQueries {
       .withColumn("toks", tokens(col("text")))
       .repartition(col("doc_id"))
 
+  // zero-denominator guard: degenerate docs get NULL, not a job-killing
+  // ANSI cast error on Inf (see RobustnessSpec)
   private def bp(num: Column, den: Column): Column =
-    floor(num.cast("double") * 10000 / den).cast("long")
+    when(den > 0, floor(num.cast("double") * 10000 / den).cast("long"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -44,11 +46,14 @@ object PipelineQueries {
       val base = docsWithToks(s, d).select(
         col("doc_id"), col("toks"), n.as("n_tokens"),
         size(array_distinct(col("toks"))).as("n_distinct"))
+      // when() keeps slice's negative length unevaluated for docs with
+      // < 2 tokens (slice throws rather than clamping — RobustnessSpec)
       val bigrams = base.select(col("doc_id"), col("n_tokens"),
-        explode(zip_with(
+        explode(when(col("n_tokens") >= 2, zip_with(
           slice(col("toks"), lit(1), col("n_tokens") - 1),
           slice(col("toks"), lit(2), col("n_tokens") - 1),
-          (x, y) => concat(x, lit(" "), y))).as("bg"))
+          (x, y) => concat(x, lit(" "), y)))
+          .otherwise(array().cast("array<string>"))).as("bg"))
       val topBg = bigrams
         .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
         .groupBy("doc_id").agg(max(col("c")).as("max_bg"))
@@ -73,7 +78,7 @@ object PipelineQueries {
         t => t.rlike("\\p{L}")))
       docsWithToks(s, d)
         .select(col("doc_id"), n.as("n_tokens"),
-          floor(sumLen.cast("double") * 100 / n).cast("long")
+          when(n > 0, floor(sumLen.cast("double") * 100 / n).cast("long"))
             .as("mean_tok_len_c"),
           stopHits.cast("int").as("stop_hits"),
           bp(alphaToks, n).as("alpha_bp"))
@@ -102,6 +107,8 @@ object PipelineQueries {
       docsWithToks(s, d)
         .select(col("doc_id"), col("source"),
           size(col("toks")).cast("long").as("n"))
+        .filter(col("n") > 0) // empty docs occupy no bin (and would
+                              // otherwise yield a reversed bin sequence)
         .withColumn("cum_after", sum(col("n")).over(w))
         .withColumn("cum_before", col("cum_after") - col("n"))
         .select(col("source"), col("doc_id"), col("n").as("n_tokens"),
@@ -160,7 +167,7 @@ object PipelineQueries {
         |topbg AS (SELECT doc_id, MAX(c) AS max_bg FROM bgc GROUP BY 1)
         |SELECT base.doc_id,
         |  CAST(base.n AS INTEGER) AS n_tokens,
-        |  CAST(FLOOR(CAST(base.n - base.nd AS DOUBLE) * 10000 / base.n) AS BIGINT) AS dup_token_bp,
+        |  CAST(FLOOR(CAST(base.n - base.nd AS DOUBLE) * 10000 / NULLIF(base.n, 0)) AS BIGINT) AS dup_token_bp,
         |  CASE WHEN base.n > 1 THEN
         |    CAST(FLOOR(CAST(COALESCE(topbg.max_bg, 0) AS DOUBLE) * 10000 / (base.n - 1)) AS BIGINT)
         |  ELSE 0 END AS top_bigram_bp
@@ -171,9 +178,9 @@ object PipelineQueries {
         |  FROM documents),
         |m AS (SELECT doc_id,
         |  CAST(len(toks) AS INTEGER) AS n_tokens,
-        |  CAST(FLOOR(CAST(list_sum(list_transform(toks, x -> LENGTH(x))) AS DOUBLE) * 100 / len(toks)) AS BIGINT) AS mean_tok_len_c,
+        |  CAST(FLOOR(CAST(list_sum(list_transform(toks, x -> LENGTH(x))) AS DOUBLE) * 100 / NULLIF(len(toks), 0)) AS BIGINT) AS mean_tok_len_c,
         |  CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','is'))) AS INTEGER) AS stop_hits,
-        |  CAST(FLOOR(CAST(len(list_filter(toks, x -> regexp_matches(x, '\p{L}'))) AS DOUBLE) * 10000 / len(toks)) AS BIGINT) AS alpha_bp
+        |  CAST(FLOOR(CAST(len(list_filter(toks, x -> regexp_matches(x, '\p{L}'))) AS DOUBLE) * 10000 / NULLIF(len(toks), 0)) AS BIGINT) AS alpha_bp
         |  FROM t)
         |SELECT doc_id, n_tokens, mean_tok_len_c, stop_hits, alpha_bp,
         |  n_tokens >= 30 AND n_tokens <= 80 AS ok_len,
@@ -187,7 +194,8 @@ object PipelineQueries {
     "pack_sequences" ->
       """WITH t AS (SELECT doc_id, source,
         |  CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n
-        |  FROM documents),
+        |  FROM documents
+        |  WHERE len(list_filter(string_split(text, ' '), x -> x <> '')) > 0),
         |c AS (SELECT doc_id, source, n,
         |  SUM(n) OVER (PARTITION BY source ORDER BY doc_id
         |               ROWS UNBOUNDED PRECEDING) AS cum_after

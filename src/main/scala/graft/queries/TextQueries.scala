@@ -42,9 +42,12 @@ object TextQueries {
         size(toks).as("n_tokens"),
         size(array_distinct(toks)).as("n_distinct"),
         length(col("text")).as("n_chars_text"),
-        round(
+        // empty doc -> NULL, not NaN/crash (guards cost nothing when the
+        // denominator is non-zero; ANSI mode throws on casting the Inf
+        // from x/0 — see RobustnessSpec)
+        when(size(toks) > 0, round(
           aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double")
-            / size(toks), 4).as("avg_token_len"),
+            / size(toks), 4)).as("avg_token_len"),
         // BPE-ish token estimate: letter runs, digit runs, single symbols
         size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"),
           lit(0))).as("n_bpeish"))
@@ -56,8 +59,10 @@ object TextQueries {
     // shortest decimal repr via BigDecimal.valueOf, DuckDB rounds the true
     // binary value — they disagree on half-boundary values.)
     "ta_quality" -> ((s, d) => {
+      // zero-denominator guard: empty docs score NULL instead of crashing
+      // the whole job (ANSI cast of the Inf from x/0 throws)
       def bp(num: Column, den: Column): Column =
-        floor(num.cast("double") * 10000 / den).cast("long")
+        when(den > 0, floor(num.cast("double") * 10000 / den).cast("long"))
       val toks = col("toks")
       val nToks = size(toks)
       val punct = length(regexp_replace(col("text"), "[\\p{L}\\s]", ""))
@@ -68,9 +73,10 @@ object TextQueries {
         nToks.as("n_tokens"),
         bp(punct, length(col("text"))).as("punct_bp"),
         bp(stopHits, nToks).as("stopword_bp"),
-        (least(lit(10000L), nToks.cast("long") * 200)
-          - floor(punct.cast("double") * 5000 / length(col("text"))).cast("long")
-          + floor(stopHits.cast("double") * 1000 / nToks).cast("long"))
+        when(length(col("text")) > 0 && nToks > 0,
+          least(lit(10000L), nToks.cast("long") * 200)
+            - floor(punct.cast("double") * 5000 / length(col("text"))).cast("long")
+            + floor(stopHits.cast("double") * 1000 / nToks).cast("long"))
           .as("quality_bp"))
     }),
 
@@ -117,6 +123,9 @@ object TextQueries {
     "ta_chunks" -> ((s, d) => {
       val n = size(col("toks"))
       docsWithToks(s, d)
+        // token-less docs produce no chunks (and sequence(1, 0, 16) is an
+        // error, not an empty array — see RobustnessSpec)
+        .filter(n > 0)
         .select(col("doc_id"), col("toks"),
           posexplode(sequence(lit(1), n, lit(16))).as(Seq("ci", "start")))
         .select(col("doc_id"),
@@ -165,7 +174,7 @@ object TextQueries {
         |  CAST(len(list_distinct(toks)) AS INTEGER) AS n_distinct,
         |  CAST(LENGTH(text) AS INTEGER) AS n_chars_text,
         |  ROUND(CAST(list_sum(list_transform(toks, x -> LENGTH(x))) AS DOUBLE)
-        |        / len(toks), 4) AS avg_token_len,
+        |        / NULLIF(len(toks), 0), 4) AS avg_token_len,
         |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))
         |       AS INTEGER) AS n_bpeish
         |FROM t""".stripMargin,
@@ -179,11 +188,13 @@ object TextQueries {
         |  FROM t)
         |SELECT doc_id,
         |  CAST(len(toks) AS INTEGER) AS n_tokens,
-        |  CAST(FLOOR(CAST(punct AS DOUBLE) * 10000 / LENGTH(text)) AS BIGINT) AS punct_bp,
-        |  CAST(FLOOR(CAST(stop_hits AS DOUBLE) * 10000 / len(toks)) AS BIGINT) AS stopword_bp,
-        |  LEAST(10000, CAST(len(toks) AS BIGINT) * 200)
-        |    - CAST(FLOOR(CAST(punct AS DOUBLE) * 5000 / LENGTH(text)) AS BIGINT)
-        |    + CAST(FLOOR(CAST(stop_hits AS DOUBLE) * 1000 / len(toks)) AS BIGINT) AS quality_bp
+        |  CAST(FLOOR(CAST(punct AS DOUBLE) * 10000 / NULLIF(LENGTH(text), 0)) AS BIGINT) AS punct_bp,
+        |  CAST(FLOOR(CAST(stop_hits AS DOUBLE) * 10000 / NULLIF(len(toks), 0)) AS BIGINT) AS stopword_bp,
+        |  CASE WHEN LENGTH(text) > 0 AND len(toks) > 0 THEN
+        |    LEAST(10000, CAST(len(toks) AS BIGINT) * 200)
+        |      - CAST(FLOOR(CAST(punct AS DOUBLE) * 5000 / LENGTH(text)) AS BIGINT)
+        |      + CAST(FLOOR(CAST(stop_hits AS DOUBLE) * 1000 / len(toks)) AS BIGINT)
+        |  END AS quality_bp
         |FROM u""".stripMargin,
     "ta_langid" ->
       """WITH t AS (SELECT doc_id, lang AS labeled_lang,

@@ -1,0 +1,62 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+
+/** Degenerate-input robustness: text/curation operators must survive a
+  * corpus of empty, whitespace-only, single-token, and null documents
+  * (under ANSI mode an unguarded x/0 would abort the job via the Inf →
+  * long cast). The adversarial docs are written as a documents.parquet
+  * fixture dir so every query runs through its REAL entry point. */
+class RobustnessSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val advDir: String = {
+    val dir = Files.createTempDirectory("graft-adv").toString
+    Seq(
+      (1L, "", "en", "src0", 0L),
+      (2L, "   ", "en", "src0", 3L),
+      (3L, "solo", "en", "src1", 4L),
+      (4L, null.asInstanceOf[String], "en", "src1", 0L),
+      (5L, "the quick brown fox jumps over the lazy dog", "en", "src2", 43L),
+      (6L, "a a a a a a a a", "en", "src2", 15L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  private val textQueries = Seq(
+    "wordcount", "wordcount_format", "wordcount_topk", "line_stats",
+    "ta_token_stats", "ta_quality", "ta_langid", "ta_fingerprint",
+    "ta_fingerprint_md5", "ta_chunks", "ta_normalize", "ta_tfidf",
+    "ta_repetition", "ta_gopher_filters", "pack_sequences",
+    "decontam_overlap", "sample_stratified", "dedup_exact",
+    "dedup_ngram_jaccard", "dedup_clusters",
+    "mm_decode_meta", "mm_frame_sample", "mm_resize", "mm_features")
+
+  test("text/curation queries run on empty/whitespace/null/single-token docs") {
+    textQueries.foreach { name =>
+      val rows = SparkEntry.queries(name)(spark, advDir).collect()
+      assert(rows != null, name) // materializes without throwing
+    }
+  }
+
+  test("guards yield NULL stats for degenerate docs, real stats for real ones") {
+    val q = SparkEntry.queries("ta_quality")(spark, advDir)
+      .select("doc_id", "quality_bp")
+      .as[(Long, Option[Long])].collect().toMap
+    assert(q(1L).isEmpty && q(2L).isEmpty && q(4L).isEmpty) // degenerate -> NULL
+    assert(q(5L).nonEmpty && q(6L).nonEmpty)                // real -> scored
+    val t = SparkEntry.queries("ta_token_stats")(spark, advDir)
+      .select("doc_id", "avg_token_len")
+      .as[(Long, Option[Double])].collect().toMap
+    assert(t(1L).isEmpty && t(3L).contains(4.0) && t(6L).contains(1.0))
+  }
+
+  test("pack_sequences skips token-less docs; others still pack") {
+    val out = SparkEntry.queries("pack_sequences")(spark, advDir)
+      .select("doc_id").as[Long].collect().toSet
+    assert(!out.contains(1L) && !out.contains(2L) && !out.contains(4L))
+    assert(out.contains(3L) && out.contains(5L) && out.contains(6L))
+  }
+}
