@@ -53,6 +53,33 @@ class TokenizerPropertySpec extends SparkSpec {
     assert(counts.map(_._1).distinct.length == counts.length)
   }
 
+  test("property: native WordShingles == HOF shingles on generated text") {
+    // adversarial space placement: multi-space runs, leading/trailing,
+    // short docs — the native expression must match the built-ins chain
+    // bit-for-bit on arbitrary input, not just the fixture
+    val wordGen = Gen.chooseNum(1, 3)
+      .flatMap(n => Gen.listOfN(n, Gen.alphaLowerChar).map(_.mkString))
+    val docGen = for {
+      n <- Gen.chooseNum(0, 8)
+      ws <- Gen.listOfN(n, wordGen)
+      sep <- Gen.listOfN(math.max(n - 1, 0), Gen.oneOf(" ", "  ", "   "))
+      lead <- Gen.oneOf("", " ", "  ")
+      trail <- Gen.oneOf("", " ")
+    } yield lead + (ws, sep).zipped.map(_ + _).mkString + ws.drop(n - 1).headOption.getOrElse("") + trail
+    val params = Gen.Parameters.default
+    val docs = (0 until 300).flatMap(i => docGen.apply(params, Seed(7L + i)))
+    import org.apache.spark.sql.functions.col
+    for (n <- Seq(1, 2, 3)) {
+      val diff = docs.toDF("text")
+        .select(
+          graft.functions.TextFunctions.shingles(col("text"), n).as("a"),
+          graft.functions.TextFunctions.shinglesHof(col("text"), n).as("b"))
+        .filter(col("a") =!= col("b"))
+        .count()
+      assert(diff == 0L, s"n=$n")
+    }
+  }
+
   test("property (pure scalacheck): reference tokens never empty / non-letter") {
     val prop = Prop.forAll(lineGen) { line =>
       referenceTokens(line).forall(t =>
