@@ -82,6 +82,41 @@ object ExtraRelationalQueries {
           col("drk"), col("pctr"), col("cumd"), col("tile"))
     }),
 
+    // The scale-safe twin of q16's global ranking: an exact global
+    // row_number WITHOUT a single-partition window. Range-partition on
+    // the (total-order) sort key, rank within each partition, then add
+    // each partition's cumulative predecessor count (a 32-row stats
+    // aggregate, broadcast back — never a global shuffle to one task).
+    // Output is independent of where the sampled range boundaries fall
+    // because the key tuple is a total order.
+    "q54_global_rank_scalable" -> ((s, d) => {
+      val base = Tables.part(s, d)
+        .select(col("p_partkey"), col("p_name"), col("p_retailprice"))
+        .repartitionByRange(32, col("p_retailprice").desc,
+          col("p_partkey").asc)
+        .withColumn("pid", spark_partition_id())
+      val wIn = Window.partitionBy("pid")
+        .orderBy(col("p_retailprice").desc, col("p_partkey").asc)
+      // materialize ONCE: the offsets branch and the final join would
+      // otherwise re-evaluate repartitionByRange independently, and its
+      // SAMPLED boundaries can differ between evaluations — the two pid
+      // spaces then disagree and ranks shift (observed at sf0.1)
+      val ranked = base.withColumn("rn_local", row_number().over(wIn))
+        .localCheckpoint()
+      // per-partition sizes -> cumulative offset of all preceding
+      // partitions (the window here runs over #partitions rows, not data)
+      val offsets = ranked.groupBy("pid").count()
+        .withColumn("offset",
+          coalesce(sum(col("count")).over(
+            Window.orderBy("pid").rowsBetween(
+              Window.unboundedPreceding, -1)), lit(0L)))
+        .select("pid", "offset")
+      ranked.join(broadcast(offsets), "pid")
+        .select(col("p_partkey"), col("p_name"),
+          col("p_retailprice"),
+          (col("rn_local") + col("offset")).cast("long").as("global_rn"))
+    }),
+
     // first/last/nth_value with explicit full-partition frames (the
     // default frame stops at CURRENT ROW — a classic last_value trap,
     // made explicit here on both engines).
@@ -141,6 +176,11 @@ object ExtraRelationalQueries {
         |WINDOW w AS (PARTITION BY o_custkey
         |             ORDER BY o_totalprice DESC, o_orderkey ASC)
         |QUALIFY rn <= 5""".stripMargin,
+    "q54_global_rank_scalable" ->
+      """SELECT p_partkey, p_name, p_retailprice,
+        |  ROW_NUMBER() OVER (ORDER BY p_retailprice DESC, p_partkey ASC)
+        |    AS global_rn
+        |FROM part""".stripMargin,
     "q53_first_last" ->
       """WITH x AS (
         |  SELECT o_custkey,
