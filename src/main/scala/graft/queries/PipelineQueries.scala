@@ -137,6 +137,29 @@ object PipelineQueries {
         .agg(countDistinct(col("s")).as("n_shared"))
     }),
 
+    // Temperature-flattened language sampling (α = 0.5): downsample each
+    // language at rate √(n_min/n_l), so kept_l = √(n_min·n_l) — sizes are
+    // pulled toward the geometric mean, the standard rebalancing step for
+    // dominant languages/sources before training (the fixture's languages
+    // are skewed ~4:1 en:zh; its sources are uniform). Deterministic
+    // md5-hash selection (replay-stable, no rand); √ is IEEE-exact
+    // cross-engine (a general α would need libm pow — not oracle-stable).
+    // Shape: one tiny per-language stats aggregate broadcast back, then a
+    // pure filter.
+    "sample_temperature" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val counts = docs.groupBy("lang").agg(count(lit(1)).as("n"))
+        .withColumn("n_min", min(col("n")).over(Window.partitionBy()))
+        .withColumn("rate", sqrt(col("n_min").cast("double") / col("n")))
+        .select("lang", "rate")
+      val u = conv(substring(
+        md5(col("doc_id").cast("string").cast("binary")), 1, 8), 16, 10)
+        .cast("double") / 4294967296.0
+      docs.join(broadcast(counts), "lang")
+        .filter(u < col("rate"))
+        .select(col("doc_id"), col("lang"))
+    }),
+
     // Stratified (per-source quota) sampling, deterministic: keep the 5
     // docs per source that sort first by md5(doc_id) — replay-stable
     // (same winners every run and every engine), no rand(). Shape:
@@ -226,6 +249,14 @@ object PipelineQueries {
         |FROM idx JOIN bench ON idx.s = bench.s
         |WHERE idx.source <> 'src0'
         |GROUP BY idx.doc_id""".stripMargin,
+    "sample_temperature" ->
+      """WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+        |r AS (SELECT lang,
+        |  sqrt(CAST((SELECT MIN(n) FROM c) AS DOUBLE) / n) AS rate FROM c)
+        |SELECT d.doc_id, d.lang
+        |FROM documents d JOIN r ON d.lang = r.lang
+        |WHERE CAST(('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)
+        |      / 4294967296.0 < r.rate""".stripMargin,
     "sample_stratified" ->
       """WITH h AS (SELECT doc_id, source,
         |  md5(CAST(doc_id AS VARCHAR)) AS hkey FROM documents),

@@ -82,6 +82,30 @@ class PipelineSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("temperature sampling flattens language sizes toward sqrt(n_min*n)") {
+    val before = Tables.documents(spark, sf001)
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    val after = PipelineQueries.queries("sample_temperature")(spark, sf001)
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    val nMin = before.values.min
+    before.foreach { case (lang, n) =>
+      val expected = math.sqrt(nMin.toDouble * n)
+      val kept = after.getOrElse(lang, 0L).toDouble
+      // md5 selection is Bernoulli(rate) per doc — allow generous noise
+      assert(math.abs(kept - expected) <= 4 * math.sqrt(expected) + 2,
+        s"lang=$lang n=$n kept=$kept expected≈$expected")
+    }
+    // the dominant language is actually downsampled
+    val (maxLang, maxN) = before.maxBy(_._2)
+    assert(after(maxLang) < maxN)
+    // determinism: repeated run keeps the identical doc set
+    val a = PipelineQueries.queries("sample_temperature")(spark, sf001)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    val b = PipelineQueries.queries("sample_temperature")(spark, sf001)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(a == b)
+  }
+
   test("repetition: planted repetitive text scores high, varied text low") {
     val df = Seq(
       (1L, "spam spam spam spam spam spam spam spam spam spam"),
