@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench driver invokes `sbt runMain graft.Bench` and parses the final
+// stdout line as JSON. By default sbt wraps forked-process output with an
+// "[info] " logger prefix and appends a "[success] Total time" line, both
+// of which defeat that parse (BENCH_r01/r02 recorded "parsed": null).
+// StdoutOutput passes the forked JVM's stdout through verbatim, and
+// showSuccess drops the trailing [success] line.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+ThisBuild / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
