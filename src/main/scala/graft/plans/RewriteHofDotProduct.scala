@@ -70,6 +70,16 @@ object RewriteHofDotProduct extends Rule[LogicalPlan] {
     case _ => false
   }
 
+  /** Bit-exact +0.0 check: boxed `-0.0 == 0.0` is true, but a -0.0 seed
+    * folds an empty array to -0.0 while DotProduct returns +0.0 — a
+    * bit-level divergence hashing would see. Only the +0.0 literal seed
+    * is rewritten. */
+  private def isPositiveZero(zero: Any): Boolean = zero match {
+    case d: java.lang.Double =>
+      java.lang.Double.doubleToRawLongBits(d) == 0L
+    case _ => false
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.transformAllExpressions {
       case ArrayAggregate(
@@ -77,7 +87,7 @@ object RewriteHofDotProduct extends Rule[LogicalPlan] {
             Literal(zero, DoubleType),
             add: LambdaFunction,
             finish: LambdaFunction)
-          if zero == 0.0 && isMulOfOwnArgs(mul) && isAddOfOwnArgs(add) &&
+          if isPositiveZero(zero) && isMulOfOwnArgs(mul) && isAddOfOwnArgs(add) &&
             isIdentity(finish) && isDoubleArray(a) && isDoubleArray(b) =>
         DotProduct(a, b)
     }

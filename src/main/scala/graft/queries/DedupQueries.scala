@@ -139,7 +139,10 @@ object DedupQueries {
       .join(broadcast(dfreq), "s")
       .withColumn("rk", row_number().over(wDoc.orderBy(col("df"), col("s"))))
       .withColumn("n", count(lit(1)).over(wDoc))
-      .filter(col("rk") <= col("n") - ceil(col("n") * t) + 1)
+      // ε guards the half-ulp case where n·t is an exact integer but the
+      // double product lands just above it (t = 0.8 is not representable),
+      // which would shorten the prefix by one and break the exactness proof
+      .filter(col("rk") <= col("n") - ceil(col("n") * t - lit(1e-9)) + 1)
       .select("doc_id", "s")
       .localCheckpoint() // both sides of the candidate self-join
     val cand = prefixed.toDF("doc_a", "s")

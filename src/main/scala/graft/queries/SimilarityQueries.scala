@@ -94,7 +94,7 @@ object SimilarityQueries {
           col("band").as("c_band"))
       val w = Window.partitionBy("qid")
         .orderBy(col("cos_raw").desc, col("cid").asc)
-      Seq(-1, 0, 1).map { off =>
+      val nn = Seq(-1, 0, 1).map { off =>
           a.join(b, col("c_band") === col("q_band") + off)
         }.reduce(_ unionAll _)
         .select(col("qid"), col("cid"),
@@ -103,6 +103,10 @@ object SimilarityQueries {
         .filter(col("rn") === 1)
         .select(col("qid"), col("cid").as("nn_id"),
           round(col("cos_raw"), 6).as("cos"))
+      // left-join back to the query set: a query whose probe window holds
+      // no label-1 candidate surfaces as (qid, null, null) instead of
+      // silently vanishing — coverage is observable, not fixture luck
+      a.select(col("qid")).join(nn, Seq("qid"), "left")
     }),
 
     // ANN: 6-bit random-hyperplane signatures (64 buckets — sized so a
@@ -193,7 +197,11 @@ object SimilarityQueries {
     * MODEL state, not data (the same thing Spark MLlib's KMeans does per
     * iteration); everything row-scaled stays distributed (assignment is a
     * map, the update is a positional-explode aggregate). Empty cells keep
-    * their previous centroid. */
+    * their previous centroid. The per-(cell,pos) mean sums through
+    * DECIMAL — exact, order-independent addition — so centroids are
+    * bit-stable across runs regardless of shuffle fetch order (a plain
+    * double avg() could drift at ULP level and flip boundary cell
+    * assignments). */
   private[graft] def ivfCentroids(
       e: DataFrame, k: Int, iters: Int): Seq[Seq[Double]] = {
     import e.sparkSession.implicits._
@@ -202,7 +210,9 @@ object SimilarityQueries {
     for (_ <- 0 until iters) {
       val means = assignCells(e, centroids)
         .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
-        .groupBy("cell", "pos").agg(avg(col("x")).as("m"))
+        .groupBy("cell", "pos")
+        .agg((sum(col("x").cast("decimal(30,20)")) / count(lit(1)))
+          .cast("double").as("m"))
         .groupBy("cell")
         .agg(transform(
           sort_array(collect_list(struct(col("pos"), col("m")))),

@@ -109,6 +109,17 @@ case class DocStoreWriterFactory(root: String, maxBatchSize: Int)
       }
 
       override def write(row: InternalRow): Unit = {
+        // Reject null keys BEFORE buffering: the schema check upstream
+        // compares names/types but not nullability, and commit/abort are
+        // deliberately no-ops (upsert idempotence), so an NPE mid-stream
+        // would strand earlier durably-upserted batches behind an opaque
+        // error. Failing fast with a clear message keeps the task retry
+        // path (idempotent re-upsert) the only partial-write story.
+        if (row.isNullAt(0) || row.isNullAt(1))
+          throw new IllegalArgumentException(
+            "docstore write: collection and doc_id must be non-null " +
+              s"(partition $partitionId); null-key rows must be filtered " +
+              "before the sink")
         buf += ((row.getString(0), row.getString(1), row.getLong(2)))
         if (buf.size >= maxBatchSize) flush()
       }
