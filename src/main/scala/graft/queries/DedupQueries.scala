@@ -187,15 +187,17 @@ object DedupQueries {
       val nbrMin = edges
         .join(labels.toDF("dst", "nl"), "dst")
         .groupBy("src").agg(min(col("nl")).as("nbr_label"))
-      val next = labels
+      // carry the previous label through the checkpoint so the fixpoint
+      // test is a filter+count over already-materialized partitions — not
+      // an extra equi-join (and shuffle) of next against labels per round
+      val next = labels.toDF("id", "old_label")
         .join(nbrMin.toDF("id", "nbr_label"), Seq("id"), "left")
-        .select(col("id"),
-          least(col("label"), coalesce(col("nbr_label"), col("label")))
-            .as("label"))
+        .select(col("id"), col("old_label"),
+          least(col("old_label"),
+            coalesce(col("nbr_label"), col("old_label"))).as("label"))
         .localCheckpoint()
-      changed = next.toDF("id", "nl")
-        .join(labels, "id").filter(col("nl") =!= col("label")).count()
-      labels = next
+      changed = next.filter(col("label") =!= col("old_label")).count()
+      labels = next.select("id", "label")
     }
     labels
   }

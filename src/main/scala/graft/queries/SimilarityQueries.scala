@@ -208,16 +208,17 @@ object SimilarityQueries {
     var centroids: Seq[Seq[Double]] = e.orderBy("vec_id").limit(k)
       .select("v").as[Seq[Double]].collect().toSeq
     for (_ <- 0 until iters) {
+      // collect the k×dim (cell, pos, mean) rows directly — assembling the
+      // centroid matrix on the driver skips a second shuffle per iteration
       val means = assignCells(e, centroids)
         .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
         .groupBy("cell", "pos")
         .agg((sum(col("x").cast("decimal(30,20)")) / count(lit(1)))
           .cast("double").as("m"))
-        .groupBy("cell")
-        .agg(transform(
-          sort_array(collect_list(struct(col("pos"), col("m")))),
-          p => p.getField("m")).as("c"))
-        .as[(Int, Seq[Double])].collect().toMap
+        .as[(Int, Int, Double)].collect()
+        .groupBy(_._1)
+        .map { case (cell, rows) =>
+          cell -> rows.sortBy(_._2).map(_._3).toSeq }
       centroids = centroids.zipWithIndex.map { case (old, i) =>
         means.getOrElse(i, old)
       }
