@@ -29,6 +29,7 @@ object SparkEntry {
       (MiscQueries.queries, MiscQueries.oracles),
       (DedupQueries.queries, DedupQueries.oracles),
       (PipelineQueries.queries, PipelineQueries.oracles),
+      (CurationQueries.queries, CurationQueries.oracles),
       (SimilarityQueries.queries, SimilarityQueries.oracles),
       (graft.multimodal.Multimodal.queries, graft.multimodal.Multimodal.oracles))
 
