@@ -15,6 +15,17 @@ object ExtraRelationalQueries {
 
   private def dec(c: Column): Column = c.cast(DecimalType(12, 2))
 
+  /** Morton spread: scatter the low 16 bits of `x` into the even bit
+    * positions of a 32-bit lane (the standard mask-shift cascade) — long
+    * arithmetic only, bounded below 2^33, so ANSI-safe and codegen'd. */
+  private def mortonSpread(x: Column): Column = {
+    val a = x.bitwiseAND(lit(0xFFFFL))
+    val b = a.bitwiseOR(shiftleft(a, 8)).bitwiseAND(lit(0x00FF00FFL))
+    val c = b.bitwiseOR(shiftleft(b, 4)).bitwiseAND(lit(0x0F0F0F0FL))
+    val d = c.bitwiseOR(shiftleft(c, 2)).bitwiseAND(lit(0x33333333L))
+    d.bitwiseOR(shiftleft(d, 1)).bitwiseAND(lit(0x55555555L))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Correlated EXISTS through the SQL surface — Catalyst decorrelates
@@ -117,6 +128,41 @@ object ExtraRelationalQueries {
           (col("rn_local") + col("offset")).cast("long").as("global_rn"))
     }),
 
+    // Z-order (Morton) clustering key over (customer, order-date): the
+    // data-layout operator for multi-dimensional scan pruning at scale —
+    // sorting/partitioning 100 TB of orders by zkey co-locates rows close
+    // in BOTH dimensions, so either a customer predicate or a date
+    // predicate prunes file ranges (a single-column sort can only serve
+    // one). The key itself is a pure codegen'd mask-shift cascade (no
+    // shuffle); the aggregate here summarizes bucket occupancy — the
+    // histogram a table optimizer would persist. Oracle mirrors the
+    // cascade step-for-step in BIGINT arithmetic.
+    "q56_zorder_key" -> ((s, d) => {
+      val days = datediff(col("o_orderdate"), lit("1970-01-01").cast("date"))
+      val zkey = mortonSpread(col("o_custkey"))
+        .bitwiseOR(shiftleft(mortonSpread(days.cast("long")), 1))
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), zkey.as("zkey"))
+        .groupBy(shiftright(col("zkey"), 20).as("zbucket"))
+        .agg(count(lit(1)).as("n_orders"),
+          min(col("zkey")).as("min_zkey"), max(col("zkey")).as("max_zkey"))
+    }),
+
+    // Approximate quantiles (the mergeable sketch path next to q38's
+    // exact interpolated percentiles): partial sketches combine map-side,
+    // so 100 TB needs one pass + a tiny merge instead of a global sort.
+    // Approximate ⇒ rows-only; ExtraRelationalSpec pins the estimates
+    // against exact order statistics.
+    "q57_approx_quantile" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(percentile_approx(col("l_quantity"),
+          array(lit(0.5), lit(0.9), lit(0.99)), lit(10000)).as("qs"))
+        .select(col("l_returnflag"),
+          array_join(transform(col("qs"),
+            q => q.cast("decimal(12,2)").cast("string")), ",").as("quantiles"))
+    }),
+
     // first/last/nth_value with explicit full-partition frames (the
     // default frame stops at CURRENT ROW — a classic last_value trap,
     // made explicit here on both engines).
@@ -139,6 +185,27 @@ object ExtraRelationalQueries {
     }))
 
   val oracles: Map[String, String] = Map(
+    "q56_zorder_key" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, (o_custkey & 65535) AS x,
+        |    (date_diff('day', DATE '1970-01-01', o_orderdate) & 65535) AS y
+        |  FROM orders),
+        |s1 AS (SELECT o_orderkey,
+        |  ((x | (x << 8)) & 16711935) AS x,
+        |  ((y | (y << 8)) & 16711935) AS y FROM base),
+        |s2 AS (SELECT o_orderkey,
+        |  ((x | (x << 4)) & 252645135) AS x,
+        |  ((y | (y << 4)) & 252645135) AS y FROM s1),
+        |s3 AS (SELECT o_orderkey,
+        |  ((x | (x << 2)) & 858993459) AS x,
+        |  ((y | (y << 2)) & 858993459) AS y FROM s2),
+        |s4 AS (SELECT o_orderkey,
+        |  ((x | (x << 1)) & 1431655765) AS x,
+        |  ((y | (y << 1)) & 1431655765) AS y FROM s3),
+        |z AS (SELECT o_orderkey, (x | (y << 1)) AS zkey FROM s4)
+        |SELECT (zkey >> 20) AS zbucket, COUNT(*) AS n_orders,
+        |  MIN(zkey) AS min_zkey, MAX(zkey) AS max_zkey
+        |FROM z GROUP BY zbucket""".stripMargin,
     "q46_exists_subquery" ->
       """SELECT c_custkey, c_mktsegment
         |FROM customer c

@@ -1,0 +1,69 @@
+package graft
+
+import graft.queries.ExtraRelationalQueries
+import org.apache.spark.sql.functions._
+
+/** Invariants for round-3 relational additions (exact values are driver
+  * oracle-checked where SQL-expressible; these pin properties). */
+class ExtraRelationalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("q56_zorder_key: buckets partition all orders; zkey range sane") {
+    val out = ExtraRelationalQueries.queries("q56_zorder_key")(spark, sf001)
+      .as[(Long, Long, Long, Long)].collect()
+    val total = Tables.orders(spark, sf001).count()
+    assert(out.map(_._2).sum == total)
+    // interleaved 16+16 bits stay under 2^32, and bucket bounds nest
+    assert(out.forall { case (b, _, lo, hi) =>
+      lo >= 0 && hi < (1L << 32) && (lo >> 20) == b && (hi >> 20) == b })
+  }
+
+  test("zorder locality: neighbors in zkey are close in both dimensions") {
+    // decode: compressing the even bits of zkey recovers x & 65535 —
+    // checked via a round-trip on planted coordinates
+    val days = datediff(col("o_orderdate"), lit("1970-01-01").cast("date"))
+    val sample = Tables.orders(spark, sf001)
+      .select(col("o_custkey"), days.as("days"))
+      .limit(100).as[(Long, Int)].collect()
+    def spread(v: Long): Long = {
+      var x = v & 0xFFFFL
+      x = (x | (x << 8)) & 0x00FF00FFL
+      x = (x | (x << 4)) & 0x0F0F0F0FL
+      x = (x | (x << 2)) & 0x33333333L
+      (x | (x << 1)) & 0x55555555L
+    }
+    def compact(v: Long): Long = {
+      var x = v & 0x55555555L
+      x = (x | (x >> 1)) & 0x33333333L
+      x = (x | (x >> 2)) & 0x0F0F0F0FL
+      x = (x | (x >> 4)) & 0x00FF00FFL
+      (x | (x >> 8)) & 0x0000FFFFL
+    }
+    sample.foreach { case (ck, dd) =>
+      val z = spread(ck) | (spread(dd.toLong) << 1)
+      assert(compact(z) == (ck & 0xFFFFL))
+      assert(compact(z >> 1) == (dd.toLong & 0xFFFFL))
+    }
+  }
+
+  test("q57_approx_quantile tracks exact order statistics") {
+    val approx = ExtraRelationalQueries
+      .queries("q57_approx_quantile")(spark, sf001)
+      .as[(String, String)].collect().toMap
+      .map { case (k, v) => k -> v.split(",").map(_.toDouble) }
+    val exact = Tables.lineitem(spark, sf001)
+      .groupBy("l_returnflag")
+      .agg(expr("percentile(l_quantity, 0.5)").as("p50"),
+        expr("percentile(l_quantity, 0.9)").as("p90"),
+        expr("percentile(l_quantity, 0.99)").as("p99"))
+      .as[(String, Double, Double, Double)].collect()
+    exact.foreach { case (flag, p50, p90, p99) =>
+      val a = approx(flag)
+      // percentile_approx returns actual data values; exact interpolates —
+      // allow one unit of the integer-valued quantity domain
+      assert(math.abs(a(0) - p50) <= 1.0, s"$flag p50: ${a(0)} vs $p50")
+      assert(math.abs(a(1) - p90) <= 1.0, s"$flag p90: ${a(1)} vs $p90")
+      assert(math.abs(a(2) - p99) <= 1.0, s"$flag p99: ${a(2)} vs $p99")
+    }
+  }
+}
