@@ -128,6 +128,46 @@ object ExtraRelationalQueries {
           (col("rn_local") + col("offset")).cast("long").as("global_rn"))
     }),
 
+    // Ordered event funnel (view → click → purchase): per user, each step
+    // counts only if it happens strictly AFTER the previous step's first
+    // completion — the sequential-pattern query behind conversion
+    // analytics. Shape: three user-keyed aggregates chained by equi-joins
+    // on user_id; every shuffle shares the same key, so at scale the
+    // exchanges reuse one partitioning (no all-events window state).
+    "q58_funnel_steps" -> ((s, d) => {
+      val ev = Tables.events(s, d).repartition(col("user_id"))
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min(col("ts")).as("t1"))
+      val c = ev.filter(col("event_type") === "click")
+        .join(v, "user_id").filter(col("ts") > col("t1"))
+        .groupBy("user_id").agg(min(col("ts")).as("t2"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .join(c, "user_id").filter(col("ts") > col("t2"))
+        .groupBy("user_id").agg(min(col("ts")).as("t3"))
+      v.select(lit(1).as("step"), col("user_id"))
+        .unionAll(c.select(lit(2).as("step"), col("user_id")))
+        .unionAll(p.select(lit(3).as("step"), col("user_id")))
+        .groupBy("step").agg(count(lit(1)).as("n_users"))
+    }),
+
+    // Weekly cohort retention: users grouped by first-seen ISO week, each
+    // event bucketed by whole-week offset from its user's cohort week —
+    // the (cohort × offset) distinct-user matrix. One user-keyed
+    // aggregate joined back, then a distinct-count; both shuffles on
+    // user_id / small group keys.
+    "q59_cohort_retention" -> ((s, d) => {
+      val ev = Tables.events(s, d).repartition(col("user_id"))
+      val cohort = ev.groupBy("user_id")
+        .agg(date_trunc("week", min(col("ts"))).cast("date")
+          .as("cohort_week"))
+      ev.join(cohort, "user_id")
+        .select(col("user_id"), col("cohort_week"),
+          floor(datediff(date_trunc("week", col("ts")).cast("date"),
+            col("cohort_week")) / 7).cast("int").as("week_offset"))
+        .groupBy("cohort_week", "week_offset")
+        .agg(countDistinct(col("user_id")).as("n_users"))
+    }),
+
     // Z-order (Morton) clustering key over (customer, order-date): the
     // data-layout operator for multi-dimensional scan pruning at scale —
     // sorting/partitioning 100 TB of orders by zkey co-locates rows close
@@ -185,6 +225,35 @@ object ExtraRelationalQueries {
     }))
 
   val oracles: Map[String, String] = Map(
+    "q58_funnel_steps" ->
+      """WITH v AS (
+        |  SELECT user_id, MIN(ts) AS t1 FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (
+        |  SELECT e.user_id, MIN(e.ts) AS t2 FROM events e
+        |  JOIN v ON e.user_id = v.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY e.user_id),
+        |p AS (
+        |  SELECT e.user_id, MIN(e.ts) AS t3 FROM events e
+        |  JOIN c ON e.user_id = c.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY e.user_id)
+        |SELECT step, COUNT(*) AS n_users FROM (
+        |  SELECT 1 AS step, user_id FROM v
+        |  UNION ALL SELECT 2, user_id FROM c
+        |  UNION ALL SELECT 3, user_id FROM p)
+        |GROUP BY step""".stripMargin,
+    "q59_cohort_retention" ->
+      """WITH f AS (
+        |  SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS DATE)
+        |    AS cohort_week
+        |  FROM events GROUP BY user_id)
+        |SELECT f.cohort_week,
+        |  CAST(FLOOR(date_diff('day', f.cohort_week,
+        |    CAST(date_trunc('week', e.ts) AS DATE)) / 7.0) AS INTEGER)
+        |    AS week_offset,
+        |  COUNT(DISTINCT e.user_id) AS n_users
+        |FROM events e JOIN f ON e.user_id = f.user_id
+        |GROUP BY 1, 2""".stripMargin,
     "q56_zorder_key" ->
       """WITH base AS (
         |  SELECT o_orderkey, (o_custkey & 65535) AS x,

@@ -46,6 +46,30 @@ class ExtraRelationalSpec extends SparkSpec {
     }
   }
 
+  test("q58_funnel_steps: step counts are monotonically non-increasing") {
+    val steps = ExtraRelationalQueries.queries("q58_funnel_steps")(spark, sf001)
+      .as[(Int, Long)].collect().toMap
+    assert(steps.keySet == Set(1, 2, 3))
+    assert(steps(1) >= steps(2) && steps(2) >= steps(3))
+    assert(steps(1) > 0)
+  }
+
+  test("q59_cohort_retention: offsets non-negative, offset-0 covers cohorts") {
+    val rows = ExtraRelationalQueries
+      .queries("q59_cohort_retention")(spark, sf001)
+      .as[(java.sql.Date, Int, Long)].collect()
+    assert(rows.forall(_._2 >= 0))
+    // every cohort has an offset-0 cell (its own first week), and the
+    // offset-0 user count is the cohort's full size (everyone is active
+    // in the week of their first event)
+    val byCohort = rows.groupBy(_._1)
+    assert(byCohort.values.forall(_.exists(_._2 == 0)))
+    byCohort.foreach { case (_, cells) =>
+      val atZero = cells.find(_._2 == 0).get._3
+      assert(cells.forall(_._3 <= atZero))
+    }
+  }
+
   test("q57_approx_quantile tracks exact order statistics") {
     val approx = ExtraRelationalQueries
       .queries("q57_approx_quantile")(spark, sf001)
