@@ -32,7 +32,11 @@ class RobustnessSpec extends SparkSpec {
     "ta_repetition", "ta_gopher_filters", "pack_sequences",
     "decontam_overlap", "sample_stratified", "dedup_exact",
     "dedup_ngram_jaccard", "dedup_clusters",
-    "mm_decode_meta", "mm_frame_sample", "mm_resize", "mm_features")
+    "mm_decode_meta", "mm_frame_sample", "mm_resize", "mm_features",
+    // round-3 curation ops (null text, no-shingle docs, n < 10 deciles,
+    // empty benchmark shingle set for the bloom build)
+    "ta_pii_scrub", "dedup_substr_seen", "q55_decile_bucket",
+    "mix_sources_target", "sketch_hll_union", "decontam_bloom")
 
   test("text/curation queries run on empty/whitespace/null/single-token docs") {
     textQueries.foreach { name =>
