@@ -19,6 +19,49 @@ object StatefulOps {
   final case class Alert(user_id: Long, event_id: Long, value: Double,
       running_mean: Double)
 
+  /** Incremental ordered-funnel state for [[funnelProgress]]: the first
+    * completion time (epoch micros) of each reached step, or -1. O(1) per
+    * user like MeanState. */
+  final case class FunnelState(t1: Long, t2: Long, t3: Long)
+  final case class TypedEvent(user_id: Long, ts_us: Long, event_type: String)
+  final case class StepReached(user_id: Long, step: Int, ts_us: Long)
+
+  /** Streaming twin of the batch q58_funnel_steps: per user, advance a
+    * view → click → purchase machine on each micro-batch and emit a row
+    * the moment a step is first completed (strictly after the previous
+    * step's first completion, same gate as the batch oracle). State is
+    * three longs per user — keys × 24 bytes at any event volume; no
+    * event is retained after its batch. */
+  def funnelProgress(events: Dataset[TypedEvent]): Dataset[StepReached] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, StepReached](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, it: Iterator[TypedEvent],
+         state: GroupState[FunnelState]) =>
+          var st = state.getOption.getOrElse(FunnelState(-1L, -1L, -1L))
+          val out = scala.collection.mutable.ArrayBuffer.empty[StepReached]
+          // deterministic order within the batch
+          it.toSeq.sortBy(e => (e.ts_us, e.event_type)).foreach { e =>
+            e.event_type match {
+              case "view" if st.t1 < 0 =>
+                st = st.copy(t1 = e.ts_us)
+                out += StepReached(user, 1, e.ts_us)
+              case "click" if st.t1 >= 0 && st.t2 < 0 && e.ts_us > st.t1 =>
+                st = st.copy(t2 = e.ts_us)
+                out += StepReached(user, 2, e.ts_us)
+              case "purchase" if st.t2 >= 0 && st.t3 < 0 && e.ts_us > st.t2 =>
+                st = st.copy(t3 = e.ts_us)
+                out += StepReached(user, 3, e.ts_us)
+              case _ =>
+            }
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   def detectAnomalies(
       events: Dataset[Event],
       factor: Double = 3.0): Dataset[Alert] = {

@@ -72,6 +72,40 @@ class ExtensionsStatefulSpec extends SparkSpec {
     assert(alerts.map(_.event_id) == Seq(3L))
   }
 
+  test("streaming funnel across micro-batches == batch q58 step counts") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, unix_micros}
+    import graft.streaming.StatefulOps.{StepReached, TypedEvent}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // fixture events in timestamp order, split into three micro-batches:
+    // when arrival order matches event time, the incremental machine must
+    // reach exactly the steps the batch query reports
+    val ev = Tables.events(spark, sf0001)
+      .select(col("user_id"),
+        unix_micros(col("ts")).as("ts_us"), col("event_type"))
+      .as[TypedEvent].collect().sortBy(e => (e.ts_us, e.event_type)).toSeq
+    val stream = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[TypedEvent]
+    val q = StatefulOps.funnelProgress(stream.toDS())
+      .writeStream.outputMode("append").format("memory")
+      .queryName("funnel_stream").start()
+    try {
+      ev.grouped(math.max(1, ev.size / 3 + 1)).foreach { batch =>
+        stream.addData(batch)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val streamed = spark.table("funnel_stream").as[StepReached].collect()
+      .groupBy(_.step).view.mapValues(_.length.toLong).toMap
+    val batchCounts = SparkEntry.queries("q58_funnel_steps")(spark, sf0001)
+      .as[(Int, Long)].collect().toMap
+    assert(streamed == batchCounts)
+    // each user emits a step at most once
+    val dup = spark.table("funnel_stream").as[StepReached].collect()
+      .groupBy(r => (r.user_id, r.step)).values.exists(_.length > 1)
+    assert(!dup)
+  }
+
   test("optimizer rule rewrites HOF dot idiom to native graft_dot") {
     val prev = spark
     SparkSession.clearActiveSession()
