@@ -19,14 +19,15 @@ object CurationQueries {
   /** k-th Bloom bit position for a key column — pure built-ins
     * (`pmod(xxhash64(k, key), M)`), so the build aggregate and the probe
     * predicate derive bit positions from the SAME codegen'd expression. */
-  private def bloomPos(i: Int, key: Column): Column =
+  private[graft] def bloomPos(i: Int, key: Column): Column =
     pmod(xxhash64(lit(i), key), lit(BloomFilterAggregator.MBits.toLong))
 
-  /** Probe a collected filter (broadcast as a literal array) at `pos`:
+  /** Probe a filter (one `typedlit` literal Column, hoisted by the caller
+    * so k probes share a single copy of the array in the plan) at `pos`:
     * word = pos >> 6, bit = pos & 63 — all codegen'd built-ins. */
-  private def mightContain(bits: Seq[Long], pos: Column): Column =
+  private[graft] def mightContain(bits: Column, pos: Column): Column =
     call_function("shiftright",
-      element_at(typedlit(bits), shiftright(pos, 6).cast("int") + 1),
+      element_at(bits, shiftright(pos, 6).cast("int") + 1),
       pos.bitwiseAND(lit(63L)).cast("int"))
       .bitwiseAND(lit(1L)) === lit(1L)
 
@@ -58,8 +59,9 @@ object CurationQueries {
       val corpus = docs.filter(col("source") =!= "src0")
         .repartition(col("doc_id"))
         .select(col("doc_id"), explode(shingles(col("text"), 3)).as("s"))
+      val bitsLit = typedlit(bits)
       val candidates = corpus.filter(
-        Seq(0, 1, 2).map(i => mightContain(bits, bloomPos(i, col("s"))))
+        Seq(0, 1, 2).map(i => mightContain(bitsLit, bloomPos(i, col("s"))))
           .reduce(_ && _))
       candidates.join(broadcast(benchSh.distinct()), "s")
         .groupBy("doc_id")
@@ -90,42 +92,26 @@ object CurationQueries {
     }),
 
     // Length-decile bucketing (curriculum/packing prep) WITHOUT a
-    // single-partition global window: global row_number via the q54
-    // range-partition + offset machinery, then SQL NTILE's exact bucket
-    // arithmetic (first n mod b buckets get one extra row) computed from
-    // (rank, total) — so the plan scales while matching the NTILE(10)
-    // oracle bit-for-bit.
+    // single-partition global window: global row_number via the shared
+    // range-partition + offset machinery
+    // (ExtraRelationalQueries.globalRowNumber, same as q54), then SQL
+    // NTILE's exact bucket arithmetic (first n mod b buckets get one
+    // extra row) computed from (rank, total) — so the plan scales while
+    // matching the NTILE(10) oracle bit-for-bit.
     "q55_decile_bucket" -> ((s, d) => {
-      val base = Tables.documents(s, d)
-        .select(col("doc_id"), col("n_chars"))
-        .repartitionByRange(32, col("n_chars").asc, col("doc_id").asc)
-        .withColumn("pid", spark_partition_id())
-      val wIn = Window.partitionBy("pid")
-        .orderBy(col("n_chars").asc, col("doc_id").asc)
-      // materialize ONCE — repartitionByRange samples boundaries per
-      // evaluation; branching on pid without a checkpoint can see two
-      // different pid spaces (see q54)
-      val ranked = base.withColumn("rn_local", row_number().over(wIn))
-        .localCheckpoint()
-      val wPid = Window.orderBy("pid")
-      val offsets = ranked.groupBy("pid").count()
-        .withColumn("offset", coalesce(sum(col("count")).over(
-          wPid.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-        .withColumn("total", sum(col("count")).over(
-          wPid.rowsBetween(
-            Window.unboundedPreceding, Window.unboundedFollowing)))
-        .select("pid", "offset", "total")
       // NTILE semantics: q = total div 10, r = total mod 10; the first r
       // buckets hold q+1 rows. when() keeps the q=0 branch unevaluated
       // for tiny inputs (where every row lands in the first branch).
       val q = floor(col("total").cast("double") / 10).cast("long")
       val r = col("total") - q * 10
-      ranked.join(broadcast(offsets), "pid")
-        .withColumn("grn", (col("rn_local") + col("offset")).cast("long"))
+      ExtraRelationalQueries.globalRowNumber(
+        Tables.documents(s, d).select(col("doc_id"), col("n_chars")),
+        32, col("n_chars").asc, col("doc_id").asc)
         .withColumn("decile",
-          when(col("grn") <= r * (q + 1),
-            ceil(col("grn").cast("double") / (q + 1)))
-            .otherwise(r + ceil((col("grn") - r * (q + 1)).cast("double") / q))
+          when(col("global_rn") <= r * (q + 1),
+            ceil(col("global_rn").cast("double") / (q + 1)))
+            .otherwise(
+              r + ceil((col("global_rn") - r * (q + 1)).cast("double") / q))
             .cast("int"))
         .groupBy("decile")
         .agg(count(lit(1)).as("n_docs"),

@@ -15,6 +15,40 @@ object ExtraRelationalQueries {
 
   private def dec(c: Column): Column = c.cast(DecimalType(12, 2))
 
+  /** Exact global row_number WITHOUT a single-partition window, shared by
+    * q54 and q55: range-partition on the (total-order) sort key, rank
+    * within each partition, then add each partition's cumulative
+    * predecessor count (an nParts-row stats aggregate broadcast back —
+    * never a global shuffle to one task). The ranked side is materialized
+    * ONCE: repartitionByRange SAMPLES its boundaries per evaluation, so
+    * branching on pid without the checkpoint can see two different pid
+    * spaces (observed at sf0.1). Output = input columns + `global_rn` +
+    * `total` (the row count, for rank-derived arithmetic like NTILE).
+    * Output is independent of where the sampled boundaries fall because
+    * the key tuple is a total order. */
+  private[graft] def globalRowNumber(
+      df: DataFrame, nParts: Int, sortCols: Column*): DataFrame = {
+    val base = df.repartitionByRange(nParts, sortCols: _*)
+      .withColumn("pid", spark_partition_id())
+    val wIn = Window.partitionBy("pid").orderBy(sortCols: _*)
+    val ranked = base.withColumn("rn_local", row_number().over(wIn))
+      .localCheckpoint()
+    // per-partition sizes -> cumulative offsets (windows here run over
+    // nParts rows, not data)
+    val wPid = Window.orderBy("pid")
+    val offsets = ranked.groupBy("pid").count()
+      .withColumn("offset", coalesce(sum(col("count")).over(
+        wPid.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("total", sum(col("count")).over(
+        wPid.rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)))
+      .select("pid", "offset", "total")
+    ranked.join(broadcast(offsets), "pid")
+      .withColumn("global_rn",
+        (col("rn_local") + col("offset")).cast("long"))
+      .drop("pid", "rn_local", "offset")
+  }
+
   /** Morton spread: scatter the low 16 bits of `x` into the even bit
     * positions of a 32-bit lane (the standard mask-shift cascade) — long
     * arithmetic only, bounded below 2^33, so ANSI-safe and codegen'd. */
@@ -94,38 +128,16 @@ object ExtraRelationalQueries {
     }),
 
     // The scale-safe twin of q16's global ranking: an exact global
-    // row_number WITHOUT a single-partition window. Range-partition on
-    // the (total-order) sort key, rank within each partition, then add
-    // each partition's cumulative predecessor count (a 32-row stats
-    // aggregate, broadcast back — never a global shuffle to one task).
-    // Output is independent of where the sampled range boundaries fall
-    // because the key tuple is a total order.
+    // row_number WITHOUT a single-partition window (see
+    // [[globalRowNumber]] for the range-partition + offset machinery,
+    // shared with q55's decile bucketing).
     "q54_global_rank_scalable" -> ((s, d) => {
-      val base = Tables.part(s, d)
-        .select(col("p_partkey"), col("p_name"), col("p_retailprice"))
-        .repartitionByRange(32, col("p_retailprice").desc,
-          col("p_partkey").asc)
-        .withColumn("pid", spark_partition_id())
-      val wIn = Window.partitionBy("pid")
-        .orderBy(col("p_retailprice").desc, col("p_partkey").asc)
-      // materialize ONCE: the offsets branch and the final join would
-      // otherwise re-evaluate repartitionByRange independently, and its
-      // SAMPLED boundaries can differ between evaluations — the two pid
-      // spaces then disagree and ranks shift (observed at sf0.1)
-      val ranked = base.withColumn("rn_local", row_number().over(wIn))
-        .localCheckpoint()
-      // per-partition sizes -> cumulative offset of all preceding
-      // partitions (the window here runs over #partitions rows, not data)
-      val offsets = ranked.groupBy("pid").count()
-        .withColumn("offset",
-          coalesce(sum(col("count")).over(
-            Window.orderBy("pid").rowsBetween(
-              Window.unboundedPreceding, -1)), lit(0L)))
-        .select("pid", "offset")
-      ranked.join(broadcast(offsets), "pid")
-        .select(col("p_partkey"), col("p_name"),
-          col("p_retailprice"),
-          (col("rn_local") + col("offset")).cast("long").as("global_rn"))
+      globalRowNumber(
+        Tables.part(s, d)
+          .select(col("p_partkey"), col("p_name"), col("p_retailprice")),
+        32, col("p_retailprice").desc, col("p_partkey").asc)
+        .select(col("p_partkey"), col("p_name"), col("p_retailprice"),
+          col("global_rn"))
     }),
 
     // Ordered event funnel (view → click → purchase): per user, each step
@@ -225,18 +237,24 @@ object ExtraRelationalQueries {
     }))
 
   val oracles: Map[String, String] = Map(
+    // comparisons run on epoch_us like q36: Spark's events table truncates
+    // the parquet nanos to micros, so the oracle must gate steps at micro
+    // resolution too — raw TIMESTAMP_NS comparison could admit a click in
+    // the same microsecond but a later nanosecond that Spark rejects
     "q58_funnel_steps" ->
       """WITH v AS (
-        |  SELECT user_id, MIN(ts) AS t1 FROM events
+        |  SELECT user_id, MIN(epoch_us(ts)) AS t1 FROM events
         |  WHERE event_type = 'view' GROUP BY user_id),
         |c AS (
-        |  SELECT e.user_id, MIN(e.ts) AS t2 FROM events e
+        |  SELECT e.user_id, MIN(epoch_us(e.ts)) AS t2 FROM events e
         |  JOIN v ON e.user_id = v.user_id
-        |  WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY e.user_id),
+        |  WHERE e.event_type = 'click' AND epoch_us(e.ts) > v.t1
+        |  GROUP BY e.user_id),
         |p AS (
-        |  SELECT e.user_id, MIN(e.ts) AS t3 FROM events e
+        |  SELECT e.user_id, MIN(epoch_us(e.ts)) AS t3 FROM events e
         |  JOIN c ON e.user_id = c.user_id
-        |  WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY e.user_id)
+        |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > c.t2
+        |  GROUP BY e.user_id)
         |SELECT step, COUNT(*) AS n_users FROM (
         |  SELECT 1 AS step, user_id FROM v
         |  UNION ALL SELECT 2, user_id FROM c

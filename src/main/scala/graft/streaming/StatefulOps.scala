@@ -31,7 +31,14 @@ object StatefulOps {
     * the moment a step is first completed (strictly after the previous
     * step's first completion, same gate as the batch oracle). State is
     * three longs per user — keys × 24 bytes at any event volume; no
-    * event is retained after its batch. */
+    * event is retained after its batch.
+    *
+    * Precondition for batch parity: per-user events must arrive in
+    * event-time order ACROSS micro-batches (within a batch they are
+    * sorted here). A view arriving after a later view was already
+    * accepted is ignored rather than retroactively lowering t1 — the
+    * machine is incremental and keeps no event buffer; out-of-order
+    * sources need a watermark-delayed sort upstream. */
   def funnelProgress(events: Dataset[TypedEvent]): Dataset[StepReached] = {
     import events.sparkSession.implicits._
     events

@@ -17,20 +17,34 @@ class CurationSpec extends SparkSpec {
     assert(bloom == plain)
   }
 
-  test("bloom prefilter prunes: candidate shingle rows < corpus shingle rows") {
-    // the predicate must actually reject some non-benchmark shingles at
-    // this filter size (FPR << 1 at sf0.001's benchmark cardinality)
+  test("bloom predicate prunes: no false negatives, real rejections") {
+    // evaluate the ACTUAL probe predicate (not just the fixture shape):
+    // survivors must contain every true hit (no false negatives) and
+    // reject a meaningful share of the rest (not a pass-through)
     import graft.functions.TextFunctions._
+    import graft.functions.BloomFilterAggregator
     val docs = Tables.documents(spark, sf0001)
     val corpusShingles = docs.filter(col("source") =!= "src0")
       .select(explode(shingles(col("text"), 3)).as("s"))
     val bench = docs.filter(col("source") === "src0")
-      .select(explode(shingles(col("text"), 3)).as("s")).distinct()
+      .select(explode(shingles(col("text"), 3)).as("s"))
+    val bloomAgg = udaf(BloomFilterAggregator)
+    val bits = bench.select(bloomAgg(
+      CurationQueries.bloomPos(0, col("s")),
+      CurationQueries.bloomPos(1, col("s")),
+      CurationQueries.bloomPos(2, col("s"))).as("b"))
+      .head.getSeq[Long](0)
+    val bitsLit = typedlit(bits)
+    val survivors = corpusShingles.filter(Seq(0, 1, 2)
+      .map(i => CurationQueries.mightContain(bitsLit,
+        CurationQueries.bloomPos(i, col("s")))).reduce(_ && _)).count()
     val total = corpusShingles.count()
-    val trueHits = corpusShingles.join(bench, Seq("s"), "left_semi").count()
+    val trueHits = corpusShingles
+      .join(bench.distinct(), Seq("s"), "left_semi").count()
     assert(trueHits < total, "fixture must contain non-benchmark shingles")
-    // parity of results (asserted above) + a meaningful gap here means the
-    // Bloom pass is a real prefilter, not a pass-through
+    assert(survivors >= trueHits, "bloom must never reject a true hit")
+    assert(survivors < total,
+      s"bloom rejected nothing (survivors=$survivors total=$total)")
   }
 
   test("dedup_substr_seen: planted copy scores 10000 bp, originals score low") {

@@ -133,8 +133,14 @@ class DedupSimilaritySpec extends SparkSpec {
   test("banded KNN join: full coverage and high agreement with exact NN") {
     val exact = SimilarityQueries.queries("sim_nn_cross_label")(spark, sf001)
       .select("qid", "nn_id").as[(Long, Long)].collect().toMap
-    val banded = SimilarityQueries.queries("sim_knn_banded")(spark, sf001)
-      .select("qid", "nn_id").as[(Long, Long)].collect().toMap
+    // nn_id is nullable since the left-join-back change (unanswered
+    // queries surface as null instead of vanishing) — decode as Option so
+    // a coverage miss fails the assertion below, not the encoder
+    val bandedRows = SimilarityQueries.queries("sim_knn_banded")(spark, sf001)
+      .select("qid", "nn_id").as[(Long, Option[Long])].collect()
+    val unanswered = bandedRows.filter(_._2.isEmpty).map(_._1)
+    assert(unanswered.isEmpty, s"unanswered queries: ${unanswered.toSeq}")
+    val banded = bandedRows.collect { case (q, Some(nn)) => q -> nn }.toMap
     // coverage: every query that has an exact NN gets SOME banded answer
     assert(banded.keySet == exact.keySet,
       s"missing=${exact.keySet.diff(banded.keySet)}")
