@@ -544,28 +544,40 @@ object RelationalQueries {
         |  UNION ALL
         |  SELECT time_bucket(INTERVAL '1 hour', ts, INTERVAL '30 minutes') AS window_start FROM events
         |) GROUP BY 1""".stripMargin,
+    // session gaps measured at MICRO resolution (epoch_us): Spark sees
+    // micro-truncated timestamps, and a raw nanos gap within 1µs of the
+    // 30-minute threshold could split sessions differently (same hazard
+    // class as q33/q36/q58). Tie order among equal-micro events cannot
+    // matter: a zero diff never starts a session.
     "q32_session_window" ->
       """WITH flagged AS (
-        |  SELECT user_id, ts,
-        |    CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
-        |              >= INTERVAL '30 minutes'
-        |         OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |  SELECT user_id, epoch_us(ts) AS us,
+        |    CASE WHEN epoch_us(ts) - LAG(epoch_us(ts))
+        |              OVER (PARTITION BY user_id ORDER BY epoch_us(ts))
+        |              >= 1800000000
+        |         OR LAG(epoch_us(ts))
+        |              OVER (PARTITION BY user_id ORDER BY epoch_us(ts)) IS NULL
         |    THEN 1 ELSE 0 END AS new_session
         |  FROM events),
         |numbered AS (
-        |  SELECT user_id, ts,
-        |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+        |  SELECT user_id, us,
+        |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY us
         |      ROWS UNBOUNDED PRECEDING) AS sid
         |  FROM flagged)
-        |SELECT user_id, MIN(ts) AS session_start,
-        |       MAX(ts) + INTERVAL '30 minutes' AS session_end,
+        |SELECT user_id, make_timestamp(MIN(us)) AS session_start,
+        |       make_timestamp(MAX(us) + 1800000000) AS session_end,
         |       COUNT(*) AS n_events
         |FROM numbered GROUP BY user_id, sid""".stripMargin,
+    // as-of gate and output at MICRO resolution (epoch_us/make_timestamp):
+    // Spark's events table truncates parquet nanos to micros, so a raw
+    // TIMESTAMP_NS compare could exclude a click in the same microsecond
+    // but a later nanosecond that Spark includes (same hazard class as
+    // q36/q58 — fixture rows carry sub-microsecond nanos)
     "q33_asof_last_click" ->
       """SELECT e.event_id, e.user_id, e.ts,
-        |  (SELECT MAX(c.ts) FROM events c
+        |  (SELECT make_timestamp(MAX(epoch_us(c.ts))) FROM events c
         |   WHERE c.user_id = e.user_id AND c.event_type = 'click'
-        |     AND c.ts <= e.ts) AS last_click_ts
+        |     AND epoch_us(c.ts) <= epoch_us(e.ts)) AS last_click_ts
         |FROM events e WHERE e.event_type = 'error'""".stripMargin,
     "q34_pivot" ->
       """SELECT DATE_TRUNC('day', ts) AS day,
