@@ -9,7 +9,8 @@ import org.apache.spark.sql.functions._
 
 /** Round-3 curation operators: Bloom-prefiltered decontamination,
   * substring-level dedup scoring, scalable decile bucketing, target-share
-  * dataset mixing, PII redaction, and mergeable HLL sketches.
+  * dataset mixing, PII redaction, mergeable HLL sketches, boilerplate
+  * span removal, the end-to-end curation verdict, and epoch scheduling.
   *
   * Same determinism rules as [[PipelineQueries]] (basis-point integer
   * ratios, md5-hash sampling, total window orders).
@@ -165,6 +166,140 @@ object CurationQueries {
           regexp_count(col("text"), lit(Ipv4Re)).cast("int").as("n_ip"))
     }),
 
+    // Boilerplate span removal (the C4/CCNet move at n-gram granularity):
+    // a 3-gram span occurring in ≥ max(5, 0.4% of corpus) DISTINCT
+    // documents is boilerplate; every token covered by an occurrence of a
+    // boilerplate span is dropped and the document is reassembled from
+    // the surviving tokens in original order. Unlike dedup (drop whole
+    // docs) or dedup_substr_seen (score only), this REWRITES documents —
+    // the third dedup granularity a curation pipeline needs.
+    //
+    // Shape at scale: the hot-span table is small by construction (high
+    // document frequency ⇒ few spans) → broadcast to the occurrence scan;
+    // coverage explode is ≤ 3 rows per hot occurrence; the anti-join and
+    // the reassembly groupBy both shuffle on doc_id — linear, skew-free
+    // (keys are documents). No self-joins anywhere.
+    "ta_boilerplate" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .repartition(col("doc_id"))
+        .withColumn("w", tokens(col("text")))
+        .repartition(col("doc_id")) // eval-once barrier for tokens()
+        .select("doc_id", "w")
+        .localCheckpoint() // referenced by toks, grams, and the final join
+      // corpus-relative threshold: one count() action on the checkpointed
+      // rows (same bounded-model-state pattern as the Bloom/IVF builds)
+      val k = math.max(5L, math.ceil(0.004 * docs.count()).toLong)
+      val toks = docs.select(col("doc_id"),
+        posexplode(col("w")).as(Seq("pos", "tok")))
+      // positional (non-distinct) 3-grams: start pos i covers i..i+2.
+      // when() keeps sequence(0, n-3) unevaluated for docs with < 3
+      // tokens (negative bounds flip sequence's direction — RobustnessSpec)
+      val grams = docs.select(col("doc_id"),
+        posexplode(when(size(col("w")) >= 3,
+          transform(sequence(lit(0), size(col("w")) - 3),
+            i => concat_ws(" ", slice(col("w"), i + 1, lit(3)))))
+          .otherwise(array().cast("array<string>")))
+          .as(Seq("start", "g")))
+      val hot = grams.groupBy("g")
+        .agg(countDistinct(col("doc_id")).as("df"))
+        .filter(col("df") >= k)
+        .select("g")
+      val covered = grams.join(broadcast(hot), "g")
+        .select(col("doc_id"),
+          explode(sequence(col("start"), col("start") + 2)).as("pos"))
+        .distinct()
+      val kept = toks.join(covered, Seq("doc_id", "pos"), "left_anti")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_kept"),
+          concat_ws(" ", transform(
+            array_sort(collect_list(struct(col("pos"), col("tok")))),
+            x => x.getField("tok"))).as("clean_text"))
+      docs.select(col("doc_id"), size(col("w")).cast("long").as("n_tokens"))
+        .join(kept, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("clean_text"), lit("")).as("clean_text"),
+          (col("n_tokens") - coalesce(col("n_kept"), lit(0L)))
+            .as("n_removed"))
+    }),
+
+    // The end-to-end curation verdict — the three stages a pre-training
+    // pipeline actually chains, composed as ONE dataflow: (1) quality
+    // gate (Gopher length + stopword rules), (2) exact dedup among the
+    // passers (min doc_id per md5 fingerprint), (3) near-dup clustering
+    // among the exact canonicals (jaccard ≥ 0.8 pairs → connected
+    // components → min-label canonical). One row per corpus doc with its
+    // per-stage flags and the final `survives` bit. Demonstrates that the
+    // engine's operators COMPOSE: stages 2–3 reuse the exact machinery of
+    // dedup_exact / dedup_ngram_jaccard / dedup_clusters on a filtered
+    // corpus, and each stage's input shrinks before the next (the
+    // expensive shingle join only ever sees quality-passing canonicals).
+    "pipeline_e2e" -> ((s, d) => {
+      val n = size(col("toks"))
+      val stopHits = size(filter(col("toks"),
+        t => t.isin("the", "a", "of", "and", "is")))
+      val staged = Tables.documents(s, d)
+        .repartition(col("doc_id"))
+        .withColumn("toks", tokens(col("text")))
+        .repartition(col("doc_id"))
+        .select(col("doc_id"), col("text"),
+          (n >= 30 && n <= 80 && stopHits >= 1).as("passed_quality"))
+        .localCheckpoint() // feeds stage 2 and the final verdict join
+      val exact = staged.filter(col("passed_quality"))
+        .withColumn("exact_canonical",
+          min(col("doc_id")).over(
+            Window.partitionBy(md5(col("text").cast("binary")))))
+        .select("doc_id", "text", "exact_canonical")
+        .localCheckpoint() // feeds stage 3 and the final verdict join
+      val canonSh = exact
+        .filter(col("doc_id") === col("exact_canonical"))
+        .repartition(col("doc_id"))
+        .select(col("doc_id"), explode(shingles(col("text"), 3)).as("s"))
+        .repartition(col("doc_id"))
+        .localCheckpoint() // sizes + both self-join sides (see DedupQueries)
+      val pairs = DedupQueries.exactJaccardOn(canonSh)
+        .filter(col("jaccard") >= 0.8)
+        .select("doc_a", "doc_b")
+      val comp = DedupQueries.connectedComponents(pairs)
+      staged.select("doc_id", "passed_quality")
+        .join(exact.select(col("doc_id"), col("exact_canonical")),
+          Seq("doc_id"), "left")
+        .join(comp.toDF("doc_id", "near_cluster"), Seq("doc_id"), "left")
+        .select(col("doc_id"), col("passed_quality"),
+          coalesce(col("doc_id") =!= col("exact_canonical"), lit(false))
+            .as("exact_dup"),
+          coalesce(col("near_cluster") =!= col("doc_id"), lit(false))
+            .as("near_dup"))
+        .withColumn("survives",
+          col("passed_quality") && !col("exact_dup") && !col("near_dup"))
+    }),
+
+    // Epoch / repetition schedule ("will we run out of data"): given a
+    // token budget of 2× the corpus and a uniform per-source share, how
+    // many epochs of each source shard does training consume? All-integer
+    // arithmetic (ceil-div as (a+b-1) div b, ratios as basis points via
+    // integer div) — bit-exact cross-engine AND overflow-safe where
+    // double math would lose integer precision past 2^53 (a 100 TB corpus
+    // is ~2.5e13 tokens; ×10000 still fits a long). Shape: one per-source
+    // aggregate + a tiny global window over |sources| rows.
+    "sample_epochs" -> ((s, d) => {
+      val w = Window.partitionBy()
+      Tables.documents(s, d)
+        .repartition(col("doc_id"))
+        .select(col("source"),
+          size(tokens(col("text"))).cast("long").as("n"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("tokens_avail"))
+        .withColumn("total", sum(col("tokens_avail")).over(w))
+        .withColumn("nsrc", count(lit(1)).over(w))
+        .withColumn("tokens_target", expr("(2 * total) div nsrc"))
+        .withColumn("epochs", expr(
+          "(tokens_target + tokens_avail - 1) div nullif(tokens_avail, 0)"))
+        .withColumn("overuse_bp",
+          expr("(tokens_target * 10000) div nullif(tokens_avail, 0)"))
+        .select("source", "n_docs", "tokens_avail", "tokens_target",
+          "epochs", "overuse_bp")
+    }),
+
     // Mergeable distinct-count sketches (Apache DataSketches HLL via
     // Spark built-ins): per-language token sketches + their union — the
     // sketch algebra a 100 TB pipeline ships to the driver instead of
@@ -230,6 +365,94 @@ object CurationQueries {
         |FROM documents d JOIN r ON d.source = r.source
         |WHERE CAST(('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))
         |        AS UBIGINT) / 4294967296.0 < r.rate""".stripMargin,
+    "ta_boilerplate" ->
+      """WITH docs AS (
+        |  SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS w
+        |  FROM documents),
+        |thr AS (SELECT GREATEST(5, CAST(CEIL(0.004 * COUNT(*)) AS BIGINT)) AS k
+        |        FROM documents),
+        |toks AS (SELECT doc_id, i AS pos, w[i] AS tok
+        |         FROM docs, unnest(generate_series(1, len(w))) t(i)),
+        |grams AS (SELECT doc_id, i AS start, w[i]||' '||w[i+1]||' '||w[i+2] AS g
+        |          FROM docs, unnest(generate_series(1, len(w)-2)) t(i)),
+        |hot AS (SELECT g FROM grams GROUP BY g
+        |        HAVING COUNT(DISTINCT doc_id) >= (SELECT k FROM thr)),
+        |cov AS (SELECT DISTINCT gr.doc_id, gr.start + o AS pos
+        |        FROM grams gr JOIN hot USING (g), unnest([0,1,2]) t(o)),
+        |kept AS (SELECT t.doc_id, t.pos, t.tok FROM toks t
+        |         WHERE NOT EXISTS (SELECT 1 FROM cov c
+        |           WHERE c.doc_id = t.doc_id AND c.pos = t.pos)),
+        |agg AS (SELECT doc_id, COUNT(*) AS n_kept,
+        |          string_agg(tok, ' ' ORDER BY pos) AS clean_text
+        |        FROM kept GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  COALESCE(a.clean_text, '') AS clean_text,
+        |  CAST(len(list_filter(string_split(d.text,' '), x -> x <> ''))
+        |    AS BIGINT) - COALESCE(a.n_kept, 0) AS n_removed
+        |FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id""".stripMargin,
+    "pipeline_e2e" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT doc_id, text,
+        |    list_filter(string_split(text,' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |q AS (SELECT doc_id, text,
+        |  len(toks) >= 30 AND len(toks) <= 80 AND
+        |  len(list_filter(toks, x -> x IN ('the','a','of','and','is'))) >= 1
+        |    AS pq FROM t),
+        |e AS (SELECT doc_id, text,
+        |  MIN(doc_id) OVER (PARTITION BY md5(text)) AS ec
+        |  FROM q WHERE pq),
+        |canon AS (SELECT doc_id,
+        |  list_filter(string_split(text,' '), x -> x <> '') AS w
+        |  FROM e WHERE doc_id = ec),
+        |sht AS (SELECT doc_id, CASE WHEN len(w) >= 3 THEN
+        |    list_distinct(list_transform(generate_series(1, len(w)-2),
+        |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+        |    ELSE [] END AS shingles
+        |  FROM canon),
+        |idx AS (SELECT doc_id, unnest(shingles) AS s FROM sht),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM idx GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+        |  FROM idx a JOIN idx b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT doc_a, doc_b FROM inter
+        |  JOIN sizes sa ON sa.doc_id = doc_a
+        |  JOIN sizes sb ON sb.doc_id = doc_b
+        |  WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8),
+        |edges AS (
+        |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |r(node, root) AS (
+        |  SELECT DISTINCT src, src FROM edges
+        |  UNION
+        |  SELECT e2.dst, r.root FROM r JOIN edges e2 ON e2.src = r.node),
+        |comp AS (SELECT node, MIN(root) AS cluster FROM r GROUP BY node)
+        |SELECT q.doc_id, q.pq AS passed_quality,
+        |  COALESCE(q.doc_id <> e.ec, FALSE) AS exact_dup,
+        |  COALESCE(c.cluster <> q.doc_id, FALSE) AS near_dup,
+        |  q.pq AND NOT COALESCE(q.doc_id <> e.ec, FALSE)
+        |       AND NOT COALESCE(c.cluster <> q.doc_id, FALSE) AS survives
+        |FROM q
+        |LEFT JOIN e ON e.doc_id = q.doc_id
+        |LEFT JOIN comp c ON c.node = q.doc_id""".stripMargin,
+    "sample_epochs" ->
+      """WITH per AS (
+        |  SELECT source, COUNT(*) AS n_docs,
+        |    CAST(SUM(len(list_filter(string_split(text,' '), x -> x <> '')))
+        |      AS BIGINT) AS tokens_avail
+        |  FROM documents GROUP BY source),
+        |g AS (SELECT source, n_docs, tokens_avail,
+        |  CAST(SUM(tokens_avail) OVER () AS BIGINT) AS total,
+        |  COUNT(*) OVER () AS nsrc FROM per)
+        |SELECT source, n_docs, tokens_avail,
+        |  CAST((2 * total) // nsrc AS BIGINT) AS tokens_target,
+        |  CAST(((2 * total) // nsrc + tokens_avail - 1)
+        |    // NULLIF(tokens_avail, 0) AS BIGINT) AS epochs,
+        |  CAST(((2 * total) // nsrc * 10000)
+        |    // NULLIF(tokens_avail, 0) AS BIGINT) AS overuse_bp
+        |FROM g""".stripMargin,
     "ta_pii_scrub" ->
       """SELECT doc_id,
         |  regexp_replace(regexp_replace(regexp_replace(text,

@@ -169,4 +169,70 @@ class CurationSpec extends SparkSpec {
       .as[Long].head()
     assert(direct == viaUnion)
   }
+
+  test("ta_boilerplate: rewrite is a token-subsequence with exact accounting") {
+    import graft.functions.TextFunctions._
+    val orig = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), tokens(col("text")).as("w"))
+      .as[(Long, Seq[String])].collect().toMap
+    val out = CurationQueries.queries("ta_boilerplate")(spark, sf0001)
+      .as[(Long, String, Long)].collect()
+    assert(out.length == orig.size)
+    var removedSomething = false
+    var keptEverything = false
+    for ((id, clean, nRemoved) <- out) {
+      val w = orig(id)
+      val kept = clean.split(" ").filter(_.nonEmpty).toSeq
+      assert(kept.size + nRemoved == w.size,
+        s"doc $id: kept ${kept.size} + removed $nRemoved != ${w.size}")
+      // order-preserving subsequence: each kept token consumes the
+      // earliest unused matching position of the original
+      var i = 0
+      for (t <- kept) {
+        i = w.indexOf(t, i)
+        assert(i >= 0, s"doc $id: '$t' breaks the subsequence")
+        i += 1
+      }
+      if (nRemoved > 0) removedSomething = true
+      if (nRemoved == 0) keptEverything = true
+    }
+    assert(removedSomething, "fixture should contain boilerplate spans")
+    assert(keptEverything, "fixture should contain untouched docs")
+  }
+
+  test("pipeline_e2e: stage flags are consistent and the gate composes") {
+    val rows = CurationQueries.queries("pipeline_e2e")(spark, sf0001)
+      .as[(Long, Boolean, Boolean, Boolean, Boolean)].collect()
+    assert(rows.length == 500)
+    for ((id, pq, exactDup, nearDup, survives) <- rows) {
+      // dedup stages only ever see quality passers
+      assert(!exactDup || pq, s"doc $id: exact_dup without passed_quality")
+      // near-dup clustering only ever sees exact canonicals
+      assert(!nearDup || (pq && !exactDup),
+        s"doc $id: near_dup outside stage-3 input")
+      assert(survives == (pq && !exactDup && !nearDup), s"doc $id")
+    }
+    val n = rows.count(_._5)
+    assert(n > 0 && n < rows.length,
+      s"survivor count $n should be non-degenerate")
+  }
+
+  test("sample_epochs: integer schedule arithmetic is exact") {
+    val rows = CurationQueries.queries("sample_epochs")(spark, sf0001)
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    val total = rows.map(_._3).sum
+    val nsrc = rows.length
+    for ((src, nDocs, avail, target, epochs, overuseBp) <- rows) {
+      assert(nDocs > 0 && avail > 0, src)
+      assert(target == 2 * total / nsrc, src)
+      assert(epochs == (target + avail - 1) / avail, src)
+      assert(overuseBp == target * 10000 / avail, src)
+      // budget is 2x the corpus split evenly: every shard of a uniform
+      // fixture should need ~2 epochs
+      assert(epochs >= 1, src)
+    }
+    // the uniform split loses at most nsrc-1 tokens to integer division
+    assert(2 * total - rows.map(_._4).sum < nsrc)
+  }
 }
