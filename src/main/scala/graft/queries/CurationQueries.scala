@@ -242,7 +242,10 @@ object CurationQueries {
         .withColumn("toks", tokens(col("text")))
         .repartition(col("doc_id"))
         .select(col("doc_id"), col("text"),
-          (n >= 30 && n <= 80 && stopHits >= 1).as("passed_quality"))
+          // coalesce: a null-text doc FAILS the gate (false, not null) so
+          // every downstream boolean stays two-valued (RobustnessSpec)
+          coalesce(n >= 30 && n <= 80 && stopHits >= 1, lit(false))
+            .as("passed_quality"))
         .localCheckpoint() // feeds stage 2 and the final verdict join
       val exact = staged.filter(col("passed_quality"))
         .withColumn("exact_canonical",

@@ -36,7 +36,10 @@ class RobustnessSpec extends SparkSpec {
     // round-3 curation ops (null text, no-shingle docs, n < 10 deciles,
     // empty benchmark shingle set for the bloom build)
     "ta_pii_scrub", "dedup_substr_seen", "q55_decile_bucket",
-    "mix_sources_target", "sketch_hll_union", "decontam_bloom")
+    "mix_sources_target", "sketch_hll_union", "decontam_bloom",
+    // late round-3 ops (no hot grams at df≥5 on 6 docs; zero quality
+    // passers -> empty cluster stage; a source shard with 0 tokens)
+    "ta_boilerplate", "pipeline_e2e", "sample_epochs")
 
   test("text/curation queries run on empty/whitespace/null/single-token docs") {
     textQueries.foreach { name =>
@@ -55,6 +58,23 @@ class RobustnessSpec extends SparkSpec {
       .select("doc_id", "avg_token_len")
       .as[(Long, Option[Double])].collect().toMap
     assert(t(1L).isEmpty && t(3L).contains(4.0) && t(6L).contains(1.0))
+  }
+
+  test("pipeline_e2e verdicts stay two-valued on degenerate docs") {
+    val rows = SparkEntry.queries("pipeline_e2e")(spark, advDir)
+      .as[(Long, Boolean, Boolean, Boolean, Boolean)].collect()
+    // Boolean (not Option[Boolean]) decode proves no NULL flags; a
+    // 6-doc adversarial corpus has zero quality passers
+    assert(rows.length == 6 && rows.forall(r => !r._2 && !r._5))
+  }
+
+  test("sample_epochs: a zero-token shard gets NULL epochs, not a crash") {
+    val rows = SparkEntry.queries("sample_epochs")(spark, advDir)
+      .select("source", "tokens_avail", "epochs")
+      .as[(String, Long, Option[Long])].collect()
+      .map { case (k, a, e) => k -> ((a, e)) }.toMap
+    assert(rows("src0")._1 == 0L && rows("src0")._2.isEmpty)
+    assert(rows("src2")._1 > 0L && rows("src2")._2.nonEmpty)
   }
 
   test("pack_sequences skips token-less docs; others still pack") {
