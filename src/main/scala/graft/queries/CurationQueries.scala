@@ -303,6 +303,29 @@ object CurationQueries {
           "epochs", "overuse_bp")
     }),
 
+    // One BPE training iteration's candidate scoring: the corpus-wide
+    // count of adjacent token pairs, global top-20 by (count desc, pair
+    // asc). The per-doc bigram explode is the same zip-of-shifted-slices
+    // trick as ta_repetition; the global top-k is TakeOrderedAndProject
+    // (per-partition heaps + a k-row driver merge), so the full pair
+    // table is never globally sorted — the shape a real tokenizer-
+    // training sweep needs at corpus scale.
+    "ta_bpe_merges" -> ((s, d) => {
+      val base = Tables.documents(s, d)
+        .repartition(col("doc_id"))
+        .withColumn("toks", tokens(col("text")))
+        .repartition(col("doc_id"))
+        .select(col("toks"), size(col("toks")).as("n"))
+      base.select(explode(when(col("n") >= 2, zip_with(
+          slice(col("toks"), lit(1), col("n") - 1),
+          slice(col("toks"), lit(2), col("n") - 1),
+          (x, y) => concat(x, lit(" "), y)))
+          .otherwise(array().cast("array<string>"))).as("pair"))
+        .groupBy("pair").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("pair").asc)
+        .limit(20)
+    }),
+
     // Mergeable distinct-count sketches (Apache DataSketches HLL via
     // Spark built-ins): per-language token sketches + their union — the
     // sketch algebra a 100 TB pipeline ships to the driver instead of
@@ -368,6 +391,16 @@ object CurationQueries {
         |FROM documents d JOIN r ON d.source = r.source
         |WHERE CAST(('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))
         |        AS UBIGINT) / 4294967296.0 < r.rate""".stripMargin,
+    "ta_bpe_merges" ->
+      """WITH t AS (SELECT doc_id,
+        |  list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |bg AS (SELECT
+        |  unnest(list_transform(generate_series(1, len(toks) - 1),
+        |    i -> toks[i] || ' ' || toks[i + 1])) AS pair
+        |  FROM t WHERE len(toks) >= 2)
+        |SELECT pair, COUNT(*) AS cnt FROM bg GROUP BY pair
+        |ORDER BY cnt DESC, pair ASC LIMIT 20""".stripMargin,
     "ta_boilerplate" ->
       """WITH docs AS (
         |  SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS w

@@ -325,6 +325,33 @@ object DedupQueries {
         .filter(col("hamming") <= 3)
     }),
 
+    // Character-level near-dup — the fourth dedup granularity (document
+    // fingerprint → shingle set → substring span → CHARACTER): candidates
+    // from the shingle inverted index at a loose jaccard ≥ 0.5, verified
+    // by exact Levenshtein distance ≤ 5% of the longer text. Catches
+    // small in-place edits whose set-semantics jaccard is noisy, with
+    // cross-engine-exact integer arithmetic (dist·20 ≤ max_len).
+    //
+    // Scale: the O(len²) edit-distance DP is the expensive part, so it
+    // runs ONLY on index-join candidates (256 pairs of the 12.5M possible
+    // at sf0.1) after texts are joined back by doc_id — never as a
+    // pairwise text join.
+    "dedup_editdist" -> ((s, d) => {
+      val texts = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val cand = exactJaccardPairs(s, d)
+        .filter(col("jaccard") >= 0.5)
+        .select("doc_a", "doc_b")
+      cand
+        .join(texts.toDF("doc_a", "text_a"), "doc_a")
+        .join(texts.toDF("doc_b", "text_b"), "doc_b")
+        .select(col("doc_a"), col("doc_b"),
+          levenshtein(col("text_a"), col("text_b")).as("dist"),
+          greatest(length(col("text_a")), length(col("text_b")))
+            .as("max_len"))
+        .filter(col("dist") * 20 <= col("max_len"))
+        .select(col("doc_a"), col("doc_b"), col("dist"))
+    }),
+
     // Embedding near-dup: all pairs with cosine ≥ 0.4 (fixture has no
     // tighter clusters). Brute force n²/2 — oracle-checkable baseline;
     // dedup_embedding_lsh below is the same semantics without the
@@ -458,7 +485,35 @@ object DedupQueries {
         |  doc_id <> MIN(doc_id) OVER (PARTITION BY md5(text)) AS is_dup
         |FROM documents""".stripMargin,
     "dedup_ngram_jaccard" -> dedupNgramJaccardOracle,
-    "dedup_embedding" -> dedupEmbeddingOracle)
+    "dedup_embedding" -> dedupEmbeddingOracle,
+    "dedup_editdist" ->
+      """WITH docs AS (
+        |  SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS w
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, CASE WHEN len(w) >= 3 THEN
+        |    list_distinct(list_transform(generate_series(1, len(w)-2),
+        |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+        |    ELSE [] END AS shingles
+        |  FROM docs),
+        |idx AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM idx GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+        |  FROM idx a JOIN idx b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |cand AS (
+        |  SELECT doc_a, doc_b FROM inter
+        |  JOIN sizes sa ON sa.doc_id = doc_a
+        |  JOIN sizes sb ON sb.doc_id = doc_b
+        |  WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5)
+        |SELECT doc_a, doc_b,
+        |  CAST(levenshtein(a.text, b.text) AS INTEGER) AS dist
+        |FROM cand
+        |JOIN documents a ON a.doc_id = doc_a
+        |JOIN documents b ON b.doc_id = doc_b
+        |WHERE levenshtein(a.text, b.text) * 20 <=
+        |      GREATEST(LENGTH(a.text), LENGTH(b.text))""".stripMargin)
 
   private lazy val dedupEmbeddingOracle: String =
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v

@@ -170,6 +170,28 @@ class CurationSpec extends SparkSpec {
     assert(direct == viaUnion)
   }
 
+  test("ta_bpe_merges: top-20 by count desc, winner = independent max") {
+    import graft.functions.TextFunctions._
+    val counts = Tables.documents(spark, sf0001)
+      .select(posexplode(tokens(col("text"))).as(Seq("p", "t")),
+        col("doc_id"))
+      .withColumn("nxt", lead(col("t"), 1)
+        .over(org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id").orderBy("p")))
+      .filter(col("nxt").isNotNull)
+      .select(concat_ws(" ", col("t"), col("nxt")).as("pair"))
+      .groupBy("pair").count()
+      .as[(String, Long)].collect().toMap
+    val out = CurationQueries.queries("ta_bpe_merges")(spark, sf0001)
+      .as[(String, Long)].collect()
+    assert(out.length == 20)
+    // non-increasing counts, and each reported count matches the
+    // independent window-based recomputation
+    assert(out.map(_._2).sliding(2).forall(w => w(0) >= w(1)))
+    out.foreach { case (p, c) => assert(counts(p) == c, p) }
+    assert(out.head._2 == counts.values.max)
+  }
+
   test("ta_boilerplate: rewrite is a token-subsequence with exact accounting") {
     import graft.functions.TextFunctions._
     val orig = Tables.documents(spark, sf0001)

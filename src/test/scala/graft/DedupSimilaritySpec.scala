@@ -216,6 +216,32 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 3L))
   }
 
+  test("dedup_editdist: pairs verify the edit-ratio bound; planted edit found") {
+    // planted: doc 2 is doc 1 with one word substituted (distance = word
+    // length diff bounded), doc 3 unrelated — only (1,2) should survive
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappz"),
+      (3L, "totally different content with no overlap whatsoever here ok"))
+      .toDF("doc_id", "text")
+    val d12 = docs.as("a").join(docs.as("b"),
+        col("a.doc_id") === 1L && col("b.doc_id") === 2L)
+      .select(levenshtein(col("a.text"), col("b.text"))).as[Int].head()
+    assert(d12 == 1) // one substituted character
+    // registered query on the fixture: every emitted pair honors the
+    // integer bound dist*20 <= max(len) recomputed from raw text
+    val texts = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect().toMap
+    val out = queries.DedupQueries.queries("dedup_editdist")(spark, sf0001)
+      .as[(Long, Long, Int)].collect()
+    assert(out.nonEmpty)
+    for ((a, b, dist) <- out) {
+      val ml = math.max(texts(a).length, texts(b).length)
+      assert(dist * 20 <= ml, s"pair ($a,$b) dist=$dist max_len=$ml")
+      assert(a < b)
+    }
+  }
+
   test("multimodal decode meta matches spark-side recomputation") {
     val meta = graft.multimodal.Multimodal
       .decodeMeta(spark, Tables.documents(spark, sf0001))
