@@ -325,6 +325,57 @@ object DedupQueries {
         .filter(col("hamming") <= 3)
     }),
 
+    // Incremental near-dup — the daily-ingestion production shape: a
+    // DELTA of new documents (source ≠ src0) is deduped against the
+    // existing BASE corpus (src0) and against itself, and the base is
+    // never compared with itself — the pair join filters base-base
+    // combinations BEFORE the co-occurrence aggregate, so adding a delta
+    // costs |delta|·avg_df join work, not a full-corpus re-dedup. At
+    // 100 TB the base's shingle index is a persisted table built once;
+    // this query is exactly the dataflow that consumes it. Verdict per
+    // delta doc: near-dup of base (jaccard ≥ 0.8), near-dup of an
+    // earlier delta doc, or genuinely new.
+    "dedup_incremental" -> ((s, d) => {
+      val idx = Tables.documents(s, d)
+        .repartition(col("doc_id"))
+        .select(col("doc_id"), (col("source") === "src0").as("in_base"),
+          explode(shingles(col("text"), 3)).as("s"))
+        .repartition(col("doc_id"))
+        .localCheckpoint() // sizes + both sides of the pair join
+      val sizes = idx.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val a = idx.toDF("doc_a", "a_base", "s")
+      val b = idx.toDF("doc_b", "b_base", "s")
+      val pairs = a.join(b, "s")
+        .filter(col("doc_a") < col("doc_b") &&
+          !(col("a_base") && col("b_base")))
+        .groupBy("doc_a", "a_base", "doc_b", "b_base")
+        .agg(count(lit(1)).as("inter"))
+        .join(sizes.toDF("doc_a", "na"), "doc_a")
+        .join(sizes.toDF("doc_b", "nb"), "doc_b")
+        .filter(col("inter").cast("double") /
+          (col("na") + col("nb") - col("inter")) >= 0.8)
+        .select("doc_a", "a_base", "doc_b", "b_base")
+      // each qualifying pair, seen from its delta member(s)' perspective
+      val nbrs = pairs
+        .select(col("doc_a").as("doc_id"), col("a_base").as("me_base"),
+          col("doc_b").as("nbr"), col("b_base").as("nbr_base"))
+        .unionAll(pairs
+          .select(col("doc_b").as("doc_id"), col("b_base").as("me_base"),
+            col("doc_a").as("nbr"), col("a_base").as("nbr_base")))
+        .filter(!col("me_base"))
+      val verdict = nbrs.groupBy("doc_id").agg(
+        bool_or(col("nbr_base")).as("dup_vs_base"),
+        bool_or(!col("nbr_base") && col("nbr") < col("doc_id"))
+          .as("dup_in_delta"))
+      Tables.documents(s, d).filter(col("source") =!= "src0")
+        .select(col("doc_id"))
+        .join(verdict, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("dup_vs_base"), lit(false)).as("dup_vs_base"),
+          coalesce(col("dup_in_delta"), lit(false)).as("dup_in_delta"))
+        .withColumn("is_new", !col("dup_vs_base") && !col("dup_in_delta"))
+    }),
+
     // Character-level near-dup — the fourth dedup granularity (document
     // fingerprint → shingle set → substring span → CHARACTER): candidates
     // from the shingle inverted index at a loose jaccard ≥ 0.5, verified
@@ -486,6 +537,46 @@ object DedupQueries {
         |FROM documents""".stripMargin,
     "dedup_ngram_jaccard" -> dedupNgramJaccardOracle,
     "dedup_embedding" -> dedupEmbeddingOracle,
+    "dedup_incremental" ->
+      """WITH docs AS (
+        |  SELECT doc_id, source = 'src0' AS in_base,
+        |    list_filter(string_split(text,' '), x -> x <> '') AS w
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, in_base, CASE WHEN len(w) >= 3 THEN
+        |    list_distinct(list_transform(generate_series(1, len(w)-2),
+        |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+        |    ELSE [] END AS shingles
+        |  FROM docs),
+        |idx AS (SELECT doc_id, in_base, unnest(shingles) AS s FROM sh),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM idx GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS doc_a, a.in_base AS a_base,
+        |         b.doc_id AS doc_b, b.in_base AS b_base, COUNT(*) AS i
+        |  FROM idx a JOIN idx b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  WHERE NOT (a.in_base AND b.in_base)
+        |  GROUP BY 1, 2, 3, 4),
+        |pairs AS (
+        |  SELECT doc_a, a_base, doc_b, b_base FROM inter
+        |  JOIN sizes sa ON sa.doc_id = doc_a
+        |  JOIN sizes sb ON sb.doc_id = doc_b
+        |  WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8),
+        |nbrs AS (
+        |  SELECT doc_a AS doc_id, a_base AS me_base, doc_b AS nbr,
+        |         b_base AS nbr_base FROM pairs
+        |  UNION ALL
+        |  SELECT doc_b, b_base, doc_a, a_base FROM pairs),
+        |verdict AS (
+        |  SELECT doc_id, BOOL_OR(nbr_base) AS dup_vs_base,
+        |    BOOL_OR(NOT nbr_base AND nbr < doc_id) AS dup_in_delta
+        |  FROM nbrs WHERE NOT me_base GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  COALESCE(v.dup_vs_base, FALSE) AS dup_vs_base,
+        |  COALESCE(v.dup_in_delta, FALSE) AS dup_in_delta,
+        |  NOT COALESCE(v.dup_vs_base, FALSE)
+        |    AND NOT COALESCE(v.dup_in_delta, FALSE) AS is_new
+        |FROM documents d LEFT JOIN verdict v ON v.doc_id = d.doc_id
+        |WHERE d.source <> 'src0'""".stripMargin,
     "dedup_editdist" ->
       """WITH docs AS (
         |  SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS w
