@@ -100,20 +100,24 @@ object CurationQueries {
     // extra row) computed from (rank, total) — so the plan scales while
     // matching the NTILE(10) oracle bit-for-bit.
     "q55_decile_bucket" -> ((s, d) => {
-      // NTILE semantics: q = total div 10, r = total mod 10; the first r
-      // buckets hold q+1 rows. when() keeps the q=0 branch unevaluated
-      // for tiny inputs (where every row lands in the first branch).
-      val q = floor(col("total").cast("double") / 10).cast("long")
-      val r = col("total") - q * 10
+      // NTILE semantics in pure integer arithmetic (exact at any row
+      // count — no double rounding): q = total div 10, r = total mod 10;
+      // the first r buckets hold q+1 rows. CASE WHEN keeps the q=0
+      // divisor branch unevaluated for tiny inputs (total < 10 makes the
+      // first condition true for every row).
       ExtraRelationalQueries.globalRowNumber(
         Tables.documents(s, d).select(col("doc_id"), col("n_chars")),
-        32, col("n_chars").asc, col("doc_id").asc)
-        .withColumn("decile",
-          when(col("global_rn") <= r * (q + 1),
-            ceil(col("global_rn").cast("double") / (q + 1)))
-            .otherwise(
-              r + ceil((col("global_rn") - r * (q + 1)).cast("double") / q))
-            .cast("int"))
+        32, "n_chars", firstAsc = true,
+        col("n_chars").asc, col("doc_id").asc)
+        .withColumn("decile", expr(
+          """CASE
+             |  WHEN global_rn <= (total % 10) * (total div 10 + 1)
+             |  THEN (global_rn - 1) div (total div 10 + 1) + 1
+             |  ELSE (total % 10)
+             |    + (global_rn - (total % 10) * (total div 10 + 1) - 1)
+             |      div (total div 10) + 1
+             |END""".stripMargin)
+          .cast("int"))
         .groupBy("decile")
         .agg(count(lit(1)).as("n_docs"),
           min(col("n_chars")).as("min_chars"),

@@ -16,37 +16,65 @@ object ExtraRelationalQueries {
   private def dec(c: Column): Column = c.cast(DecimalType(12, 2))
 
   /** Exact global row_number WITHOUT a single-partition window, shared by
-    * q54 and q55: range-partition on the (total-order) sort key, rank
-    * within each partition, then add each partition's cumulative
-    * predecessor count (an nParts-row stats aggregate broadcast back —
-    * never a global shuffle to one task). The ranked side is materialized
-    * ONCE: repartitionByRange SAMPLES its boundaries per evaluation, so
-    * branching on pid without the checkpoint can see two different pid
-    * spaces (observed at sf0.1). Output = input columns + `global_rn` +
-    * `total` (the row count, for rank-derived arithmetic like NTILE).
-    * Output is independent of where the sampled boundaries fall because
-    * the key tuple is a total order. */
+    * q54 and q55: bucket rows by DETERMINISTIC value ranges of the leading
+    * sort key (boundaries = nParts-1 approximate quantiles, collected once
+    * and re-embedded as literals), rank within each bucket by the full
+    * sort order, then add each bucket's cumulative predecessor count (an
+    * nBuckets-row stats aggregate broadcast back — never a global shuffle
+    * to one task). Because the bucket is a pure function of row values and
+    * fixed literals, the two downstream evaluations (ranking and bucket
+    * counts) always agree — no materialization barrier needed, unlike
+    * repartitionByRange whose SAMPLED boundaries can differ per evaluation
+    * (observed at sf0.1 in round 3; the localCheckpoint that papered over
+    * it tripled q54's runtime). Boundary quality only affects balance,
+    * never correctness: equal leading keys always share a bucket, and the
+    * full key tuple is a total order within it. At 100 TB this is the
+    * classic two-pass ranged sort: one cheap single-column stats pass,
+    * one ranked pass.
+    *
+    * `firstKey` must name a non-null numeric column that is the leading
+    * sort key; `sortCols` is the complete total order (including the
+    * leading key with its direction). Output = input columns + `global_rn`
+    * + `total` (row count, for rank-derived arithmetic like NTILE). */
   private[graft] def globalRowNumber(
-      df: DataFrame, nParts: Int, sortCols: Column*): DataFrame = {
-    val base = df.repartitionByRange(nParts, sortCols: _*)
-      .withColumn("pid", spark_partition_id())
-    val wIn = Window.partitionBy("pid").orderBy(sortCols: _*)
-    val ranked = base.withColumn("rn_local", row_number().over(wIn))
-      .localCheckpoint()
-    // per-partition sizes -> cumulative offsets (windows here run over
-    // nParts rows, not data)
-    val wPid = Window.orderBy("pid")
-    val offsets = ranked.groupBy("pid").count()
-      .withColumn("offset", coalesce(sum(col("count")).over(
-        wPid.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      df: DataFrame, nParts: Int, firstKey: String, firstAsc: Boolean,
+      sortCols: Column*): DataFrame = {
+    val working =
+      Seq("__grn_key", "__grn_bucket", "__grn_rn", "__grn_offset")
+    require((working :+ "global_rn" :+ "total")
+      .forall(!df.columns.contains(_)),
+      s"globalRowNumber: input must not contain ${working.mkString(", ")}, " +
+        "global_rn, total")
+    // Orient the key so bucket order == sort order regardless of direction.
+    val signed =
+      if (firstAsc) col(firstKey).cast("double")
+      else -col(firstKey).cast("double")
+    val keyed = df.withColumn("__grn_key", signed)
+    val probs = (1 until nParts).map(_.toDouble / nParts).toArray
+    // Tiny driver-side stats job over ONE pruned column; 1% relative
+    // error is plenty — it only shapes bucket balance.
+    val bounds = keyed.stat.approxQuantile("__grn_key", probs, 0.01)
+      .distinct.sorted
+    val bucket = bounds.foldLeft(lit(0)) { (acc, b) =>
+      acc + when(col("__grn_key") > lit(b), 1).otherwise(0)
+    }
+    val bucketed = keyed.withColumn("__grn_bucket", bucket)
+    val wIn = Window.partitionBy("__grn_bucket").orderBy(sortCols: _*)
+    val ranked = bucketed.withColumn("__grn_rn", row_number().over(wIn))
+    // per-bucket sizes -> cumulative offsets (windows here run over
+    // <= nParts rows, not data)
+    val wB = Window.orderBy("__grn_bucket")
+    val offsets = bucketed.groupBy("__grn_bucket").count()
+      .withColumn("__grn_offset", coalesce(sum(col("count")).over(
+        wB.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .withColumn("total", sum(col("count")).over(
-        wPid.rowsBetween(
+        wB.rowsBetween(
           Window.unboundedPreceding, Window.unboundedFollowing)))
-      .select("pid", "offset", "total")
-    ranked.join(broadcast(offsets), "pid")
+      .select("__grn_bucket", "__grn_offset", "total")
+    ranked.join(broadcast(offsets), "__grn_bucket")
       .withColumn("global_rn",
-        (col("rn_local") + col("offset")).cast("long"))
-      .drop("pid", "rn_local", "offset")
+        (col("__grn_rn") + col("__grn_offset")).cast("long"))
+      .drop("__grn_key", "__grn_bucket", "__grn_rn", "__grn_offset")
   }
 
   /** Morton spread: scatter the low 16 bits of `x` into the even bit
@@ -135,7 +163,8 @@ object ExtraRelationalQueries {
       globalRowNumber(
         Tables.part(s, d)
           .select(col("p_partkey"), col("p_name"), col("p_retailprice")),
-        32, col("p_retailprice").desc, col("p_partkey").asc)
+        32, "p_retailprice", firstAsc = false,
+        col("p_retailprice").desc, col("p_partkey").asc)
         .select(col("p_partkey"), col("p_name"), col("p_retailprice"),
           col("global_rn"))
     }),

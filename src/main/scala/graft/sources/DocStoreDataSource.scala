@@ -115,11 +115,11 @@ case class DocStoreWriterFactory(root: String, maxBatchSize: Int)
         // would strand earlier durably-upserted batches behind an opaque
         // error. Failing fast with a clear message keeps the task retry
         // path (idempotent re-upsert) the only partial-write story.
-        if (row.isNullAt(0) || row.isNullAt(1))
+        if (row.isNullAt(0) || row.isNullAt(1) || row.isNullAt(2))
           throw new IllegalArgumentException(
-            "docstore write: collection and doc_id must be non-null " +
-              s"(partition $partitionId); null-key rows must be filtered " +
-              "before the sink")
+            "docstore write: collection, doc_id and count must be " +
+              s"non-null (partition $partitionId); null rows must be " +
+              "filtered before the sink")
         buf += ((row.getString(0), row.getString(1), row.getLong(2)))
         if (buf.size >= maxBatchSize) flush()
       }
