@@ -30,6 +30,7 @@ object SparkEntry {
       (DedupQueries.queries, DedupQueries.oracles),
       (PipelineQueries.queries, PipelineQueries.oracles),
       (CurationQueries.queries, CurationQueries.oracles),
+      (CorpusQueries.queries, CorpusQueries.oracles),
       (SimilarityQueries.queries, SimilarityQueries.oracles),
       (graft.multimodal.Multimodal.queries, graft.multimodal.Multimodal.oracles))
 

@@ -1,0 +1,192 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-4 corpus-curation operators: per-domain document caps,
+  * balanced output-shard assignment, corpus-wide paragraph(chunk)-level
+  * exact dedup with document reassembly, and hashed-feature linear
+  * classifier scoring.
+  *
+  * Same determinism rules as [[CurationQueries]] (integer/basis-point
+  * arithmetic only, md5-derived hashes mirrored verbatim in the DuckDB
+  * oracles, total window orders).
+  */
+object CorpusQueries {
+
+  /** documents with the token array, evaluated once behind a partition
+    * barrier (tokens() is a native expression; the repartition keeps it
+    * from re-running per downstream reference — see
+    * graft-spark-perf-rules). */
+  private def docsTok(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .repartition(col("doc_id"))
+      .withColumn("w", tokens(col("text")))
+      .repartition(col("doc_id"))
+      .select("doc_id", "w")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Per-domain cap (RefinedWeb-style "no domain may dominate"): keep at
+    // most 50 documents per source, preferring longer ones. One window
+    // keyed by the domain — the natural partition key, so no global
+    // state; at 100 TB each domain ranks independently and the filter
+    // discards before any downstream shuffle.
+    "curate_domain_cap" -> ((s, d) => {
+      val w = Window.partitionBy("source")
+        .orderBy(col("n_chars").desc, col("doc_id").asc)
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .withColumn("rn", row_number().over(w).cast("int"))
+        .filter(col("rn") <= 50)
+    }),
+
+    // Balanced output-shard assignment: size-descending global rank
+    // (via the deterministic quantile-bucketed globalRowNumber — no
+    // single-partition window), then round-robin rank mod 8. The classic
+    // greedy bin-balancer is sequential; rank-mod round-robin over a
+    // size-sorted order is its scalable twin (shard totals differ by at
+    // most one document's size per 8 ranks). Output: per-shard document
+    // and character totals — the manifest a training-data writer needs.
+    "curate_shard_assign" -> ((s, d) => {
+      ExtraRelationalQueries.globalRowNumber(
+        Tables.documents(s, d).select(col("doc_id"), col("n_chars")),
+        32, "n_chars", firstAsc = false,
+        col("n_chars").desc, col("doc_id").asc)
+        .withColumn("shard", pmod(col("global_rn") - 1, lit(8L)).cast("int"))
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          min(col("n_chars")).as("min_chars"),
+          max(col("n_chars")).as("max_chars"))
+    }),
+
+    // Corpus-wide paragraph-level exact dedup (C4/RefinedWeb span dedup,
+    // on synthetic 16-token "paragraphs" since the fixture text has no
+    // newlines): every chunk keeps only its FIRST corpus occurrence
+    // (smallest (doc_id, position)); documents are reassembled from
+    // surviving chunks in order. Distinct from ta_boilerplate (which
+    // drops corpus-HOT trigram spans wherever they appear — frequency
+    // thresholded, all occurrences removed) — here identity is the whole
+    // chunk and exactly the later occurrences go. Shape: one shuffle
+    // keyed by chunk text for the first-occurrence window, one hash agg
+    // keyed by doc_id for reassembly — no self-join, no all-pairs.
+    "dedup_paragraph" -> ((s, d) => {
+      val docs = docsTok(s, d)
+      val n = size(col("w"))
+      // non-overlapping 16-token chunks: starts 1, 17, 33, ... (the
+      // filter keeps sequence() away from token-less docs — see
+      // RobustnessSpec for the sequence(1, 0, step) failure mode)
+      val chunks = docs.filter(n > 0)
+        .select(col("doc_id"), col("w"),
+          posexplode(sequence(lit(1), n, lit(16))).as(Seq("ci", "start")))
+        .select(col("doc_id"), col("ci"),
+          concat_ws(" ", slice(col("w"), col("start"), lit(16)))
+            .as("chunk"))
+      val wFirst = Window.partitionBy("chunk")
+        .orderBy(col("doc_id").asc, col("ci").asc)
+      val kept = chunks
+        .withColumn("rn", row_number().over(wFirst))
+        .filter(col("rn") === 1)
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_kept"),
+          concat_ws(" ", transform(
+            array_sort(collect_list(struct(col("ci"), col("chunk")))),
+            x => x.getField("chunk"))).as("clean_text"))
+      docs
+        .select(col("doc_id"),
+          when(n > 0, floor((n - 1) / 16).cast("long") + 1)
+            .otherwise(lit(0L)).as("n_chunks"))
+        .join(kept, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("clean_text"), lit("")).as("clean_text"),
+          (col("n_chunks") - coalesce(col("n_kept"), lit(0L)))
+            .as("n_removed"))
+    }),
+
+    // Hashed-feature linear classifier inference (fastText-style quality
+    // scoring with the feature-hashing trick): each token bigram hashes
+    // to a deterministic integer weight in [-3, 3] (md5-derived, so the
+    // oracle reproduces it bit-for-bit — a stand-in for a trained weight
+    // table lookup); a document's margin is the sum over its bigrams,
+    // keep = margin > 0. No model broadcast needed — the "table" is the
+    // hash function; pure map + one doc-keyed hash agg, linear at any
+    // scale. A real trained model swaps the weight expression for a
+    // broadcast join against the weight vector — same plan shape.
+    "curate_classifier_score" -> ((s, d) => {
+      val docs = docsTok(s, d)
+      val bigrams = docs.select(col("doc_id"),
+        explode(when(size(col("w")) >= 2,
+          transform(sequence(lit(1), size(col("w")) - 1),
+            i => concat_ws(" ",
+              element_at(col("w"), i), element_at(col("w"), i + 1))))
+          .otherwise(array().cast("array<string>"))).as("g"))
+      val wgt = conv(substring(md5(col("g").cast("binary")), 1, 4), 16, 10)
+        .cast("long") % 7 - 3
+      val margins = bigrams.groupBy("doc_id").agg(sum(wgt).as("margin"))
+      docs.select("doc_id")
+        .join(margins, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("margin"), lit(0L)).as("margin"),
+          (coalesce(col("margin"), lit(0L)) > 0).as("keep"))
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "curate_domain_cap" ->
+      """SELECT doc_id, source, n_chars,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY source
+        |    ORDER BY n_chars DESC, doc_id ASC) AS INTEGER) AS rn
+        |FROM documents
+        |QUALIFY rn <= 50""".stripMargin,
+    "curate_shard_assign" ->
+      """WITH r AS (SELECT doc_id, n_chars,
+        |  ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id ASC) AS rn
+        |  FROM documents)
+        |SELECT CAST((rn - 1) % 8 AS INTEGER) AS shard,
+        |  COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        |  MIN(n_chars) AS min_chars,
+        |  MAX(n_chars) AS max_chars
+        |FROM r GROUP BY 1""".stripMargin,
+    "dedup_paragraph" ->
+      """WITH t AS (SELECT doc_id,
+        |  list_filter(string_split(text, ' '), x -> x <> '') AS w
+        |  FROM documents),
+        |c AS (SELECT doc_id, w,
+        |  generate_subscripts(generate_series(1, len(w), 16), 1) AS ci,
+        |  unnest(generate_series(1, len(w), 16)) AS start
+        |  FROM t WHERE len(w) > 0),
+        |ch AS (SELECT doc_id, ci,
+        |  array_to_string(list_slice(w, start, start + 15), ' ') AS chunk
+        |  FROM c),
+        |k AS (SELECT doc_id, ci, chunk,
+        |  ROW_NUMBER() OVER (PARTITION BY chunk ORDER BY doc_id, ci) AS rn
+        |  FROM ch),
+        |agg AS (SELECT doc_id, COUNT(*) AS n_kept,
+        |  string_agg(chunk, ' ' ORDER BY ci) AS clean_text
+        |  FROM k WHERE rn = 1 GROUP BY doc_id)
+        |SELECT t.doc_id,
+        |  COALESCE(agg.clean_text, '') AS clean_text,
+        |  CAST(CASE WHEN len(t.w) > 0 THEN (len(t.w) - 1) // 16 + 1
+        |       ELSE 0 END - COALESCE(agg.n_kept, 0) AS BIGINT) AS n_removed
+        |FROM t LEFT JOIN agg ON t.doc_id = agg.doc_id""".stripMargin,
+    "curate_classifier_score" ->
+      """WITH t AS (SELECT doc_id,
+        |  list_filter(string_split(text, ' '), x -> x <> '') AS w
+        |  FROM documents),
+        |bg AS (SELECT doc_id,
+        |  unnest(list_transform(generate_series(1, len(w) - 1),
+        |    i -> w[i] || ' ' || w[i + 1])) AS g
+        |  FROM t WHERE len(w) >= 2),
+        |m AS (SELECT doc_id,
+        |  CAST(SUM(CAST(('0x' || substring(md5(g), 1, 4)) AS BIGINT) % 7
+        |    - 3) AS BIGINT) AS margin
+        |  FROM bg GROUP BY doc_id)
+        |SELECT t.doc_id,
+        |  COALESCE(m.margin, 0) AS margin,
+        |  COALESCE(m.margin, 0) > 0 AS keep
+        |FROM t LEFT JOIN m ON t.doc_id = m.doc_id""".stripMargin)
+}

@@ -1,0 +1,108 @@
+package graft
+
+import java.nio.file.Files
+import java.security.MessageDigest
+
+import graft.queries.CorpusQueries
+import org.apache.spark.sql.functions._
+
+/** Invariants for the round-4 corpus-curation operators (exact values are
+  * oracle-checked by the driver; these pin semantics on planted data the
+  * fixture can't reach plus structural properties at sf0.01). */
+class CorpusSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val plantedDir: String = {
+    val dir = Files.createTempDirectory("graft-corpus").toString
+    val chunkA = (1 to 16).map(i => s"tok$i").mkString(" ")
+    val chunkB = (17 to 32).map(i => s"tok$i").mkString(" ")
+    val chunkC = (1 to 16).map(i => s"other$i").mkString(" ")
+    Seq(
+      (1L, s"$chunkA $chunkB", "en", "src0", 200L),
+      // doc 2 repeats doc 1's first chunk, then adds its own
+      (2L, s"$chunkA $chunkC", "en", "src1", 210L),
+      (3L, "entirely fresh words", "en", "src2", 20L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("dedup_paragraph: later occurrence of a repeated chunk is removed") {
+    val out = CorpusQueries.queries("dedup_paragraph")(spark, plantedDir)
+      .select("doc_id", "clean_text", "n_removed")
+      .as[(Long, String, Long)].collect().map(r => r._1 -> ((r._2, r._3)))
+      .toMap
+    val chunkA = (1 to 16).map(i => s"tok$i").mkString(" ")
+    val chunkB = (17 to 32).map(i => s"tok$i").mkString(" ")
+    val chunkC = (1 to 16).map(i => s"other$i").mkString(" ")
+    assert(out(1L) == ((s"$chunkA $chunkB", 0L)), "first occurrence intact")
+    assert(out(2L) == ((chunkC, 1L)), "repeated chunk dropped, own kept")
+    assert(out(3L) == (("entirely fresh words", 0L)), "short doc untouched")
+  }
+
+  test("dedup_paragraph: kept chunks across the corpus are exactly the distinct chunks") {
+    val out = CorpusQueries.queries("dedup_paragraph")(spark, sf001)
+    val keptChunks = out
+      .select(explode(split(col("clean_text"), " ")).as("t"))
+      .filter(length(col("t")) > 0).count()
+    // distinct 16-token chunks, re-derived independently via SQL on the
+    // raw table (chunking mirrored from the oracle, not the query)
+    Tables.documents(spark, sf001).createOrReplaceTempView("corpus_docs")
+    val distinctChunkTokens = spark.sql("""
+      WITH t AS (SELECT doc_id,
+        filter(split(text, ' '), x -> x <> '') AS w FROM corpus_docs),
+      c AS (SELECT posexplode(sequence(1, size(w), 16)) AS (ci, start), w
+        FROM t WHERE size(w) > 0),
+      ch AS (SELECT DISTINCT concat_ws(' ', slice(w, start, 16)) AS chunk
+        FROM c)
+      SELECT SUM(size(split(chunk, ' '))) AS n FROM ch
+    """).head.getLong(0)
+    assert(keptChunks == distinctChunkTokens,
+      s"kept token total $keptChunks != distinct-chunk token total $distinctChunkTokens")
+  }
+
+  test("curate_domain_cap: at most 50 per source, ranks contiguous from 1") {
+    val out = CorpusQueries.queries("curate_domain_cap")(spark, sf001)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n"), min("rn").as("lo"), max("rn").as("hi"))
+      .as[(String, Long, Int, Int)].collect()
+    assert(out.nonEmpty)
+    out.foreach { case (src, n, lo, hi) =>
+      assert(n <= 50, s"$src over cap: $n")
+      assert(lo == 1 && hi.toLong == n, s"$src ranks not contiguous")
+    }
+  }
+
+  test("curate_shard_assign: 8 shards, counts balanced within 1, all docs assigned") {
+    val rows = CorpusQueries.queries("curate_shard_assign")(spark, sf001)
+      .as[(Int, Long, Long, Long, Long)].collect()
+    assert(rows.map(_._1).sorted.toSeq == (0 to 7))
+    val counts = rows.map(_._2)
+    assert(counts.max - counts.min <= 1, "round-robin must balance counts")
+    val total = Tables.documents(spark, sf001).count()
+    assert(counts.sum == total)
+  }
+
+  test("curate_classifier_score: margin matches an independent md5 computation") {
+    val out = CorpusQueries.queries("curate_classifier_score")(spark, plantedDir)
+      .select("doc_id", "margin", "keep").as[(Long, Long, Boolean)]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    def weight(g: String): Long = {
+      val hex = MessageDigest.getInstance("MD5")
+        .digest(g.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(4)
+      java.lang.Long.parseLong(hex, 16) % 7 - 3
+    }
+    def margin(text: String): Long = {
+      val w = text.split(" ").filter(_.nonEmpty)
+      w.sliding(2).filter(_.length == 2)
+        .map(p => weight(p.mkString(" "))).sum
+    }
+    Seq(1L, 2L, 3L).foreach { id =>
+      val text = spark.read.parquet(s"$plantedDir/documents.parquet")
+        .filter(col("doc_id") === id).head.getAs[String]("text")
+      val exp = margin(text)
+      assert(out(id) == ((exp, exp > 0)), s"doc $id margin mismatch")
+    }
+  }
+}

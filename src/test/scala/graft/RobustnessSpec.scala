@@ -39,7 +39,11 @@ class RobustnessSpec extends SparkSpec {
     "mix_sources_target", "sketch_hll_union", "decontam_bloom",
     // late round-3 ops (no hot grams at df≥5 on 6 docs; zero quality
     // passers -> empty cluster stage; a source shard with 0 tokens)
-    "ta_boilerplate", "pipeline_e2e", "sample_epochs")
+    "ta_boilerplate", "pipeline_e2e", "sample_epochs",
+    // round-4 corpus ops (null/empty/whitespace text -> no chunks, no
+    // bigrams; 6-row input for the 8-way shard round-robin)
+    "dedup_paragraph", "curate_domain_cap", "curate_shard_assign",
+    "curate_classifier_score")
 
   test("text/curation queries run on empty/whitespace/null/single-token docs") {
     textQueries.foreach { name =>
