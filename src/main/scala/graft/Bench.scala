@@ -13,18 +13,30 @@ object Bench {
     // warmup: absorb session/JIT/codegen/file-index cold-start so the
     // first timed query isn't charged for it
     try SparkEntry.entry(spark).count() catch { case _: Throwable => }
+    // Fixed CPU-bound probe run before and after the suite: a load
+    // calibration for the box the bench happens to run on. Quiet-box
+    // reference is ~0.2 s at 32 threads (see BENCH.md); if calib comes
+    // back inflated k×, the whole suite ran under ~k× CPU contention and
+    // the total should be read against that, not against quiet numbers.
+    def calib(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(1L << 26).selectExpr("sum(xxhash64(id)) AS s").collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val calibStart = calib()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
+    val calibEnd = calib()
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     // Per-query detail first on its own line; the compact headline total LAST
     // so a tail-capture of stdout always retains the parseable summary line.
     println(s"""{"metric":"queries","queries":$qs,"sf":"$sfDir"}""")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","nqueries":${results.size}}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","nqueries":${results.size},"calib_start":$calibStart,"calib_end":$calibEnd}""")
     spark.stop()
   }
 }

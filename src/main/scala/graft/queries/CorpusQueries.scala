@@ -1,8 +1,9 @@
 package graft.queries
 
 import graft.Tables
+import graft.functions.CountMinAggregator
 import graft.functions.TextFunctions._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -132,7 +133,42 @@ object CorpusQueries {
         .select(col("doc_id"),
           coalesce(col("margin"), lit(0L)).as("margin"),
           (coalesce(col("margin"), lit(0L)) > 0).as("keep"))
+    }),
+
+    // Count-min-sketch heavy hitters: build the mergeable Depth×Width
+    // counter matrix distributed (map-side partial adds, one 32 KB array
+    // per partition crosses the wire — bounded model state like the
+    // Bloom/IVF builds), then point-query it for the exact top-20 words.
+    // est_cnt ≥ exact_cnt always (CMS never undercounts); CorpusSpec pins
+    // that plus collision-free equality on a small planted vocabulary.
+    // Rows-only for the driver: the estimates hang off xxhash64, which
+    // the oracle engine doesn't implement.
+    "sketch_cms_topk" -> ((s, d) => {
+      val toks = Tables.documents(s, d)
+        .repartition(col("doc_id"))
+        .select(explode(tokens(col("text"))).as("word"))
+      val cms = udaf(CountMinAggregator)
+      val sketch: Seq[Long] = toks
+        .select(cms(cmsPos(0, col("word")), cmsPos(1, col("word")),
+          cmsPos(2, col("word")), cmsPos(3, col("word"))).as("sk"))
+        .head.getSeq[Long](0)
+      val skLit = typedlit(sketch)
+      val est = (0 until CountMinAggregator.Depth).map { i =>
+        element_at(skLit,
+          (lit(i * CountMinAggregator.Width)
+            + cmsPos(i, col("word"))).cast("int") + 1)
+      }.reduce(least(_, _))
+      toks.groupBy("word").agg(count(lit(1)).as("exact_cnt"))
+        .orderBy(col("exact_cnt").desc, col("word").asc)
+        .limit(20)
+        .withColumn("est_cnt", est)
     }))
+
+  /** i-th CMS row position for a key — pure built-ins, identical
+    * expression in the build projection and the estimate lookup (the
+    * Bloom-filter contract: no JVM hash mirrored in SQL). */
+  private[graft] def cmsPos(i: Int, key: Column): Column =
+    pmod(xxhash64(lit(i), key), lit(CountMinAggregator.Width.toLong))
 
   val oracles: Map[String, String] = Map(
     "curate_domain_cap" ->

@@ -83,6 +83,23 @@ class CorpusSpec extends SparkSpec {
     assert(counts.sum == total)
   }
 
+  test("sketch_cms_topk: never undercounts; exact on a collision-free vocabulary") {
+    // real fixture: one-sided error on every reported word
+    val rows = CorpusQueries.queries("sketch_cms_topk")(spark, sf001)
+      .as[(String, Long, Long)].collect()
+    assert(rows.length == 20)
+    rows.foreach { case (w, exact, est) =>
+      assert(est >= exact, s"CMS undercounted '$w': est=$est exact=$exact")
+    }
+    // planted 3-word vocabulary: far below Width, so the min over Depth
+    // rows hits an uncollided counter and the estimate is exact
+    val planted = CorpusQueries.queries("sketch_cms_topk")(spark, plantedDir)
+      .as[(String, Long, Long)].collect()
+    planted.foreach { case (w, exact, est) =>
+      assert(est == exact, s"collision on tiny vocab for '$w': $est != $exact")
+    }
+  }
+
   test("curate_classifier_score: margin matches an independent md5 computation") {
     val out = CorpusQueries.queries("curate_classifier_score")(spark, plantedDir)
       .select("doc_id", "margin", "keep").as[(Long, Long, Boolean)]
