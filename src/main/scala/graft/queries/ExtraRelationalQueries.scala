@@ -209,6 +209,55 @@ object ExtraRelationalQueries {
         .agg(countDistinct(col("user_id")).as("n_users"))
     }),
 
+    // Gap-rule sessionization: assign session INDEXES to events (30-min
+    // inactivity closes a session) — the event-level twin of q32's
+    // session_window AGGREGATE. Per-user lag + running sum over one
+    // user-keyed window; exact epoch-micros arithmetic. At scale both
+    // window passes share the single user_id exchange, and per-user state
+    // is one row of lookback — no global window anywhere.
+    "q60_sessionize" -> ((s, d) => {
+      val gapUs = 1800000000L // 30 min in micros
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("us").asc, col("event_id").asc)
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("us"))
+        .withColumn("new_sess",
+          when(lag(col("us"), 1).over(w).isNull ||
+            col("us") - lag(col("us"), 1).over(w) > gapUs, 1L)
+            .otherwise(0L))
+        .withColumn("sess_idx", sum(col("new_sess"))
+          .over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("int"))
+        .groupBy("user_id", "sess_idx")
+        .agg(count(lit(1)).as("n_events"),
+          min(col("us")).as("start_us"), max(col("us")).as("end_us"))
+    }),
+
+    // Time-series resample with gap filling: per-user hourly buckets from
+    // the user's first to last event, zero-filled where no events landed
+    // — the "regularize an irregular series" operator behind rate
+    // dashboards and training-curve alignment. The bucket spine is
+    // generated per user (bounded by each user's own active span — never
+    // a global calendar cross join), and every join/agg shares the
+    // user_id key. DECIMAL sums keep the value column oracle-exact.
+    "q61_resample" -> ((s, d) => {
+      val hrUs = 3600000000L // 1 h in micros
+      val ev = Tables.events(s, d).select(col("user_id"),
+        expr(s"unix_micros(ts) div $hrUs").as("hr"),
+        col("value").cast(DecimalType(12, 2)).as("v"))
+      val perHr = ev.groupBy("user_id", "hr")
+        .agg(count(lit(1)).as("n_events"), sum(col("v")).as("sv"))
+      val spine = ev.groupBy("user_id")
+        .agg(min(col("hr")).as("lo"), max(col("hr")).as("hi"))
+        .select(col("user_id"),
+          explode(sequence(col("lo"), col("hi"))).as("hr"))
+      spine.join(perHr, Seq("user_id", "hr"), "left")
+        .select(col("user_id"), col("hr"),
+          coalesce(col("n_events"), lit(0L)).as("n_events"),
+          coalesce(col("sv"), lit(0).cast(DecimalType(12, 2)))
+            .cast("double").as("sum_value"))
+    }),
+
     // Z-order (Morton) clustering key over (customer, order-date): the
     // data-layout operator for multi-dimensional scan pruning at scale —
     // sorting/partitioning 100 TB of orders by zkey co-locates rows close
@@ -359,6 +408,38 @@ object ExtraRelationalQueries {
         |WINDOW w AS (PARTITION BY o_custkey
         |             ORDER BY o_totalprice DESC, o_orderkey ASC)
         |QUALIFY rn <= 5""".stripMargin,
+    "q60_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us
+        |  FROM events),
+        |f AS (SELECT user_id, event_id, us,
+        |  CASE WHEN LAG(us) OVER w IS NULL
+        |         OR us - LAG(us) OVER w > 1800000000
+        |       THEN 1 ELSE 0 END AS new_sess
+        |  FROM e WINDOW w AS (PARTITION BY user_id
+        |                      ORDER BY us ASC, event_id ASC)),
+        |g AS (SELECT user_id, us,
+        |  CAST(SUM(new_sess) OVER (PARTITION BY user_id
+        |    ORDER BY us ASC, event_id ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INTEGER)
+        |    AS sess_idx
+        |  FROM f)
+        |SELECT user_id, sess_idx, COUNT(*) AS n_events,
+        |  MIN(us) AS start_us, MAX(us) AS end_us
+        |FROM g GROUP BY 1, 2""".stripMargin,
+    "q61_resample" ->
+      """WITH e AS (SELECT user_id,
+        |  epoch_us(ts) // 3600000000 AS hr,
+        |  CAST(value AS DECIMAL(12,2)) AS v FROM events),
+        |p AS (SELECT user_id, hr, COUNT(*) AS n_events, SUM(v) AS sv
+        |  FROM e GROUP BY 1, 2),
+        |s AS (SELECT user_id, unnest(generate_series(lo, hi)) AS hr
+        |  FROM (SELECT user_id, MIN(hr) AS lo, MAX(hr) AS hi
+        |        FROM e GROUP BY user_id))
+        |SELECT s.user_id, s.hr,
+        |  COALESCE(p.n_events, 0) AS n_events,
+        |  CAST(COALESCE(p.sv, 0) AS DOUBLE) AS sum_value
+        |FROM s LEFT JOIN p
+        |  ON s.user_id = p.user_id AND s.hr = p.hr""".stripMargin,
     "q54_global_rank_scalable" ->
       """SELECT p_partkey, p_name, p_retailprice,
         |  ROW_NUMBER() OVER (ORDER BY p_retailprice DESC, p_partkey ASC)

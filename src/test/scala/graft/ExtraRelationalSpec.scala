@@ -70,6 +70,46 @@ class ExtraRelationalSpec extends SparkSpec {
     }
   }
 
+  test("q60_sessionize: planted gaps split sessions exactly at the 30-min rule") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-sess").toString
+    val m = 60L * 1000000000L // one minute in NANOS (Tables.events divides)
+    // user 1: events at 0, 29, 60, 120 min -> gaps 29/31/60 -> sessions
+    // {0,29}, {60}, {120}; user 2: single event -> one session
+    Seq(
+      (0L, 0L * m, 1L, "view", 1.0, "{}"),
+      (1L, 29L * m, 1L, "view", 1.0, "{}"),
+      (2L, 60L * m, 1L, "view", 1.0, "{}"),
+      (3L, 120L * m, 1L, "view", 1.0, "{}"),
+      (4L, 15L * m, 2L, "view", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = ExtraRelationalQueries.queries("q60_sessionize")(spark, dir)
+      .as[(Long, Int, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4 / 60000000L, r._5 / 60000000L)))
+      .toMap
+    assert(out == Map(
+      (1L, 1) -> ((2L, 0L, 29L)),
+      (1L, 2) -> ((1L, 60L, 60L)),
+      (1L, 3) -> ((1L, 120L, 120L)),
+      (2L, 1) -> ((1L, 15L, 15L))))
+  }
+
+  test("q61_resample: contiguous per-user spine, events conserved, gaps zero-filled") {
+    val rows = ExtraRelationalQueries.queries("q61_resample")(spark, sf001)
+      .as[(Long, Long, Long, Double)].collect()
+    val byUser = rows.groupBy(_._1)
+    byUser.foreach { case (u, cells) =>
+      val hrs = cells.map(_._2).sorted
+      assert(hrs.head + hrs.length - 1 == hrs.last,
+        s"user $u spine not contiguous")
+      assert(hrs.distinct.length == hrs.length, s"user $u duplicate buckets")
+    }
+    val totalEvents = Tables.events(spark, sf001).count()
+    assert(rows.map(_._3).sum == totalEvents, "bucket counts must conserve events")
+    assert(rows.exists(r => r._3 == 0L && r._4 == 0.0),
+      "an idle hour should be zero-filled (fixture spans idle hours)")
+  }
+
   test("q57_approx_quantile tracks exact order statistics") {
     val approx = ExtraRelationalQueries
       .queries("q57_approx_quantile")(spark, sf001)
