@@ -15,14 +15,18 @@ object Bench {
     try SparkEntry.entry(spark).count() catch { case _: Throwable => }
     // Fixed CPU-bound probe run before and after the suite: a load
     // calibration for the box the bench happens to run on. Quiet-box
-    // reference is ~0.2 s at 32 threads (see BENCH.md); if calib comes
+    // reference is ~0.27 s at 32 threads (see BENCH.md); if calib comes
     // back inflated k×, the whole suite ran under ~k× CPU contention and
     // the total should be read against that, not against quiet numbers.
     def calib(): Double = {
       val t0 = System.nanoTime()
-      spark.range(1L << 26).selectExpr("sum(xxhash64(id)) AS s").collect()
+      // pmod keeps the running sum bounded (67M × 1e9 << Long.Max) — a
+      // raw sum(xxhash64) overflows under ANSI mode and kills the run
+      spark.range(1L << 26)
+        .selectExpr("sum(pmod(xxhash64(id), 1000000000)) AS s").collect()
       (System.nanoTime() - t0) / 1e9
     }
+    calib() // untimed: absorb the probe's own codegen so start/end compare
     val calibStart = calib()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()

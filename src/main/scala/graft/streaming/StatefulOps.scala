@@ -69,6 +69,63 @@ object StatefulOps {
       }
   }
 
+  final case class SessEvent(user_id: Long, ts: java.sql.Timestamp)
+  final case class SessionState(start_us: Long, last_us: Long, n: Long)
+  final case class ClosedSession(user_id: Long, start_us: Long,
+      end_us: Long, n_events: Long)
+
+  /** Streaming twin of the batch q60_sessionize: per-user gap-rule
+    * sessions, closed EITHER by a same-user event arriving past the gap
+    * (emitted immediately) OR by event-time TIMEOUT once the watermark
+    * passes last_event + gap — the state-store surface q32's built-in
+    * session_window cannot express when the per-session output needs
+    * custom state (here: exact first/last micros + count with O(1)
+    * state per user, no event retention).
+    *
+    * The timeout is registered against the watermark clock
+    * (EventTimeTimeout), so idle users' sessions flush deterministically
+    * as event time advances — no wall-clock flakiness, and at scale the
+    * state store holds exactly one 24-byte row per ACTIVE user. */
+  def sessionizeStream(
+      events: Dataset[SessEvent], gapMin: Int = 30): Dataset[ClosedSession] = {
+    import events.sparkSession.implicits._
+    val gapUs = gapMin * 60L * 1000000L
+    val gapMs = gapMin * 60L * 1000L
+    events
+      .withWatermark("ts", s"$gapMin minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, ClosedSession](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, it: Iterator[SessEvent],
+         state: GroupState[SessionState]) =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[ClosedSession]
+          if (state.hasTimedOut) {
+            val st = state.get
+            out += ClosedSession(user, st.start_us, st.last_us, st.n)
+            state.remove()
+          } else {
+            var st = state.getOption.orNull
+            // deterministic order within the batch; micros from epoch
+            it.map(_.ts.getTime * 1000L).toSeq.sorted.foreach { us =>
+              if (st == null) st = SessionState(us, us, 1L)
+              else if (us - st.last_us > gapUs) {
+                out += ClosedSession(user, st.start_us, st.last_us, st.n)
+                st = SessionState(us, us, 1L)
+              } else st = SessionState(st.start_us, us, st.n + 1)
+            }
+            if (st != null) {
+              state.update(st)
+              // must stay ahead of the watermark or registration throws;
+              // a late-straggling group re-arms one ms past it
+              state.setTimeoutTimestamp(math.max(
+                st.last_us / 1000L + gapMs,
+                state.getCurrentWatermarkMs() + 1))
+            }
+          }
+          out.iterator
+      }
+  }
+
   def detectAnomalies(
       events: Dataset[Event],
       factor: Double = 3.0): Dataset[Alert] = {

@@ -106,6 +106,49 @@ class ExtensionsStatefulSpec extends SparkSpec {
     assert(!dup)
   }
 
+  test("streaming sessionizer: gap arrival closes immediately, watermark timeout flushes idle users") {
+    import spark.implicits._
+    import StatefulOps.{ClosedSession, SessEvent}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // keep the timeline clear of epoch 0: the initial watermark is 0, and
+    // rows at-or-before the watermark are dropped as late
+    val base = 1000L
+    def at(min: Long) = new java.sql.Timestamp((base + min) * 60000L)
+    val us = 60L * 1000000L // minutes -> micros
+    val stream = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[SessEvent]
+    val q = StatefulOps.sessionizeStream(stream.toDS(), gapMin = 30)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sess_stream").start()
+    def emitted(): Set[(Long, Long, Long, Long)] =
+      spark.table("sess_stream").as[ClosedSession].collect()
+        .map(c => (c.user_id, c.start_us / us - base, c.end_us / us - base,
+          c.n_events))
+        .toSet
+    try {
+      // batch 1: user 1 two events 10 min apart (one open session),
+      // user 2 one event
+      stream.addData(SessEvent(1L, at(0)), SessEvent(1L, at(10)),
+        SessEvent(2L, at(5)))
+      q.processAllAvailable()
+      assert(emitted().isEmpty, "no session may close before any gap")
+      // batch 2: user 1 returns 50 min later -> previous session closes
+      // on arrival
+      stream.addData(SessEvent(1L, at(60)))
+      q.processAllAvailable()
+      assert(emitted() == Set((1L, 0L, 10L, 2L)))
+      // batch 3+4: event time advances to 180 min; the watermark (150)
+      // passes both idle users' last+gap, so the TIMEOUT path flushes
+      // them (timeouts fire the batch after the watermark moves)
+      stream.addData(SessEvent(3L, at(180)))
+      q.processAllAvailable()
+      stream.addData(SessEvent(3L, at(181)))
+      q.processAllAvailable()
+      assert(emitted() == Set(
+        (1L, 0L, 10L, 2L), (1L, 60L, 60L, 1L), (2L, 5L, 5L, 1L)))
+    } finally q.stop()
+  }
+
   test("optimizer rule rewrites HOF dot idiom to native graft_dot") {
     val prev = spark
     SparkSession.clearActiveSession()
