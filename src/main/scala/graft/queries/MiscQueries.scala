@@ -53,6 +53,23 @@ object MiscQueries {
       branch(0).unionAll(branch(1))
     }),
 
+    // EXACT distinct counting via mergeable bitmaps — the scale-out twin
+    // of COUNT(DISTINCT): the first aggregate shuffles fixed-size 4 KB
+    // bitmap segments keyed by (group, bucket) — distinct-set state is
+    // spread across reducers and merges by OR, never a re-shuffle of raw
+    // ids (what countDistinct's expand does) and never an estimate (what
+    // HLL gives). The second aggregate sums per-bucket cardinalities —
+    // a tiny rollup. Oracle = plain COUNT(DISTINCT).
+    "q62_bitmap_distinct" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy(col("event_type"),
+          expr("bitmap_bucket_number(user_id)").as("bkt"))
+        .agg(expr("bitmap_construct_agg(bitmap_bit_position(user_id))")
+          .as("bm"))
+        .groupBy("event_type")
+        .agg(sum(expr("bitmap_count(bm)")).as("n_users"))
+    }),
+
     // HLL sketch distinct counts — estimates are engine-specific, so
     // rows-only here; MiscSpec pins them within 5% of exact.
     "q37_approx_distinct" -> ((s, d) => {
@@ -219,6 +236,9 @@ object MiscQueries {
         |  c_acctbal * c_acctbal AS bal_sq,
         |  COALESCE(NULLIF(c_mktsegment, 'BUILDING'), '(building)') AS seg_masked
         |FROM customer""".stripMargin,
+    "q62_bitmap_distinct" ->
+      """SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY 1""".stripMargin,
     "q36_range_join" ->
       """SELECT a.user_id, a.event_id AS id_a, b.event_id AS id_b,
         |  epoch_us(b.ts) - epoch_us(a.ts) AS gap_us

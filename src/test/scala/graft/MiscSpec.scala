@@ -37,4 +37,20 @@ class MiscSpec extends SparkSpec {
     assert(rows.forall(r => !set.contains((r._3, r._2)) || r._2 == r._3) ||
       rows.map(r => (r._2, r._3)).distinct.length == rows.length)
   }
+
+  test("q62 bitmap distinct == countDistinct; plan has no Expand and two agg levels") {
+    val bm = MiscQueries.queries("q62_bitmap_distinct")(spark, sf001)
+      .as[(String, Long)].collect().toMap
+    val exact = Tables.events(spark, sf001).groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("n"))
+      .as[(String, Long)].collect().toMap
+    assert(bm == exact)
+    // the whole point: distinct-set state travels as mergeable bitmap
+    // segments, not as the Expand+re-aggregate countDistinct plans
+    val plan = MiscQueries.queries("q62_bitmap_distinct")(spark, sf001)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Expand"), "bitmap path must not Expand")
+    assert(plan.contains("bitmap_construct_agg") ||
+      plan.toLowerCase.contains("bitmapconstructagg"))
+  }
 }
