@@ -149,6 +149,44 @@ class ExtensionsStatefulSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("transformWithState budget admission: per-source caps hold across micro-batches") {
+    import spark.implicits._
+    import graft.streaming.BudgetOps
+    import graft.streaming.BudgetOps.{Admitted, DocIn}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // transformWithState requires the RocksDB state store; scope the
+    // provider override to this query and restore the default after
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val stream = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[DocIn]
+    val q = BudgetOps.admitWithinBudget(stream.toDS(), budget = 100L)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("budget_stream").start()
+    try {
+      // batch 1: src0 uses 90 of 100; src1 uses 60
+      stream.addData(DocIn("src0", 1L, 50L), DocIn("src0", 2L, 40L),
+        DocIn("src1", 3L, 60L))
+      q.processAllAvailable()
+      // batch 2: src0 has 10 left -> 30-token doc dropped, 10-token doc
+      // (higher id, same batch) still admitted; src1 fits exactly
+      stream.addData(DocIn("src0", 4L, 30L), DocIn("src0", 5L, 10L),
+        DocIn("src1", 6L, 40L))
+      q.processAllAvailable()
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+    val got = spark.table("budget_stream").as[Admitted].collect()
+      .map(a => a.doc_id -> a.used_after).toMap
+    assert(got == Map(1L -> 50L, 2L -> 90L, 3L -> 60L, 5L -> 100L, 6L -> 100L))
+  }
+
   test("optimizer rule rewrites HOF dot idiom to native graft_dot") {
     val prev = spark
     SparkSession.clearActiveSession()
