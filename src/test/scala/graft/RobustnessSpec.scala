@@ -52,6 +52,35 @@ class RobustnessSpec extends SparkSpec {
     }
   }
 
+  private lazy val advEventsDir: String = {
+    val dir = Files.createTempDirectory("graft-adv-ev").toString
+    val m = 60L * 1000000000L // minutes in NANOS (Tables.events divides)
+    Seq(
+      // nulls in every nullable column; a lone user; same-instant ties
+      (0L, Some(10L * m), Some(1L), Some("view"), Some(1.5), Some("{\"k\": 1}")),
+      (1L, None, Some(1L), Some("click"), Some(2.5), Some("{\"k\": 2}")),
+      (2L, Some(11L * m), None, Some("view"), Some(0.0), None),
+      (3L, Some(11L * m), Some(1L), None, None, Some("not json")),
+      (4L, Some(500L * m), Some(2L), Some("purchase"), Some(9.9), Some("{}")))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  private val eventQueries = Seq(
+    "q27_json_extract", "q30_tumbling_window", "q31_sliding_window",
+    "q32_session_window", "q33_asof_last_click", "q36_range_join",
+    "q37_approx_distinct", "q41_asof_custom", "q58_funnel_steps",
+    "q59_cohort_retention", "q60_sessionize", "q61_resample",
+    "q62_bitmap_distinct")
+
+  test("event queries run on null ts/user/type/value/props and lone users") {
+    eventQueries.foreach { name =>
+      val rows = SparkEntry.queries(name)(spark, advEventsDir).collect()
+      assert(rows != null, name) // materializes without throwing
+    }
+  }
+
   test("guards yield NULL stats for degenerate docs, real stats for real ones") {
     val q = SparkEntry.queries("ta_quality")(spark, advDir)
       .select("doc_id", "quality_bp")
