@@ -312,6 +312,26 @@ object RelationalQueries {
     }),
 
     // ---- events: json + time windows ------------------------------------
+    // Spark 4 VARIANT: parse once into the binary semi-structured type,
+    // then typed-path extraction — the shredded/columnar successor to
+    // per-access get_json_object string re-parsing (q27's shape). At
+    // scale the parse happens once per row and variant_get is a typed
+    // byte-offset walk, not a JSON scan. Oracle extracts the same path
+    // from the raw JSON text.
+    "q63_variant_extract" -> ((s, d) => {
+      Tables.events(s, d)
+        .select(col("event_type"),
+          // try_: malformed JSON becomes NULL (dropped by the typed
+          // extraction) instead of failing the job — RobustnessSpec
+          try_parse_json(col("props")).as("v"))
+        .select(col("event_type"),
+          expr("variant_get(v, '$.k', 'long')").as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"))
+    }),
+
     "q27_json_extract" -> ((s, d) => {
       Tables.events(s, d)
         .select(col("event_type"),
@@ -528,6 +548,11 @@ object RelationalQueries {
         |       COUNT(*) AS n_orders,
         |       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
         |FROM orders GROUP BY 1""".stripMargin,
+    "q63_variant_extract" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |       CAST(SUM(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
+        |       MIN(CAST(props->>'k' AS BIGINT)) AS min_k
+        |FROM events GROUP BY event_type""".stripMargin,
     "q27_json_extract" ->
       """SELECT event_type, COUNT(*) AS n,
         |       CAST(SUM(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
