@@ -38,6 +38,20 @@ class SourcesSpec extends SparkSpec {
       back.count() == df.count())
   }
 
+  test("orc round-trip is exact and prunes with pushed filters") {
+    val dir = Files.createTempDirectory("orc").toString
+    val df = Tables.customer(spark, sf0001)
+    df.write.mode("overwrite").orc(dir)
+    val back = spark.read.orc(dir)
+    assert(back.collect().toSet == df.collect().toSet)
+    // filter/projection pushdown reaches the ORC scan like parquet's
+    val plan = back.filter(org.apache.spark.sql.functions.col("c_custkey") < 10)
+      .select("c_custkey", "c_name")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(c_custkey), LessThan(c_custkey,10)]"),
+      plan.linesIterator.filter(_.contains("FileScan")).mkString("\n"))
+  }
+
   test("parquet write/read round-trip is exact") {
     val dir = Files.createTempDirectory("pq").toString
     val df = Tables.customer(spark, sf0001)
