@@ -53,6 +53,20 @@ object MiscQueries {
       branch(0).unionAll(branch(1))
     }),
 
+    // Fixed-width histogram of order totals — the profiling aggregate a
+    // table optimizer persists. Bucketing is pure integer math on cents
+    // (exact in both engines; no float boundary ambiguity), one
+    // partial+final aggregate, linear at any scale.
+    "q64_histogram" -> ((s, d) => {
+      Tables.orders(s, d)
+        .select(expr("CAST(ROUND(o_totalprice * 100) AS BIGINT) div 5000000")
+          .as("bucket"), col("o_totalprice"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_orders"),
+          min(col("o_totalprice")).as("lo"),
+          max(col("o_totalprice")).as("hi"))
+    }),
+
     // EXACT distinct counting via mergeable bitmaps — the scale-out twin
     // of COUNT(DISTINCT): the first aggregate shuffles fixed-size 4 KB
     // bitmap segments keyed by (group, bucket) — distinct-set state is
@@ -239,6 +253,13 @@ object MiscQueries {
     "q62_bitmap_distinct" ->
       """SELECT event_type, COUNT(DISTINCT user_id) AS n_users
         |FROM events GROUP BY 1""".stripMargin,
+    "q64_histogram" ->
+      """SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) // 5000000
+        |    AS bucket,
+        |  COUNT(*) AS n_orders,
+        |  MIN(o_totalprice) AS lo,
+        |  MAX(o_totalprice) AS hi
+        |FROM orders GROUP BY 1""".stripMargin,
     "q36_range_join" ->
       """SELECT a.user_id, a.event_id AS id_a, b.event_id AS id_b,
         |  epoch_us(b.ts) - epoch_us(a.ts) AS gap_us
