@@ -33,4 +33,27 @@ object Salting {
       .groupBy("k")
       .agg(sum(col("pc")).as("cnt"), sum(col("ps")).as("sum_v"))
   }
+
+  /** Skew-salted equi-join: the fact side gets a deterministic salt in
+    * [0, buckets); the dim side is replicated once per salt value
+    * (explode of a literal sequence — buckets× the SMALL side only), and
+    * the join runs on (key, salt). A hot fact key's rows then land on
+    * `buckets` reducers instead of one. Same remedy AQE's skew-join
+    * split applies at runtime, expressed statically for engines/configs
+    * where AQE can't see the skew (or for deterministic plan pinning).
+    * Result == plain `fact JOIN dim ON key` exactly; only the
+    * partitioning differs. */
+  def saltedJoin(
+      fact: DataFrame,
+      dim: DataFrame,
+      key: String,
+      spreadOn: Column,
+      buckets: Int = 16): DataFrame = {
+    val saltedFact = fact
+      .withColumn("__salt", pmod(xxhash64(spreadOn), lit(buckets.toLong)))
+    val replicatedDim = dim
+      .withColumn("__salt",
+        explode(sequence(lit(0L), lit(buckets.toLong - 1))))
+    saltedFact.join(replicatedDim, Seq(key, "__salt")).drop("__salt")
+  }
 }

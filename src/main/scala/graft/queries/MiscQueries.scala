@@ -2,8 +2,10 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.TopKAggregator
+import graft.operators.Salting
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Additional operator coverage: bounded-heap top-k aggregate, banded
   * range join, sketches, percentiles, array aggregation.
@@ -51,6 +53,25 @@ object MiscQueries {
           .select(a("user_id"), col("id_a"), col("id_b"),
             (col("us_b") - col("us_a")).as("gap_us"))
       branch(0).unionAll(branch(1))
+    }),
+
+    // Skew-salted equi-join (the join-side twin of q48's salted
+    // aggregation): fact rows carry a deterministic salt, the dim is
+    // replicated buckets×, and the join key becomes (key, salt) — a hot
+    // customer's orders spread across 8 reducers instead of one. Results
+    // are identical to the plain join (shared oracle semantics); only
+    // the partitioning differs. SaltingSpec pins equality and the
+    // replication factor.
+    "q65_salted_join" -> ((s, d) => {
+      val fact = Tables.orders(s, d)
+        .select(col("o_custkey").as("custkey"), col("o_orderkey"),
+          col("o_totalprice").cast(DecimalType(12, 2)).as("p"))
+      val dim = Tables.customer(s, d)
+        .select(col("c_custkey").as("custkey"), col("c_mktsegment"))
+      Salting.saltedJoin(fact, dim, "custkey", col("o_orderkey"), 8)
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("p")).cast("double").as("revenue"))
     }),
 
     // Fixed-width histogram of order totals — the profiling aggregate a
@@ -253,6 +274,12 @@ object MiscQueries {
     "q62_bitmap_distinct" ->
       """SELECT event_type, COUNT(DISTINCT user_id) AS n_users
         |FROM events GROUP BY 1""".stripMargin,
+    "q65_salted_join" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+        |    AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1""".stripMargin,
     "q64_histogram" ->
       """SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) // 5000000
         |    AS bucket,

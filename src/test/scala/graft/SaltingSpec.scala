@@ -34,6 +34,23 @@ class SaltingSpec extends SparkSpec {
     assert(spread.map(_.getLong(1)).max < 200) // no bucket dominates
   }
 
+  test("salted join equals plain join row-for-row; dim replicated buckets×") {
+    import spark.implicits._
+    val fact = ((1 to 900).map(i => (1L, i.toLong)) ++
+      (1 to 100).map(i => ((i % 9 + 2).toLong, (1000 + i).toLong)))
+      .toDF("k", "rid")
+    val dim = (1L to 10L).map(k => (k, s"seg$k")).toDF("k", "seg")
+    val joined = Salting.saltedJoin(fact, dim, "k", col("rid"), 8)
+    val plain = fact.join(dim, Seq("k"))
+    assert(joined.count() == plain.count())
+    assert(joined.select("k", "rid", "seg").collect().map(_.toSeq).toSet ==
+      plain.select("k", "rid", "seg").collect().map(_.toSeq).toSet)
+    // the replicated dim side really carries buckets copies per key
+    val rep = dim.withColumn("__salt",
+      explode(sequence(lit(0L), lit(7L)))).count()
+    assert(rep == dim.count() * 8)
+  }
+
   test("flagship entry query returns rows (driver smoke contract)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
