@@ -70,6 +70,26 @@ class ExtraRelationalSpec extends SparkSpec {
     }
   }
 
+  test("globalRowNumber == single-window row_number on seeded random data, both directions") {
+    val rnd = new scala.util.Random(42)
+    // duplicate-heavy keys so bucket boundaries land INSIDE tie runs
+    val df = (1 to 5000).map(i => (i.toLong, rnd.nextInt(40).toLong))
+      .toDF("id", "k")
+    for (asc <- Seq(true, false)) {
+      val sort =
+        if (asc) Seq(col("k").asc, col("id").asc)
+        else Seq(col("k").desc, col("id").asc)
+      val got = ExtraRelationalQueries
+        .globalRowNumber(df, 16, "k", asc, sort: _*)
+        .select(col("id"), col("global_rn"))
+        .as[(Long, Long)].collect().toMap
+      val w = org.apache.spark.sql.expressions.Window.orderBy(sort: _*)
+      val exp = df.withColumn("rn", row_number().over(w).cast("long"))
+        .select(col("id"), col("rn")).as[(Long, Long)].collect().toMap
+      assert(got == exp, s"asc=$asc")
+    }
+  }
+
   test("q60_sessionize: planted gaps split sessions exactly at the 30-min rule") {
     val dir = java.nio.file.Files.createTempDirectory("graft-sess").toString
     val m = 60L * 1000000000L // one minute in NANOS (Tables.events divides)
