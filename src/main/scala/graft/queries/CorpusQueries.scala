@@ -108,6 +108,52 @@ object CorpusQueries {
             .as("n_removed"))
     }),
 
+    // Exact-substring dedup WITH REMOVAL (the ExactSubstr operator of
+    // Lee et al.'s "Deduplicating Training Data", at 5-gram
+    // granularity): every 5-gram span whose first corpus occurrence is
+    // elsewhere (earlier (doc_id, start)) is deleted from the later
+    // document; the first occurrence survives intact. Completes the
+    // substring family: dedup_substr_seen SCORES recycled spans, this
+    // removes them; vs dedup_paragraph the spans overlap and cover
+    // every alignment, not just fixed chunk boundaries. Shape: one
+    // shingle-keyed first-occurrence window, covered positions
+    // anti-joined on (doc_id, pos), order-preserving reassembly — the
+    // ta_boilerplate plan with an ownership rule instead of a frequency
+    // threshold.
+    "dedup_substr_remove" -> ((s, d) => {
+      val docs = docsTok(s, d)
+      val n = size(col("w"))
+      val toks = docs
+        .select(col("doc_id"), posexplode(col("w")).as(Seq("p0", "tok")))
+        .select(col("doc_id"), (col("p0") + 1).as("pos"), col("tok"))
+      val grams = docs.filter(n >= 5)
+        .select(col("doc_id"),
+          posexplode(transform(sequence(lit(1), n - 4),
+            i => concat_ws(" ", slice(col("w"), i, lit(5)))))
+            .as(Seq("i0", "g")))
+        .select(col("doc_id"), (col("i0") + 1).as("start"), col("g"))
+      val wFirst = Window.partitionBy("g")
+        .orderBy(col("doc_id").asc, col("start").asc)
+      val covered = grams
+        .withColumn("rn", row_number().over(wFirst))
+        .filter(col("rn") > 1)
+        .select(col("doc_id"),
+          explode(sequence(col("start"), col("start") + 4)).as("pos"))
+        .distinct()
+      val kept = toks.join(covered, Seq("doc_id", "pos"), "left_anti")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_kept"),
+          concat_ws(" ", transform(
+            array_sort(collect_list(struct(col("pos"), col("tok")))),
+            x => x.getField("tok"))).as("clean_text"))
+      docs.select(col("doc_id"), n.cast("long").as("n_tokens"))
+        .join(kept, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("clean_text"), lit("")).as("clean_text"),
+          (col("n_tokens") - coalesce(col("n_kept"), lit(0L)))
+            .as("n_removed"))
+    }),
+
     // Hashed-feature linear classifier inference (fastText-style quality
     // scoring with the feature-hashing trick): each token bigram hashes
     // to a deterministic integer weight in [-3, 3] (md5-derived, so the
@@ -209,6 +255,32 @@ object CorpusQueries {
         |  CAST(CASE WHEN len(t.w) > 0 THEN (len(t.w) - 1) // 16 + 1
         |       ELSE 0 END - COALESCE(agg.n_kept, 0) AS BIGINT) AS n_removed
         |FROM t LEFT JOIN agg ON t.doc_id = agg.doc_id""".stripMargin,
+    "dedup_substr_remove" ->
+      """WITH docs AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS w
+        |  FROM documents),
+        |toks AS (SELECT doc_id, i AS pos, w[i] AS tok
+        |  FROM docs, unnest(generate_series(1, len(w))) t(i)),
+        |grams AS (SELECT doc_id, i AS start,
+        |    array_to_string(list_slice(w, i, i + 4), ' ') AS g
+        |  FROM docs, unnest(generate_series(1, len(w) - 4)) t(i)
+        |  WHERE len(w) >= 5),
+        |fl AS (SELECT doc_id, start,
+        |  ROW_NUMBER() OVER (PARTITION BY g ORDER BY doc_id, start) AS rn
+        |  FROM grams),
+        |cov AS (SELECT DISTINCT fl.doc_id, fl.start + o AS pos
+        |  FROM fl, unnest([0, 1, 2, 3, 4]) t(o) WHERE fl.rn > 1),
+        |kept AS (SELECT t.doc_id, t.pos, t.tok FROM toks t
+        |  WHERE NOT EXISTS (SELECT 1 FROM cov c
+        |    WHERE c.doc_id = t.doc_id AND c.pos = t.pos)),
+        |agg AS (SELECT doc_id, COUNT(*) AS n_kept,
+        |    string_agg(tok, ' ' ORDER BY pos) AS clean_text
+        |  FROM kept GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  COALESCE(a.clean_text, '') AS clean_text,
+        |  CAST(len(d.w) AS BIGINT) - COALESCE(a.n_kept, 0) AS n_removed
+        |FROM docs d LEFT JOIN agg a ON a.doc_id = d.doc_id""".stripMargin,
     "curate_classifier_score" ->
       """WITH t AS (SELECT doc_id,
         |  list_filter(string_split(text, ' '), x -> x <> '') AS w

@@ -61,6 +61,24 @@ class CorpusSpec extends SparkSpec {
       s"kept token total $keptChunks != distinct-chunk token total $distinctChunkTokens")
   }
 
+  test("dedup_substr_remove: copied span excised at every alignment, first occurrence intact") {
+    val out = CorpusQueries.queries("dedup_substr_remove")(spark, plantedDir)
+      .select("doc_id", "clean_text", "n_removed")
+      .as[(Long, String, Long)].collect().map(r => r._1 -> ((r._2, r._3)))
+      .toMap
+    val chunkA = (1 to 16).map(i => s"tok$i").mkString(" ")
+    val chunkB = (17 to 32).map(i => s"tok$i").mkString(" ")
+    val chunkC = (1 to 16).map(i => s"other$i").mkString(" ")
+    // doc 1 owns every gram it contains -> untouched
+    assert(out(1L) == ((s"$chunkA $chunkB", 0L)))
+    // doc 2 recycles chunkA: positions covered by doc-1-owned 5-grams
+    // (the 16-token prefix) are removed; the boundary grams spanning
+    // into chunkC are unique to doc 2, so chunkC survives whole
+    assert(out(2L) == ((chunkC, 16L)))
+    // under 5 tokens -> no grams -> untouched
+    assert(out(3L) == (("entirely fresh words", 0L)))
+  }
+
   test("curate_domain_cap: at most 50 per source, ranks contiguous from 1") {
     val out = CorpusQueries.queries("curate_domain_cap")(spark, sf001)
       .groupBy("source")
