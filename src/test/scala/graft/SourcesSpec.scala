@@ -38,6 +38,20 @@ class SourcesSpec extends SparkSpec {
       back.count() == df.count())
   }
 
+  test("writer sizing: maxRecordsPerFile bounds output files (the small/large-file knob)") {
+    val dir = Files.createTempDirectory("sized").toString
+    val df = Tables.customer(spark, sf0001) // 150 rows at sf0.001
+    df.repartition(1).write.mode("overwrite")
+      .option("maxRecordsPerFile", 40).parquet(dir)
+    val files = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    // 150 rows / 40 per file -> 4 files from the single task
+    assert(files.length == 4, files.map(_.getName).mkString(","))
+    val back = spark.read.parquet(dir)
+    assert(back.count() == df.count())
+    assert(back.collect().toSet == df.collect().toSet)
+  }
+
   test("orc round-trip is exact and prunes with pushed filters") {
     val dir = Files.createTempDirectory("orc").toString
     val df = Tables.customer(spark, sf0001)
