@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.DotProduct
+import graft.functions.{CosineSim, DotProduct}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
@@ -20,6 +20,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         DotProduct(exprs(0), exprs(1))))
+    e.injectFunction((
+      new FunctionIdentifier("graft_cosine"),
+      new ExpressionInfo(classOf[CosineSim].getName, "graft_cosine"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        CosineSim(exprs(0), exprs(1))))
     // aggregate(zip_with(a,b,*), 0.0, +) -> native DotProduct
     e.injectOptimizerRule(_ => graft.plans.RewriteHofDotProduct)
   }

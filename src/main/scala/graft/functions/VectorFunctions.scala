@@ -36,9 +36,16 @@ object VectorFunctions {
   /** Squared L2 norm. */
   def normSq(a: Column): Column = dot(a, a)
 
-  /** Cosine similarity; formula written as dot/sqrt(na*nb) — the oracle SQL
-    * uses the identical operation order. */
-  def cosine(a: Column, b: Column): Column =
+  /** Cosine similarity — backed by the FUSED native [[CosineSim]]
+    * expression (one pass accumulating dot, |a|², |b|² together instead
+    * of three DotProduct passes; bit-identical results, see CosineSim's
+    * scaladoc). The oracle SQL uses the identical dot/sqrt(na*nb) op
+    * order. */
+  def cosine(a: Column, b: Column): Column = CosineSim.cosine(a, b)
+
+  /** The composed three-pass formulation, kept as the reference
+    * implementation (tested bit-equal to [[cosine]]). */
+  def cosineComposed(a: Column, b: Column): Column =
     dot(a, b) / sqrt(normSq(a) * normSq(b))
 
   /** L2 (Euclidean) distance. */

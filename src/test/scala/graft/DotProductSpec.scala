@@ -58,4 +58,48 @@ class DotProductSpec extends SparkSpec {
     // would print a bare `Project [graft_dot(...)]`
     assert(plan.contains("*(1) Project [graft_dot"), plan.take(500))
   }
+
+  test("fused cosine == composed three-pass cosine bitwise on fixture embeddings") {
+    val e = Tables.embeddings(spark, sf001).limit(200)
+    val pairs = e.toDF("ida", "va", "la")
+      .crossJoin(e.toDF("idb", "vb", "lb")).limit(5000)
+    val diff = pairs.select(
+      VectorFunctions.cosine(col("va"), col("vb")).as("fused"),
+      VectorFunctions.cosineComposed(col("va"), col("vb")).as("composed"))
+      .filter(col("fused") =!= col("composed")) // bitwise: any ulp diff fails
+      .count()
+    assert(diff == 0L)
+  }
+
+  test("fused cosine edge cases: nulls and mismatch match composed; zero norm -> NULL not ANSI throw") {
+    val df = Seq(
+      (Some(Seq(1.0, 2.0)), Some(Seq(3.0, 4.0))),
+      (Some(Seq(1.0)), Some(Seq(1.0, 2.0))), // length mismatch -> null
+      (None, Some(Seq(1.0))))                // null input -> null
+      .toDF("a", "b")
+    val got = df.select(
+      VectorFunctions.cosine(col("a"), col("b")).as("f"),
+      VectorFunctions.cosineComposed(col("a"), col("b")).as("c")).collect()
+    assert(got(0).getDouble(0) == got(0).getDouble(1))
+    assert(got(1).isNullAt(0) && got(1).isNullAt(1))
+    assert(got(2).isNullAt(0) && got(2).isNullAt(1))
+    // zero-norm: the composed Column `/` throws DIVIDE_BY_ZERO under
+    // ANSI; the fused expression must yield NULL instead (a degenerate
+    // row must not kill the job)
+    val zero = Seq((Seq(0.0, 0.0), Seq(1.0, 2.0))).toDF("a", "b")
+    val fused = zero.select(VectorFunctions.cosine(col("a"), col("b")))
+      .collect()
+    assert(fused(0).isNullAt(0))
+    intercept[Exception] {
+      zero.select(VectorFunctions.cosineComposed(col("a"), col("b")))
+        .collect()
+    }
+  }
+
+  test("fused cosine codegen engages and is SQL-registered via extensions") {
+    val plan = Tables.embeddings(spark, sf0001)
+      .select(VectorFunctions.cosine(col("embedding"), col("embedding")))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project [graft_cosine"), plan.take(500))
+  }
 }
