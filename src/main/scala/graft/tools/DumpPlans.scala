@@ -31,6 +31,8 @@ object DumpPlans {
     "q62_bitmap_distinct" -> "exact distinct via mergeable bitmaps: (group, bucket) segments OR map-side — no Expand re-shuffle of raw ids, no estimate",
     "q65_salted_join" -> "skew-salted join: deterministic fact salt + buckets× dim replication, join on (key, salt) — a hot key spans 8 reducers",
     "q60_sessionize" -> "gap-rule sessionization: lag + running-sum windows stacked on ONE user_id exchange; the session aggregate reuses the same partitioning",
+    "dedup_substr_remove" -> "ExactSubstr span removal: gram-keyed first-occurrence window, covered positions anti-joined on (doc_id,pos), collect_list reassembly",
+    "dedup_embedding" -> "all-pairs exact embedding dedup (oracle baseline): fused graft_cosine inside WholeStageCodegen over the BroadcastNestedLoop pairs",
     "q56_zorder_key" -> "Z-order key: pure mask-shift projection above the scan, one aggregate exchange on the bucket",
     "q58_funnel_steps" -> "ordered funnel: per-step user-keyed aggregates chained on one partitioning; event_type filters pushed to the parquet scan",
     "ta_boilerplate" -> "boilerplate span removal: hot-gram set broadcast into the occurrence scan, covered positions anti-joined on (doc_id,pos), order-preserving reassembly as one partial+final collect_list aggregate",
