@@ -23,6 +23,36 @@ class DocStoreSourceSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("DSv2 pushdown: collection equality prunes directories, pruned columns skip work") {
+    val root = Files.createTempDirectory("graft-dsv2p").toString
+    for (c <- Seq("alpha", "beta", "gamma")) {
+      val store = new FileDocumentStoreFactory(root).open()
+      store.commitBatch(c, Seq("d1" -> Map("count" -> 1L),
+        "d2" -> Map("count" -> 2L)))
+      store.close()
+    }
+    // builder-level: pushFilters consumes the collection predicate fully
+    // and planInputPartitions plans ONE directory, not three
+    import org.apache.spark.sql.sources.{EqualTo, In}
+    val b = new graft.sources.DocStoreScanBuilder(root)
+    val residual = b.pushFilters(Array(EqualTo("collection", "beta")))
+    assert(residual.isEmpty, "exact directory prune must leave no residual")
+    assert(b.pushedFilters().toSeq == Seq(EqualTo("collection", "beta")))
+    assert(b.planInputPartitions().length == 1)
+    val b2 = new graft.sources.DocStoreScanBuilder(root)
+    b2.pushFilters(Array(In("collection", Array("alpha", "gamma"))))
+    assert(b2.planInputPartitions().length == 2)
+    // end-to-end through the session: results correct under pushdown +
+    // column pruning together
+    val df = spark.read.format("graft.sources.DocStoreDataSource")
+      .option("path", root).load()
+    val got = df.filter($"collection" === "beta").select("doc_id", "count")
+      .as[(String, Long)].collect().toSet
+    assert(got == Set("d1" -> 1L, "d2" -> 2L))
+    assert(df.select("count").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 1L, 1L, 2L, 2L, 2L))
+  }
+
   test("DSv2 write -> read round-trip; append is idempotent upsert") {
     val root = Files.createTempDirectory("graft-dsv2w").toString
     val counts = WordCount.countWords(Tables.documents(spark, sf0001), "text")
