@@ -181,6 +181,31 @@ object CorpusQueries {
           (coalesce(col("margin"), lit(0L)) > 0).as("keep"))
     }),
 
+    // Deterministic stratified train/val/test assignment: every document
+    // hashes into [0,1) via md5 (replay-stable, engine-reproducible —
+    // the same trick as q43/mix_sources_target) and lands in
+    // train/val/test at 90/5/5; the output is the per-(source, split)
+    // manifest with share-of-source in basis points. Pure map + one
+    // small aggregate; the split of any document is decidable locally
+    // forever, which is what makes incremental corpus refreshes keep
+    // their holdout sets stable.
+    "split_assign" -> ((s, d) => {
+      val u = conv(substring(
+        md5(col("doc_id").cast("string").cast("binary")), 1, 8), 16, 10)
+        .cast("double") / 4294967296.0
+      val split = when(u < 0.90, "train")
+        .when(u < 0.95, "val")
+        .otherwise("test")
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), split.as("split"))
+      val bySource = Window.partitionBy("source")
+      docs.groupBy("source", "split")
+        .agg(count(lit(1)).as("n_docs"))
+        .withColumn("share_bp",
+          floor(col("n_docs").cast("double") * 10000 /
+            sum(col("n_docs")).over(bySource)).cast("long"))
+    }),
+
     // Count-min-sketch heavy hitters: build the mergeable Depth×Width
     // counter matrix distributed (map-side partial adds, one 32 KB array
     // per partition crosses the wire — bounded model state like the
@@ -255,6 +280,20 @@ object CorpusQueries {
         |  CAST(CASE WHEN len(t.w) > 0 THEN (len(t.w) - 1) // 16 + 1
         |       ELSE 0 END - COALESCE(agg.n_kept, 0) AS BIGINT) AS n_removed
         |FROM t LEFT JOIN agg ON t.doc_id = agg.doc_id""".stripMargin,
+    "split_assign" ->
+      """WITH a AS (SELECT source,
+        |  CASE
+        |    WHEN CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+        |      AS UBIGINT) / 4294967296.0 < 0.90 THEN 'train'
+        |    WHEN CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+        |      AS UBIGINT) / 4294967296.0 < 0.95 THEN 'val'
+        |    ELSE 'test' END AS split
+        |  FROM documents),
+        |g AS (SELECT source, split, COUNT(*) AS n_docs FROM a GROUP BY 1, 2)
+        |SELECT source, split, n_docs,
+        |  CAST(FLOOR(CAST(n_docs AS DOUBLE) * 10000 /
+        |    SUM(n_docs) OVER (PARTITION BY source)) AS BIGINT) AS share_bp
+        |FROM g""".stripMargin,
     "dedup_substr_remove" ->
       """WITH docs AS (
         |  SELECT doc_id,

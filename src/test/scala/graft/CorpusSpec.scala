@@ -101,6 +101,33 @@ class CorpusSpec extends SparkSpec {
     assert(counts.sum == total)
   }
 
+  test("split_assign: deterministic, near-target shares, holdout stable across corpus growth") {
+    val a = CorpusQueries.queries("split_assign")(spark, sf001)
+      .as[(String, String, Long, Long)].collect().toSet
+    val b = CorpusQueries.queries("split_assign")(spark, sf001)
+      .as[(String, String, Long, Long)].collect().toSet
+    assert(a == b, "assignment must be replay-stable")
+    val bySplit = a.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    val total = bySplit.values.sum
+    assert(bySplit("train").toDouble / total > 0.85)
+    assert(bySplit("val") > 0 && bySplit("test") > 0)
+    // the split of a given doc_id is a pure hash — growing the corpus
+    // (sf0.001 -> sf0.01) must never reassign an existing document
+    import graft.Tables
+    val u = conv(substring(
+      md5(col("doc_id").cast("string").cast("binary")), 1, 8), 16, 10)
+      .cast("double") / 4294967296.0
+    val split = when(u < 0.90, "train").when(u < 0.95, "val")
+      .otherwise("test")
+    val small = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), split.as("s")).as[(Long, String)].collect().toMap
+    val big = Tables.documents(spark, sf001)
+      .select(col("doc_id"), split.as("s")).as[(Long, String)].collect().toMap
+    small.foreach { case (id, s) =>
+      assert(big.get(id).forall(_ == s), s"doc $id reassigned")
+    }
+  }
+
   test("sketch_cms_topk: never undercounts; exact on a collision-free vocabulary") {
     // real fixture: one-sided error on every reported word
     val rows = CorpusQueries.queries("sketch_cms_topk")(spark, sf001)
