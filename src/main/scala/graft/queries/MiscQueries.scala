@@ -55,6 +55,23 @@ object MiscQueries {
       branch(0).unionAll(branch(1))
     }),
 
+    // OUTER generator semantics: posexplode_outer keeps zero-token
+    // documents as a single null-element row where plain explode would
+    // drop them — the generator-family distinction that silently loses
+    // rows in curation pipelines when ignored (several robustness bugs
+    // in earlier rounds traced to exactly this). Output: per-doc token
+    // count INCLUDING empty docs as 0.
+    "q66_outer_explode" -> ((s, d) => {
+      Tables.documents(s, d)
+        .repartition(col("doc_id"))
+        .select(col("doc_id"),
+          posexplode_outer(graft.functions.TextFunctions.tokens(col("text")))
+            .as(Seq("pos", "tok")))
+        .groupBy("doc_id")
+        .agg(sum(when(col("tok").isNotNull, 1L).otherwise(0L))
+          .as("n_tokens"))
+    }),
+
     // Skew-salted equi-join (the join-side twin of q48's salted
     // aggregation): fact rows carry a deterministic salt, the dim is
     // replicated buckets×, and the join key becomes (key, salt) — a hot
@@ -274,6 +291,11 @@ object MiscQueries {
     "q62_bitmap_distinct" ->
       """SELECT event_type, COUNT(DISTINCT user_id) AS n_users
         |FROM events GROUP BY 1""".stripMargin,
+    "q66_outer_explode" ->
+      """SELECT doc_id,
+        |  CAST(COALESCE(len(list_filter(string_split(text, ' '),
+        |    x -> x <> '')), 0) AS BIGINT) AS n_tokens
+        |FROM documents""".stripMargin,
     "q65_salted_join" ->
       """SELECT c_mktsegment, COUNT(*) AS n_orders,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)

@@ -79,6 +79,22 @@ class CorpusSpec extends SparkSpec {
     assert(out(3L) == (("entirely fresh words", 0L)))
   }
 
+  test("dedup_paragraph and dedup_substr_remove are idempotent (fixpoint after one pass)") {
+    // run a dedup, write its cleaned corpus back as a documents table,
+    // run again: the second pass must remove nothing
+    for (name <- Seq("dedup_paragraph", "dedup_substr_remove")) {
+      val out1 = CorpusQueries.queries(name)(spark, sf0001)
+      val dir2 = Files.createTempDirectory(s"graft-idem-$name").toString
+      out1.select(col("doc_id"), col("clean_text").as("text"),
+        lit("en").as("lang"), lit("src0").as("source"),
+        length(col("clean_text")).cast("long").as("n_chars"))
+        .write.mode("overwrite").parquet(s"$dir2/documents.parquet")
+      val out2 = CorpusQueries.queries(name)(spark, dir2)
+      val removedAgain = out2.agg(sum("n_removed")).head.getLong(0)
+      assert(removedAgain == 0L, s"$name not a fixpoint: $removedAgain")
+    }
+  }
+
   test("curate_domain_cap: at most 50 per source, ranks contiguous from 1") {
     val out = CorpusQueries.queries("curate_domain_cap")(spark, sf001)
       .groupBy("source")

@@ -43,7 +43,8 @@ class RobustnessSpec extends SparkSpec {
     // round-4 corpus ops (null/empty/whitespace text -> no chunks, no
     // bigrams; 6-row input for the 8-way shard round-robin)
     "dedup_paragraph", "curate_domain_cap", "curate_shard_assign",
-    "curate_classifier_score", "dedup_substr_remove", "split_assign")
+    "curate_classifier_score", "dedup_substr_remove", "split_assign",
+    "q66_outer_explode")
 
   test("text/curation queries run on empty/whitespace/null/single-token docs") {
     textQueries.foreach { name =>
