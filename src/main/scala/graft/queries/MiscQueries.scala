@@ -4,6 +4,7 @@ import graft.Tables
 import graft.functions.TopKAggregator
 import graft.operators.Salting
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -53,6 +54,24 @@ object MiscQueries {
           .select(a("user_id"), col("id_a"), col("id_b"),
             (col("us_b") - col("us_a")).as("gap_us"))
       branch(0).unionAll(branch(1))
+    }),
+
+    // Log compaction / SCD-1 upsert resolution: the LATEST full record
+    // per (user, event_type) from an append-only event log — the
+    // keep-last twin of dedup_exact's keep-first, and the batch
+    // resolution step behind every changelog-to-snapshot pipeline.
+    // WindowGroupLimit pushes the rn=1 cut below the full window sort,
+    // so each key retains one row per partial before the shuffle.
+    "q67_compact_latest" -> ((s, d) => {
+      val w = Window.partitionBy("user_id", "event_type")
+        .orderBy(col("us").desc, col("event_id").desc)
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          unix_micros(col("ts")).as("us"), col("value"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          col("us"), col("value"))
     }),
 
     // OUTER generator semantics: posexplode_outer keeps zero-token
@@ -291,6 +310,11 @@ object MiscQueries {
     "q62_bitmap_distinct" ->
       """SELECT event_type, COUNT(DISTINCT user_id) AS n_users
         |FROM events GROUP BY 1""".stripMargin,
+    "q67_compact_latest" ->
+      """SELECT user_id, event_type, event_id, epoch_us(ts) AS us, value
+        |FROM events
+        |QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+        |  ORDER BY epoch_us(ts) DESC, event_id DESC) = 1""".stripMargin,
     "q66_outer_explode" ->
       """SELECT doc_id,
         |  CAST(COALESCE(len(list_filter(string_split(text, ' '),

@@ -73,7 +73,7 @@ class RobustnessSpec extends SparkSpec {
     "q32_session_window", "q33_asof_last_click", "q36_range_join",
     "q37_approx_distinct", "q41_asof_custom", "q58_funnel_steps",
     "q59_cohort_retention", "q60_sessionize", "q61_resample",
-    "q62_bitmap_distinct", "q63_variant_extract")
+    "q62_bitmap_distinct", "q63_variant_extract", "q67_compact_latest")
 
   test("event queries run on null ts/user/type/value/props and lone users") {
     eventQueries.foreach { name =>
