@@ -38,6 +38,24 @@ class SourcesSpec extends SparkSpec {
       back.count() == df.count())
   }
 
+  test("reader sizing: maxPartitionBytes splits a big scan into multiple input tasks") {
+    val key = "spark.sql.files.maxPartitionBytes"
+    val prev = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "256KB")
+      val parts = Tables.lineitem(spark, sf001)
+        .rdd.getNumPartitions
+      spark.conf.set(key, "512MB")
+      val partsBig = Tables.lineitem(spark, sf001)
+        .rdd.getNumPartitions
+      // sf0.01 lineitem is a few MB: small split size must yield strictly
+      // more input tasks than one-file-one-task — the knob that sizes
+      // scan parallelism against executor memory at 100 TB
+      assert(parts > partsBig, s"small=$parts big=$partsBig")
+      assert(partsBig >= 1)
+    } finally spark.conf.set(key, prev)
+  }
+
   test("writer sizing: maxRecordsPerFile bounds output files (the small/large-file knob)") {
     val dir = Files.createTempDirectory("sized").toString
     val df = Tables.customer(spark, sf0001) // 150 rows at sf0.001
