@@ -149,6 +149,51 @@ class ExtensionsStatefulSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming sessionizer == batch q60 on fixture events fed in order") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, expr}
+    import StatefulOps.{ClosedSession, SessEvent}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ev = Tables.events(spark, sf0001)
+      .filter(col("user_id").isNotNull && col("ts").isNotNull)
+      .select(col("user_id"), col("ts"))
+      .as[(Long, java.sql.Timestamp)].collect()
+      .sortBy(_._2.getTime).map { case (u, t) => SessEvent(u, t) }.toSeq
+    val maxMs = ev.map(_.ts.getTime).max
+    val stream = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[SessEvent]
+    val q = StatefulOps.sessionizeStream(stream.toDS(), gapMin = 30)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sess_parity").start()
+    try {
+      ev.grouped(math.max(1, ev.size / 4 + 1)).foreach { batch =>
+        stream.addData(batch)
+        q.processAllAvailable()
+      }
+      // sentinel far past every session's last+gap: advances the
+      // watermark so every open session flushes on the following batch
+      stream.addData(SessEvent(-1L,
+        new java.sql.Timestamp(maxMs + 10L * 86400000L)))
+      q.processAllAvailable()
+      stream.addData(SessEvent(-1L,
+        new java.sql.Timestamp(maxMs + 10L * 86400000L + 1)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("sess_parity").as[ClosedSession].collect()
+      .filter(_.user_id >= 0)
+      .map(c => (c.user_id, c.start_us, c.end_us, c.n_events)).toSet
+    // streaming timestamps carry millis precision (Timestamp.getTime);
+    // truncate the batch side identically for comparison
+    val batch = SparkEntry.queries("q60_sessionize")(spark, sf0001)
+      .select(col("user_id"), expr("start_us div 1000 * 1000"),
+        expr("end_us div 1000 * 1000"), col("n_events"))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(streamed == batch,
+      s"streamed=${streamed.size} batch=${batch.size} " +
+        s"onlyStream=${streamed.diff(batch).take(3)} " +
+        s"onlyBatch=${batch.diff(streamed).take(3)}")
+  }
+
   test("transformWithState budget admission: per-source caps hold across micro-batches") {
     import spark.implicits._
     import graft.streaming.BudgetOps
