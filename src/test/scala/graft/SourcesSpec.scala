@@ -38,6 +38,26 @@ class SourcesSpec extends SparkSpec {
       back.count() == df.count())
   }
 
+  test("malformed JSON ingestion: PERMISSIVE captures corrupt records, FAILFAST aborts") {
+    val f = Files.createTempFile("broken", ".json")
+    Files.write(f,
+      "{\"id\": 1, \"v\": \"ok\"}\nTHIS IS NOT JSON\n{\"id\": 2, \"v\": \"fine\"}\n"
+        .getBytes)
+    val schema = "id LONG, v STRING, _corrupt_record STRING"
+    val permissive = spark.read.schema(schema)
+      .option("mode", "PERMISSIVE").json(f.toString)
+    // query the COLLECTED rows: Spark disallows scanning raw files for
+    // only the internal corrupt-record column (QUERY_ONLY_CORRUPT_RECORD)
+    val rows = permissive.collect()
+    assert(rows.length == 3)
+    assert(rows.count(!_.isNullAt(2)) == 1, "one corrupt record captured")
+    assert(rows.count(!_.isNullAt(0)) == 2, "clean rows parse")
+    intercept[Exception] {
+      spark.read.schema("id LONG, v STRING")
+        .option("mode", "FAILFAST").json(f.toString).collect()
+    }
+  }
+
   test("reader sizing: maxPartitionBytes splits a big scan into multiple input tasks") {
     val key = "spark.sql.files.maxPartitionBytes"
     val prev = spark.conf.get(key)
