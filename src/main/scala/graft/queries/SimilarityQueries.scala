@@ -147,6 +147,12 @@ object SimilarityQueries {
       import s.implicits._
       val e = rawVecs(s, d)
       val centroids = ivfCentroids(e, k = 16, iters = 2)
+      if (centroids.isEmpty) {
+        // empty corpus -> no model and no query vector; empty result with
+        // the query's schema instead of an analysis-time crash
+        // (RobustnessSpec's empty-corpus sweep)
+        e.select(col("vec_id"), lit(0.0).as("cos")).limit(0)
+      } else {
       val assigned = assignCells(e, centroids)
       // probe cells: nearest 4 centroids to the query vector — O(k·dim)
       // driver arithmetic on already-materialized model state
@@ -165,6 +171,7 @@ object SimilarityQueries {
           round(cosine(col("v"), col("q_v")), 6).as("cos"))
         .orderBy(col("cos").desc, col("vec_id").asc)
         .limit(10)
+      }
     }),
 
     // int8 quantization — vector preprocessing for storage/ANN at scale.
@@ -207,6 +214,7 @@ object SimilarityQueries {
     import e.sparkSession.implicits._
     var centroids: Seq[Seq[Double]] = e.orderBy("vec_id").limit(k)
       .select("v").as[Seq[Double]].collect().toSeq
+    if (centroids.isEmpty) return centroids // empty corpus: no model
     for (_ <- 0 until iters) {
       // collect the k×dim (cell, pos, mean) rows directly — assembling the
       // centroid matrix on the driver skips a second shuffle per iteration

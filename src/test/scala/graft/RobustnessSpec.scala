@@ -82,6 +82,33 @@ class RobustnessSpec extends SparkSpec {
     }
   }
 
+  private lazy val emptyDir: String = {
+    val dir = Files.createTempDirectory("graft-empty").toString
+    // the fixture's events.ts is TIMESTAMP(NANOS) — only readable with
+    // the legacy long mapping (same conf Tables.events sets); the empty
+    // copy then carries plain INT64, which Tables.events handles too
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    for (t <- Seq("region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings")) {
+      spark.read.parquet(s"$sf0001/$t.parquet").limit(0)
+        .write.mode("overwrite").parquet(s"$dir/$t.parquet")
+    }
+    dir
+  }
+
+  test("EVERY registered query survives a fully empty corpus") {
+    val failures = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+      try {
+        SparkEntry.queries(name)(spark, emptyDir).collect()
+        None
+      } catch {
+        case e: Throwable => Some(s"$name: ${e.getClass.getSimpleName} " +
+          e.getMessage.linesIterator.take(1).mkString)
+      }
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
+
   test("guards yield NULL stats for degenerate docs, real stats for real ones") {
     val q = SparkEntry.queries("ta_quality")(spark, advDir)
       .select("doc_id", "quality_bp")
