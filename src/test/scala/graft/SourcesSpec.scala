@@ -38,6 +38,20 @@ class SourcesSpec extends SparkSpec {
       back.count() == df.count())
   }
 
+  test("schema evolution: mergeSchema unions parquet footers, old files read nulls") {
+    val dir = Files.createTempDirectory("evolve").toString
+    Seq((1L, "a")).toDF("id", "v")
+      .write.parquet(s"$dir/part=old")
+    Seq((2L, "b", 9.5)).toDF("id", "v", "score")
+      .write.parquet(s"$dir/part=new")
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.toSet == Set("id", "v", "score", "part"))
+    val rows = merged.select("id", "score").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+      .toMap
+    assert(rows == Map(1L -> None, 2L -> Some(9.5)))
+  }
+
   test("malformed JSON ingestion: PERMISSIVE captures corrupt records, FAILFAST aborts") {
     val f = Files.createTempFile("broken", ".json")
     Files.write(f,
