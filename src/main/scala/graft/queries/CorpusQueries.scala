@@ -222,7 +222,7 @@ object CorpusQueries {
       val sketch: Seq[Long] = toks
         .select(cms(cmsPos(0, col("word")), cmsPos(1, col("word")),
           cmsPos(2, col("word")), cmsPos(3, col("word"))).as("sk"))
-        .head.getSeq[Long](0)
+        .head().getSeq[Long](0)
       val skLit = typedlit(sketch)
       val est = (0 until CountMinAggregator.Depth).map { i =>
         element_at(skLit,

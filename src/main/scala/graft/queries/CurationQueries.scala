@@ -56,7 +56,7 @@ object CurationQueries {
       val bits: Seq[Long] = benchSh
         .select(bloomAgg(bloomPos(0, col("s")), bloomPos(1, col("s")),
           bloomPos(2, col("s"))).as("bits"))
-        .head.getSeq[Long](0)
+        .head().getSeq[Long](0)
       val corpus = docs.filter(col("source") =!= "src0")
         .repartition(col("doc_id"))
         .select(col("doc_id"), explode(shingles(col("text"), 3)).as("s"))
