@@ -21,9 +21,12 @@ object Bench {
     def calib(): Double = {
       val t0 = System.nanoTime()
       // pmod keeps the running sum bounded (67M × 1e9 << Long.Max) — a
-      // raw sum(xxhash64) overflows under ANSI mode and kills the run
-      spark.range(1L << 26)
+      // raw sum(xxhash64) overflows under ANSI mode and kills the run.
+      // A failing probe must not lose the whole bench (that's exactly
+      // the overloaded-box case it exists to measure) — report -1.
+      try spark.range(1L << 26)
         .selectExpr("sum(pmod(xxhash64(id), 1000000000)) AS s").collect()
+      catch { case _: Throwable => return -1.0 }
       (System.nanoTime() - t0) / 1e9
     }
     calib() // untimed: absorb the probe's own codegen so start/end compare

@@ -18,13 +18,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((
       new FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
-      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        DotProduct(exprs(0), exprs(1))))
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(exprs.length == 2,
+          s"graft_dot requires exactly 2 arguments, got ${exprs.length}")
+        DotProduct(exprs(0), exprs(1))
+      }))
     e.injectFunction((
       new FunctionIdentifier("graft_cosine"),
       new ExpressionInfo(classOf[CosineSim].getName, "graft_cosine"),
-      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        CosineSim(exprs(0), exprs(1))))
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(exprs.length == 2,
+          s"graft_cosine requires exactly 2 arguments, got ${exprs.length}")
+        CosineSim(exprs(0), exprs(1))
+      }))
     // aggregate(zip_with(a,b,*), 0.0, +) -> native DotProduct
     e.injectOptimizerRule(_ => graft.plans.RewriteHofDotProduct)
   }

@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, GraftBridge}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
@@ -28,7 +28,12 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * denominators elsewhere; DotProductSpec pins both behaviors).
   */
 case class CosineSim(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ImplicitCastInputTypes {
+
+  // same contract as DotProduct: analysis-time element casts + non-array
+  // rejection for the SQL-registered graft_cosine path
+  // (return type inferred: AbstractDataType is private[sql])
+  override def inputTypes = Seq(ArrayType(DoubleType), ArrayType(DoubleType))
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_cosine"

@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, GraftBridge}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
@@ -23,7 +23,14 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * preserving for ALL inputs, not just dense equal-length ones.
   */
 case class DotProduct(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ImplicitCastInputTypes {
+
+  // the SQL-registered path (graft_dot) arrives without the Column API's
+  // explicit cast — declaring input types makes analysis insert the
+  // element-wise cast for array<int>/array<float> and REJECT non-arrays,
+  // instead of the generated getDouble() silently misreading packed ints
+  // (return type inferred: AbstractDataType is private[sql])
+  override def inputTypes = Seq(ArrayType(DoubleType), ArrayType(DoubleType))
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_dot"

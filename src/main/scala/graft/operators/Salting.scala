@@ -49,6 +49,9 @@ object Salting {
       key: String,
       spreadOn: Column,
       buckets: Int = 16): DataFrame = {
+    require(buckets > 0, s"saltedJoin: buckets must be positive ($buckets)")
+    require(!fact.columns.contains("__salt") && !dim.columns.contains("__salt"),
+      "saltedJoin: inputs must not already contain a __salt column")
     val saltedFact = fact
       .withColumn("__salt", pmod(xxhash64(spreadOn), lit(buckets.toLong)))
     val replicatedDim = dim

@@ -18,16 +18,11 @@ import org.apache.spark.sql.functions._
   */
 object CorpusQueries {
 
-  /** documents with the token array, evaluated once behind a partition
-    * barrier (tokens() is a native expression; the repartition keeps it
-    * from re-running per downstream reference — see
-    * graft-spark-perf-rules). */
+  /** documents with the token array, via the shared eval-once-barrier
+    * helper ([[TextQueries.docsWithToks]]), pruned to (doc_id, w). */
   private def docsTok(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
-      .repartition(col("doc_id"))
-      .withColumn("w", tokens(col("text")))
-      .repartition(col("doc_id"))
-      .select("doc_id", "w")
+    TextQueries.docsWithToks(s, d)
+      .select(col("doc_id"), col("toks").as("w"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 

@@ -222,6 +222,10 @@ object ExtraRelationalQueries {
       Tables.events(s, d)
         .select(col("user_id"), col("event_id"),
           unix_micros(col("ts")).as("us"))
+        // a NULL timestamp cannot be sessionized — and Spark (NULLS
+        // FIRST) and DuckDB (NULLS LAST) would order it differently,
+        // silently skewing every sess_idx for that user
+        .filter(col("us").isNotNull)
         .withColumn("new_sess",
           when(lag(col("us"), 1).over(w).isNull ||
             col("us") - lag(col("us"), 1).over(w) > gapUs, 1L)
@@ -410,7 +414,7 @@ object ExtraRelationalQueries {
         |QUALIFY rn <= 5""".stripMargin,
     "q60_sessionize" ->
       """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us
-        |  FROM events),
+        |  FROM events WHERE ts IS NOT NULL),
         |f AS (SELECT user_id, event_id, us,
         |  CASE WHEN LAG(us) OVER w IS NULL
         |         OR us - LAG(us) OVER w > 1800000000

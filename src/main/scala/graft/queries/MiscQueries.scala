@@ -87,8 +87,9 @@ object MiscQueries {
           posexplode_outer(graft.functions.TextFunctions.tokens(col("text")))
             .as(Seq("pos", "tok")))
         .groupBy("doc_id")
-        .agg(sum(when(col("tok").isNotNull, 1L).otherwise(0L))
-          .as("n_tokens"))
+        // count(col) skips nulls, so the all-null group an empty doc
+        // produces through posexplode_outer counts as 0
+        .agg(count(col("tok")).as("n_tokens"))
     }),
 
     // Skew-salted equi-join (the join-side twin of q48's salted

@@ -20,14 +20,10 @@ import org.apache.spark.sql.functions._
   */
 object PipelineQueries {
 
-  /** documents + materialized token array (repartition spreads the
-    * single-file parquet across cores AND acts as the eval-once barrier
-    * for the token expression — see TextQueries.docsWithToks). */
+  /** documents + materialized token array — the shared eval-once-barrier
+    * helper (one definition, [[TextQueries.docsWithToks]]). */
   private def docsWithToks(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
-      .repartition(col("doc_id"))
-      .withColumn("toks", tokens(col("text")))
-      .repartition(col("doc_id"))
+    TextQueries.docsWithToks(s, d)
 
   // zero-denominator guard: degenerate docs get NULL, not a job-killing
   // ANSI cast error on Inf (see RobustnessSpec)

@@ -21,7 +21,7 @@ object TextQueries {
     * for the single-file parquet AND the eval-once barrier so the many
     * per-column token expressions read an attribute instead of
     * re-splitting the text). */
-  private def docsWithToks(s: SparkSession, d: String): DataFrame =
+  private[queries] def docsWithToks(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .repartition(col("doc_id"))
       .withColumn("toks", tokens(col("text")))

@@ -28,6 +28,18 @@ class ExtensionsStatefulSpec extends SparkSpec {
       "SELECT graft_dot(array(1.0D, 2.0D, 3.0D), array(4.0D, 5.0D, 6.0D)) AS d")
       .collect()(0).getDouble(0)
     assert(v == 32.0)
+    // int arrays must CAST at analysis (not silently misread packed ints)
+    val vi = s2.sql(
+      "SELECT graft_dot(array(1, 2, 3), array(4, 5, 6)) AS d")
+      .collect()(0).getDouble(0)
+    assert(vi == 32.0, s"int-array inputs must cast element-wise, got $vi")
+    val vc = s2.sql(
+      "SELECT graft_cosine(array(1, 2), array(2, 4)) AS c")
+      .collect()(0).getDouble(0)
+    assert(math.abs(vc - 1.0) < 1e-12, s"got $vc")
+    // non-array and wrong-arity calls must fail analysis, not codegen
+    intercept[Exception] { s2.sql("SELECT graft_dot('a', 'b')").collect() }
+    intercept[Exception] { s2.sql("SELECT graft_cosine(array(1.0D))").collect() }
     // and through the plan of a real table
     val n = s2.sql(
       s"SELECT graft_dot(CAST(embedding AS ARRAY<DOUBLE>), CAST(embedding AS ARRAY<DOUBLE>)) AS nn " +
