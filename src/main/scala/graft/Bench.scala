@@ -29,21 +29,34 @@ object Bench {
       catch { case _: Throwable => return -1.0 }
       (System.nanoTime() - t0) / 1e9
     }
+    // IO-bound probe: a full lineitem scan-count — catches page-cache /
+    // disk contention the CPU probe can't see (observed: a bench run
+    // right after the test suite shows quiet CPU calib yet ~25% slower
+    // scans across the board)
+    def calibIo(): Double = {
+      val t0 = System.nanoTime()
+      try spark.read.parquet(s"$sfDir/lineitem.parquet").count()
+      catch { case _: Throwable => return -1.0 }
+      (System.nanoTime() - t0) / 1e9
+    }
     calib() // untimed: absorb the probe's own codegen so start/end compare
+    calibIo()
     val calibStart = calib()
+    val calibIoStart = calibIo()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val calibEnd = calib()
+    val calibIoEnd = calibIo()
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     // Per-query detail first on its own line; the compact headline total LAST
     // so a tail-capture of stdout always retains the parseable summary line.
     println(s"""{"metric":"queries","queries":$qs,"sf":"$sfDir"}""")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","nqueries":${results.size},"calib_start":$calibStart,"calib_end":$calibEnd}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","nqueries":${results.size},"calib_start":$calibStart,"calib_end":$calibEnd,"calib_io_start":$calibIoStart,"calib_io_end":$calibIoEnd}""")
     spark.stop()
   }
 }
