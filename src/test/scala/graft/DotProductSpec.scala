@@ -96,6 +96,44 @@ class DotProductSpec extends SparkSpec {
     }
   }
 
+  test("fused cosine == scalar reference on generated vectors (negatives, zeros, tiny/huge magnitudes)") {
+    // one batch of generated pairs evaluated through the REAL codegen
+    // path, checked bitwise against a driver-side scalar reference that
+    // mirrors the expression's accumulation order
+    val rnd = new scala.util.Random(7)
+    def vec(n: Int): Seq[Double] = Seq.fill(n)(rnd.nextInt(9) match {
+      case 0 => 0.0
+      case 1 => -0.0
+      case 2 => 1e-300
+      case 3 => -1e300
+      case k => (rnd.nextDouble() - 0.5) * math.pow(10, k - 4)
+    })
+    val pairs = (1 to 300).map { i =>
+      val n = rnd.nextInt(8) + 1
+      (i.toLong, vec(n), vec(n))
+    }
+    def ref(a: Seq[Double], b: Seq[Double]): Option[Double] = {
+      var sab = 0.0; var saa = 0.0; var sbb = 0.0
+      a.indices.foreach { i =>
+        sab += a(i) * b(i); saa += a(i) * a(i); sbb += b(i) * b(i)
+      }
+      val den = math.sqrt(saa * sbb)
+      if (den == 0.0) None else Some(sab / den)
+    }
+    val got = pairs.toDF("id", "a", "b")
+      .select(col("id"), VectorFunctions.cosine(col("a"), col("b")).as("c"))
+      .as[(Long, Option[Double])].collect().toMap
+    pairs.foreach { case (id, a, b) =>
+      val expected = ref(a, b)
+      (got(id), expected) match {
+        case (Some(g), Some(e)) =>
+          assert(java.lang.Double.doubleToLongBits(g) ==
+            java.lang.Double.doubleToLongBits(e), s"pair $id: $g != $e")
+        case (g, e) => assert(g == e, s"pair $id: $g != $e")
+      }
+    }
+  }
+
   test("fused cosine codegen engages and is SQL-registered via extensions") {
     val plan = Tables.embeddings(spark, sf0001)
       .select(VectorFunctions.cosine(col("embedding"), col("embedding")))
