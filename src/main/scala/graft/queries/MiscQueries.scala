@@ -79,10 +79,12 @@ object MiscQueries {
     // drop them — the generator-family distinction that silently loses
     // rows in curation pipelines when ignored (several robustness bugs
     // in earlier rounds traced to exactly this). Output: per-doc token
-    // count INCLUDING empty docs as 0.
+    // count INCLUDING empty docs as 0. No repartition of the raw text:
+    // scan parallelism comes from file splits
+    // (spark.sql.files.maxPartitionBytes), and the only exchange is the
+    // partial-aggregate shuffle of (doc_id, count) — never the text.
     "q66_outer_explode" -> ((s, d) => {
       Tables.documents(s, d)
-        .repartition(col("doc_id"))
         .select(col("doc_id"),
           posexplode_outer(graft.functions.TextFunctions.tokens(col("text")))
             .as(Seq("pos", "tok")))

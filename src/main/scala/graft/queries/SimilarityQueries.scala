@@ -81,10 +81,12 @@ object SimilarityQueries {
       val e = Tables.embeddings(s, d)
         .select(col("vec_id"), col("label"),
           col("embedding").cast("array<double>").as("v"))
-        .repartition(col("vec_id"))
         .select(col("vec_id"), col("label"), col("v"),
           floor(dot(col("v"), typedlit(w0)) / bandW)
             .cast("long").as("band"))
+        // barrier: materializes `band` as an attribute so the six join
+        // branches below ReuseExchange one computed subtree instead of
+        // re-running the projection dot product per branch
         .repartition(col("vec_id"))
       val a = e.filter(col("label") === 0)
         .select(col("vec_id").as("qid"), col("v").as("q_v"),
@@ -177,10 +179,13 @@ object SimilarityQueries {
     // int8 quantization — vector preprocessing for storage/ANN at scale.
     "sim_quantize_int8" -> quantizeQuery)
 
+  // No repartition: a shuffle here moves every raw vector across the wire
+  // purely to manufacture local parallelism (the fixture is one parquet
+  // file). At scale the scan is already split across files
+  // (spark.sql.files.maxPartitionBytes); the cast is a per-row map.
   private def rawVecs(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      .repartition(col("vec_id"))
 
   /** Nearest-centroid cell per vector: argmin |v−c|² = argmin |c|² − 2·v·c
     * (the row's own norm cancels), evaluated as an array_min over a
@@ -240,10 +245,12 @@ object SimilarityQueries {
     // round(), which goes through shortest-repr BigDecimal in Spark).
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      .repartition(col("vec_id"))
       .select(col("vec_id"), col("v"),
         array_max(transform(col("v"), x => abs(x))).as("maxabs"))
-      .repartition(col("vec_id")) // barrier: maxabs as attribute
+      // barrier: maxabs as attribute — without it ProjectCollapse inlines
+      // array_max(...) inside the quantization lambda, re-evaluating it
+      // per vector element (O(dim²))
+      .repartition(col("vec_id"))
     // q8 emitted as a canonical comma-joined string: the verification
     // driver's pandas row sort cannot handle array-typed columns.
     e.select(col("vec_id"),
