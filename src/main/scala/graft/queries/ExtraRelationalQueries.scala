@@ -32,10 +32,13 @@ object ExtraRelationalQueries {
     * classic two-pass ranged sort: one cheap single-column stats pass,
     * one ranked pass.
     *
-    * `firstKey` must name a non-null numeric column that is the leading
-    * sort key; `sortCols` is the complete total order (including the
-    * leading key with its direction). Output = input columns + `global_rn`
-    * + `total` (row count, for rank-derived arithmetic like NTILE). */
+    * `firstKey` must name a non-null, non-NaN numeric column that is the
+    * leading sort key (enforced: a null or NaN key would fold into bucket
+    * 0 while Spark's sort places nulls/NaN elsewhere, silently corrupting
+    * global_rn — the keyed pass raises instead); `sortCols` is the
+    * complete total order (including the leading key with its direction).
+    * Output = input columns + `global_rn` + `total` (row count, for
+    * rank-derived arithmetic like NTILE). */
   private[graft] def globalRowNumber(
       df: DataFrame, nParts: Int, firstKey: String, firstAsc: Boolean,
       sortCols: Column*): DataFrame = {
@@ -49,7 +52,14 @@ object ExtraRelationalQueries {
     val signed =
       if (firstAsc) col(firstKey).cast("double")
       else -col(firstKey).cast("double")
-    val keyed = df.withColumn("__grn_key", signed)
+    // Cheap codegen'd guard: assert_true returns NULL when the predicate
+    // holds (taking the `signed` branch) and raises otherwise — a null or
+    // NaN leading key fails loudly instead of mis-bucketing.
+    val keyOk = col(firstKey).isNotNull && !isnan(col(firstKey).cast("double"))
+    val keyed = df.withColumn("__grn_key",
+      when(assert_true(keyOk, lit(
+        s"globalRowNumber: leading key '$firstKey' must be non-null and " +
+          "non-NaN")).isNull, signed))
     val probs = (1 until nParts).map(_.toDouble / nParts).toArray
     // Tiny driver-side stats job over ONE pruned column; 1% relative
     // error is plenty — it only shapes bucket balance.

@@ -105,8 +105,11 @@ object StatefulOps {
             state.remove()
           } else {
             var st = state.getOption.orNull
-            // deterministic order within the batch; micros from epoch
-            it.map(_.ts.getTime * 1000L).toSeq.sorted.foreach { us =>
+            // deterministic order within the batch; exact micros from
+            // epoch: getTime truncates to millis, so the sub-millisecond
+            // part must come from getNanos (floorDiv for pre-epoch safety)
+            it.map(e => Math.floorDiv(e.ts.getTime, 1000L) * 1000000L +
+                e.ts.getNanos / 1000L).toSeq.sorted.foreach { us =>
               if (st == null) st = SessionState(us, us, 1L)
               else if (us - st.last_us > gapUs) {
                 out += ClosedSession(user, st.start_us, st.last_us, st.n)
@@ -118,7 +121,7 @@ object StatefulOps {
               // must stay ahead of the watermark or registration throws;
               // a late-straggling group re-arms one ms past it
               state.setTimeoutTimestamp(math.max(
-                st.last_us / 1000L + gapMs,
+                Math.floorDiv(st.last_us, 1000L) + gapMs,
                 state.getCurrentWatermarkMs() + 1))
             }
           }

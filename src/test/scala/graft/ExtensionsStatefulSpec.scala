@@ -194,11 +194,12 @@ class ExtensionsStatefulSpec extends SparkSpec {
     val streamed = spark.table("sess_parity").as[ClosedSession].collect()
       .filter(_.user_id >= 0)
       .map(c => (c.user_id, c.start_us, c.end_us, c.n_events)).toSet
-    // streaming timestamps carry millis precision (Timestamp.getTime);
-    // truncate the batch side identically for comparison
+    // exact-micros comparison: the streaming side reconstructs full
+    // microsecond precision from getTime+getNanos, matching batch
+    // unix_micros with no truncation on either side
     val batch = SparkEntry.queries("q60_sessionize")(spark, sf0001)
-      .select(col("user_id"), expr("start_us div 1000 * 1000"),
-        expr("end_us div 1000 * 1000"), col("n_events"))
+      .select(col("user_id"), col("start_us"), col("end_us"),
+        col("n_events"))
       .as[(Long, Long, Long, Long)].collect().toSet
     assert(streamed == batch,
       s"streamed=${streamed.size} batch=${batch.size} " +

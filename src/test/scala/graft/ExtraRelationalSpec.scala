@@ -90,6 +90,25 @@ class ExtraRelationalSpec extends SparkSpec {
     }
   }
 
+  test("globalRowNumber rejects null and NaN leading keys instead of mis-bucketing") {
+    for (bad <- Seq(null.asInstanceOf[java.lang.Double],
+        java.lang.Double.valueOf(Double.NaN))) {
+      val df = Seq[(Long, java.lang.Double)]((1L, 2.0), (2L, bad), (3L, 5.0))
+        .toDF("id", "k")
+      val e = intercept[Exception] {
+        ExtraRelationalQueries
+          .globalRowNumber(df, 4, "k", firstAsc = true,
+            col("k").asc, col("id").asc)
+          .collect()
+      }
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil
+        else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(e).exists(_.contains("must be non-null and non-NaN")),
+        s"bad=$bad got=${msgs(e).take(2)}")
+    }
+  }
+
   test("q60_sessionize: planted gaps split sessions exactly at the 30-min rule") {
     val dir = java.nio.file.Files.createTempDirectory("graft-sess").toString
     val m = 60L * 1000000000L // one minute in NANOS (Tables.events divides)

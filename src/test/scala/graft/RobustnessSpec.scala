@@ -86,12 +86,21 @@ class RobustnessSpec extends SparkSpec {
     val dir = Files.createTempDirectory("graft-empty").toString
     // the fixture's events.ts is TIMESTAMP(NANOS) — only readable with
     // the legacy long mapping (same conf Tables.events sets); the empty
-    // copy then carries plain INT64, which Tables.events handles too
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    for (t <- Seq("region", "nation", "customer", "supplier", "part",
-        "orders", "lineitem", "events", "documents", "embeddings")) {
-      spark.read.parquet(s"$sf0001/$t.parquet").limit(0)
-        .write.mode("overwrite").parquet(s"$dir/$t.parquet")
+    // copy then carries plain INT64, which Tables.events handles too.
+    // Save/restore the conf so the lazy init doesn't leak it into
+    // whichever test happens to run after this one.
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    val prev = spark.conf.getOption(key)
+    try {
+      spark.conf.set(key, "true")
+      for (t <- Seq("region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings")) {
+        spark.read.parquet(s"$sf0001/$t.parquet").limit(0)
+          .write.mode("overwrite").parquet(s"$dir/$t.parquet")
+      }
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
     }
     dir
   }
