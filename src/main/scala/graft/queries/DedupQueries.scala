@@ -51,9 +51,11 @@ object DedupQueries {
     * the corpus, hence [[singletonPruningPaysOff]]. At the bench scale
     * (sf0.1: 31-word vocabulary, distinct/total ≈ 0.10, nearly every
     * shingle common) the extra aggregation pass measured net-negative
-    * (14s → 19s), so the registered query keeps it off; the tiny SFs have
-    * ratio ≈ 0.61 where the heuristic votes to prune, which the spec
-    * exercises end-to-end. */
+    * (14s → 19s) and the heuristic correctly keeps it off; the tiny SFs
+    * have ratio ≈ 0.61 where it votes to prune. The registered queries go
+    * through [[exactJaccardPairs]], which makes this decision from the
+    * one-pass corpus stats — the call a real pipeline would make on an
+    * unknown corpus. */
   private[graft] def exactJaccardOn(
       sh: DataFrame, pruneSingletons: Boolean = false): DataFrame = {
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
@@ -90,17 +92,24 @@ object DedupQueries {
 
   /** One cheap aggregate over the index (count + HLL distinct) feeding
     * [[shouldPruneSingletons]] — how a pipeline decides the guard for an
-    * unknown corpus. Not called inside the registered fixture queries
-    * (the decision is pre-measured there, see exactJaccardOn). */
+    * unknown corpus. The `.head()` is bounded model state (two scalars),
+    * same category as the bench calibration probes. */
   private[graft] def singletonPruningPaysOff(sh: DataFrame): Boolean = {
     val row = sh.agg(count(lit(1)).as("total"),
       approx_count_distinct(col("s")).as("distinct")).head()
     shouldPruneSingletons(row.getLong(1), row.getLong(0))
   }
 
-  private[graft] def exactJaccardPairs(s: SparkSession, d: String): DataFrame =
-    // one index materialization for sizes + both self-join sides
-    exactJaccardOn(shingleIndex(s, d).localCheckpoint())
+  /** The registered exact-jaccard entry point: materialize the index once
+    * (sizes + both self-join sides + the stats pass share it), then let
+    * the corpus stats choose the df≥2 pruning guard adaptively. Either
+    * choice is exactness-preserving (DedupSpec pins pruned == unpruned);
+    * only the candidate-join economics change, so the decision belongs to
+    * measured corpus shape, not to a constant tuned on one fixture. */
+  private[graft] def exactJaccardPairs(s: SparkSession, d: String): DataFrame = {
+    val sh = shingleIndex(s, d).localCheckpoint()
+    exactJaccardOn(sh, pruneSingletons = singletonPruningPaysOff(sh))
+  }
 
   /** Prefix-filtered exact jaccard (the SSJoin/PPJoin candidate rule):
     * sort each doc's shingles by global rarity (df, then shingle), and
@@ -233,11 +242,14 @@ object DedupQueries {
           (col("doc_id") =!= col("canonical_id")).as("is_dup"))
     }),
 
-    // N-gram Jaccard near-dup: inverted-index candidates + exact verify.
-    // Fastest on THIS fixture (hot vocabulary keeps the pair join cheap:
-    // 1.27M raw pairs join in ~1.8s, less than the prefix index costs to
-    // build) — dedup_ngram_prefix below is the same semantics with the
-    // skew-proof candidate rule for corpora where f² explodes.
+    // N-gram Jaccard near-dup: inverted-index candidates + exact verify,
+    // with the df>=2 singleton-pruning guard decided adaptively from
+    // one-pass corpus stats (big vocab -> prune; this fixture's hot
+    // vocabulary at sf0.1 -> don't). Fastest on THIS fixture (hot
+    // vocabulary keeps the pair join cheap: 1.27M raw pairs join in
+    // ~1.8s, less than the prefix index costs to build) —
+    // dedup_ngram_prefix below is the same semantics with the skew-proof
+    // candidate rule for corpora where f² explodes.
     "dedup_ngram_jaccard" -> ((s, d) =>
       exactJaccardPairs(s, d)
         .filter(col("jaccard") >= JaccardThreshold)

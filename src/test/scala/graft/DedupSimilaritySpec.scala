@@ -130,6 +130,29 @@ class DedupSimilaritySpec extends SparkSpec {
       DedupQueries.shingleIndex(spark, sf0001)))
   }
 
+  test("adaptive guard flips between synthetic big-vocab and hot-vocab corpora") {
+    // big vocab: every doc contributes mostly unique shingles -> the
+    // stats pass votes to prune (the realistic web-corpus economics)
+    val bigVocab = (1 to 200).flatMap(d =>
+      (1 to 10).map(i => (d.toLong, s"uniq_${d}_$i"))).toDF("doc_id", "s")
+    assert(DedupQueries.singletonPruningPaysOff(bigVocab))
+    // hot vocab: 200 docs drawing from 20 shingles -> every shingle is
+    // common, pruning buys nothing -> off (this fixture's sf0.1 shape)
+    val hotVocab = (1 to 200).flatMap(d =>
+      (1 to 10).map(i => (d.toLong, s"hot_${i % 20}"))).toDF("doc_id", "s")
+    assert(!DedupQueries.singletonPruningPaysOff(hotVocab))
+    // and the registered path produces identical pairs to both fixed
+    // settings regardless of which branch the stats chose
+    val sh = DedupQueries.shingleIndex(spark, sf0001).localCheckpoint()
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.filter(col("jaccard") >= 0.8)
+        .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6))
+        .as[(Long, Long, Double)].collect().toSet
+    val adaptive = pairs(DedupQueries.exactJaccardPairs(spark, sf0001))
+    assert(adaptive == pairs(DedupQueries.exactJaccardOn(sh, true)))
+    assert(adaptive == pairs(DedupQueries.exactJaccardOn(sh, false)))
+  }
+
   test("banded KNN join: full coverage and high agreement with exact NN") {
     val exact = SimilarityQueries.queries("sim_nn_cross_label")(spark, sf001)
       .select("qid", "nn_id").as[(Long, Long)].collect().toMap
