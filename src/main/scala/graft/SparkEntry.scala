@@ -39,4 +39,21 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] =
     registries.map(_._2).reduce(_ ++ _)
+
+  /** Queries that have NO DuckDB oracle BY DESIGN — genuinely
+    * probabilistic or not SQL-expressible — each pinned by a named
+    * ScalaTest spec (error bounds, recall vs the exact twin, merge laws)
+    * instead of a hash compare. Machine-readable so a correctness report
+    * can distinguish "rows-only, deliberate" from "oracle missing".
+    * EntrySpec enforces that this set is exactly queries ∖ oracleSql. */
+  def rowsOnlyPinnedBy: Map[String, String] = Map(
+    "dedup_simhash" -> "DedupSimilaritySpec (probabilistic hamming blocking)",
+    "sim_ann_lsh" -> "DedupSimilaritySpec (approximate ANN; recall vs exact)",
+    "sim_ann_ivf" -> "DedupSimilaritySpec (approximate ANN; recall vs exact)",
+    "sim_knn_banded" -> "DedupSimilaritySpec (approximate NN; coverage + agreement)",
+    "sketch_cms_topk" -> "CorpusSpec (CMS error bound + merge law)",
+    "q57_approx_quantile" -> "ExtraRelationalSpec (KLL sketch, engine-specific)",
+    "q37_approx_distinct" -> "MiscSpec (HLL within 5% of exact)",
+    "sketch_hll_union" -> "CurationSpec (HLL union merge law)",
+    "ta_fingerprint" -> "RobustnessSpec (rolling hash; oracle twin ta_fingerprint_md5)")
 }

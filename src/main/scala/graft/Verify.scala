@@ -37,6 +37,19 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Per-query mode manifest: marks each no-oracle query as rows-only BY
+    // DESIGN (naming the ScalaTest spec that pins it) so a correctness
+    // report can tell "deliberately unprovable by hash" from "broken".
+    val modes = SparkEntry.queries.keys.toSeq.sorted.map { name =>
+      SparkEntry.rowsOnlyPinnedBy.get(name) match {
+        case Some(pin) =>
+          s"${q(name)}: {${q("mode")}: ${q("rows_only")}, " +
+            s"${q("pinned_by")}: ${q(pin)}}"
+        case None =>
+          s"${q(name)}: {${q("mode")}: ${q("oracle")}}"
+      }
+    }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/query_modes.json"), modes)
     spark.stop()
   }
 }
