@@ -39,6 +39,64 @@ object StreamingJobs {
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
   }
 
+  /** Rate-limited file replay (SURVEY §7.4's framing of the events
+    * fixture as a stream): ingest `filesPerTrigger` chunk files per
+    * micro-batch from a directory of time-ordered chunks (see
+    * [[writeReplayChunks]]), so stateful session/funnel machines observe
+    * the same arrival order a replayed event log would produce. Chunk ts
+    * is plain epoch-micros INT64 (written by us — no parquet-nanos
+    * legacy conf needed on the read side). */
+  def eventsReplayStream(
+      spark: SparkSession, replayDir: String,
+      filesPerTrigger: Int = 1): DataFrame =
+    spark.readStream
+      .schema(eventsRawSchema)
+      .option("maxFilesPerTrigger", filesPerTrigger)
+      .parquet(replayDir)
+      .withColumn("ts", expr("timestamp_micros(ts)"))
+
+  /** Split a batch events table into `chunks` single-file parquet chunks
+    * in global event-time order, with strictly increasing file
+    * modification times so the file stream source replays them in order
+    * (FileStreamSource picks up new files by mod-time). Appends two
+    * far-future sentinel rows (user_id = -1) as their own trailing
+    * chunks: the first advances the watermark past every real session's
+    * timeout, the second gives the state store a batch in which to fire
+    * those timeouts — callers filter `user_id >= 0` on the output.
+    * Driver-side work is one pass over the FIXTURE (test scaffolding);
+    * the streaming source itself is the scale surface. */
+  def writeReplayChunks(
+      spark: SparkSession, sfDir: String, replayDir: String,
+      chunks: Int): Unit = {
+    import spark.implicits._
+    val dir = new java.io.File(replayDir)
+    dir.mkdirs()
+    val rows = graft.Tables.events(spark, sfDir)
+      .select(col("event_id"), unix_micros(col("ts")).as("ts"),
+        col("user_id"), col("event_type"), col("value"), col("props"))
+      .as[(Long, Long, Long, String, Double, String)]
+      .collect().sortBy(r => (r._2, r._4, r._1))
+    val maxUs = rows.map(_._2).max
+    val sentinel = (i: Long) =>
+      (-i, maxUs + 10L * 86400L * 1000000L + i, -1L, "view", 0.0, "{}")
+    val groups = rows.grouped(math.max(1, rows.length / chunks + 1)).toSeq ++
+      Seq(Array(sentinel(1)), Array(sentinel(2)))
+    groups.zipWithIndex.foreach { case (g, i) =>
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-replay-chunk").toString
+      g.toSeq.toDF("event_id", "ts", "user_id", "event_type",
+          "value", "props")
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(dir, f"chunk_$i%03d.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      // strictly increasing, coarse-granularity-proof spacing
+      dst.setLastModified(1700000000000L + i * 60000L)
+    }
+  }
+
   /** Tumbling 1h window counts per event type with a 10-minute watermark.
     * Late rows beyond the watermark are dropped (documented divergence
     * from batch, where everything is seen). */

@@ -10,6 +10,61 @@ import org.apache.spark.sql.types._
   * results as the equivalent batch queries. */
 class StreamingSpec extends SparkSpec {
 
+  // Rate-limited file replay of the events fixture (SURVEY §7.4): the
+  // parquet table split into four time-ordered chunk files plus two
+  // far-future sentinel chunks, replayed ONE FILE PER MICRO-BATCH from
+  // disk — the full source-to-state path a production replay would use,
+  // with no MemoryStream anywhere.
+  private lazy val replayDir: String = {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-replay").toString
+    StreamingJobs.writeReplayChunks(spark, sf0001, dir, chunks = 4)
+    dir
+  }
+
+  test("file-replayed events through the sessionizer == batch q60 exactly") {
+    import spark.implicits._
+    import graft.streaming.StatefulOps
+    import graft.streaming.StatefulOps.{ClosedSession, SessEvent}
+    val stream = StreamingJobs.eventsReplayStream(spark, replayDir)
+      .select(col("user_id"), col("ts")).as[SessEvent]
+    val q = StatefulOps.sessionizeStream(stream, gapMin = 30)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("replay_sess").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("replay_sess").as[ClosedSession].collect()
+      .filter(_.user_id >= 0)
+      .map(c => (c.user_id, c.start_us, c.end_us, c.n_events)).toSet
+    val batch = SparkEntry.queries("q60_sessionize")(spark, sf0001)
+      .select(col("user_id"), col("start_us"), col("end_us"),
+        col("n_events"))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(streamed == batch,
+      s"streamed=${streamed.size} batch=${batch.size} " +
+        s"onlyStream=${streamed.diff(batch).take(3)} " +
+        s"onlyBatch=${batch.diff(streamed).take(3)}")
+  }
+
+  test("file-replayed events through the funnel == batch q58 step counts") {
+    import spark.implicits._
+    import graft.streaming.StatefulOps
+    import graft.streaming.StatefulOps.{StepReached, TypedEvent}
+    val stream = StreamingJobs.eventsReplayStream(spark, replayDir)
+      .filter(col("user_id") >= 0) // sentinel chunks are not funnel input
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_type")).as[TypedEvent]
+    val q = StatefulOps.funnelProgress(stream)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("replay_funnel").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("replay_funnel").as[StepReached].collect()
+      .groupBy(_.step).view.mapValues(_.length.toLong).toMap
+    val batchCounts = SparkEntry.queries("q58_funnel_steps")(spark, sf0001)
+      .as[(Int, Long)].collect().toMap
+    assert(streamed == batchCounts,
+      s"streamed=$streamed batch=$batchCounts")
+  }
+
   test("streaming tumbling window counts match batch window()") {
     val stream = StreamingJobs.eventsStream(spark, sf0001)
     val q = StreamingJobs.windowedEventCounts(stream)
