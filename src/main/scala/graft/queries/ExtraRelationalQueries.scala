@@ -90,7 +90,13 @@ object ExtraRelationalQueries {
   /** Morton spread: scatter the low 16 bits of `x` into the even bit
     * positions of a 32-bit lane (the standard mask-shift cascade) — long
     * arithmetic only, bounded below 2^33, so ANSI-safe and codegen'd. */
-  private def mortonSpread(x: Column): Column = {
+  /** Interleaved 2-D Morton key over the low 16 bits of each dimension —
+    * shared by q56's bucket histogram and Layout.writeZOrdered's
+    * persisted clustering. */
+  private[graft] def zOrderKey(x: Column, y: Column): Column =
+    mortonSpread(x).bitwiseOR(shiftleft(mortonSpread(y), 1))
+
+  private[graft] def mortonSpread(x: Column): Column = {
     val a = x.bitwiseAND(lit(0xFFFFL))
     val b = a.bitwiseOR(shiftleft(a, 8)).bitwiseAND(lit(0x00FF00FFL))
     val c = b.bitwiseOR(shiftleft(b, 4)).bitwiseAND(lit(0x0F0F0F0FL))
@@ -283,8 +289,7 @@ object ExtraRelationalQueries {
     // cascade step-for-step in BIGINT arithmetic.
     "q56_zorder_key" -> ((s, d) => {
       val days = datediff(col("o_orderdate"), lit("1970-01-01").cast("date"))
-      val zkey = mortonSpread(col("o_custkey"))
-        .bitwiseOR(shiftleft(mortonSpread(days.cast("long")), 1))
+      val zkey = zOrderKey(col("o_custkey"), days.cast("long"))
       Tables.orders(s, d)
         .select(col("o_orderkey"), zkey.as("zkey"))
         .groupBy(shiftright(col("zkey"), 20).as("zbucket"))

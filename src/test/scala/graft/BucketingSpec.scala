@@ -19,12 +19,12 @@ class BucketingSpec extends SparkSpec {
       new Directory(new java.io.File(s"/tmp/graft-test-warehouse/$t"))
         .deleteRecursively()
     }
-    Tables.orders(spark, sf0001)
-      .write.bucketBy(4, "o_orderkey").sortBy("o_orderkey")
-      .mode("overwrite").saveAsTable("o_b")
-    Tables.lineitem(spark, sf0001)
-      .write.bucketBy(4, "l_orderkey").sortBy("l_orderkey")
-      .mode("overwrite").saveAsTable("l_b")
+    graft.operators.Layout.writeBucketed(
+      Tables.orders(spark, sf0001), "o_b", 4, "o_orderkey",
+      Seq("o_orderkey"))
+    graft.operators.Layout.writeBucketed(
+      Tables.lineitem(spark, sf0001), "l_b", 4, "l_orderkey",
+      Seq("l_orderkey"))
 
     val joined = spark.table("o_b").join(spark.table("l_b"),
       col("o_orderkey") === col("l_orderkey"))
