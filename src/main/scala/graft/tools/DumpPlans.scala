@@ -34,6 +34,7 @@ object DumpPlans {
     "dedup_substr_remove" -> "ExactSubstr span removal: gram-keyed first-occurrence window, covered positions anti-joined on (doc_id,pos), collect_list reassembly",
     "dedup_embedding" -> "all-pairs exact embedding dedup (oracle baseline): fused graft_cosine inside WholeStageCodegen over the BroadcastNestedLoop pairs",
     "q56_zorder_key" -> "Z-order key: pure mask-shift projection above the scan, one aggregate exchange on the bucket",
+    "q66_outer_explode" -> "OUTER generator: explode + partial/final count — the only exchange carries (doc_id, count), never the raw text (parallelism is reader splits, not a repartition)",
     "q58_funnel_steps" -> "ordered funnel: per-step user-keyed aggregates chained on one partitioning; event_type filters pushed to the parquet scan",
     "ta_boilerplate" -> "boilerplate span removal: hot-gram set broadcast into the occurrence scan, covered positions anti-joined on (doc_id,pos), order-preserving reassembly as one partial+final collect_list aggregate",
     "pipeline_e2e" -> "end-to-end curation verdict: stage outputs are checkpointed seams (quality -> exact dedup -> CC over canonicals), final verdict is two doc_id-keyed left joins")
