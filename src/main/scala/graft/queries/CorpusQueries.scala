@@ -211,7 +211,6 @@ object CorpusQueries {
     // the oracle engine doesn't implement.
     "sketch_cms_topk" -> ((s, d) => {
       val toks = Tables.documents(s, d)
-        .repartition(col("doc_id"))
         .select(explode(tokens(col("text"))).as("word"))
       val cms = udaf(CountMinAggregator)
       val sketch: Seq[Long] = toks

@@ -58,7 +58,6 @@ object CurationQueries {
           bloomPos(2, col("s"))).as("bits"))
         .head().getSeq[Long](0)
       val corpus = docs.filter(col("source") =!= "src0")
-        .repartition(col("doc_id"))
         .select(col("doc_id"), explode(shingles(col("text"), 3)).as("s"))
       val bitsLit = typedlit(bits)
       val candidates = corpus.filter(
@@ -78,7 +77,6 @@ object CurationQueries {
     // no joins, linear in corpus shingles at any scale.
     "dedup_substr_seen" -> ((s, d) => {
       val idx = Tables.documents(s, d)
-        .repartition(col("doc_id"))
         .select(col("doc_id"), explode(shingles(col("text"), 5)).as("s"))
       idx
         .withColumn("first_owner",
@@ -159,7 +157,6 @@ object CurationQueries {
     // subset so both engines compile them identically.
     "ta_pii_scrub" -> ((s, d) => {
       Tables.documents(s, d)
-        .repartition(col("doc_id"))
         .select(col("doc_id"),
           regexp_replace(regexp_replace(regexp_replace(col("text"),
             lit(EmailRe), lit("<EMAIL>")),
@@ -185,7 +182,6 @@ object CurationQueries {
     // (keys are documents). No self-joins anywhere.
     "ta_boilerplate" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-        .repartition(col("doc_id"))
         .withColumn("w", tokens(col("text")))
         .repartition(col("doc_id")) // eval-once barrier for tokens()
         .select("doc_id", "w")
@@ -242,9 +238,8 @@ object CurationQueries {
       val stopHits = size(filter(col("toks"),
         t => t.isin("the", "a", "of", "and", "is")))
       val staged = Tables.documents(s, d)
-        .repartition(col("doc_id"))
         .withColumn("toks", tokens(col("text")))
-        .repartition(col("doc_id"))
+        .repartition(col("doc_id")) // eval-once barrier for tokens()
         .select(col("doc_id"), col("text"),
           // coalesce: a null-text doc FAILS the gate (false, not null) so
           // every downstream boolean stays two-valued (RobustnessSpec)
@@ -259,7 +254,6 @@ object CurationQueries {
         .localCheckpoint() // feeds stage 3 and the final verdict join
       val canonSh = exact
         .filter(col("doc_id") === col("exact_canonical"))
-        .repartition(col("doc_id"))
         .select(col("doc_id"), explode(shingles(col("text"), 3)).as("s"))
         .repartition(col("doc_id"))
         .localCheckpoint() // sizes + both self-join sides (see DedupQueries)
@@ -291,7 +285,6 @@ object CurationQueries {
     "sample_epochs" -> ((s, d) => {
       val w = Window.partitionBy()
       Tables.documents(s, d)
-        .repartition(col("doc_id"))
         .select(col("source"),
           size(tokens(col("text"))).cast("long").as("n"))
         .groupBy("source")
@@ -316,9 +309,8 @@ object CurationQueries {
     // training sweep needs at corpus scale.
     "ta_bpe_merges" -> ((s, d) => {
       val base = Tables.documents(s, d)
-        .repartition(col("doc_id"))
         .withColumn("toks", tokens(col("text")))
-        .repartition(col("doc_id"))
+        .repartition(col("doc_id")) // eval-once barrier for tokens()
         .select(col("toks"), size(col("toks")).as("n"))
       base.select(explode(when(col("n") >= 2, zip_with(
           slice(col("toks"), lit(1), col("n") - 1),
@@ -339,7 +331,6 @@ object CurationQueries {
     // error vs exact distinct counts.
     "sketch_hll_union" -> ((s, d) => {
       val toks = Tables.documents(s, d)
-        .repartition(col("doc_id"))
         .select(col("lang"), explode(tokens(col("text"))).as("t"))
       val perLang = toks.groupBy("lang")
         .agg(hll_sketch_agg(col("t")).as("sk"))

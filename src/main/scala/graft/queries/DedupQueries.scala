@@ -28,15 +28,15 @@ object DedupQueries {
   private val JaccardThreshold = 0.8
 
   /** (doc_id, shingle) inverted index — distinct 3-gram shingles.
-    * First repartition: the documents parquet is a single file (one
-    * partition); spreading rows lets the shingle computation use all
-    * cores. Second repartition (above the explode): queries that consume
-    * the index twice (minhash banding + candidate verification) share one
-    * canonical exchange, so ReuseExchange makes the shingle construction
-    * run once per query instead of once per consumer. */
+    * The raw text is never shuffled: scan parallelism is reader splits
+    * (spark.sql.files.maxPartitionBytes), and the one repartition sits
+    * ABOVE the explode, so only (doc_id, s) rows cross the wire. That
+    * exchange doubles as the reuse seam: queries consuming the index
+    * twice (minhash banding + candidate verification) share one
+    * canonical exchange via ReuseExchange, so shingle construction runs
+    * once per query instead of once per consumer. */
   private[graft] def shingleIndex(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
-      .repartition(col("doc_id"))
       .select(col("doc_id"), explode(shingles(col("text"), 3)).as("s"))
       .repartition(col("doc_id"))
 
@@ -316,7 +316,6 @@ object DedupQueries {
     "dedup_simhash" -> ((s, d) => {
       val simhashAgg = udaf(graft.functions.SimHashAggregator)
       val sigs = Tables.documents(s, d)
-        .repartition(col("doc_id"))
         .select(col("doc_id"),
           explode(tokens(col("text"))).as("tok"))
         .select(col("doc_id"), xxhash64(col("tok")).as("h"))
@@ -349,7 +348,6 @@ object DedupQueries {
     // earlier delta doc, or genuinely new.
     "dedup_incremental" -> ((s, d) => {
       val idx = Tables.documents(s, d)
-        .repartition(col("doc_id"))
         .select(col("doc_id"), (col("source") === "src0").as("in_base"),
           explode(shingles(col("text"), 3)).as("s"))
         .repartition(col("doc_id"))
@@ -479,20 +477,22 @@ object DedupQueries {
     }))
 
   /** Embeddings normalized to unit vectors — (vec_id, u). Normalize once
-    * per vector (norm and unit projections each behind an exchange
-    * barrier — eval-once), so every pair costs ONE dot product instead of
-    * three. Oracles mirror the normalize-then-dot op order for bit-stable
+    * per vector, so every pair costs ONE dot product instead of three.
+    * The single repartition is the eval-once barrier for `nrm`: without
+    * it ProjectCollapse inlines sqrt(dot(v,v)) inside the division
+    * lambda, re-evaluating it per vector ELEMENT (O(dim²)). No other
+    * exchange: the raw vectors are never shuffled for parallelism, and
+    * the localCheckpoint materializes `u` for both self-join sides.
+    * Oracles mirror the normalize-then-dot op order for bit-stable
     * doubles. */
   private def unitEmbeddings(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      .repartition(col("vec_id"))
       .select(col("vec_id"), col("v"),
         sqrt(VectorFunctions.dot(col("v"), col("v"))).as("nrm"))
       .repartition(col("vec_id"))
       .select(col("vec_id"),
         transform(col("v"), x => x / col("nrm")).as("u"))
-      .repartition(col("vec_id"))
       .localCheckpoint() // both self-join sides, in two queries
 
   val oracles: Map[String, String] = Map(

@@ -126,7 +126,6 @@ object PipelineQueries {
         .select(explode(shingles(col("text"), 3)).as("s"))
         .distinct()
       val corpus = docs.filter(col("source") =!= "src0")
-        .repartition(col("doc_id"))
         .select(col("doc_id"), explode(shingles(col("text"), 3)).as("s"))
       corpus.join(broadcast(bench), "s")
         .groupBy("doc_id")

@@ -17,13 +17,13 @@ import org.apache.spark.sql.functions._
   */
 object TextQueries {
 
-  /** documents + a materialized token array (repartition = parallelism
-    * for the single-file parquet AND the eval-once barrier so the many
-    * per-column token expressions read an attribute instead of
-    * re-splitting the text). */
+  /** documents + a materialized token array. The repartition is the
+    * eval-once barrier: the many per-column token expressions read an
+    * attribute instead of re-splitting the text. The raw text is never
+    * shuffled separately for parallelism — scan splits provide that at
+    * scale. */
   private[queries] def docsWithToks(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
-      .repartition(col("doc_id"))
       .withColumn("toks", tokens(col("text")))
       .repartition(col("doc_id"))
 
