@@ -68,8 +68,18 @@ object Bench {
     val normalized = if (loadFactor > 1.0) total / loadFactor else total
     // Per-query detail first on its own line; the compact headline total LAST
     // so a tail-capture of stdout always retains the parseable summary line.
-    println(s"""{"metric":"queries","queries":$qs,"sf":"$sfDir"}""")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","nqueries":${results.size},"value_normalized":$normalized,"load_factor":$loadFactor,"calib_start":$calibStart,"calib_end":$calibEnd,"calib_io_start":$calibIoStart,"calib_io_end":$calibIoEnd}""")
+    val detailLine = s"""{"metric":"queries","queries":$qs,"sf":"$sfDir"}"""
+    val totalLine = s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","nqueries":${results.size},"value_normalized":$normalized,"load_factor":$loadFactor,"calib_start":$calibStart,"calib_end":$calibEnd,"calib_io_start":$calibIoStart,"calib_io_end":$calibIoEnd}"""
+    println(detailLine)
+    println(totalLine)
+    // Stdout tail-captures have dropped the (long) per-query line before;
+    // persist the full run locally so per-query timings always survive.
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+          "/root/repo/BENCH_LAST.json")),
+      detailLine + "\n" + totalLine + "\n")
+    catch { case _: Throwable => } // a read-only tree must not fail the run
     spark.stop()
   }
 }
