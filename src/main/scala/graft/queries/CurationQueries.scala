@@ -34,6 +34,25 @@ object CurationQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // Deterministic seeded corpus shuffle: a reproducible global
+    // permutation (same seed -> identical order on any cluster, any
+    // partitioning) — the step before sequential sharding that fixes a
+    // training run's data order. Order key = md5(seed || doc_id):
+    // content-independent, uniform, replay-stable (no rand()); the
+    // position is the scalable quantile-bucketed global rank — no
+    // single-partition window at any corpus size.
+    "curate_shuffle" -> ((s, d) => {
+      val hk = conv(substring(md5(
+          concat(lit(ShuffleSeed), col("doc_id").cast("string"))
+            .cast("binary")), 1, 8), 16, 10)
+        .cast("long")
+      ExtraRelationalQueries.globalRowNumber(
+          Tables.documents(s, d).select(col("doc_id"))
+            .withColumn("hk", hk),
+          32, "hk", firstAsc = true, col("hk").asc, col("doc_id").asc)
+        .select(col("doc_id"), col("global_rn").as("pos"))
+    }),
+
     // Bloom-prefiltered benchmark decontamination — decontam_overlap's
     // at-scale twin. The benchmark shingle set becomes a 32 KB Bloom
     // filter (built distributed via BloomFilterAggregator: partial
@@ -345,7 +364,18 @@ object CurationQueries {
   private[graft] val SsnRe = "\\b\\d{3}-\\d{2}-\\d{4}\\b"
   private[graft] val Ipv4Re = "\\b(\\d{1,3}\\.){3}\\d{1,3}\\b"
 
+  /** Fixed seed for [[queries]]' `curate_shuffle` — a pipeline would take
+    * this per training run. */
+  private val ShuffleSeed = "graft-shuffle-42"
+
   val oracles: Map[String, String] = Map(
+    "curate_shuffle" ->
+      """SELECT doc_id,
+        |  ROW_NUMBER() OVER (ORDER BY
+        |    CAST(('0x' || substring(md5('graft-shuffle-42' ||
+        |      CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) ASC,
+        |    doc_id ASC) AS pos
+        |FROM documents""".stripMargin,
     // Bloom prefilter has no false negatives and candidates are verified
     // by the exact join ⇒ identical to the unfiltered sweep.
     "decontam_bloom" -> PipelineQueries.oracles("decontam_overlap"),

@@ -189,10 +189,10 @@ object ExtraRelationalQueries {
     // counts only if it happens strictly AFTER the previous step's first
     // completion — the sequential-pattern query behind conversion
     // analytics. Shape: three user-keyed aggregates chained by equi-joins
-    // on user_id; every shuffle shares the same key, so at scale the
-    // exchanges reuse one partitioning (no all-events window state).
+    // on user_id; each branch scans pruned+filtered columns and
+    // partial-aggregates map-side, so only per-user partials shuffle.
     "q58_funnel_steps" -> ((s, d) => {
-      val ev = Tables.events(s, d).repartition(col("user_id"))
+      val ev = Tables.events(s, d)
       val v = ev.filter(col("event_type") === "view")
         .groupBy("user_id").agg(min(col("ts")).as("t1"))
       val c = ev.filter(col("event_type") === "click")
@@ -213,7 +213,7 @@ object ExtraRelationalQueries {
     // aggregate joined back, then a distinct-count; both shuffles on
     // user_id / small group keys.
     "q59_cohort_retention" -> ((s, d) => {
-      val ev = Tables.events(s, d).repartition(col("user_id"))
+      val ev = Tables.events(s, d)
       val cohort = ev.groupBy("user_id")
         .agg(date_trunc("week", min(col("ts"))).cast("date")
           .as("cohort_week"))
