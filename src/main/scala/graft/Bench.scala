@@ -60,8 +60,11 @@ object Bench {
     // for other thread counts. Never normalized DOWNWARD past raw (a
     // faster-than-reference box is reported as-is), and a failed probe
     // (-1) leaves the raw total untouched.
-    val quietCalib =
-      sys.env.getOrElse("SPARK_GRAFT_QUIET_CALIB", "0.30").toDouble
+    // Parsed defensively: a malformed or non-positive override must not
+    // throw away a completed suite's measurements (normalization simply
+    // degrades to the raw total).
+    val quietCalib = sys.env.get("SPARK_GRAFT_QUIET_CALIB")
+      .flatMap(_.toDoubleOption).filter(_ > 0).getOrElse(0.30)
     val probes = Seq(calibStart, calibEnd).filter(_ > 0)
     val loadFactor =
       if (probes.nonEmpty) (probes.sum / probes.size) / quietCalib else 1.0

@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{CosineSim, DotProduct}
+import graft.functions.{CosineSim, DotProduct, QuantizeInt8}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
@@ -30,6 +30,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(exprs.length == 2,
           s"graft_cosine requires exactly 2 arguments, got ${exprs.length}")
         CosineSim(exprs(0), exprs(1))
+      }))
+    e.injectFunction((
+      new FunctionIdentifier("graft_quantize_int8"),
+      new ExpressionInfo(classOf[QuantizeInt8].getName, "graft_quantize_int8"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(exprs.length == 1,
+          s"graft_quantize_int8 requires exactly 1 argument, got ${exprs.length}")
+        QuantizeInt8(exprs(0))
       }))
     // aggregate(zip_with(a,b,*), 0.0, +) -> native DotProduct
     e.injectOptimizerRule(_ => graft.plans.RewriteHofDotProduct)

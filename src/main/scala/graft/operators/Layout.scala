@@ -44,10 +44,13 @@ object Layout {
     * global sort) + an in-partition sort, so file-level min/max ranges
     * are disjoint and tight. LayoutSpec pins the disjointness. */
   def writeZOrdered(
-      df: DataFrame, path: String, files: Int, zkey: Column): Unit =
+      df: DataFrame, path: String, files: Int, zkey: Column): Unit = {
+    require(!df.columns.contains("__zkey"),
+      "writeZOrdered: input must not contain the working column __zkey")
     df.withColumn("__zkey", zkey)
       .repartitionByRange(files, org.apache.spark.sql.functions.col("__zkey"))
       .sortWithinPartitions("__zkey")
       .drop("__zkey")
       .write.mode("overwrite").parquet(path)
+  }
 }

@@ -200,9 +200,11 @@ object CurationQueries {
     // the reassembly groupBy both shuffle on doc_id — linear, skew-free
     // (keys are documents). No self-joins anywhere.
     "ta_boilerplate" -> ((s, d) => {
+      // no exchange barrier: the single-use projection collapses to one
+      // tokens() call per row, and the localCheckpoint materializes `w`
+      // for the three consumers — tokens cross local disk, never the wire
       val docs = Tables.documents(s, d)
         .withColumn("w", tokens(col("text")))
-        .repartition(col("doc_id")) // eval-once barrier for tokens()
         .select("doc_id", "w")
         .localCheckpoint() // referenced by toks, grams, and the final join
       // corpus-relative threshold: one count() action on the checkpointed
@@ -256,9 +258,10 @@ object CurationQueries {
       val n = size(col("toks"))
       val stopHits = size(filter(col("toks"),
         t => t.isin("the", "a", "of", "and", "is")))
+      // no exchange barrier: the two quality expressions re-tokenize
+      // (2× linear) instead of shuffling every token to save one split
       val staged = Tables.documents(s, d)
         .withColumn("toks", tokens(col("text")))
-        .repartition(col("doc_id")) // eval-once barrier for tokens()
         .select(col("doc_id"), col("text"),
           // coalesce: a null-text doc FAILS the gate (false, not null) so
           // every downstream boolean stays two-valued (RobustnessSpec)
@@ -327,9 +330,9 @@ object CurationQueries {
     // table is never globally sorted — the shape a real tokenizer-
     // training sweep needs at corpus scale.
     "ta_bpe_merges" -> ((s, d) => {
+      // no exchange barrier: 2× tokenize beats shuffling the token arrays
       val base = Tables.documents(s, d)
         .withColumn("toks", tokens(col("text")))
-        .repartition(col("doc_id")) // eval-once barrier for tokens()
         .select(col("toks"), size(col("toks")).as("n"))
       base.select(explode(when(col("n") >= 2, zip_with(
           slice(col("toks"), lit(1), col("n") - 1),

@@ -243,20 +243,18 @@ object SimilarityQueries {
     // int8 symmetric quantization: q = floor(x*127/maxabs + 0.5).
     // floor of identically-computed doubles is cross-engine exact (unlike
     // round(), which goes through shortest-repr BigDecimal in Spark).
-    val e = Tables.embeddings(s, d)
+    // The fused native QuantizeInt8 computes maxabs inside its own loop,
+    // so there is no cross-expression maxabs reference, no CollapseProject
+    // quadratic trap, no exchange barrier — zero shuffles, one linear
+    // projection. `scale` re-derives maxabs as its own top-level column
+    // (evaluated once; nothing nests it in a lambda). q8 is the canonical
+    // comma-joined string: the verification driver's pandas row sort
+    // cannot handle array-typed columns.
+    Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      .select(col("vec_id"), col("v"),
-        array_max(transform(col("v"), x => abs(x))).as("maxabs"))
-      // barrier: maxabs as attribute — without it ProjectCollapse inlines
-      // array_max(...) inside the quantization lambda, re-evaluating it
-      // per vector element (O(dim²))
-      .repartition(col("vec_id"))
-    // q8 emitted as a canonical comma-joined string: the verification
-    // driver's pandas row sort cannot handle array-typed columns.
-    e.select(col("vec_id"),
-      array_join(transform(col("v"), x =>
-        floor(x * 127 / col("maxabs") + 0.5).cast("int")), ",").as("q8"),
-      col("maxabs").as("scale"))
+      .select(col("vec_id"),
+        graft.functions.QuantizeInt8.quantize(col("v")).as("q8"),
+        array_max(transform(col("v"), x => abs(x))).as("scale"))
   }
 
   val oracles: Map[String, String] = Map(

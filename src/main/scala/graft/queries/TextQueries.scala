@@ -17,15 +17,17 @@ import org.apache.spark.sql.functions._
   */
 object TextQueries {
 
-  /** documents + a materialized token array. The repartition is the
-    * eval-once barrier: the many per-column token expressions read an
-    * attribute instead of re-splitting the text. The raw text is never
-    * shuffled separately for parallelism — scan splits provide that at
-    * scale. */
+  /** documents + a token array column. Deliberately NO exchange barrier:
+    * CollapseProject inlines `toks` into each consuming expression, so a
+    * query using it k times re-tokenizes k× — a bounded, linear CPU cost
+    * that keeps the whole text family shuffle-free (a barrier here would
+    * push every token of the corpus across the wire to save a few string
+    * splits; at 100 TB that trade is absurd). Per-ELEMENT (quadratic)
+    * re-evaluation inside lambdas is the case that does justify a
+    * barrier — see sim_quantize_int8 / unitEmbeddings. */
   private[queries] def docsWithToks(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .withColumn("toks", tokens(col("text")))
-      .repartition(col("doc_id"))
 
   private val langMarkers: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "a", "of", "and", "is"),

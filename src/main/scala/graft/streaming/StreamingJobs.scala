@@ -76,6 +76,8 @@ object StreamingJobs {
         col("user_id"), col("event_type"), col("value"), col("props"))
       .as[(Long, Long, Long, String, Double, String)]
       .collect().sortBy(r => (r._2, r._4, r._1))
+    require(rows.nonEmpty,
+      s"writeReplayChunks: no events to replay in $sfDir")
     val maxUs = rows.map(_._2).max
     val sentinel = (i: Long) =>
       (-i, maxUs + 10L * 86400L * 1000000L + i, -1L, "view", 0.0, "{}")

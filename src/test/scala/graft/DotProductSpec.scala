@@ -140,4 +140,43 @@ class DotProductSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("*(1) Project [graft_cosine"), plan.take(500))
   }
+
+  test("fused int8 quantizer == composed barrier form bitwise on fixture embeddings") {
+    import graft.functions.QuantizeInt8
+    // the composed form (with its eval-once exchange barrier) is the
+    // reference semantics the DuckDB oracle mirrors; the fused expression
+    // must reproduce its strings exactly
+    val e = Tables.embeddings(spark, sf001)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val composed = e
+      .select(col("vec_id"), col("v"),
+        array_max(transform(col("v"), x => abs(x))).as("maxabs"))
+      .repartition(col("vec_id"))
+      .select(col("vec_id"),
+        array_join(transform(col("v"), x =>
+          floor(x * 127 / col("maxabs") + 0.5).cast("int")), ",").as("q8"))
+      .as[(Long, String)].collect().toMap
+    val fused = e.select(col("vec_id"),
+        QuantizeInt8.quantize(col("v")).as("q8"))
+      .as[(Long, String)].collect().toMap
+    assert(fused.nonEmpty && fused == composed)
+  }
+
+  test("fused int8 quantizer edge cases: empty, null element, zero vector, null input") {
+    import graft.functions.QuantizeInt8
+    val df = Seq(
+      (1L, Some(Seq[java.lang.Double](2.0, -4.0, 1.0))),
+      (2L, Some(Seq.empty[java.lang.Double])),
+      (3L, Some(Seq[java.lang.Double](1.0, null, 3.0))),
+      (4L, Some(Seq[java.lang.Double](0.0, 0.0))), // composed form would ANSI-throw on NaN cast
+      (5L, None))
+      .toDF("id", "v")
+    val got = df.select(col("id"), QuantizeInt8.quantize(col("v")).as("q8"))
+      .as[(Long, Option[String])].collect().toMap
+    assert(got(1L) == Some("64,-127,32"))
+    assert(got(2L) == Some(""))
+    assert(got(3L).isEmpty) // null element -> null row, not a silent skip
+    assert(got(4L).isEmpty) // zero-norm -> NULL, never an ANSI kill
+    assert(got(5L).isEmpty)
+  }
 }
