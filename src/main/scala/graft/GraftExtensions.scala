@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{CosineSim, DotProduct, QuantizeInt8}
+import graft.functions.{CosineSim, DotProduct, QuantizeInt8, UnitNormalize}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
@@ -30,6 +30,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(exprs.length == 2,
           s"graft_cosine requires exactly 2 arguments, got ${exprs.length}")
         CosineSim(exprs(0), exprs(1))
+      }))
+    e.injectFunction((
+      new FunctionIdentifier("graft_unit_normalize"),
+      new ExpressionInfo(classOf[UnitNormalize].getName,
+        "graft_unit_normalize"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(exprs.length == 1,
+          s"graft_unit_normalize requires exactly 1 argument, got ${exprs.length}")
+        UnitNormalize(exprs(0))
       }))
     e.injectFunction((
       new FunctionIdentifier("graft_quantize_int8"),

@@ -478,21 +478,16 @@ object DedupQueries {
 
   /** Embeddings normalized to unit vectors — (vec_id, u). Normalize once
     * per vector, so every pair costs ONE dot product instead of three.
-    * The single repartition is the eval-once barrier for `nrm`: without
-    * it ProjectCollapse inlines sqrt(dot(v,v)) inside the division
-    * lambda, re-evaluating it per vector ELEMENT (O(dim²)). No other
-    * exchange: the raw vectors are never shuffled for parallelism, and
-    * the localCheckpoint materializes `u` for both self-join sides.
-    * Oracles mirror the normalize-then-dot op order for bit-stable
-    * doubles. */
+    * The fused native UnitNormalize computes the norm in its own loop —
+    * no cross-expression nrm reference, no CollapseProject quadratic
+    * trap, no exchange barrier; the plan below the checkpoint is
+    * shuffle-free and bit-identical to the old barrier form
+    * (DotProductSpec pins it). Oracles mirror the normalize-then-dot op
+    * order for bit-stable doubles. */
   private def unitEmbeddings(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d)
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      .select(col("vec_id"), col("v"),
-        sqrt(VectorFunctions.dot(col("v"), col("v"))).as("nrm"))
-      .repartition(col("vec_id"))
       .select(col("vec_id"),
-        transform(col("v"), x => x / col("nrm")).as("u"))
+        graft.functions.UnitNormalize.unit(col("embedding")).as("u"))
       .localCheckpoint() // both self-join sides, in two queries
 
   val oracles: Map[String, String] = Map(

@@ -162,6 +162,46 @@ class DotProductSpec extends SparkSpec {
     assert(fused.nonEmpty && fused == composed)
   }
 
+  test("fused unit-normalize == composed barrier form bitwise on fixture embeddings") {
+    import graft.functions.UnitNormalize
+    val e = Tables.embeddings(spark, sf001)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val composed = e
+      .select(col("vec_id"), col("v"),
+        sqrt(VectorFunctions.dot(col("v"), col("v"))).as("nrm"))
+      .repartition(col("vec_id"))
+      .select(col("vec_id"), transform(col("v"), x => x / col("nrm")).as("u"))
+      .as[(Long, Seq[Double])].collect().toMap
+    val fused = e.select(col("vec_id"),
+        UnitNormalize.unit(col("v")).as("u"))
+      .as[(Long, Seq[Double])].collect().toMap
+    assert(fused.nonEmpty && fused.keySet == composed.keySet)
+    fused.foreach { case (id, u) =>
+      val c = composed(id)
+      assert(u.length == c.length, s"vec $id")
+      u.zip(c).foreach { case (a, b) =>
+        assert(java.lang.Double.doubleToLongBits(a) ==
+          java.lang.Double.doubleToLongBits(b), s"vec $id: $a != $b")
+      }
+    }
+  }
+
+  test("fused unit-normalize edge cases: zero vector and null element -> NULL, not Inf/NaN") {
+    import graft.functions.UnitNormalize
+    val df = Seq(
+      (1L, Some(Seq[java.lang.Double](3.0, 4.0))),
+      (2L, Some(Seq[java.lang.Double](0.0, 0.0))), // composed emits Inf/NaN that silently poison cosines
+      (3L, Some(Seq[java.lang.Double](1.0, null))),
+      (4L, None))
+      .toDF("id", "v")
+    val got = df.select(col("id"), UnitNormalize.unit(col("v")).as("u"))
+      .as[(Long, Option[Seq[Double]])].collect().toMap
+    assert(got(1L) == Some(Seq(0.6, 0.8)))
+    assert(got(2L).isEmpty)
+    assert(got(3L).isEmpty)
+    assert(got(4L).isEmpty)
+  }
+
   test("fused int8 quantizer edge cases: empty, null element, zero vector, null input") {
     import graft.functions.QuantizeInt8
     val df = Seq(
