@@ -18,17 +18,39 @@ object QueryDebug {
       sys.error(s"unknown mode '$other' (expected explain|time|audit)")
   }
 
+  // raw source columns by substring; common derived wide names exactly
+  private val wideSub = Seq("text", "embedding")
+  private val wideExact = Set("toks", "w", "v", "u", "q_v", "c_v", "q_emb",
+    "c_emb", "norm_text", "chunk_text", "scrubbed")
+  private def isWide(n: String) =
+    wideSub.exists(n.contains) || wideExact.contains(n)
+
+  /** Wide columns carried by each shuffle exchange of `df`'s physical
+    * plan, one entry per offending exchange. REQUIRES an AQE-disabled
+    * session: under AQE the executed plan root is an AdaptiveSparkPlanExec
+    * LEAF whose real tree sits in innerChildren, so this traversal would
+    * visit nothing and the audit would be vacuous (it was — caught in
+    * review; AuditSpec now pins both directions). */
+  private[graft] def wideShuffles(
+      df: org.apache.spark.sql.DataFrame): Seq[Seq[String]] = {
+    val found = scala.collection.mutable.ArrayBuffer.empty[Seq[String]]
+    df.queryExecution.executedPlan.foreach {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+        val carried = e.output.map(_.name.toLowerCase).filter(isWide)
+        if (carried.nonEmpty) found += carried
+      case _ =>
+    }
+    found.toSeq
+  }
+
   /** Raw-width shuffle audit: for EVERY registered query, walk the
     * physical plan and flag any shuffle exchange whose output carries a
     * raw or derived wide column (text/embedding/token arrays/vectors) —
     * the scale-killer class (wide columns crossing the wire for
     * something an aggregate or narrow projection should have reduced
-    * first). AQE is disabled for the audit session: under AQE the
-    * executed plan root is an AdaptiveSparkPlanExec LEAF whose real tree
-    * sits in innerChildren, so a naive traversal would visit nothing and
-    * the audit would be vacuous (it was — caught in review). Exit code 1
-    * on any hit, AND on any query that failed to plan (a broken audit
-    * must not read as a passing one). */
+    * first). Exit code 1 on any non-allowlisted hit, AND on any query
+    * that failed to plan (a broken audit must not read as a passing
+    * one). */
   private def audit(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", 4)
@@ -36,12 +58,6 @@ object QueryDebug {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
-    // raw source columns by substring; common derived wide names exactly
-    val wideSub = Seq("text", "embedding")
-    val wideExact = Set("toks", "w", "v", "u", "q_v", "c_v", "q_emb",
-      "c_emb", "norm_text", "chunk_text", "scrubbed")
-    def isWide(n: String) =
-      wideSub.exists(n.contains) || wideExact.contains(n)
     // Known-inherent wide shuffles — each entry must justify WHY the
     // operator cannot reduce the column before the exchange. Anything
     // not listed here fails the audit.
@@ -53,20 +69,16 @@ object QueryDebug {
     var errors = 0
     graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
-        val plan = fn(spark, sfDir).queryExecution.executedPlan
-        plan.foreach {
-          case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
-            val carried = e.output.map(_.name.toLowerCase).filter(isWide)
-            val justification = allowed.get(name)
-              .collect { case (c, why) if carried.forall(_ == c) => why }
-            if (carried.nonEmpty) justification match {
-              case Some(why) =>
-                println(s"ALLOWED $name: ${carried.mkString(",")} — $why")
-              case None =>
-                hits += 1
-                println(s"WIDE-SHUFFLE $name: ${carried.mkString(",")}")
-            }
-          case _ =>
+        wideShuffles(fn(spark, sfDir)).foreach { carried =>
+          val justification = allowed.get(name)
+            .collect { case (c, why) if carried.forall(_ == c) => why }
+          justification match {
+            case Some(why) =>
+              println(s"ALLOWED $name: ${carried.mkString(",")} — $why")
+            case None =>
+              hits += 1
+              println(s"WIDE-SHUFFLE $name: ${carried.mkString(",")}")
+          }
         }
       } catch { case e: Throwable =>
         errors += 1

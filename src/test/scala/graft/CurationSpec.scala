@@ -257,4 +257,20 @@ class CurationSpec extends SparkSpec {
     // the uniform split loses at most nsrc-1 tokens to integer division
     assert(2 * total - rows.map(_._4).sum < nsrc)
   }
+  test("curate_shuffle: a stable seeded bijection, not doc_id order") {
+    val run1 = SparkEntry.queries("curate_shuffle")(spark, sf0001)
+      .as[(Long, Long)].collect()
+    val run2 = SparkEntry.queries("curate_shuffle")(spark, sf0001)
+      .as[(Long, Long)].collect()
+    // reproducible: byte-for-byte identical across independent runs
+    assert(run1.sortBy(_._1).toSeq == run2.sortBy(_._1).toSeq)
+    // a bijection onto 1..N
+    val n = Tables.documents(spark, sf0001).count()
+    assert(run1.length == n)
+    assert(run1.map(_._2).sorted.toSeq == (1L to n).toSeq)
+    // and genuinely shuffled: position order != doc_id order (md5 makes
+    // a coincidental identity on 500 docs astronomically unlikely)
+    val byPos = run1.sortBy(_._2).map(_._1).toSeq
+    assert(byPos != byPos.sorted)
+  }
 }
