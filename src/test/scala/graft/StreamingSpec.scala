@@ -65,6 +65,65 @@ class StreamingSpec extends SparkSpec {
       s"streamed=$streamed batch=$batchCounts")
   }
 
+  test("checkpoint recovery: sessionizer restarted mid-replay == batch q60, no re-emission") {
+    import spark.implicits._
+    import graft.streaming.StatefulOps
+    import graft.streaming.StatefulOps.{ClosedSession, SessEvent}
+    // stage the full chunk set elsewhere, then reveal it in two phases
+    // around a full query stop/restart — state (open sessions, watermark,
+    // seen files) must survive via the checkpoint alone
+    val staging = java.nio.file.Files
+      .createTempDirectory("graft-ckpt-staging").toString
+    StreamingJobs.writeReplayChunks(spark, sf0001, staging, chunks = 4)
+    val live = java.nio.file.Files
+      .createTempDirectory("graft-ckpt-live").toString
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-ckpt-state").toString
+    val chunkFiles = new java.io.File(staging).listFiles()
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+    def reveal(fs: Seq[java.io.File]): Unit = fs.foreach { f =>
+      java.nio.file.Files.move(f.toPath,
+        new java.io.File(live, f.getName).toPath)
+    }
+    val outDir = java.nio.file.Files
+      .createTempDirectory("graft-ckpt-out").toString
+    // memory sink refuses checkpoint recovery; the parquet file sink is
+    // the fault-tolerant one (exactly-once via its _spark_metadata log)
+    def startQuery() = StatefulOps.sessionizeStream(
+        StreamingJobs.eventsReplayStream(spark, live)
+          .select(col("user_id"), col("ts")).as[SessEvent], gapMin = 30)
+      .writeStream.outputMode("append").format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", ckpt).start()
+    def emitted(): Seq[(Long, Long, Long, Long)] =
+      spark.read.parquet(outDir).as[ClosedSession]
+        .collect().filter(_.user_id >= 0)
+        .map(c => (c.user_id, c.start_us, c.end_us, c.n_events)).toSeq
+    reveal(chunkFiles.take(2))
+    val q1 = startQuery()
+    try q1.processAllAvailable() finally q1.stop()
+    val phase1 = emitted()
+    // remainder + the two flush sentinels arrive while the query is DOWN
+    reveal(chunkFiles.drop(2))
+    val q2 = startQuery()
+    try q2.processAllAvailable() finally q2.stop()
+    val all = emitted()
+    val batch = SparkEntry.queries("q60_sessionize")(spark, sf0001)
+      .select(col("user_id"), col("start_us"), col("end_us"),
+        col("n_events"))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // the restart genuinely CONTINUED: some sessions were already out
+    // before the stop, and no session was emitted twice after it
+    assert(phase1.nonEmpty && phase1.size < batch.size)
+    assert(all.distinct.size == all.size,
+      s"re-emitted across restart: ${all.diff(all.distinct).take(3)}")
+    // and the final content is exactly the batch answer
+    assert(all.toSet == batch,
+      s"emitted=${all.size} batch=${batch.size} " +
+        s"missing=${batch.diff(all.toSet).take(3)} " +
+        s"extra=${all.toSet.diff(batch).take(3)}")
+  }
+
   test("streaming tumbling window counts match batch window()") {
     val stream = StreamingJobs.eventsStream(spark, sf0001)
     val q = StreamingJobs.windowedEventCounts(stream)
