@@ -44,7 +44,10 @@ class RobustnessSpec extends SparkSpec {
     // bigrams; 6-row input for the 8-way shard round-robin)
     "dedup_paragraph", "curate_domain_cap", "curate_shard_assign",
     "curate_classifier_score", "dedup_substr_remove", "split_assign",
-    "q66_outer_explode")
+    "q66_outer_explode",
+    // round-5: seeded permutation on a 6-doc corpus (quantile stats pass
+    // degenerates to a single bucket — must still rank 1..6)
+    "curate_shuffle")
 
   test("text/curation queries run on empty/whitespace/null/single-token docs") {
     textQueries.foreach { name =>
