@@ -202,6 +202,79 @@ class DotProductSpec extends SparkSpec {
     assert(got(4L).isEmpty)
   }
 
+  test("fused quantizer/normalizer == scalar references on adversarial vectors") {
+    import graft.functions.{QuantizeInt8, UnitNormalize}
+    // same adversarial generator as the cosine property test: zeros,
+    // signed zeros, denormal-scale and near-overflow magnitudes
+    val rnd = new scala.util.Random(11)
+    def vec(n: Int): Seq[Double] = Seq.fill(n)(rnd.nextInt(9) match {
+      case 0 => 0.0
+      case 1 => -0.0
+      case 2 => 1e-300
+      case 3 => -1e300
+      case k => (rnd.nextDouble() - 0.5) * math.pow(10, k - 4)
+    })
+    val rows = (1 to 300).map(i => (i.toLong, vec(rnd.nextInt(8) + 1)))
+    def refQ(v: Seq[Double]): Option[String] = {
+      val maxabs = v.foldLeft(0.0)((m, x) => math.max(m, math.abs(x)))
+      if (v.nonEmpty && maxabs == 0.0) None
+      else Some(v.map(x => math.floor(x * 127 / maxabs + 0.5).toInt)
+        .mkString(","))
+    }
+    def refU(v: Seq[Double]): Option[Seq[Double]] = {
+      var ss = 0.0
+      v.foreach(x => ss += x * x)
+      val nrm = math.sqrt(ss)
+      if (nrm == 0.0) None else Some(v.map(_ / nrm))
+    }
+    val got = rows.toDF("id", "v")
+      .select(col("id"), QuantizeInt8.quantize(col("v")).as("q"),
+        UnitNormalize.unit(col("v")).as("u"))
+      .as[(Long, Option[String], Option[Seq[Double]])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    rows.foreach { case (id, v) =>
+      val (q, u) = got(id)
+      assert(q == refQ(v), s"quantize $id: $q != ${refQ(v)}")
+      (u, refU(v)) match {
+        case (Some(g), Some(e)) =>
+          assert(g.length == e.length, s"unit $id")
+          g.zip(e).foreach { case (a, b) =>
+            assert(java.lang.Double.doubleToLongBits(a) ==
+              java.lang.Double.doubleToLongBits(b), s"unit $id: $a != $b")
+          }
+        case (g, e) => assert(g == e, s"unit $id: $g != $e")
+      }
+    }
+    // a huge-magnitude vector overflows ss to +Inf -> nrm Inf -> elements
+    // collapse to 0.0/-0.0: the scalar reference reproduces that too (the
+    // generator's 1e300 entries exercise it above); pin it explicitly
+    val big = Seq(1e300, -1e300, 1e300)
+    assert(refU(big).get.forall(x => x == 0.0))
+  }
+
+  test("native expressions: interpreted eval == codegen on fixture vectors") {
+    import graft.functions.{QuantizeInt8, UnitNormalize}
+    // Expressions run interpreted in constant folding / fallback paths;
+    // both implementations must agree or results depend on which path
+    // the planner happens to take
+    val key = "spark.sql.codegen.factoryMode"
+    val prev = spark.conf.get(key)
+    val e = Tables.embeddings(spark, sf0001).limit(300)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    def run(): Map[Long, (String, Seq[Double], Double)] =
+      e.select(col("vec_id"),
+          QuantizeInt8.quantize(col("v")).as("q"),
+          UnitNormalize.unit(col("v")).as("u"),
+          VectorFunctions.cosine(col("v"), col("v")).as("c"))
+        .as[(Long, String, Seq[Double], Double)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    val withCodegen = try { spark.conf.set(key, "CODEGEN_ONLY"); run() }
+      finally spark.conf.set(key, prev)
+    val interpreted = try { spark.conf.set(key, "NO_CODEGEN"); run() }
+      finally spark.conf.set(key, prev)
+    assert(withCodegen.nonEmpty && withCodegen == interpreted)
+  }
+
   test("fused int8 quantizer edge cases: empty, null element, zero vector, null input") {
     import graft.functions.QuantizeInt8
     val df = Seq(
