@@ -61,8 +61,9 @@ object Bench {
     // faster-than-reference box is reported as-is), and a failed probe
     // (-1) leaves the raw total untouched.
     // Parsed defensively: a malformed or non-positive override must not
-    // throw away a completed suite's measurements (normalization simply
-    // degrades to the raw total).
+    // throw away a completed suite's measurements — it falls back to the
+    // 0.30 default reference (i.e. normalization still runs, against the
+    // default, rather than the run failing).
     val quietCalib = sys.env.get("SPARK_GRAFT_QUIET_CALIB")
       .flatMap(_.toDoubleOption).filter(_ > 0).getOrElse(0.30)
     val probes = Seq(calibStart, calibEnd).filter(_ > 0)

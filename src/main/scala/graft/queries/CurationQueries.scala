@@ -200,12 +200,18 @@ object CurationQueries {
     // the reassembly groupBy both shuffle on doc_id — linear, skew-free
     // (keys are documents). No self-joins anywhere.
     "ta_boilerplate" -> ((s, d) => {
-      // no exchange barrier: the single-use projection collapses to one
-      // tokens() call per row, and the localCheckpoint materializes `w`
-      // for the three consumers — tokens cross local disk, never the wire
+      // ONE doc_id exchange before the checkpoint is a co-partitioning
+      // INVESTMENT, not a parallelism hack: LogicalRDD keeps the
+      // partitioning, so the covered-position anti-join on (doc_id, pos)
+      // and the reassembly groupBy(doc_id) both plan shuffle-free on the
+      // token side. Without it each would re-shuffle every EXPLODED
+      // (doc_id, pos, tok) row — strictly more bytes than the one
+      // token-array pass (review round 5 caught exactly that regression;
+      // the audit allowlists this exchange with this justification).
       val docs = Tables.documents(s, d)
         .withColumn("w", tokens(col("text")))
         .select("doc_id", "w")
+        .repartition(col("doc_id"))
         .localCheckpoint() // referenced by toks, grams, and the final join
       // corpus-relative threshold: one count() action on the checkpointed
       // rows (same bounded-model-state pattern as the Bloom/IVF builds)
@@ -258,8 +264,9 @@ object CurationQueries {
       val n = size(col("toks"))
       val stopHits = size(filter(col("toks"),
         t => t.isin("the", "a", "of", "and", "is")))
-      // no exchange barrier: the two quality expressions re-tokenize
-      // (2× linear) instead of shuffling every token to save one split
+      // no exchange barrier: the gate references the token array three
+      // times (n twice, stopHits once) so the row re-tokenizes 3× —
+      // linear, and cheaper than shuffling every token to save splits
       val staged = Tables.documents(s, d)
         .withColumn("toks", tokens(col("text")))
         .select(col("doc_id"), col("text"),

@@ -258,12 +258,19 @@ object SimilarityQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    // the CASE mirrors the native expression's deliberate NULL semantics
+    // (null element or all-zero vector -> NULL q8) so the oracle stays
+    // exact even if a degenerate vector ever enters a fixture
     "sim_quantize_int8" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
         |m AS (SELECT vec_id, v,
         |  list_max(list_transform(v, x -> abs(x))) AS maxabs FROM e)
         |SELECT vec_id,
-        |  array_to_string(list_transform(v, x -> CAST(FLOOR(x * 127 / maxabs + 0.5) AS INTEGER)), ',') AS q8,
+        |  CASE WHEN len(list_filter(v, x -> x IS NULL)) > 0 THEN NULL
+        |       WHEN len(v) > 0 AND maxabs = 0 THEN NULL
+        |       ELSE array_to_string(list_transform(v,
+        |         x -> CAST(FLOOR(x * 127 / maxabs + 0.5) AS INTEGER)), ',')
+        |  END AS q8,
         |  maxabs AS scale
         |FROM m""".stripMargin,
     "sim_topk_bruteforce" ->

@@ -18,28 +18,52 @@ object QueryDebug {
       sys.error(s"unknown mode '$other' (expected explain|time|audit)")
   }
 
-  // raw source columns by substring; common derived wide names exactly
+  // raw source columns by substring; derived wide names (token arrays /
+  // vectors / rewritten text, including self-join renames) exactly
   private val wideSub = Seq("text", "embedding")
-  private val wideExact = Set("toks", "w", "v", "u", "q_v", "c_v", "q_emb",
-    "c_emb", "norm_text", "chunk_text", "scrubbed")
+  private val wideExact = Set("toks", "tok", "w", "word", "v", "u",
+    "u_a", "u_b", "v_a", "v_b", "q_v", "c_v", "q_emb", "c_emb",
+    "norm_text", "chunk_text", "scrubbed")
   private def isWide(n: String) =
     wideSub.exists(n.contains) || wideExact.contains(n)
 
-  /** Wide columns carried by each shuffle exchange of `df`'s physical
-    * plan, one entry per offending exchange. REQUIRES an AQE-disabled
-    * session: under AQE the executed plan root is an AdaptiveSparkPlanExec
-    * LEAF whose real tree sits in innerChildren, so this traversal would
-    * visit nothing and the audit would be vacuous (it was — caught in
-    * review; AuditSpec now pins both directions). */
+  /** Wide PAYLOAD columns carried by each shuffle exchange of `df`'s
+    * physical plan, one entry per offending exchange. A wide column that
+    * is part of the exchange's PARTITIONING KEY is not flagged — keying
+    * by a token/shingle is how inverted indexes and token aggregates
+    * work; the scale-killer is wide data riding along as payload.
+    * AQE-robust: an AdaptiveSparkPlanExec root is a LEAF whose real tree
+    * sits in inputPlan, so the walk descends into it explicitly (a naive
+    * foreach would visit nothing and pass vacuously — caught in review;
+    * AuditSpec pins detection under both AQE settings). */
   private[graft] def wideShuffles(
       df: org.apache.spark.sql.DataFrame): Seq[Seq[String]] = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.catalyst.expressions.Attribute
+    import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
     val found = scala.collection.mutable.ArrayBuffer.empty[Seq[String]]
-    df.queryExecution.executedPlan.foreach {
-      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
-        val carried = e.output.map(_.name.toLowerCase).filter(isWide)
-        if (carried.nonEmpty) found += carried
-      case _ =>
+    def walk(p: SparkPlan): Unit = {
+      p match {
+        case a: AdaptiveSparkPlanExec => walk(a.inputPlan)
+        case e: ShuffleExchangeExec =>
+          val keyNames = e.outputPartitioning match {
+            case h: HashPartitioning => h.expressions.flatMap {
+              case a: Attribute => Some(a.name.toLowerCase)
+              case _ => None
+            }.toSet
+            case _ => Set.empty[String]
+          }
+          val carried = e.output.map(_.name.toLowerCase)
+            .filter(n => isWide(n) && !keyNames.contains(n))
+          if (carried.nonEmpty) found += carried
+        case _ =>
+      }
+      p.children.foreach(walk)
+      p.subqueries.foreach(walk)
     }
+    walk(df.queryExecution.executedPlan)
     found.toSeq
   }
 

@@ -31,12 +31,25 @@ class AuditSpec extends SparkSpec {
     }
   }
 
-  test("under AQE the same bad plan is INVISIBLE — why the audit session disables it") {
-    // If this ever fails, Spark made adaptive plans traversable and the
-    // audit's AQE-off requirement can be dropped.
+  test("under AQE the same bad plan is STILL detected (inputPlan descent)") {
+    // the AdaptiveSparkPlanExec root is a leaf to a naive traversal —
+    // wideShuffles must descend into inputPlan or it passes vacuously
+    // (the original review finding)
     withAqe(on = true) {
       val bad = Tables.documents(spark, sf0001).repartition(col("doc_id"))
-      assert(QueryDebug.wideShuffles(bad).isEmpty)
+      val flagged = QueryDebug.wideShuffles(bad)
+      assert(flagged.nonEmpty && flagged.head.contains("text"))
+    }
+  }
+
+  test("a wide column used as the partitioning KEY is not flagged") {
+    withAqe(on = false) {
+      // grouping by the token IS the operator (inverted index / tf
+      // aggregate); the partial-aggregate exchange keys on it
+      val byToken = Tables.documents(spark, sf0001)
+        .select(explode(split(col("text"), " ")).as("tok"))
+        .groupBy("tok").count()
+      assert(QueryDebug.wideShuffles(byToken).isEmpty)
     }
   }
 }

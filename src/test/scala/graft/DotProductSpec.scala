@@ -256,9 +256,14 @@ class DotProductSpec extends SparkSpec {
     import graft.functions.{QuantizeInt8, UnitNormalize}
     // Expressions run interpreted in constant folding / fallback paths;
     // both implementations must agree or results depend on which path
-    // the planner happens to take
-    val key = "spark.sql.codegen.factoryMode"
-    val prev = spark.conf.get(key)
+    // the planner happens to take. Factory mode alone is NOT enough —
+    // whole-stage codegen reads only spark.sql.codegen.wholeStage, so
+    // without disabling it both legs would run doGenCode and the test
+    // would be vacuous (review-caught; same class as the AQE audit bug).
+    val factoryKey = "spark.sql.codegen.factoryMode"
+    val wscgKey = "spark.sql.codegen.wholeStage"
+    val prevFactory = spark.conf.get(factoryKey)
+    val prevWscg = spark.conf.get(wscgKey)
     val e = Tables.embeddings(spark, sf0001).limit(300)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
     def run(): Map[Long, (String, Seq[Double], Double)] =
@@ -268,10 +273,17 @@ class DotProductSpec extends SparkSpec {
           VectorFunctions.cosine(col("v"), col("v")).as("c"))
         .as[(Long, String, Seq[Double], Double)].collect()
         .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
-    val withCodegen = try { spark.conf.set(key, "CODEGEN_ONLY"); run() }
-      finally spark.conf.set(key, prev)
-    val interpreted = try { spark.conf.set(key, "NO_CODEGEN"); run() }
-      finally spark.conf.set(key, prev)
+    def withConf[T](factory: String, wscg: String)(body: => T): T =
+      try {
+        spark.conf.set(factoryKey, factory)
+        spark.conf.set(wscgKey, wscg)
+        body
+      } finally {
+        spark.conf.set(factoryKey, prevFactory)
+        spark.conf.set(wscgKey, prevWscg)
+      }
+    val withCodegen = withConf("CODEGEN_ONLY", "true")(run())
+    val interpreted = withConf("NO_CODEGEN", "false")(run())
     assert(withCodegen.nonEmpty && withCodegen == interpreted)
   }
 
