@@ -284,7 +284,6 @@ object CurationQueries {
       val canonSh = exact
         .filter(col("doc_id") === col("exact_canonical"))
         .select(col("doc_id"), explode(shingles(col("text"), 3)).as("s"))
-        .repartition(col("doc_id"))
         .localCheckpoint() // sizes + both self-join sides (see DedupQueries)
       val pairs = DedupQueries.exactJaccardOn(canonSh)
         .filter(col("jaccard") >= 0.8)

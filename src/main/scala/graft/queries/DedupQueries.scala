@@ -28,17 +28,18 @@ object DedupQueries {
   private val JaccardThreshold = 0.8
 
   /** (doc_id, shingle) inverted index — distinct 3-gram shingles.
-    * The raw text is never shuffled: scan parallelism is reader splits
-    * (spark.sql.files.maxPartitionBytes), and the one repartition sits
-    * ABOVE the explode, so only (doc_id, s) rows cross the wire. That
-    * exchange doubles as the reuse seam: queries consuming the index
-    * twice (minhash banding + candidate verification) share one
-    * canonical exchange via ReuseExchange, so shingle construction runs
-    * once per query instead of once per consumer. */
+    * NO exchange of its own: the raw text is never shuffled (scan
+    * parallelism is reader splits), and every caller localCheckpoints
+    * the index for multi-consumer reuse, so a blanket repartition here
+    * would push all shingles across the wire to save only the narrow
+    * partial-aggregate shuffles downstream (doc sizes, MinHash states).
+    * The one consumer that runs a full-index doc_id WINDOW
+    * ([[prefixJaccardPairs]]) adds its own co-partitioning exchange
+    * before its checkpoint — the same investment pattern as
+    * ta_boilerplate. */
   private[graft] def shingleIndex(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .select(col("doc_id"), explode(shingles(col("text"), 3)).as("s"))
-      .repartition(col("doc_id"))
 
   /** Exact-jaccard pairs over a shingle index (doc_id, s): |A∩B| via
     * co-occurrence count, sizes joined in,
@@ -139,7 +140,12 @@ object DedupQueries {
     // localCheckpoint keeps the materialization query-local and lets the
     // ContextCleaner reap it. At 100 TB the index would be a persisted
     // table; "build the inverted index once" is part of the operator.)
-    val sh = shingleIndex(s, d).localCheckpoint()
+    // co-partitioning investment: the per-doc rank/size window below
+    // runs over the FULL index on doc_id — partitioning the checkpoint
+    // by doc_id lets that window (and the candidate-doc semi join's
+    // probe side) plan exchange-free instead of re-shuffling every
+    // (doc_id, s, df) row
+    val sh = shingleIndex(s, d).repartition(col("doc_id")).localCheckpoint()
     // df via hash aggregate (sort-free) broadcast back; per-doc rank and
     // size share ONE window shuffle on doc_id
     val dfreq = sh.groupBy("s").agg(count(lit(1)).as("df"))
@@ -350,7 +356,6 @@ object DedupQueries {
       val idx = Tables.documents(s, d)
         .select(col("doc_id"), (col("source") === "src0").as("in_base"),
           explode(shingles(col("text"), 3)).as("s"))
-        .repartition(col("doc_id"))
         .localCheckpoint() // sizes + both sides of the pair join
       val sizes = idx.groupBy("doc_id").agg(count(lit(1)).as("n"))
       val a = idx.toDF("doc_a", "a_base", "s")
