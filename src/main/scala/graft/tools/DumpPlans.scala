@@ -37,7 +37,9 @@ object DumpPlans {
     "q66_outer_explode" -> "OUTER generator: explode + partial/final count — the only exchange carries (doc_id, count), never the raw text (parallelism is reader splits, not a repartition)",
     "q58_funnel_steps" -> "ordered funnel: per-step user-keyed aggregates chained on one partitioning; event_type filters pushed to the parquet scan",
     "ta_boilerplate" -> "boilerplate span removal: hot-gram set broadcast into the occurrence scan, covered positions anti-joined on (doc_id,pos), order-preserving reassembly as one partial+final collect_list aggregate",
-    "pipeline_e2e" -> "end-to-end curation verdict: stage outputs are checkpointed seams (quality -> exact dedup -> CC over canonicals), final verdict is two doc_id-keyed left joins")
+    "pipeline_e2e" -> "end-to-end curation verdict: stage outputs are checkpointed seams (quality -> exact dedup -> CC over canonicals), final verdict is two doc_id-keyed left joins",
+    "curate_shuffle" -> "seeded global permutation: md5 hash key projection + quantile-bucketed global rank — no single-partition window, no wide columns in any exchange",
+    "sim_quantize_int8" -> "fused native graft_quantize_int8: zero exchanges — maxabs computed inside the expression's own loop (no CollapseProject quadratic trap, no barrier)")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")
