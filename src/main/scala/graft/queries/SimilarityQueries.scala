@@ -188,10 +188,22 @@ object SimilarityQueries {
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
 
   /** Nearest-centroid cell per vector: argmin |v−c|² = argmin |c|² − 2·v·c
-    * (the row's own norm cancels), evaluated as an array_min over a
-    * (distance, cell) struct array with native graft_dot per centroid —
-    * codegen-friendly, no UDF, broadcastable model state. */
+    * (the row's own norm cancels), via the fused native
+    * [[graft.functions.NearestCell]] — one tiny two-level loop with the
+    * centroid matrix as a reference object, instead of a k-dot-product
+    * literal projection that Janino recompiled on every Lloyd-iteration
+    * action. Bit-identical to the composed array_min form (pinned in
+    * DedupSimilaritySpec), so centroids — and therefore every
+    * IVF result — are unchanged. */
   private[graft] def assignCells(
+      e: DataFrame, centroids: Seq[Seq[Double]]): DataFrame =
+    e.withColumn("cell",
+      graft.functions.NearestCell.nearest(col("v"), centroids))
+
+  /** The composed form assignCells replaced — kept for the parity spec:
+    * array_min over (distance, cell) structs with one graft_dot per
+    * centroid. */
+  private[graft] def assignCellsComposed(
       e: DataFrame, centroids: Seq[Seq[Double]]): DataFrame = {
     val cands = array(centroids.zipWithIndex.map { case (c, i) =>
       val cSq = c.map(x => x * x).sum

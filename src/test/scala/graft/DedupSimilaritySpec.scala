@@ -153,6 +153,21 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(adaptive == pairs(DedupQueries.exactJaccardOn(sh, false)))
   }
 
+  test("native NearestCell == composed array_min assignment on fixture vectors") {
+    // cell assignment decides centroids, so the native form must be
+    // bit-identical to the composed one or IVF results silently drift
+    val e = Tables.embeddings(spark, sf001)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val centroids = SimilarityQueries.ivfCentroids(e, k = 16, iters = 2)
+    val native = SimilarityQueries.assignCells(e, centroids)
+      .select("vec_id", "cell").as[(Long, Int)].collect().toMap
+    val composed = SimilarityQueries.assignCellsComposed(e, centroids)
+      .select("vec_id", "cell").as[(Long, Int)].collect().toMap
+    assert(native.nonEmpty && native == composed)
+    // ties and all: every cell in range
+    assert(native.values.forall(c => c >= 0 && c < 16))
+  }
+
   test("banded KNN join: full coverage and high agreement with exact NN") {
     val exact = SimilarityQueries.queries("sim_nn_cross_label")(spark, sf001)
       .select("qid", "nn_id").as[(Long, Long)].collect().toMap
