@@ -19,11 +19,17 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
   * centroid (k×dim literal arithmetic inlined into a giant projection)
   * that Janino recompiles on every Lloyd-iteration action; this
   * expression embeds the k×dim matrix as a reference object and
-  * compiles to one tiny two-level loop. Null input or null element →
-  * NULL (the fixture has neither; assignment of a degenerate vector is
-  * meaningless).
+  * compiles to one tiny two-level loop. Null input, null element, or a
+  * vector whose length differs from the centroid dimension → NULL
+  * (assignment of a degenerate vector is meaningless; the composed form
+  * would produce a null-poisoned struct ordering instead — a
+  * deliberate, spec-pinned divergence, same doctrine as QuantizeInt8).
+  *
+  * `centroids` is a Seq-of-Seq so the case class gets STRUCTURAL
+  * equality — with raw arrays two identical expressions would fail
+  * semanticEquals and defeat subexpression elimination.
   */
-case class NearestCell(child: Expression, centroids: Array[Array[Double]])
+case class NearestCell(child: Expression, centroids: Seq[Seq[Double]])
     extends UnaryExpression with ImplicitCastInputTypes {
 
   override def inputTypes = Seq(ArrayType(DoubleType))
@@ -31,9 +37,13 @@ case class NearestCell(child: Expression, centroids: Array[Array[Double]])
   override def prettyName: String = "graft_nearest_cell"
   override def nullable: Boolean = true
 
-  // centroid self-norms, precomputed once per plan (not per row)
+  // array form + self-norms, computed once per plan (not per row)
+  @transient private lazy val cents: Array[Array[Double]] =
+    centroids.map(_.toArray).toArray
   @transient private lazy val cSq: Array[Double] =
-    centroids.map(c => c.map(x => x * x).sum)
+    cents.map(c => c.map(x => x * x).sum)
+  @transient private lazy val dim: Int =
+    if (cents.isEmpty) 0 else cents(0).length
 
   private def elementsNullable: Boolean = child.dataType match {
     case ArrayType(_, containsNull) => containsNull
@@ -45,6 +55,7 @@ case class NearestCell(child: Expression, centroids: Array[Array[Double]])
     if (a == null) return null
     val x = a.asInstanceOf[ArrayData]
     val n = x.numElements()
+    if (n != dim) return null
     var i = 0
     while (i < n) {
       if (x.isNullAt(i)) return null
@@ -53,12 +64,11 @@ case class NearestCell(child: Expression, centroids: Array[Array[Double]])
     var best = 0
     var bestD = Double.PositiveInfinity
     var c = 0
-    while (c < centroids.length) {
-      val cent = centroids(c)
+    while (c < cents.length) {
+      val cent = cents(c)
       var dot = 0.0
       var j = 0
-      val m = math.min(n, cent.length)
-      while (j < m) { dot += x.getDouble(j) * cent(j); j += 1 }
+      while (j < n) { dot += x.getDouble(j) * cent(j); j += 1 }
       val d = cSq(c) - dot * 2
       if (d < bestD) { bestD = d; best = c }
       c += 1
@@ -67,7 +77,7 @@ case class NearestCell(child: Expression, centroids: Array[Array[Double]])
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val centRef = ctx.addReferenceObj("centroids", centroids,
+    val centRef = ctx.addReferenceObj("centroids", cents,
       "double[][]")
     val cSqRef = ctx.addReferenceObj("cSq", cSq, "double[]")
     nullSafeCodeGen(ctx, ev, a => {
@@ -80,13 +90,18 @@ case class NearestCell(child: Expression, centroids: Array[Array[Double]])
       val d = ctx.freshName("d")
       val best = ctx.freshName("best")
       val bestD = ctx.freshName("bestD")
-      val nullElemCheck =
+      // omit the guard loop entirely when elements cannot be null —
+      // an empty-bodied n-iteration loop is dead work per row
+      val nullElemLoop =
         if (elementsNullable)
-          s"if ($a.isNullAt($i)) { ${ev.isNull} = true; break; }"
+          s"""for (int $i = 0; $i < $n; $i++) {
+             |  if ($a.isNullAt($i)) { ${ev.isNull} = true; break; }
+             |}""".stripMargin
         else ""
       s"""
          |int $n = $a.numElements();
-         |for (int $i = 0; $i < $n; $i++) { $nullElemCheck }
+         |if ($n != $dim) { ${ev.isNull} = true; }
+         |$nullElemLoop
          |if (!${ev.isNull}) {
          |  int $best = 0;
          |  double $bestD = Double.POSITIVE_INFINITY;
@@ -114,6 +129,5 @@ object NearestCell {
     * matrix (input cast to array<double>). */
   def nearest(v: Column, centroids: Seq[Seq[Double]]): Column =
     GraftBridge.column(NearestCell(
-      GraftBridge.expression(v.cast("array<double>")),
-      centroids.map(_.toArray).toArray))
+      GraftBridge.expression(v.cast("array<double>")), centroids))
 }

@@ -206,8 +206,10 @@ object CurationQueries {
       // and the reassembly groupBy(doc_id) both plan shuffle-free on the
       // token side. Without it each would re-shuffle every EXPLODED
       // (doc_id, pos, tok) row — strictly more bytes than the one
-      // token-array pass (review round 5 caught exactly that regression;
-      // the audit allowlists this exchange with this justification).
+      // token-array pass (review round 5 caught exactly that
+      // regression). NOTE: this exchange sits below an eager
+      // localCheckpoint, so the wide-shuffle audit cannot see it — this
+      // comment is its justification record.
       val docs = Tables.documents(s, d)
         .withColumn("w", tokens(col("text")))
         .select("doc_id", "w")
@@ -284,6 +286,8 @@ object CurationQueries {
       val canonSh = exact
         .filter(col("doc_id") === col("exact_canonical"))
         .select(col("doc_id"), explode(shingles(col("text"), 3)).as("s"))
+        // index-build exchange (see DedupQueries.exactJaccardPairs)
+        .repartition(col("doc_id"))
         .localCheckpoint() // sizes + both self-join sides (see DedupQueries)
       val pairs = DedupQueries.exactJaccardOn(canonSh)
         .filter(col("jaccard") >= 0.8)

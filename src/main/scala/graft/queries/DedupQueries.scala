@@ -27,16 +27,16 @@ object DedupQueries {
 
   private val JaccardThreshold = 0.8
 
-  /** (doc_id, shingle) inverted index — distinct 3-gram shingles.
-    * NO exchange of its own: the raw text is never shuffled (scan
-    * parallelism is reader splits), and every caller localCheckpoints
-    * the index for multi-consumer reuse, so a blanket repartition here
-    * would push all shingles across the wire to save only the narrow
-    * partial-aggregate shuffles downstream (doc sizes, MinHash states).
-    * The one consumer that runs a full-index doc_id WINDOW
-    * ([[prefixJaccardPairs]]) adds its own co-partitioning exchange
-    * before its checkpoint — the same investment pattern as
-    * ta_boilerplate. */
+  /** (doc_id, shingle) inverted index — distinct 3-gram shingles. NO
+    * exchange of its own (the raw text is never shuffled; scan
+    * parallelism is reader splits). Callers that localCheckpoint the
+    * index add their own `repartition(doc_id)` first: the checkpoint
+    * fixes the partition count every consumer runs at (scan splits = one
+    * task on a single-file corpus — the 1.27M-pair probe regressed 74%
+    * when a round-5 sweep dropped this, review-caught), and the doc_id
+    * partitioning feeds prefixJaccard's full-index window for free.
+    * That exchange is the one-time BUILD cost of the reusable index —
+    * at 100 TB the index is a persisted table and this is its write. */
   private[graft] def shingleIndex(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .select(col("doc_id"), explode(shingles(col("text"), 3)).as("s"))
@@ -106,9 +106,19 @@ object DedupQueries {
     * the corpus stats choose the df≥2 pruning guard adaptively. Either
     * choice is exactness-preserving (DedupSpec pins pruned == unpruned);
     * only the candidate-join economics change, so the decision belongs to
-    * measured corpus shape, not to a constant tuned on one fixture. */
+    * measured corpus shape, not to a constant tuned on one fixture.
+    *
+    * The repartition before the checkpoint sets the PARALLELISM AND
+    * PARTITIONING of the materialized index: the checkpoint otherwise
+    * inherits scan splits (one task on a single-file corpus), and every
+    * consumer — the pair-join probe, the sizes aggregate — runs at the
+    * checkpoint's partition count. Measured without it: the 1.27M-pair
+    * probe ran single-task and dedup_ngram_jaccard regressed 1.6 → 2.8 s
+    * (review-caught). This exchange materializes the index itself —
+    * the one-time build cost of a reusable artifact, not a per-query
+    * wide-payload shuffle. */
   private[graft] def exactJaccardPairs(s: SparkSession, d: String): DataFrame = {
-    val sh = shingleIndex(s, d).localCheckpoint()
+    val sh = shingleIndex(s, d).repartition(col("doc_id")).localCheckpoint()
     exactJaccardOn(sh, pruneSingletons = singletonPruningPaysOff(sh))
   }
 
@@ -140,11 +150,10 @@ object DedupQueries {
     // localCheckpoint keeps the materialization query-local and lets the
     // ContextCleaner reap it. At 100 TB the index would be a persisted
     // table; "build the inverted index once" is part of the operator.)
-    // co-partitioning investment: the per-doc rank/size window below
-    // runs over the FULL index on doc_id — partitioning the checkpoint
-    // by doc_id lets that window (and the candidate-doc semi join's
-    // probe side) plan exchange-free instead of re-shuffling every
-    // (doc_id, s, df) row
+    // index-build exchange (see exactJaccardPairs); doubly needed here —
+    // the per-doc rank/size window below runs over the FULL index on
+    // doc_id, so the checkpoint's partitioning lets it plan
+    // exchange-free instead of re-shuffling every (doc_id, s, df) row
     val sh = shingleIndex(s, d).repartition(col("doc_id")).localCheckpoint()
     // df via hash aggregate (sort-free) broadcast back; per-doc rank and
     // size share ONE window shuffle on doc_id
@@ -286,8 +295,10 @@ object DedupQueries {
     "dedup_minhash_lsh" -> ((s, d) => {
       val minhash64 = udaf(graft.functions.MinHashAggregator)
       // one materialization of the index for banding + verification
-      // (see prefixJaccardPairs for why localCheckpoint, not cache)
-      val sh = shingleIndex(s, d).localCheckpoint()
+      // (see prefixJaccardPairs for why localCheckpoint, not cache;
+      // see exactJaccardPairs for the index-build repartition)
+      val sh = shingleIndex(s, d).repartition(col("doc_id"))
+        .localCheckpoint()
       val banded = sh
         .select(col("doc_id"), xxhash64(col("s")).as("h"))
         .groupBy("doc_id").agg(minhash64(col("h")).as("sig"))
@@ -356,6 +367,9 @@ object DedupQueries {
       val idx = Tables.documents(s, d)
         .select(col("doc_id"), (col("source") === "src0").as("in_base"),
           explode(shingles(col("text"), 3)).as("s"))
+        // index-build exchange: consumers run at the checkpoint's
+        // partition count (see exactJaccardPairs)
+        .repartition(col("doc_id"))
         .localCheckpoint() // sizes + both sides of the pair join
       val sizes = idx.groupBy("doc_id").agg(count(lit(1)).as("n"))
       val a = idx.toDF("doc_a", "a_base", "s")

@@ -139,8 +139,9 @@ object SimilarityQueries {
     // IVF (inverted-file) ANN — the other classic scale path next to LSH:
     // a k-means coarse quantizer partitions the corpus into cells; a query
     // probes only the nProbe nearest cells and exact-reranks inside them.
-    // Cell assignment is a broadcast argmin over centroids (native
-    // graft_dot: |v−c|² argmin ≡ argmin of |c|²−2·v·c, row norm cancels);
+    // Cell assignment is the fused native NearestCell argmin over the
+    // broadcast centroid matrix (|v−c|² argmin ≡ argmin of |c|²−2·v·c,
+    // row norm cancels);
     // at 100 TB the scan per query touches nProbe/k of the data and the
     // cell column doubles as the partition key for vector storage.
     // Deterministic (fixed seed-by-id init, fixed Lloyd iterations).

@@ -14,7 +14,7 @@ object DumpPlans {
     "q11_top_orders" -> "global top-k: TakeOrderedAndProject (per-partition heap + driver merge of k rows, no global sort)",
     "q33_asof_last_click" -> "as-of via union + running window (one shuffle on user_id)",
     "q41_asof_custom" -> "as-of via the custom AsOfJoinExec: co-partitioned exchanges + in-partition (key,time) sorts + O(n+m) merge",
-    "dedup_minhash_lsh" -> "MinHash custom aggregate: partial_minhashaggregator below the exchange (signatures shuffle, shingles never do); ReuseExchange shares the shingle index",
+    "dedup_minhash_lsh" -> "MinHash custom aggregate: partial_minhashaggregator below the exchange (signatures shuffle to group, shingles only at the one-time index build); localCheckpoint shares the shingle index across banding + verification",
     "sim_topk_bruteforce" -> "brute-force ANN baseline: broadcast query vector, codegen'd graft_dot, TakeOrderedAndProject",
     "dedup_ngram_prefix" -> "PPJoin prefix filter: rarity-ranked per-doc prefix index feeds the pair join (hot shingles excluded); exact-jaccard verify over semi-joined candidate docs",
     "dedup_embedding_lsh" -> "banded projection join: band equi-joins replace the BroadcastNestedLoop all-pairs, recall 1.0 by the Cauchy-Schwarz band containment",
