@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{CosineSim, DotProduct, QuantizeInt8, UnitNormalize}
+import graft.functions.{CosineSim, DotProduct, NearestCell, QuantizeInt8, UnitNormalize}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
@@ -47,6 +47,31 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(exprs.length == 1,
           s"graft_quantize_int8 requires exactly 1 argument, got ${exprs.length}")
         QuantizeInt8(exprs(0))
+      }))
+    e.injectFunction((
+      new FunctionIdentifier("graft_nearest_cell"),
+      new ExpressionInfo(classOf[NearestCell].getName, "graft_nearest_cell"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(exprs.length == 2,
+          s"graft_nearest_cell requires exactly 2 arguments, got ${exprs.length}")
+        // the centroid matrix must be a literal (model state, not data):
+        // fold it at resolution time into the expression's Seq field
+        require(exprs(1).foldable,
+          "graft_nearest_cell: second argument (centroid matrix) must be a literal")
+        val m = exprs(1).eval() match {
+          case a: org.apache.spark.sql.catalyst.util.ArrayData =>
+            a.toObjectArray(exprs(1).dataType
+                .asInstanceOf[org.apache.spark.sql.types.ArrayType].elementType)
+              .toSeq.map {
+                case row: org.apache.spark.sql.catalyst.util.ArrayData =>
+                  row.toDoubleArray().toSeq
+                case other => sys.error(
+                  s"graft_nearest_cell: expected array<array<double>>, got $other")
+              }
+          case other => sys.error(
+            s"graft_nearest_cell: expected array<array<double>> literal, got $other")
+        }
+        NearestCell(exprs(0), m)
       }))
     // aggregate(zip_with(a,b,*), 0.0, +) -> native DotProduct
     e.injectOptimizerRule(_ => graft.plans.RewriteHofDotProduct)

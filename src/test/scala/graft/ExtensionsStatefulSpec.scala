@@ -40,6 +40,24 @@ class ExtensionsStatefulSpec extends SparkSpec {
     // non-array and wrong-arity calls must fail analysis, not codegen
     intercept[Exception] { s2.sql("SELECT graft_dot('a', 'b')").collect() }
     intercept[Exception] { s2.sql("SELECT graft_cosine(array(1.0D))").collect() }
+    // the quantizer/normalizer/nearest-cell registrations
+    val q8 = s2.sql("SELECT graft_quantize_int8(array(2.0D, -4.0D, 1.0D)) AS q")
+      .collect()(0).getString(0)
+    assert(q8 == "64,-127,32")
+    val u = s2.sql("SELECT graft_unit_normalize(array(3.0D, 4.0D)) AS u")
+      .collect()(0).getSeq[Double](0)
+    assert(u == Seq(0.6, 0.8))
+    // nearest cell: the centroid matrix must be a literal, folded into
+    // the expression at resolution
+    val cell = s2.sql(
+      """SELECT graft_nearest_cell(array(0.9D, 0.1D),
+        |  array(array(1.0D, 0.0D), array(0.0D, 1.0D))) AS c""".stripMargin)
+      .collect()(0).getInt(0)
+    assert(cell == 0)
+    intercept[Exception] {
+      s2.sql("SELECT graft_nearest_cell(array(1.0D), array(array(rand())))")
+        .collect()
+    }
     // and through the plan of a real table
     val n = s2.sql(
       s"SELECT graft_dot(CAST(embedding AS ARRAY<DOUBLE>), CAST(embedding AS ARRAY<DOUBLE>)) AS nn " +
