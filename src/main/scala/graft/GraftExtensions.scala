@@ -58,6 +58,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         // fold it at resolution time into the expression's Seq field
         require(exprs(1).foldable,
           "graft_nearest_cell: second argument (centroid matrix) must be a literal")
+        // toDoubleArray() below blindly reads double slots — an int-element
+        // literal like array(array(1, 2)) would surface as a raw
+        // ClassCastException at analysis. Check the declared type first
+        // (ImplicitCastInputTypes only coerces the first argument).
+        exprs(1).dataType match {
+          case org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.ArrayType(
+                org.apache.spark.sql.types.DoubleType, _), _) => ()
+          case dt => throw new IllegalArgumentException(
+            "graft_nearest_cell: second argument must be an " +
+              s"array<array<double>> literal (e.g. array(array(1.0d, 2.0d))), " +
+              s"got ${dt.simpleString}")
+        }
         val m = exprs(1).eval() match {
           case a: org.apache.spark.sql.catalyst.util.ArrayData =>
             a.toObjectArray(exprs(1).dataType

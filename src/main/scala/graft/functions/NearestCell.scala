@@ -32,6 +32,18 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
 case class NearestCell(child: Expression, centroids: Seq[Seq[Double]])
     extends UnaryExpression with ImplicitCastInputTypes {
 
+  // Validated at construction so interpreted eval and codegen can share
+  // one unguarded inner loop: a ragged matrix would make eval throw
+  // ArrayIndexOutOfBounds where codegen (formerly Math.min-clamped)
+  // silently computed a partial dot — results depending on the execution
+  // path the planner picked. An empty matrix would make the degenerate
+  // empty-vector row "nearest" to cell 0 instead of erroring.
+  require(centroids.nonEmpty,
+    "graft_nearest_cell: centroid matrix must be non-empty")
+  require(centroids.forall(_.length == centroids.head.length),
+    "graft_nearest_cell: centroid matrix must be rectangular " +
+      s"(row lengths ${centroids.map(_.length).distinct.mkString(",")})")
+
   override def inputTypes = Seq(ArrayType(DoubleType))
   override def dataType: DataType = IntegerType
   override def prettyName: String = "graft_nearest_cell"
@@ -85,7 +97,6 @@ case class NearestCell(child: Expression, centroids: Seq[Seq[Double]])
       val j = ctx.freshName("j")
       val c = ctx.freshName("c")
       val n = ctx.freshName("n")
-      val m = ctx.freshName("m")
       val dot = ctx.freshName("dot")
       val d = ctx.freshName("d")
       val best = ctx.freshName("best")
@@ -107,8 +118,7 @@ case class NearestCell(child: Expression, centroids: Seq[Seq[Double]])
          |  double $bestD = Double.POSITIVE_INFINITY;
          |  for (int $c = 0; $c < $centRef.length; $c++) {
          |    double $dot = 0.0;
-         |    int $m = java.lang.Math.min($n, $centRef[$c].length);
-         |    for (int $j = 0; $j < $m; $j++) {
+         |    for (int $j = 0; $j < $n; $j++) {
          |      $dot += $a.getDouble($j) * $centRef[$c][$j];
          |    }
          |    double $d = $cSqRef[$c] - $dot * 2;

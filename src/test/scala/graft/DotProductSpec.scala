@@ -294,7 +294,8 @@ class DotProductSpec extends SparkSpec {
       (2L, Some(Seq.empty[java.lang.Double])),
       (3L, Some(Seq[java.lang.Double](1.0, null, 3.0))),
       (4L, Some(Seq[java.lang.Double](0.0, 0.0))), // composed form would ANSI-throw on NaN cast
-      (5L, None))
+      (5L, None),
+      (6L, Some(Seq[java.lang.Double](1.0, Double.NaN, 3.0))))
       .toDF("id", "v")
     val got = df.select(col("id"), QuantizeInt8.quantize(col("v")).as("q8"))
       .as[(Long, Option[String])].collect().toMap
@@ -303,5 +304,24 @@ class DotProductSpec extends SparkSpec {
     assert(got(3L).isEmpty) // null element -> null row, not a silent skip
     assert(got(4L).isEmpty) // zero-norm -> NULL, never an ANSI kill
     assert(got(5L).isEmpty)
+    // NaN element -> NULL: v > maxabs is false for NaN, so without the
+    // explicit check NaN would skip the maxabs pass and emit "0" where
+    // the composed form's ANSI cast throws. Pinned as NULL (degenerate
+    // input doctrine, same as zero-norm).
+    assert(got(6L).isEmpty)
   }
+
+  test("nearest-cell constructor rejects ragged and empty centroid matrices") {
+    import graft.functions.NearestCell
+    // ragged: interpreted eval used to throw AIOOBE while codegen clamped
+    // and silently computed a partial dot — path-dependent results
+    assertThrows[IllegalArgumentException] {
+      NearestCell.nearest(col("v"), Seq(Seq(1.0, 2.0), Seq(3.0)))
+    }
+    // empty: an empty input vector would land in "cell 0" instead of erroring
+    assertThrows[IllegalArgumentException] {
+      NearestCell.nearest(col("v"), Seq.empty)
+    }
+  }
+
 }

@@ -58,6 +58,18 @@ class ExtensionsStatefulSpec extends SparkSpec {
       s2.sql("SELECT graft_nearest_cell(array(1.0D), array(array(rand())))")
         .collect()
     }
+    // int-element centroid literal used to surface as a raw
+    // ClassCastException from toDoubleArray(); must be a typed error
+    // naming the expected type instead
+    val typeErr = intercept[Exception] {
+      s2.sql("SELECT graft_nearest_cell(array(1.0D, 2.0D), array(array(1, 2)))")
+        .collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(typeErr).exists(_.contains("array<array<double>>")),
+      typeErr)
     // and through the plan of a real table
     val n = s2.sql(
       s"SELECT graft_dot(CAST(embedding AS ARRAY<DOUBLE>), CAST(embedding AS ARRAY<DOUBLE>)) AS nn " +
