@@ -50,6 +50,7 @@ object SparkEntry {
     "dedup_simhash" -> "DedupSimilaritySpec (probabilistic hamming blocking)",
     "sim_ann_lsh" -> "DedupSimilaritySpec (approximate ANN; recall vs exact)",
     "sim_ann_ivf" -> "DedupSimilaritySpec (approximate ANN; recall vs exact)",
+    "sim_ann_batch" -> "DedupSimilaritySpec (batched-query ANN; per-query recall vs brute force + coverage)",
     "sim_knn_banded" -> "DedupSimilaritySpec (approximate NN; coverage + agreement)",
     "sketch_cms_topk" -> "CorpusSpec (CMS error bound + merge law)",
     "q57_approx_quantile" -> "ExtraRelationalSpec (KLL sketch, engine-specific)",

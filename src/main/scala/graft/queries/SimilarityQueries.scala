@@ -177,6 +177,71 @@ object SimilarityQueries {
       }
     }),
 
+    // Batched-query ANN — the access pattern a retrieval/dedup pipeline
+    // actually runs at 100 TB: a query TABLE joined against the IVF index
+    // with per-query top-k, not one driver-resident probe vector.
+    //   - query set: the label-0 vectors (stand-in for an incoming query
+    //     batch); corpus: every vector (self-matches excluded);
+    //   - probe cells are computed PER QUERY ROW — the composed
+    //     (distance, cell) struct array sorted and sliced to nProbe; k
+    //     dot products per query row, zero driver arithmetic per query;
+    //   - candidate retrieval: the probe set (qid, cell, q_v) is
+    //     BROADCAST and hash-joined on cell, so corpus vectors never
+    //     cross a shuffle — the query batch is the small side by
+    //     construction, and at 100 TB the corpus side is a
+    //     cell-partitioned scan this join prunes;
+    //   - per-query top-k via the bounded-heap TopKAggregator: O(k) state
+    //     per query through partial aggregation — never a full window
+    //     sort of all candidates;
+    //   - coverage left-join back to the query set: a query whose probed
+    //     cells hold no candidates surfaces as (qid, null, null, null)
+    //     instead of silently vanishing.
+    // Approximate (IVF probes miss cells) ⇒ rows-only; per-query recall
+    // vs brute force + coverage pinned in DedupSimilaritySpec.
+    "sim_ann_batch" -> ((s, d) => {
+      val e = rawVecs(s, d)
+      val centroids = ivfCentroids(e, k = 16, iters = 2)
+      if (centroids.isEmpty) {
+        // empty corpus -> no model and no queries; empty result with the
+        // query's schema instead of an analysis-time crash
+        e.select(col("vec_id").as("qid"), lit(0).cast("int").as("rank"),
+          col("vec_id").as("nn_id"), lit(0.0).as("cos")).limit(0)
+      } else {
+        val nProbe = 4
+        val assigned = assignCells(e, centroids)
+        // no join against rawVecs for the label: that equi-join would
+        // shuffle vectors as payload — project label in the same scan
+        val qset = Tables.embeddings(s, d).filter(col("label") === 0)
+          .select(col("vec_id").as("qid"),
+            col("embedding").cast("array<double>").as("q_v"))
+        // per-row probe cells: same |c|²−2·v·c argmin arithmetic as
+        // assignCells, kept composed because we need the nProbe BEST
+        // cells, not just the argmin
+        val cellDists = array(centroids.zipWithIndex.map { case (c, i) =>
+          val cSq = c.map(x => x * x).sum
+          struct((lit(cSq) - dot(col("q_v"), typedlit(c)) * 2).as("dist"),
+            lit(i).as("cell"))
+        }: _*)
+        val probes = qset
+          .withColumn("probe", transform(
+            slice(array_sort(cellDists), 1, nProbe), p => p.getField("cell")))
+          .select(col("qid"), col("q_v"), explode(col("probe")).as("cell"))
+        val topk = udaf(graft.functions.TopKAggregator(10),
+          org.apache.spark.sql.catalyst.encoders
+            .ExpressionEncoder[(Double, Long)]())
+        val ranked = assigned.join(broadcast(probes), Seq("cell"))
+          .filter(col("vec_id") =!= col("qid"))
+          .select(col("qid"), cosine(col("v"), col("q_v")).as("cos_raw"),
+            col("vec_id"))
+          .groupBy("qid")
+          .agg(topk(col("cos_raw"), col("vec_id")).as("top"))
+          .select(col("qid"), posexplode(col("top")).as(Seq("pos", "t")))
+          .select(col("qid"), (col("pos") + 1).cast("int").as("rank"),
+            col("t._2").as("nn_id"), round(col("t._1"), 6).as("cos"))
+        qset.select(col("qid")).join(ranked, Seq("qid"), "left")
+      }
+    }),
+
     // int8 quantization — vector preprocessing for storage/ANN at scale.
     "sim_quantize_int8" -> quantizeQuery)
 

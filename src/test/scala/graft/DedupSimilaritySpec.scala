@@ -212,6 +212,48 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(cells.length > 1)
   }
 
+  test("batched ann: coverage of every query and per-query recall vs brute force") {
+    val batch = SimilarityQueries.queries("sim_ann_batch")(spark, sf001)
+      .select(col("qid"), col("rank"), col("nn_id")).collect()
+      .map(r => (r.getLong(0), Option(r.get(2)).map(_ => r.getLong(2))))
+    // coverage: EVERY label-0 query appears at least once (the left-join
+    // guarantee — a query with no candidates still yields a null row)
+    val qids = Tables.embeddings(spark, sf001)
+      .filter(col("label") === 0).select("vec_id").as[Long].collect().toSet
+    assert(batch.map(_._1).toSet == qids,
+      s"missing queries: ${qids -- batch.map(_._1).toSet}")
+    // at most 10 results per query
+    val perQ = batch.groupBy(_._1).view.mapValues(_.flatMap(_._2).toSet)
+    assert(perQ.values.forall(_.size <= 10))
+    // per-query brute-force top-10 (corpus = everything but self, same
+    // tie rule as TopKAggregator: cos desc, id asc)
+    val e = Tables.embeddings(spark, sf001)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .as[(Long, Seq[Double])].collect()
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val dot = a.lazyZip(b).map(_ * _).sum
+      dot / math.sqrt(a.map(x => x * x).sum * b.map(x => x * x).sum)
+    }
+    val byId = e.toMap
+    val recalls = qids.toSeq.map { q =>
+      val qv = byId(q)
+      val bf = e.filter(_._1 != q)
+        .map { case (id, v) => (id, cos(qv, v)) }
+        .sortBy { case (id, c) => (-c, id) }.take(10).map(_._1).toSet
+      perQ(q).intersect(bf).size.toDouble / bf.size
+    }
+    val meanRecall = recalls.sum / recalls.size
+    // nProbe=4 of k=16 cells on a diffuse corpus: same floor doctrine as
+    // the single-probe IVF/LSH tests (clustered real embeddings would be
+    // far higher); the MEAN over 50 queries is a much tighter pin than
+    // one probe's point estimate
+    assert(meanRecall >= 0.3, s"mean recall=$meanRecall")
+    // and no query should be a total miss while its cells held candidates:
+    // at least half the queries individually clear the floor
+    assert(recalls.count(_ >= 0.3) >= recalls.size / 2,
+      s"per-query recalls below floor: ${recalls.count(_ < 0.3)}")
+  }
+
   test("rolling fingerprint: equal docs equal, reorder changes, order-sensitive") {
     val df = Seq(
       (1L, "a b c d"), (2L, "a b c d"), (3L, "d c b a"), (4L, "a b c e"))
