@@ -47,12 +47,12 @@ object SparkEntry {
     * can distinguish "rows-only, deliberate" from "oracle missing".
     * EntrySpec enforces that this set is exactly queries ∖ oracleSql. */
   def rowsOnlyPinnedBy: Map[String, String] = Map(
-    "dedup_simhash" -> "DedupSimilaritySpec (probabilistic hamming blocking)",
+    "dedup_simhash" -> "DedupSimilaritySpec (xxhash64 hash family; oracle twin dedup_simhash_md5)",
     "sim_ann_lsh" -> "DedupSimilaritySpec (approximate ANN; recall vs exact)",
     "sim_ann_ivf" -> "DedupSimilaritySpec (approximate ANN; recall vs exact)",
     "sim_ann_batch" -> "DedupSimilaritySpec (batched-query ANN; per-query recall vs brute force + coverage)",
     "sim_knn_banded" -> "DedupSimilaritySpec (approximate NN; coverage + agreement)",
-    "sketch_cms_topk" -> "CorpusSpec (CMS error bound + merge law)",
+    "sketch_cms_topk" -> "CorpusSpec (xxhash64 hash family; oracle twin sketch_cms_topk_md5)",
     "q57_approx_quantile" -> "ExtraRelationalSpec (KLL sketch, engine-specific)",
     "q37_approx_distinct" -> "MiscSpec (HLL within 5% of exact)",
     "sketch_hll_union" -> "CurationSpec (HLL union merge law)",

@@ -227,6 +227,34 @@ object CorpusQueries {
         .orderBy(col("exact_cnt").desc, col("word").asc)
         .limit(20)
         .withColumn("est_cnt", est)
+    }),
+
+    // Oracle-checked CMS twin: identical build/estimate pipeline (same
+    // aggregator, same Depth×Width matrix, same min-of-rows estimate)
+    // with positions drawn from md5 instead of xxhash64 — 15 hex chars =
+    // 60 bits fits a signed long, mod Width reproduces in DuckDB, so the
+    // oracle can re-simulate the counter matrix cell-for-cell and the
+    // estimates compare hash-exact. The CMS one-sided-error property is
+    // hash-family-independent, so this twin oracle-checks the whole
+    // sketch dataflow, not a weakened variant.
+    "sketch_cms_topk_md5" -> ((s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(explode(tokens(col("text"))).as("word"))
+      val cms = udaf(CountMinAggregator)
+      val sketch: Seq[Long] = toks
+        .select(cms(cmsPosMd5(0, col("word")), cmsPosMd5(1, col("word")),
+          cmsPosMd5(2, col("word")), cmsPosMd5(3, col("word"))).as("sk"))
+        .head().getSeq[Long](0)
+      val skLit = typedlit(sketch)
+      val est = (0 until CountMinAggregator.Depth).map { i =>
+        element_at(skLit,
+          (lit(i * CountMinAggregator.Width)
+            + cmsPosMd5(i, col("word"))).cast("int") + 1)
+      }.reduce(least(_, _))
+      toks.groupBy("word").agg(count(lit(1)).as("exact_cnt"))
+        .orderBy(col("exact_cnt").desc, col("word").asc)
+        .limit(20)
+        .withColumn("est_cnt", est)
     }))
 
   /** i-th CMS row position for a key — pure built-ins, identical
@@ -235,7 +263,39 @@ object CorpusQueries {
   private[graft] def cmsPos(i: Int, key: Column): Column =
     pmod(xxhash64(lit(i), key), lit(CountMinAggregator.Width.toLong))
 
+  /** md5-family twin of [[cmsPos]]: 60-bit value from the first 15 md5
+    * hex chars of "i‖key" (fits a signed long; reproducible in DuckDB as
+    * ('0x'||substr(md5(i||word),1,15))::UBIGINT), mod Width. */
+  private[graft] def cmsPosMd5(i: Int, key: Column): Column =
+    pmod(
+      conv(substring(md5(concat(lit(i.toString), key).cast("binary")),
+        1, 15), 16, 10).cast("long"),
+      lit(CountMinAggregator.Width.toLong))
+
   val oracles: Map[String, String] = Map(
+    // Cell-for-cell re-simulation of the md5-position CMS: counter cell
+    // (i,p) = Σ count(word) over words hashing there; estimate = min over
+    // the Depth rows — exactly what the aggregator builds and the
+    // element_at lookup reads.
+    "sketch_cms_topk_md5" ->
+      """WITH toks AS (
+        |  SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word
+        |  FROM documents),
+        |cnt AS (SELECT word, COUNT(*) AS c FROM toks GROUP BY word),
+        |pos AS (
+        |  SELECT word, c, i,
+        |    CAST(CAST(('0x' || substr(md5(CAST(i AS VARCHAR) || word), 1, 15))
+        |         AS UBIGINT) % 1024 AS BIGINT) AS p
+        |  FROM cnt, range(0, 4) r(i)),
+        |cells AS (SELECT i, p, CAST(SUM(c) AS BIGINT) AS cell
+        |  FROM pos GROUP BY i, p),
+        |est AS (
+        |  SELECT pos.word, MIN(cells.cell) AS est_cnt
+        |  FROM pos JOIN cells ON pos.i = cells.i AND pos.p = cells.p
+        |  GROUP BY pos.word)
+        |SELECT cnt.word AS word, cnt.c AS exact_cnt, est.est_cnt
+        |FROM cnt JOIN est ON cnt.word = est.word
+        |ORDER BY exact_cnt DESC, cnt.word ASC LIMIT 20""".stripMargin,
     "curate_domain_cap" ->
       """SELECT doc_id, source, n_chars,
         |  CAST(ROW_NUMBER() OVER (PARTITION BY source

@@ -330,28 +330,28 @@ object DedupQueries {
     // (hamming ≤ 3 guarantees ≥1 identical piece), verified by bit_count.
     // Signatures via the native SimHashAggregator over codegen-hashed
     // exploded tokens (same pattern as MinHash — no interpreted HOFs).
-    "dedup_simhash" -> ((s, d) => {
-      val simhashAgg = udaf(graft.functions.SimHashAggregator)
-      val sigs = Tables.documents(s, d)
+    // xxhash64 has no DuckDB twin ⇒ rows-only; the md5-hashed twin below
+    // shares every downstream step and IS oracle-checked.
+    "dedup_simhash" -> ((s, d) =>
+      simhashPairs(Tables.documents(s, d)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+        .select(col("doc_id"), xxhash64(col("tok")).as("h")))),
+
+    // Oracle-checked SimHash twin: identical pipeline (same aggregator,
+    // same blocking, same verify) with the token hash drawn from md5
+    // instead of xxhash64 — 15 hex chars = 60 bits, which both fits a
+    // signed long exactly (conv → cast never overflows) and reproduces in
+    // DuckDB as ('0x' || substr(md5(tok),1,15))::UBIGINT. Signature bits
+    // 60–63 see only −1 votes and stay 0 in both engines, so the DuckDB
+    // mirror sums j ∈ [0,60). SimHash quality is hash-family-independent
+    // (hamming distance tracks token-multiset overlap), so this twin
+    // oracle-checks the whole simhash dataflow, not a weakened variant.
+    "dedup_simhash_md5" -> ((s, d) =>
+      simhashPairs(Tables.documents(s, d)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
         .select(col("doc_id"),
-          explode(tokens(col("text"))).as("tok"))
-        .select(col("doc_id"), xxhash64(col("tok")).as("h"))
-        .groupBy("doc_id").agg(simhashAgg(col("h")).as("sig"))
-        .localCheckpoint() // both sides of the piece-blocked self-join
-      val pieces = sigs.select(col("doc_id"), col("sig"),
-        posexplode(transform(sequence(lit(0), lit(3)), p =>
-          call_function("shiftright", col("sig"), (p * 16).cast("int"))
-            .bitwiseAND(lit(0xFFFFL))))
-          .as(Seq("piece_idx", "piece")))
-      pieces.toDF("doc_a", "sig_a", "piece_idx", "piece")
-        .join(pieces.toDF("doc_b", "sig_b", "piece_idx", "piece"),
-          Seq("piece_idx", "piece"))
-        .filter(col("doc_a") < col("doc_b"))
-        .select(col("doc_a"), col("doc_b"),
-          bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
-        .distinct()
-        .filter(col("hamming") <= 3)
-    }),
+          conv(substring(md5(col("tok").cast("binary")), 1, 15), 16, 10)
+            .cast("long").as("h")))),
 
     // Incremental near-dup — the daily-ingestion production shape: a
     // DELTA of new documents (source ≠ src0) is deduped against the
@@ -509,6 +509,33 @@ object DedupQueries {
         graft.functions.UnitNormalize.unit(col("embedding")).as("u"))
       .localCheckpoint() // both self-join sides, in two queries
 
+  /** Shared SimHash pipeline over pre-hashed tokens (doc_id, h):
+    * per-doc signature via the ±1 bit-vote aggregator, candidate pairs by
+    * 16-bit piece blocking (hamming ≤ 3 over ≤64 bits ⇒ pigeonhole
+    * guarantees ≥1 of the 4 pieces identical — no all-pairs join), exact
+    * bit_count verify. The hash column is the only thing dedup_simhash
+    * (xxhash64) and dedup_simhash_md5 (md5-derived, oracle-checked) do
+    * differently. */
+  private[graft] def simhashPairs(hashed: DataFrame): DataFrame = {
+    val simhashAgg = udaf(graft.functions.SimHashAggregator)
+    val sigs = hashed
+      .groupBy("doc_id").agg(simhashAgg(col("h")).as("sig"))
+      .localCheckpoint() // both sides of the piece-blocked self-join
+    val pieces = sigs.select(col("doc_id"), col("sig"),
+      posexplode(transform(sequence(lit(0), lit(3)), p =>
+        call_function("shiftright", col("sig"), (p * 16).cast("int"))
+          .bitwiseAND(lit(0xFFFFL))))
+        .as(Seq("piece_idx", "piece")))
+    pieces.toDF("doc_a", "sig_a", "piece_idx", "piece")
+      .join(pieces.toDF("doc_b", "sig_b", "piece_idx", "piece"),
+        Seq("piece_idx", "piece"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 3)
+  }
+
   val oracles: Map[String, String] = Map(
     // MinHash+LSH is probabilistic in general, but DedupSpec pins its
     // recall == exact n-gram Jaccard on this fixture (64 hashes, 8×8
@@ -517,6 +544,35 @@ object DedupQueries {
     // oracle. Doubles as a regression tripwire if recall ever drops.
     "dedup_minhash_lsh" -> dedupNgramJaccardOracle,
     "dedup_ngram_prefix" -> dedupNgramJaccardOracle,
+    // Exact mirror of the md5 SimHash twin: same 60-bit md5-derived token
+    // hash, same ±1 bit votes (ties and all-(−1) bits → 0, hence j<60
+    // suffices), same hamming ≤ 3 — verified by brute-force O(n²)
+    // self-join (the oracle doesn't need the piece-blocking trick, whose
+    // completeness the pigeonhole argument + shared result guarantee).
+    "dedup_simhash_md5" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id,
+        |    CAST(CAST(('0x' || substr(md5(tok), 1, 15)) AS UBIGINT) AS BIGINT) AS h
+        |  FROM toks),
+        |votes AS (
+        |  SELECT doc_id, j,
+        |    SUM(CASE WHEN (h >> CAST(j AS INTEGER)) & 1 = 1 THEN 1 ELSE -1 END) AS v
+        |  FROM h, range(0, 60) r(j)
+        |  GROUP BY doc_id, j),
+        |sigs AS (
+        |  SELECT doc_id,
+        |    SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << CAST(j AS INTEGER))
+        |             ELSE 0 END) AS sig
+        |  FROM votes GROUP BY doc_id)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(bit_count(xor(CAST(a.sig AS BIGINT), CAST(b.sig AS BIGINT)))
+        |       AS INTEGER) AS hamming
+        |FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(CAST(a.sig AS BIGINT), CAST(b.sig AS BIGINT))) <= 3""".stripMargin,
     // connected components via recursive CTE: root r reaches node n along
     // the (bidirectional) dup edges ⇒ same component; min reachable root
     // = the canonical id the Spark label propagation converges to
