@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.Tables
+import graft.operators.Checkpoint.CheckpointOps
 import graft.functions.BloomFilterAggregator
 import graft.functions.TextFunctions._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -207,14 +208,14 @@ object CurationQueries {
       // token side. Without it each would re-shuffle every EXPLODED
       // (doc_id, pos, tok) row — strictly more bytes than the one
       // token-array pass (review round 5 caught exactly that
-      // regression). NOTE: this exchange sits below an eager
-      // localCheckpoint, so the wide-shuffle audit cannot see it — this
-      // comment is its justification record.
+      // regression). The build-plan audit walk sees this exchange (round
+      // 6: inlineForAudit skips the checkpoint) — its justification is
+      // the ta_boilerplate allowlist entry in QueryDebug.audit.
       val docs = Tables.documents(s, d)
         .withColumn("w", tokens(col("text")))
         .select("doc_id", "w")
         .repartition(col("doc_id"))
-        .localCheckpoint() // referenced by toks, grams, and the final join
+        .buildCheckpoint() // referenced by toks, grams, and the final join
       // corpus-relative threshold: one count() action on the checkpointed
       // rows (same bounded-model-state pattern as the Bloom/IVF builds)
       val k = math.max(5L, math.ceil(0.004 * docs.count()).toLong)
@@ -276,19 +277,33 @@ object CurationQueries {
           // every downstream boolean stays two-valued (RobustnessSpec)
           coalesce(n >= 30 && n <= 80 && stopHits >= 1, lit(false))
             .as("passed_quality"))
-        .localCheckpoint() // feeds stage 2 and the final verdict join
+        .buildCheckpoint() // feeds stage 2 and the final verdict join
+      // stage 2, NARROW: only (doc_id, fp) rows ever cross an exchange.
+      // The former form computed the same window but carried full text
+      // through it as payload (stage 3 read text off this checkpoint) —
+      // invisible below the eager checkpoint until the audit learned to
+      // walk build plans (round 6), flagged immediately after. Projecting
+      // the fingerprint FIRST keeps the one window shuffle narrow; stage 3
+      // re-reads text from the staged checkpoint instead.
       val exact = staged.filter(col("passed_quality"))
+        .select(col("doc_id"), md5(col("text").cast("binary")).as("fp"))
         .withColumn("exact_canonical",
-          min(col("doc_id")).over(
-            Window.partitionBy(md5(col("text").cast("binary")))))
-        .select("doc_id", "text", "exact_canonical")
-        .localCheckpoint() // feeds stage 3 and the final verdict join
-      val canonSh = exact
-        .filter(col("doc_id") === col("exact_canonical"))
+          min(col("doc_id")).over(Window.partitionBy("fp")))
+        .select("doc_id", "exact_canonical")
+        .buildCheckpoint() // feeds stage 3 and the final verdict join
+      // stage 3: shingle the passers map-side off the checkpointed texts,
+      // THEN semi-join to the canonical ids — (doc_id, s) index rows cross
+      // the wire, text never does. Shingling non-canonical passers is
+      // accepted linear re-evaluation (cheaper than moving text to filter
+      // it first); the semi-join folds into the index-build exchange.
+      val canonIds = exact.filter(col("doc_id") === col("exact_canonical"))
+        .select("doc_id")
+      val canonSh = staged.filter(col("passed_quality"))
         .select(col("doc_id"), explode(shingles(col("text"), 3)).as("s"))
+        .join(canonIds, Seq("doc_id"), "left_semi")
         // index-build exchange (see DedupQueries.exactJaccardPairs)
         .repartition(col("doc_id"))
-        .localCheckpoint() // sizes + both self-join sides (see DedupQueries)
+        .buildCheckpoint() // sizes + both self-join sides (see DedupQueries)
       val pairs = DedupQueries.exactJaccardOn(canonSh)
         .filter(col("jaccard") >= 0.8)
         .select("doc_a", "doc_b")

@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.Tables
+import graft.operators.Checkpoint.CheckpointOps
 import graft.functions.TextFunctions._
 import graft.functions.VectorFunctions
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -118,7 +119,7 @@ object DedupQueries {
     * the one-time build cost of a reusable artifact, not a per-query
     * wide-payload shuffle. */
   private[graft] def exactJaccardPairs(s: SparkSession, d: String): DataFrame = {
-    val sh = shingleIndex(s, d).repartition(col("doc_id")).localCheckpoint()
+    val sh = shingleIndex(s, d).repartition(col("doc_id")).buildCheckpoint()
     exactJaccardOn(sh, pruneSingletons = singletonPruningPaysOff(sh))
   }
 
@@ -154,7 +155,7 @@ object DedupQueries {
     // the per-doc rank/size window below runs over the FULL index on
     // doc_id, so the checkpoint's partitioning lets it plan
     // exchange-free instead of re-shuffling every (doc_id, s, df) row
-    val sh = shingleIndex(s, d).repartition(col("doc_id")).localCheckpoint()
+    val sh = shingleIndex(s, d).repartition(col("doc_id")).buildCheckpoint()
     // df via hash aggregate (sort-free) broadcast back; per-doc rank and
     // size share ONE window shuffle on doc_id
     val dfreq = sh.groupBy("s").agg(count(lit(1)).as("df"))
@@ -168,13 +169,13 @@ object DedupQueries {
       // which would shorten the prefix by one and break the exactness proof
       .filter(col("rk") <= col("n") - ceil(col("n") * t - lit(1e-9)) + 1)
       .select("doc_id", "s")
-      .localCheckpoint() // both sides of the candidate self-join
+      .buildCheckpoint() // both sides of the candidate self-join
     val cand = prefixed.toDF("doc_a", "s")
       .join(prefixed.toDF("doc_b", "s"), "s")
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b")
       .distinct()
-      .localCheckpoint() // candDocs + the verification join
+      .buildCheckpoint() // candDocs + the verification join
     val candDocs = cand.select(col("doc_a").as("doc_id"))
       .union(cand.select(col("doc_b").as("doc_id"))).distinct()
     val candSh = sh
@@ -202,10 +203,10 @@ object DedupQueries {
   private[graft] def connectedComponents(pairs: DataFrame): DataFrame = {
     val edges = pairs.toDF("src", "dst")
       .unionAll(pairs.toDF("dst", "src").select("src", "dst"))
-      .localCheckpoint()
+      .buildCheckpoint()
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
-      .localCheckpoint()
+      .buildCheckpoint()
     var changed = 1L
     while (changed > 0) {
       val nbrMin = edges
@@ -219,7 +220,7 @@ object DedupQueries {
         .select(col("id"), col("old_label"),
           least(col("old_label"),
             coalesce(col("nbr_label"), col("old_label"))).as("label"))
-        .localCheckpoint()
+        .buildCheckpoint()
       changed = next.filter(col("label") =!= col("old_label")).count()
       labels = next.select("id", "label")
     }
@@ -298,7 +299,7 @@ object DedupQueries {
       // (see prefixJaccardPairs for why localCheckpoint, not cache;
       // see exactJaccardPairs for the index-build repartition)
       val sh = shingleIndex(s, d).repartition(col("doc_id"))
-        .localCheckpoint()
+        .buildCheckpoint()
       val banded = sh
         .select(col("doc_id"), xxhash64(col("s")).as("h"))
         .groupBy("doc_id").agg(minhash64(col("h")).as("sig"))
@@ -314,7 +315,7 @@ object DedupQueries {
             struct(a.as("doc_a"), x.as("doc_b")))))).as("p"))
         .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
         .distinct()
-        .localCheckpoint() // candDocs + the verification join
+        .buildCheckpoint() // candDocs + the verification join
       val candDocs = cand.select(col("doc_a").as("doc_id"))
         .union(cand.select(col("doc_b").as("doc_id"))).distinct()
       val candShingles = sh
@@ -370,7 +371,7 @@ object DedupQueries {
         // index-build exchange: consumers run at the checkpoint's
         // partition count (see exactJaccardPairs)
         .repartition(col("doc_id"))
-        .localCheckpoint() // sizes + both sides of the pair join
+        .buildCheckpoint() // sizes + both sides of the pair join
       val sizes = idx.groupBy("doc_id").agg(count(lit(1)).as("n"))
       val a = idx.toDF("doc_a", "a_base", "s")
       val b = idx.toDF("doc_b", "b_base", "s")
@@ -507,7 +508,7 @@ object DedupQueries {
     Tables.embeddings(s, d)
       .select(col("vec_id"),
         graft.functions.UnitNormalize.unit(col("embedding")).as("u"))
-      .localCheckpoint() // both self-join sides, in two queries
+      .buildCheckpoint() // both self-join sides, in two queries
 
   /** Shared SimHash pipeline over pre-hashed tokens (doc_id, h):
     * per-doc signature via the ±1 bit-vote aggregator, candidate pairs by
@@ -520,7 +521,7 @@ object DedupQueries {
     val simhashAgg = udaf(graft.functions.SimHashAggregator)
     val sigs = hashed
       .groupBy("doc_id").agg(simhashAgg(col("h")).as("sig"))
-      .localCheckpoint() // both sides of the piece-blocked self-join
+      .buildCheckpoint() // both sides of the piece-blocked self-join
     val pieces = sigs.select(col("doc_id"), col("sig"),
       posexplode(transform(sequence(lit(0), lit(3)), p =>
         call_function("shiftright", col("sig"), (p * 16).cast("int"))

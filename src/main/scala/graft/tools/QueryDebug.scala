@@ -81,6 +81,12 @@ object QueryDebug {
       .config("spark.sql.adaptive.enabled", "false")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // Walk build plans too: skipping localCheckpoint keeps index-build
+    // lineage in the plan, so exchanges below materialization points —
+    // the round-5 audit blind spot — are flagged like any other. The
+    // allowlist below is then the ONLY justification record; in-code
+    // comments no longer shield an exchange from the walk.
+    graft.operators.Checkpoint.inlineForAudit = true
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
     // Known-inherent wide shuffles — each entry must justify WHY the
     // operator cannot reduce the column before the exchange. Anything
@@ -88,7 +94,13 @@ object QueryDebug {
     val allowed = Map(
       "sim_knn_banded" -> ("v" ->
         ("band equi-join must deliver candidate vectors to the cosine " +
-          "verify -- co-locating by band IS the operator")))
+          "verify -- co-locating by band IS the operator")),
+      "ta_boilerplate" -> ("w" ->
+        ("one-time doc_id co-partitioning INVESTMENT before the index " +
+          "checkpoint: the covered-position anti-join and reassembly " +
+          "groupBy then plan shuffle-free on the exploded token side -- " +
+          "strictly fewer bytes than re-shuffling every (doc_id, pos, " +
+          "tok) row per consumer (round-5 measurement)")))
     var hits = 0
     var errors = 0
     graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>

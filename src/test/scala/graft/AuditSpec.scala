@@ -42,6 +42,33 @@ class AuditSpec extends SparkSpec {
     }
   }
 
+  test("build exchanges below a checkpoint are hidden normally, SEEN in audit mode") {
+    // the round-5 blind spot: an eager localCheckpoint plans as a bare
+    // RDD scan, so a wide exchange below it escapes the walk. The
+    // Checkpoint seam must (a) hide it in production mode — documenting
+    // why the audit needs inline mode at all — and (b) surface it when
+    // inlineForAudit is set, which is how `QueryDebug audit` now runs.
+    import graft.operators.Checkpoint
+    // the aggregate reads text ABOVE the build exchange, so column
+    // pruning cannot strip the wide payload out of the inline-mode plan
+    def buildThenConsume(): org.apache.spark.sql.DataFrame =
+      Checkpoint(
+        Tables.documents(spark, sf0001).repartition(col("doc_id")))
+        .groupBy("lang").agg(sum(length(col("text"))).as("chars"))
+    withAqe(on = false) {
+      assert(!Checkpoint.inlineForAudit,
+        "suite must start in production mode")
+      assert(QueryDebug.wideShuffles(buildThenConsume()).isEmpty,
+        "checkpointed build exchange should be invisible in production mode")
+      try {
+        Checkpoint.inlineForAudit = true
+        val flagged = QueryDebug.wideShuffles(buildThenConsume())
+        assert(flagged.nonEmpty && flagged.head.contains("text"),
+          s"inline mode must surface the build exchange, got $flagged")
+      } finally Checkpoint.inlineForAudit = false
+    }
+  }
+
   test("a wide column used as the partitioning KEY is not flagged") {
     withAqe(on = false) {
       // grouping by the token IS the operator (inverted index / tf
