@@ -117,6 +117,59 @@ class DocStoreSourceSpec extends SparkSpec {
     assert(got == Map("hi" -> 3L, "there" -> 1L, "sue" -> 1L))
   }
 
+  test("streaming sink exactly-once: forced batch failure + checkpoint restart converges") {
+    // The exactly-once story for this sink is idempotent upsert + replay:
+    // a batch that fails AFTER its store write (the worst case — data is
+    // already in the store but the epoch never committed) is replayed in
+    // full on restart, and the store must converge to the same state a
+    // clean run produces. This test fails if the sink ever double-applies
+    // (duplicate doc rows) or diverges (wrong counts after replay).
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val root = Files.createTempDirectory("graft-dsv2eo").toString
+    val ckpt = Files.createTempDirectory("graft-dsv2eo-ckpt").toString
+    val stream = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[String]
+    val counts = WordCount.countWords(stream.toDS().toDF("text"), "text")
+    val injected = new java.util.concurrent.atomic.AtomicBoolean(false)
+    def writeBatch(batch: org.apache.spark.sql.DataFrame): Unit =
+      batch.select(lit("wceo").as("collection"), col("word").as("doc_id"),
+          col("cnt").cast("long").as("count"))
+        .write.format("graft.sources.DocStoreDataSource")
+        .option("path", root).mode("append").save()
+    val q1 = counts.writeStream.outputMode("complete")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        writeBatch(batch) // store write SUCCEEDS...
+        if (!injected.getAndSet(true)) // ...then the epoch commit is lost
+          throw new RuntimeException("injected post-write failure")
+      }.start()
+    stream.addData("hi there hi")
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q1.processAllAvailable()
+      q1.awaitTermination()
+    }
+    assert(!q1.isActive) // died on the injected failure, epoch uncommitted
+    // more data arrives while the query is down; restart from the SAME
+    // checkpoint — the failed epoch replays against a store that already
+    // holds its data
+    stream.addData("hi sue")
+    val q2 = counts.writeStream.outputMode("complete")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        writeBatch(batch)
+      }.start()
+    try q2.processAllAvailable() finally q2.stop()
+    val rows = spark.read.format("graft.sources.DocStoreDataSource")
+      .option("path", root).load()
+      .select($"doc_id", $"count").as[(String, Long)].collect().toSeq
+    // no double-apply: one row per word (an append-style sink would hold
+    // duplicates; an increment-style sink would inflate the counts)
+    assert(rows.map(_._1).sorted == rows.map(_._1).distinct.sorted,
+      s"duplicate docs after replay: $rows")
+    assert(rows.toMap == Map("hi" -> 3L, "there" -> 1L, "sue" -> 1L),
+      s"store diverged after replay: $rows")
+  }
+
   test("DSv2 source parallelizes by collection and supports SQL") {
     val root = Files.createTempDirectory("graft-dsv2b").toString
     val f = new FileDocumentStoreFactory(root)
