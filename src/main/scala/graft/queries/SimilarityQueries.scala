@@ -147,33 +147,30 @@ object SimilarityQueries {
     // Deterministic (fixed seed-by-id init, fixed Lloyd iterations).
     // Approximate ⇒ rows-only; recall vs brute force pinned in spec.
     "sim_ann_ivf" -> ((s, d) => {
-      import s.implicits._
       val e = rawVecs(s, d)
       val centroids = ivfCentroids(e, k = 16, iters = 2)
-      if (centroids.isEmpty) {
-        // empty corpus -> no model and no query vector; empty result with
-        // the query's schema instead of an analysis-time crash
-        // (RobustnessSpec's empty-corpus sweep)
-        e.select(col("vec_id"), lit(0.0).as("cos")).limit(0)
-      } else {
-      val assigned = assignCells(e, centroids)
-      // probe cells: nearest 4 centroids to the query vector — O(k·dim)
-      // driver arithmetic on already-materialized model state
-      val qv = e.filter(col("vec_id") === 0).select("v")
-        .as[Seq[Double]].head()
-      val probe = centroids.zipWithIndex
-        .map { case (c, i) =>
-          (i, c.zip(qv).map { case (x, y) => (x - y) * (x - y) }.sum) }
-        .sortBy(_._2).take(4).map(_._1)
-      val q = broadcast(e.filter(col("vec_id") === 0)
-        .select(col("v").as("q_v")))
-      assigned.filter(col("vec_id") =!= 0 &&
-          col("cell").isin(probe: _*))
-        .join(q)
-        .select(col("vec_id"),
-          round(cosine(col("v"), col("q_v")), 6).as("cos"))
-        .orderBy(col("cos").desc, col("vec_id").asc)
-        .limit(10)
+      if (centroids.isEmpty) emptyIvfResult(e)
+      else ivfProbeTopK(e, assignCells(e, centroids), centroids)
+    }),
+
+    // IVF with a PERSISTED index — the production shape the in-memory
+    // sim_ann_ivf stands in for: `assigned` is written once as a
+    // cell-partitioned parquet table (Layout.writePartitioned — the cell
+    // column IS the directory key), and the probe reads it back with
+    // `cell IN (probed)` pruned at file-LISTING time, so only nProbe of
+    // k cell directories are ever opened (DedupSimilaritySpec pins
+    // inputFiles ⊆ probed cells, plus result equality with the
+    // in-memory twin). At 100 TB this is the difference between an ANN
+    // query scanning nProbe/k of the corpus and scanning all of it.
+    "sim_ann_ivf_indexed" -> ((s, d) => {
+      val e = rawVecs(s, d)
+      val centroids = ivfCentroids(e, k = 16, iters = 2)
+      if (centroids.isEmpty) emptyIvfResult(e)
+      else {
+        val idxPath = ivfIndexPath(d)
+        graft.operators.Layout.writePartitioned(
+          assignCells(e, centroids), idxPath, Seq("cell"))
+        ivfProbeTopK(e, s.read.parquet(idxPath), centroids)
       }
     }),
 
@@ -252,6 +249,45 @@ object SimilarityQueries {
   private def rawVecs(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+
+  /** Empty-corpus IVF result: no model and no query vector; empty result
+    * with the query's schema instead of an analysis-time crash
+    * (RobustnessSpec's empty-corpus sweep). */
+  private def emptyIvfResult(e: DataFrame): DataFrame =
+    e.select(col("vec_id"), lit(0.0).as("cos")).limit(0)
+
+  /** Deterministic per-dataset location for the persisted IVF index —
+    * a scratch stand-in for the warehouse table a production pipeline
+    * would maintain. */
+  private[graft] def ivfIndexPath(d: String): String =
+    s"${sys.props("java.io.tmpdir")}/graft_ivf_index_" +
+      java.lang.Integer.toHexString(d.hashCode)
+
+  /** Shared IVF probe + exact rerank: nearest nProbe centroids to the
+    * vec_id=0 query (O(k·dim) driver arithmetic on already-materialized
+    * model state), cell filter on `assigned` (in-memory or the persisted
+    * cell-partitioned table — for the latter the filter prunes
+    * directories at listing time), broadcast query, exact cosine top-10. */
+  private def ivfProbeTopK(
+      e: DataFrame, assigned: DataFrame, centroids: Seq[Seq[Double]],
+      nProbe: Int = 4): DataFrame = {
+    import e.sparkSession.implicits._
+    val qv = e.filter(col("vec_id") === 0).select("v")
+      .as[Seq[Double]].head()
+    val probe = centroids.zipWithIndex
+      .map { case (c, i) =>
+        (i, c.zip(qv).map { case (x, y) => (x - y) * (x - y) }.sum) }
+      .sortBy(_._2).take(nProbe).map(_._1)
+    val q = broadcast(e.filter(col("vec_id") === 0)
+      .select(col("v").as("q_v")))
+    assigned.filter(col("vec_id") =!= 0 &&
+        col("cell").isin(probe: _*))
+      .join(q)
+      .select(col("vec_id"),
+        round(cosine(col("v"), col("q_v")), 6).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+      .limit(10)
+  }
 
   /** Nearest-centroid cell per vector: argmin |v−c|² = argmin |c|² − 2·v·c
     * (the row's own norm cancels), via the fused native
