@@ -77,7 +77,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
                 .asInstanceOf[org.apache.spark.sql.types.ArrayType].elementType)
               .toSeq.map {
                 case row: org.apache.spark.sql.catalyst.util.ArrayData =>
-                  row.toDoubleArray().toSeq
+                  // element-wise read instead of toDoubleArray(): a null
+                  // element would NPE there; make it the same typed error
+                  // as every other malformed-literal case
+                  (0 until row.numElements()).map { i =>
+                    if (row.isNullAt(i)) throw new IllegalArgumentException(
+                      "graft_nearest_cell: centroid matrix must not " +
+                        "contain null elements")
+                    row.getDouble(i)
+                  }
+                case null => throw new IllegalArgumentException(
+                  "graft_nearest_cell: centroid matrix must not contain " +
+                    "null rows")
                 case other => sys.error(
                   s"graft_nearest_cell: expected array<array<double>>, got $other")
               }

@@ -25,9 +25,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * silently skips nulls — losing a position marker is worse than a null
   * row), an all-zero vector (maxabs == 0, where the composed form's
   * ANSI int cast throws on NaN) yields NULL instead of killing the job,
-  * and a NaN ELEMENT likewise yields NULL — `v > maxabs` is false for
-  * NaN, so without the explicit check NaN would silently skip the maxabs
-  * pass and emit "0" where the composed form's ANSI cast throws.
+  * and a NON-FINITE element (NaN or ±Infinity) likewise yields NULL —
+  * NaN would silently skip the maxabs pass (`v > maxabs` is false for
+  * NaN) and an Infinity would make every finite element quantize to 0
+  * and itself to floor(Inf/Inf)=NaN→0, both emitting "0"s where the
+  * composed form's ANSI cast throws.
   */
 case class QuantizeInt8(child: Expression)
     extends UnaryExpression with ImplicitCastInputTypes {
@@ -52,7 +54,7 @@ case class QuantizeInt8(child: Expression)
     while (i < n) {
       if (x.isNullAt(i)) return null
       val v = math.abs(x.getDouble(i))
-      if (v.isNaN) return null
+      if (!java.lang.Double.isFinite(v)) return null
       if (v > maxabs) maxabs = v
       i += 1
     }
@@ -84,7 +86,7 @@ case class QuantizeInt8(child: Expression)
          |for (int $i = 0; $i < $n; $i++) {
          |  $nullElemCheck
          |  double $av = java.lang.Math.abs($a.getDouble($i));
-         |  if (java.lang.Double.isNaN($av)) { ${ev.isNull} = true; break; }
+         |  if (!java.lang.Double.isFinite($av)) { ${ev.isNull} = true; break; }
          |  if ($av > $maxabs) $maxabs = $av;
          |}
          |if (!${ev.isNull} && $n > 0 && $maxabs == 0.0) { ${ev.isNull} = true; }

@@ -207,6 +207,25 @@ object DedupQueries {
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
       .buildCheckpoint()
+    // Audit mode: return ONE unexecuted iteration instead of running the
+    // fixpoint loop. With checkpoints inlined the loop would (a) grow the
+    // walked plan per round and (b) re-execute the whole un-materialized
+    // upstream pipeline on every convergence count() — the review-caught
+    // audit-mode trap. One iteration's plan carries everything the walk
+    // needs: the full upstream build lineage (edges/labels are inline
+    // here) plus the loop body's join + min-aggregate exchanges, which
+    // are round-invariant (each round shuffles the same (id, label)
+    // shape). Production runs the loop exactly as before.
+    if (graft.operators.Checkpoint.inlineForAudit) {
+      val nbrMin = edges
+        .join(labels.toDF("dst", "nl"), "dst")
+        .groupBy("src").agg(min(col("nl")).as("nbr_label"))
+      return labels.toDF("id", "old_label")
+        .join(nbrMin.toDF("id", "nbr_label"), Seq("id"), "left")
+        .select(col("id"),
+          least(col("old_label"),
+            coalesce(col("nbr_label"), col("old_label"))).as("label"))
+    }
     var changed = 1L
     while (changed > 0) {
       val nbrMin = edges

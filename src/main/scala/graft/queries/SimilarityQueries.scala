@@ -211,17 +211,13 @@ object SimilarityQueries {
         val qset = Tables.embeddings(s, d).filter(col("label") === 0)
           .select(col("vec_id").as("qid"),
             col("embedding").cast("array<double>").as("q_v"))
-        // per-row probe cells: same |c|²−2·v·c argmin arithmetic as
-        // assignCells, kept composed because we need the nProbe BEST
-        // cells, not just the argmin
-        val cellDists = array(centroids.zipWithIndex.map { case (c, i) =>
-          val cSq = c.map(x => x * x).sum
-          struct((lit(cSq) - dot(col("q_v"), typedlit(c)) * 2).as("dist"),
-            lit(i).as("cell"))
-        }: _*)
+        // per-row probe cells: the shared (distance, cell) structs, kept
+        // composed because we need the nProbe BEST cells, not just the
+        // argmin
         val probes = qset
           .withColumn("probe", transform(
-            slice(array_sort(cellDists), 1, nProbe), p => p.getField("cell")))
+            slice(array_sort(cellDistStructs(col("q_v"), centroids)),
+              1, nProbe), p => p.getField("cell")))
           .select(col("qid"), col("q_v"), explode(col("probe")).as("cell"))
         val topk = udaf(graft.functions.TopKAggregator(10),
           org.apache.spark.sql.catalyst.encoders
@@ -302,20 +298,28 @@ object SimilarityQueries {
     e.withColumn("cell",
       graft.functions.NearestCell.nearest(col("v"), centroids))
 
-  /** The composed form assignCells replaced — kept for the parity spec:
-    * array_min over (distance, cell) structs with one graft_dot per
-    * centroid. */
-  private[graft] def assignCellsComposed(
-      e: DataFrame, centroids: Seq[Seq[Double]]): DataFrame = {
-    val cands = array(centroids.zipWithIndex.map { case (c, i) =>
+  /** (distance, cell) struct per centroid over a vector column:
+    * |c|² − 2·v·c (the row's own norm cancels in any argmin/ranking
+    * use), one graft_dot per centroid, struct order (d, cell) so
+    * lexicographic min/sort breaks distance ties toward the smaller
+    * cell index. ONE definition shared by the composed assignment
+    * (array_min) and the batched probe's nProbe ranking (array_sort +
+    * slice) so the two cell orderings can never diverge. */
+  private[graft] def cellDistStructs(
+      v: org.apache.spark.sql.Column,
+      centroids: Seq[Seq[Double]]): org.apache.spark.sql.Column =
+    array(centroids.zipWithIndex.map { case (c, i) =>
       val cSq = c.map(x => x * x).sum
-      struct(
-        (lit(cSq) - dot(col("v"), typedlit(c)) * 2)
-          .as("d"),
+      struct((lit(cSq) - dot(v, typedlit(c)) * 2).as("d"),
         lit(i).as("cell"))
     }: _*)
-    e.withColumn("cell", array_min(cands).getField("cell"))
-  }
+
+  /** The composed form assignCells replaced — kept for the parity spec:
+    * array_min over the shared (distance, cell) structs. */
+  private[graft] def assignCellsComposed(
+      e: DataFrame, centroids: Seq[Seq[Double]]): DataFrame =
+    e.withColumn("cell",
+      array_min(cellDistStructs(col("v"), centroids)).getField("cell"))
 
   /** Lloyd's k-means for the IVF coarse quantizer: deterministic init
     * (the k lowest vec_ids), `iters` assignment/update rounds. Each round

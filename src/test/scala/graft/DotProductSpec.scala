@@ -295,7 +295,9 @@ class DotProductSpec extends SparkSpec {
       (3L, Some(Seq[java.lang.Double](1.0, null, 3.0))),
       (4L, Some(Seq[java.lang.Double](0.0, 0.0))), // composed form would ANSI-throw on NaN cast
       (5L, None),
-      (6L, Some(Seq[java.lang.Double](1.0, Double.NaN, 3.0))))
+      (6L, Some(Seq[java.lang.Double](1.0, Double.NaN, 3.0))),
+      (7L, Some(Seq[java.lang.Double](1.0, Double.PositiveInfinity))),
+      (8L, Some(Seq[java.lang.Double](Double.NegativeInfinity, 2.0))))
       .toDF("id", "v")
     val got = df.select(col("id"), QuantizeInt8.quantize(col("v")).as("q8"))
       .as[(Long, Option[String])].collect().toMap
@@ -304,11 +306,14 @@ class DotProductSpec extends SparkSpec {
     assert(got(3L).isEmpty) // null element -> null row, not a silent skip
     assert(got(4L).isEmpty) // zero-norm -> NULL, never an ANSI kill
     assert(got(5L).isEmpty)
-    // NaN element -> NULL: v > maxabs is false for NaN, so without the
-    // explicit check NaN would skip the maxabs pass and emit "0" where
-    // the composed form's ANSI cast throws. Pinned as NULL (degenerate
-    // input doctrine, same as zero-norm).
+    // non-finite element -> NULL: NaN would skip the maxabs pass
+    // (v > maxabs is false for NaN) and Infinity would quantize every
+    // finite element to 0 and itself to floor(Inf/Inf)=NaN -> 0 — both
+    // silently emitting "0"s where the composed form's ANSI cast throws.
+    // Pinned as NULL (degenerate input doctrine, same as zero-norm).
     assert(got(6L).isEmpty)
+    assert(got(7L).isEmpty) // +Inf element (review-caught gap in the NaN fix)
+    assert(got(8L).isEmpty) // -Inf element
   }
 
   test("nearest-cell constructor rejects ragged and empty centroid matrices") {

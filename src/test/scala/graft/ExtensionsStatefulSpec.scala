@@ -70,6 +70,14 @@ class ExtensionsStatefulSpec extends SparkSpec {
       else Option(t.getMessage).toSeq ++ messages(t.getCause)
     assert(messages(typeErr).exists(_.contains("array<array<double>>")),
       typeErr)
+    // a NULL element inside an otherwise well-typed double matrix used to
+    // NPE in toDoubleArray(); must be the same typed-error class
+    val nullErr = intercept[Exception] {
+      s2.sql("SELECT graft_nearest_cell(array(1.0D), " +
+          "array(array(CAST(NULL AS DOUBLE))))")
+        .collect()
+    }
+    assert(messages(nullErr).exists(_.contains("null")), nullErr)
     // and through the plan of a real table
     val n = s2.sql(
       s"SELECT graft_dot(CAST(embedding AS ARRAY<DOUBLE>), CAST(embedding AS ARRAY<DOUBLE>)) AS nn " +
