@@ -195,11 +195,19 @@ object DedupQueries {
     * pairwise output alone cannot express).
     *
     * Distributed shape: each iteration is one equi-join of the edge list
-    * with the label table + a min-aggregate, localCheckpoint'ed so the
-    * loop's plan doesn't grow; iterations = component diameter (near-dup
-    * clusters are shallow — single digits even at 100 TB). The driver
-    * sees only the per-iteration change COUNT (a scalar) — labels never
-    * leave the cluster. Deterministic: min is order-free. */
+    * with the label table + a min-aggregate, PLUS a pointer-jumping hop
+    * (label ← label[label], one more narrow equi-join): neighbor-min
+    * alone needs component-DIAMETER rounds, and a 100 TB near-dup graph
+    * can chain (A~B~C~… from incremental crawls); shortcutting follows
+    * the current label one hop per round, so chains collapse in
+    * O(log diameter) rounds. Safe because labels are monotone
+    * non-increasing and labels[x] ≤ x always (init label=id, min-only
+    * updates), so the hop can only tighten toward the component min —
+    * same fixpoint, fewer rounds (DedupSimilaritySpec's chain case pins
+    * the result; the DuckDB recursive-CTE oracle re-checks end-to-end).
+    * Everything is localCheckpoint'ed so the loop's plan doesn't grow.
+    * The driver sees only the per-iteration change COUNT (a scalar) —
+    * labels never leave the cluster. Deterministic: min is order-free. */
   private[graft] def connectedComponents(pairs: DataFrame): DataFrame = {
     val edges = pairs.toDF("src", "dst")
       .unionAll(pairs.toDF("dst", "src").select("src", "dst"))
@@ -216,30 +224,40 @@ object DedupQueries {
     // here) plus the loop body's join + min-aggregate exchanges, which
     // are round-invariant (each round shuffles the same (id, label)
     // shape). Production runs the loop exactly as before.
-    if (graft.operators.Checkpoint.inlineForAudit) {
+    // One round: label ← min(label, neighbors' labels, label[label]).
+    // The final left join follows the candidate label one hop through
+    // the PREVIOUS round's label table (pointer jumping); every label
+    // value is itself a node id, so the hop always resolves (left +
+    // coalesce is belt-and-braces). `old_label` rides through so the
+    // fixpoint test is a filter+count over already-materialized
+    // partitions — not an extra equi-join per round.
+    def round(labels: DataFrame): DataFrame = {
       val nbrMin = edges
         .join(labels.toDF("dst", "nl"), "dst")
         .groupBy("src").agg(min(col("nl")).as("nbr_label"))
-      return labels.toDF("id", "old_label")
-        .join(nbrMin.toDF("id", "nbr_label"), Seq("id"), "left")
-        .select(col("id"),
-          least(col("old_label"),
-            coalesce(col("nbr_label"), col("old_label"))).as("label"))
-    }
-    var changed = 1L
-    while (changed > 0) {
-      val nbrMin = edges
-        .join(labels.toDF("dst", "nl"), "dst")
-        .groupBy("src").agg(min(col("nl")).as("nbr_label"))
-      // carry the previous label through the checkpoint so the fixpoint
-      // test is a filter+count over already-materialized partitions — not
-      // an extra equi-join (and shuffle) of next against labels per round
-      val next = labels.toDF("id", "old_label")
+      labels.toDF("id", "old_label")
         .join(nbrMin.toDF("id", "nbr_label"), Seq("id"), "left")
         .select(col("id"), col("old_label"),
           least(col("old_label"),
-            coalesce(col("nbr_label"), col("old_label"))).as("label"))
-        .buildCheckpoint()
+            coalesce(col("nbr_label"), col("old_label"))).as("mid"))
+        .join(labels.toDF("mid", "jump"), Seq("mid"), "left")
+        .select(col("id"), col("old_label"),
+          least(col("mid"), coalesce(col("jump"), col("mid"))).as("label"))
+    }
+    // Audit mode: return ONE unexecuted iteration instead of running the
+    // fixpoint loop. With checkpoints inlined the loop would (a) grow the
+    // walked plan per round and (b) re-execute the whole un-materialized
+    // upstream pipeline on every convergence count() — the review-caught
+    // audit-mode trap. One iteration's plan carries everything the walk
+    // needs: the full upstream build lineage (edges/labels are inline
+    // here) plus the loop body's join + min-aggregate + jump exchanges,
+    // which are round-invariant (each round shuffles the same (id, label)
+    // shape). Production runs the loop exactly as before.
+    if (graft.operators.Checkpoint.inlineForAudit)
+      return round(labels).select("id", "label")
+    var changed = 1L
+    while (changed > 0) {
+      val next = round(labels).buildCheckpoint()
       changed = next.filter(col("label") =!= col("old_label")).count()
       labels = next.select("id", "label")
     }

@@ -296,6 +296,26 @@ class DedupSimilaritySpec extends SparkSpec {
       s"per-query recalls below floor: ${recalls.count(_ < 0.3)}")
   }
 
+  test("connected components: long chains, stars, and singleton isolation") {
+    import graft.queries.DedupQueries
+    // a 12-node chain (worst case for plain neighbor-min: diameter
+    // rounds; pointer jumping must still reach the same fixpoint), a
+    // star, a 2-cycle pair, and disjoint nodes
+    val chain = (0L until 11L).map(i => (100L + i, 100L + i + 1))
+    val star = Seq((200L, 201L), (200L, 202L), (200L, 203L))
+    val pair = Seq((301L, 300L))
+    val pairs = (chain ++ star ++ pair).toDF("doc_a", "doc_b")
+    val labels = DedupQueries.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert((100L to 111L).forall(labels(_) == 100L),
+      s"chain must collapse to its min: ${(100L to 111L).map(labels)}")
+    assert((200L to 203L).forall(labels(_) == 200L))
+    assert(labels(300L) == 300L && labels(301L) == 300L)
+    // only edge-touched nodes get labels (callers left-join the corpus)
+    assert(labels.keySet == ((100L to 111L) ++ (200L to 203L)
+      ++ Seq(300L, 301L)).toSet)
+  }
+
   test("rolling fingerprint: equal docs equal, reorder changes, order-sensitive") {
     val df = Seq(
       (1L, "a b c d"), (2L, "a b c d"), (3L, "d c b a"), (4L, "a b c e"))
