@@ -269,4 +269,35 @@ class StreamingSpec extends SparkSpec {
     // user2 error@10:30 is >15min after the 10:01 click -> no match row
     assert(rows == Set((1L, ts(0)), (1L, ts(5))))
   }
+
+  test("ann serving: stream-static join answers equal the batch path on the same queries") {
+    import graft.queries.SimilarityQueries
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val raw = Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val cents = SimilarityQueries.ivfModel(raw, sf0001)
+    val assigned = SimilarityQueries.assignCells(raw, cents)
+    val qs = raw.filter(col("vec_id").isin(1L, 2L, 3L))
+      .select(col("vec_id").as("qid"), col("v").as("q_v"))
+    // annServe is mode-agnostic: run it once as a plain batch plan for
+    // the expected answers, once over a MemoryStream — identical probe
+    // arithmetic (shared cellDistStructs) must give identical results
+    val expected = StreamingJobs.annServe(qs, assigned, cents)
+      .as[(Long, Int, Long, Double)].collect().toSet
+    assert(expected.nonEmpty && expected.map(_._1) == Set(1L, 2L, 3L))
+    val stream = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Seq[Double])]
+    val out = StreamingJobs.annServe(
+      stream.toDS().toDF("qid", "q_v"), assigned, cents)
+    val q = out.writeStream.outputMode("complete")
+      .format("memory").queryName("ann_serve").start()
+    try {
+      stream.addData(qs.as[(Long, Seq[Double])].collect().toSeq: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("ann_serve")
+      .as[(Long, Int, Long, Double)].collect().toSet
+    assert(got == expected)
+  }
 }
