@@ -215,15 +215,6 @@ object DedupQueries {
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
       .buildCheckpoint()
-    // Audit mode: return ONE unexecuted iteration instead of running the
-    // fixpoint loop. With checkpoints inlined the loop would (a) grow the
-    // walked plan per round and (b) re-execute the whole un-materialized
-    // upstream pipeline on every convergence count() — the review-caught
-    // audit-mode trap. One iteration's plan carries everything the walk
-    // needs: the full upstream build lineage (edges/labels are inline
-    // here) plus the loop body's join + min-aggregate exchanges, which
-    // are round-invariant (each round shuffles the same (id, label)
-    // shape). Production runs the loop exactly as before.
     // One round: label ← min(label, neighbors' labels, label[label]).
     // The final left join follows the candidate label one hop through
     // the PREVIOUS round's label table (pointer jumping); every label

@@ -148,7 +148,7 @@ object SimilarityQueries {
     // Approximate ⇒ rows-only; recall vs brute force pinned in spec.
     "sim_ann_ivf" -> ((s, d) => {
       val e = rawVecs(s, d)
-      val centroids = ivfModel(e, d)
+      val centroids = ivfModel(s, d)
       if (centroids.isEmpty) emptyIvfResult(e)
       else ivfProbeTopK(e, assignCells(e, centroids), centroids)
     }),
@@ -164,7 +164,7 @@ object SimilarityQueries {
     // query scanning nProbe/k of the corpus and scanning all of it.
     "sim_ann_ivf_indexed" -> ((s, d) => {
       val e = rawVecs(s, d)
-      val centroids = ivfModel(e, d)
+      val centroids = ivfModel(s, d)
       if (centroids.isEmpty) emptyIvfResult(e)
       else {
         val idxPath = ivfIndexPath(d)
@@ -197,7 +197,7 @@ object SimilarityQueries {
     // vs brute force + coverage pinned in DedupSimilaritySpec.
     "sim_ann_batch" -> ((s, d) => {
       val e = rawVecs(s, d)
-      val centroids = ivfModel(e, d)
+      val centroids = ivfModel(s, d)
       if (centroids.isEmpty) {
         // empty corpus -> no model and no queries; empty result with the
         // query's schema instead of an analysis-time crash
@@ -211,27 +211,15 @@ object SimilarityQueries {
         val qset = Tables.embeddings(s, d).filter(col("label") === 0)
           .select(col("vec_id").as("qid"),
             col("embedding").cast("array<double>").as("q_v"))
-        // per-row probe cells: the shared (distance, cell) structs, kept
-        // composed because we need the nProbe BEST cells, not just the
-        // argmin
         val probes = qset
-          .withColumn("probe", transform(
-            slice(array_sort(cellDistStructs(col("q_v"), centroids)),
-              1, nProbe), p => p.getField("cell")))
+          .withColumn("probe", probeCells(col("q_v"), centroids, nProbe))
           .select(col("qid"), col("q_v"), explode(col("probe")).as("cell"))
-        val topk = udaf(graft.functions.TopKAggregator(10),
-          org.apache.spark.sql.catalyst.encoders
-            .ExpressionEncoder[(Double, Long)]())
-        val ranked = assigned.join(broadcast(probes), Seq("cell"))
-          .filter(col("vec_id") =!= col("qid"))
+        val scored = assigned.join(broadcast(probes), Seq("cell"))
+          .filter(col("vec_id") =!= col("qid")) // queries ARE corpus rows here
           .select(col("qid"), cosine(col("v"), col("q_v")).as("cos_raw"),
             col("vec_id"))
-          .groupBy("qid")
-          .agg(topk(col("cos_raw"), col("vec_id")).as("top"))
-          .select(col("qid"), posexplode(col("top")).as(Seq("pos", "t")))
-          .select(col("qid"), (col("pos") + 1).cast("int").as("rank"),
-            col("t._2").as("nn_id"), round(col("t._1"), 6).as("cos"))
-        qset.select(col("qid")).join(ranked, Seq("qid"), "left")
+        qset.select(col("qid"))
+          .join(topkRanked(scored, k = 10), Seq("qid"), "left")
       }
     }),
 
@@ -247,16 +235,21 @@ object SimilarityQueries {
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
 
   /** Memoized IVF coarse quantizer per dataset path: the three IVF
-    * queries (single-probe, persisted-index, batched) share one
-    * deterministic model exactly as a production pipeline trains the
-    * quantizer once and serves every query from it. Safe to cache:
+    * queries (single-probe, persisted-index, batched) and the streaming
+    * server share one deterministic model exactly as a production
+    * pipeline trains the quantizer once and serves every query from it.
+    * Takes (session, path) — NOT a caller-supplied DataFrame — so a
+    * cached hit can never silently return a model trained on different
+    * data than the caller passed (review-caught API hole); the training
+    * input is always the full rawVecs of `d`. Safe to cache:
     * [[ivfCentroids]] is bit-deterministic (seed-by-id init, DECIMAL
     * mean) and the fixture datasets are immutable; the value is k×dim
     * doubles — bounded model state. */
   private val ivfModelCache =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[Seq[Double]]]()
-  private[graft] def ivfModel(e: DataFrame, d: String): Seq[Seq[Double]] =
-    ivfModelCache.computeIfAbsent(d, _ => ivfCentroids(e, k = 16, iters = 2))
+  private[graft] def ivfModel(s: SparkSession, d: String): Seq[Seq[Double]] =
+    ivfModelCache.computeIfAbsent(d,
+      _ => ivfCentroids(rawVecs(s, d), k = 16, iters = 2))
 
   /** Empty-corpus IVF result: no model and no query vector; empty result
     * with the query's schema instead of an analysis-time crash
@@ -325,6 +318,34 @@ object SimilarityQueries {
       struct((lit(cSq) - dot(v, typedlit(c)) * 2).as("d"),
         lit(i).as("cell"))
     }: _*)
+
+  /** nProbe best cells for a query-vector column, as array<int>: the
+    * shared (distance, cell) structs sorted and sliced — composed (not
+    * NearestCell) because ranking needs the nProbe BEST cells, not just
+    * the argmin. ONE definition serves the offline batch query and the
+    * streaming server (StreamingJobs.annServe) so probe orderings cannot
+    * diverge. */
+  private[graft] def probeCells(
+      qv: org.apache.spark.sql.Column, centroids: Seq[Seq[Double]],
+      nProbe: Int): org.apache.spark.sql.Column =
+    transform(slice(array_sort(cellDistStructs(qv, centroids)), 1, nProbe),
+      p => p.getField("cell"))
+
+  /** Per-query top-k formatting shared by the batched ANN query and the
+    * streaming server: bounded-heap top-k over (cos_raw, vec_id) per
+    * qid (O(k) state, map-side combined — never a window sort), exploded
+    * to (qid, rank, nn_id, cos) with cos rounded to 6 places and ties
+    * broken toward the smaller id. */
+  private[graft] def topkRanked(scored: DataFrame, k: Int): DataFrame = {
+    val topk = udaf(graft.functions.TopKAggregator(k),
+      org.apache.spark.sql.catalyst.encoders
+        .ExpressionEncoder[(Double, Long)]())
+    scored.groupBy("qid")
+      .agg(topk(col("cos_raw"), col("vec_id")).as("top"))
+      .select(col("qid"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("qid"), (col("pos") + 1).cast("int").as("rank"),
+        col("t._2").as("nn_id"), round(col("t._1"), 6).as("cos"))
+  }
 
   /** The composed form assignCells replaced — kept for the parity spec:
     * array_min over the shared (distance, cell) structs. */

@@ -134,43 +134,53 @@ object StreamingJobs {
   /** ANN serving as a STREAM-STATIC join — the online half of the
     * retrieval story whose offline half is `sim_ann_batch`: query
     * vectors arrive as a stream (qid, q_v) and are served against the
-    * STATIC IVF cell index. Per query row the nProbe best cells come
-    * from the shared cellDistStructs ranking (identical arithmetic to
-    * the batch path, so online and offline answers can never diverge —
-    * StreamingSpec pins stream == batch on the same query set); the
-    * equi-join on `cell` is Spark's native stream-static join (the
-    * static side is re-read per micro-batch, partition-pruned when
-    * `assigned` is the persisted cell-partitioned table), and per-query
-    * top-k rides the same bounded-heap TopKAggregator in update mode —
-    * O(k) state per query, no window sort. Works identically on a batch
-    * DataFrame (the spec exploits this for the equality pin).
+    * STATIC IVF cell index. Probe-cell ranking and the per-query top-k
+    * formatting are the SAME code the batch path runs
+    * (SimilarityQueries.probeCells / topkRanked), so online and offline
+    * answers cannot diverge — StreamingSpec pins stream == batch on the
+    * same query set, across multiple micro-batches. The equi-join on
+    * `cell` is Spark's native stream-static join (the static side is
+    * re-read per micro-batch, partition-pruned when `assigned` is the
+    * persisted cell-partitioned table).
+    *
+    * `excludeSelf` is OPT-IN: qids and corpus vec_ids are distinct id
+    * spaces in a real serving stream, and dropping a corpus vector that
+    * merely shares a number with an unrelated request id would corrupt
+    * its top-k. Set it only when the queries ARE corpus rows (the
+    * offline spec shape).
+    *
+    * State contract: the groupBy(qid) aggregation keeps O(k) state per
+    * DISTINCT qid for the lifetime of the query (complete/update mode
+    * has no eviction). That is the right shape for a bounded re-scored
+    * query set; for an unbounded request stream, wrap this SAME function
+    * in foreachBatch (it is mode-agnostic) so each micro-batch is
+    * answered with fresh state, exactly like the sibling
+    * wordCountToStore pattern.
     *
     * A query whose probed cells hold no candidates emits nothing (a
     * stream cannot left-join its own input); callers needing coverage
     * track served qids in the sink. */
   def annServe(
       queries: DataFrame, assigned: DataFrame,
-      centroids: Seq[Seq[Double]], nProbe: Int = 4, k: Int = 10): DataFrame = {
-    val topk = udaf(graft.functions.TopKAggregator(k),
-      org.apache.spark.sql.catalyst.encoders
-        .ExpressionEncoder[(Double, Long)]())
-    queries
-      .withColumn("probe", transform(
-        slice(array_sort(graft.queries.SimilarityQueries
-          .cellDistStructs(col("q_v"), centroids)), 1, nProbe),
-        p => p.getField("cell")))
+      centroids: Seq[Seq[Double]], nProbe: Int = 4, k: Int = 10,
+      excludeSelf: Boolean = false): DataFrame = {
+    require(centroids.nonEmpty,
+      "annServe: empty centroid model — train the IVF quantizer " +
+        "(SimilarityQueries.ivfModel) before serving")
+    val probed = queries
+      .withColumn("probe", graft.queries.SimilarityQueries
+        .probeCells(col("q_v"), centroids, nProbe))
       .select(col("qid"), col("q_v"), explode(col("probe")).as("cell"))
       .join(assigned, Seq("cell")) // stream-static equi-join
-      .filter(col("vec_id") =!= col("qid"))
-      .select(col("qid"),
+    val candidates =
+      if (excludeSelf) probed.filter(col("vec_id") =!= col("qid"))
+      else probed
+    graft.queries.SimilarityQueries.topkRanked(
+      candidates.select(col("qid"),
         graft.functions.VectorFunctions.cosine(col("v"), col("q_v"))
           .as("cos_raw"),
-        col("vec_id"))
-      .groupBy("qid")
-      .agg(topk(col("cos_raw"), col("vec_id")).as("top"))
-      .select(col("qid"), posexplode(col("top")).as(Seq("pos", "t")))
-      .select(col("qid"), (col("pos") + 1).cast("int").as("rank"),
-        col("t._2").as("nn_id"), round(col("t._1"), 6).as("cos"))
+        col("vec_id")),
+      k)
   }
 
   /** Streaming word count into the batched document store. Each micro-batch

@@ -276,24 +276,33 @@ class StreamingSpec extends SparkSpec {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val raw = Tables.embeddings(spark, sf0001)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-    val cents = SimilarityQueries.ivfModel(raw, sf0001)
+    val cents = SimilarityQueries.ivfModel(spark, sf0001)
     val assigned = SimilarityQueries.assignCells(raw, cents)
     val qs = raw.filter(col("vec_id").isin(1L, 2L, 3L))
       .select(col("vec_id").as("qid"), col("v").as("q_v"))
     // annServe is mode-agnostic: run it once as a plain batch plan for
-    // the expected answers, once over a MemoryStream — identical probe
-    // arithmetic (shared cellDistStructs) must give identical results
-    val expected = StreamingJobs.annServe(qs, assigned, cents)
+    // the expected answers, once over a MemoryStream — shared
+    // probeCells/topkRanked code must give identical results.
+    // excludeSelf: these queries ARE corpus rows (the offline shape).
+    val expected = StreamingJobs
+      .annServe(qs, assigned, cents, excludeSelf = true)
       .as[(Long, Int, Long, Double)].collect().toSet
     assert(expected.nonEmpty && expected.map(_._1) == Set(1L, 2L, 3L))
     val stream = org.apache.spark.sql.execution.streaming.runtime
       .MemoryStream[(Long, Seq[Double])]
     val out = StreamingJobs.annServe(
-      stream.toDS().toDF("qid", "q_v"), assigned, cents)
+      stream.toDS().toDF("qid", "q_v"), assigned, cents,
+      excludeSelf = true)
     val q = out.writeStream.outputMode("complete")
       .format("memory").queryName("ann_serve").start()
+    // two separate micro-batches: the equality must hold across trigger
+    // boundaries (heap-state merge between triggers, static side re-read
+    // per batch), not just on the degenerate single-batch plan
+    val rows = qs.as[(Long, Seq[Double])].collect().toSeq
     try {
-      stream.addData(qs.as[(Long, Seq[Double])].collect().toSeq: _*)
+      stream.addData(rows.head)
+      q.processAllAvailable()
+      stream.addData(rows.tail: _*)
       q.processAllAvailable()
     } finally q.stop()
     val got = spark.table("ann_serve")
