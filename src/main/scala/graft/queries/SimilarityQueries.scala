@@ -230,7 +230,7 @@ object SimilarityQueries {
   // purely to manufacture local parallelism (the fixture is one parquet
   // file). At scale the scan is already split across files
   // (spark.sql.files.maxPartitionBytes); the cast is a per-row map.
-  private def rawVecs(s: SparkSession, d: String): DataFrame =
+  private[graft] def rawVecs(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
 

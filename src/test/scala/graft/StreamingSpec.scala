@@ -274,8 +274,8 @@ class StreamingSpec extends SparkSpec {
     import graft.queries.SimilarityQueries
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
-    val raw = Tables.embeddings(spark, sf0001)
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    // the SAME projection ivfModel trains on — not a hand-built copy
+    val raw = SimilarityQueries.rawVecs(spark, sf0001)
     val cents = SimilarityQueries.ivfModel(spark, sf0001)
     val assigned = SimilarityQueries.assignCells(raw, cents)
     val qs = raw.filter(col("vec_id").isin(1L, 2L, 3L))
@@ -308,5 +308,25 @@ class StreamingSpec extends SparkSpec {
     val got = spark.table("ann_serve")
       .as[(Long, Int, Long, Double)].collect().toSet
     assert(got == expected)
+    // the DEFAULT (no self-exclusion) branch — the real serving shape
+    // where qids are request ids, not corpus ids: a query that happens
+    // to carry a corpus vector's id must still receive that vector as a
+    // candidate. Query with qid=7 and vec 7's own embedding: the top
+    // hit IS vector 7 at cos 1.0 (its own cell is by definition the
+    // nearest probe cell). With excludeSelf=true the same id must drop.
+    val self = raw.filter(col("vec_id") === 7L)
+      .select(col("vec_id").as("qid"), col("v").as("q_v"))
+    val served = StreamingJobs.annServe(self, assigned, cents)
+      .as[(Long, Int, Long, Double)].collect().sortBy(_._2)
+    assert(served.head == ((7L, 1, 7L, 1.0)),
+      s"default branch must keep the id-colliding candidate: ${served.head}")
+    val excl = StreamingJobs
+      .annServe(self, assigned, cents, excludeSelf = true)
+      .as[(Long, Int, Long, Double)].collect()
+    assert(excl.nonEmpty && !excl.exists(_._3 == 7L))
+    // and an untrained model is a config error, not an analysis crash
+    assertThrows[IllegalArgumentException] {
+      StreamingJobs.annServe(self, assigned, Seq.empty)
+    }
   }
 }
