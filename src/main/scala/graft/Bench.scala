@@ -72,12 +72,13 @@ object Bench {
       if (probes.size == 2) probes.min / quietCalib else 1.0
     val normalized = if (loadFactor > 1.0) total / loadFactor else total
     // Per-query detail first on its own line, then the headline total
-    // LAST so a tail-capture of stdout always retains the parseable
-    // summary line. The summary line carries the per-query map too
-    // (118 floats fit comfortably) so the gating artifact is
-    // self-contained even when only the final line survives capture.
+    // LAST and COMPACT (scalars only). Round 6 proved the final line must
+    // stay small: embedding the ~4 KB per-query map in it pushed the
+    // "metric":"total" head outside the driver's stdout tail-capture
+    // window and the gating artifact parsed as null. The map lives on the
+    // preceding line and in the persisted BENCH_LAST.json.
     val detailLine = s"""{"metric":"queries","queries":$qs,"sf":"$sfDir"}"""
-    val totalLine = s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","nqueries":${results.size},"value_normalized":$normalized,"load_factor":$loadFactor,"calib_start":$calibStart,"calib_end":$calibEnd,"calib_io_start":$calibIoStart,"calib_io_end":$calibIoEnd,"queries":$qs}"""
+    val totalLine = s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","nqueries":${results.size},"value_normalized":$normalized,"load_factor":$loadFactor,"calib_start":$calibStart,"calib_end":$calibEnd,"calib_io_start":$calibIoStart,"calib_io_end":$calibIoEnd}"""
     println(detailLine)
     println(totalLine)
     // Stdout tail-captures have dropped the (long) per-query line before;

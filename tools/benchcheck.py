@@ -1,0 +1,123 @@
+#!/usr/bin/env python3
+"""Bench-record qualifier: encode the "only trust similar-calib runs" policy.
+
+Usage: python3 tools/benchcheck.py [BENCH_LAST.json]
+
+Reads the persisted bench record (detail line + total line as written by
+graft.Bench) and exits non-zero unless the run qualifies as a round
+record:
+
+  1. the total line parses and carries a positive "value" (the round-6
+     artifact failure mode: an over-long final line truncated from the
+     front left no parseable total);
+  2. load_factor <= 1.05 — the CPU calib probes saw a quiet box;
+  3. calib_io_end <= 0.18 — the warm-state IO probe is the stable one
+     (0.12-0.17 on every settled record; io_START spans 0.19-0.33 even
+     on settled boxes, so it is reported but advisory only);
+  4. per-query contention scan vs tools/bench_reference.json (min-of-3
+     quiet-box runs): more than MAX_INFLATED queries reading >1.5x their
+     reference (+0.15 s absolute slack for sub-100 ms noise) is the
+     documented mid-suite-contention signature. This is the check that
+     would have caught round 6, where all four bracket probes read
+     quiet (lf 0.88, io_end 0.124) yet 14 unchanged queries ran
+     1.5-5.6x — probes bracket the suite; contention in the middle is
+     invisible to them.
+
+A run that fails 2-4 is not "wrong", it is UNQUALIFIED: re-run on a
+quieter box before committing it as the round's record. If a query's
+plan changed legitimately, update its entry in bench_reference.json in
+the same commit, with the reason in the commit message.
+"""
+import json
+import os
+import sys
+
+LOAD_FACTOR_MAX = 1.05
+IO_END_MAX = 0.18
+INFLATION_RATIO = 1.5
+INFLATION_SLACK_SEC = 0.15
+MAX_INFLATED = 5
+
+
+def main() -> int:
+    path = sys.argv[1] if len(sys.argv) > 1 else "BENCH_LAST.json"
+    try:
+        lines = [l for l in open(path).read().splitlines() if l.strip()]
+    except OSError as e:
+        print(f"FAIL: cannot read {path}: {e}")
+        return 1
+
+    total, queries = None, {}
+    for line in lines:
+        try:
+            rec = json.loads(line)
+        except json.JSONDecodeError:
+            print(f"FAIL: unparseable line in {path}: {line[:120]}...")
+            return 1
+        if rec.get("metric") == "total":
+            total = rec
+        if isinstance(rec.get("queries"), dict):
+            queries.update(rec["queries"])
+    if total is None:
+        print(f"FAIL: no metric=total line in {path}")
+        return 1
+
+    problems = []
+    value = total.get("value")
+    if not isinstance(value, (int, float)) or value <= 0:
+        problems.append(f"total value missing/non-positive: {value!r}")
+
+    lf = total.get("load_factor", 1.0)
+    if lf > LOAD_FACTOR_MAX:
+        problems.append(
+            f"load_factor {lf:.3f} > {LOAD_FACTOR_MAX} (CPU-contended box)")
+
+    for key in ("calib_start", "calib_end", "calib_io_start"):
+        if total.get(key, -1.0) < 0:
+            problems.append(f"{key} failed ({total.get(key)})")
+    io_end = total.get("calib_io_end", -1.0)
+    if io_end < 0:
+        problems.append(f"calib_io_end failed ({io_end})")
+    elif io_end > IO_END_MAX:
+        problems.append(f"calib_io_end {io_end:.3f} > {IO_END_MAX} "
+                        f"(IO-contended box)")
+
+    failed = [k for k, v in queries.items() if v < 0]
+    if failed:
+        problems.append(f"{len(failed)} queries failed (-1s): {failed[:5]}")
+
+    ref_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "bench_reference.json")
+    inflated = []
+    try:
+        ref = json.load(open(ref_path))["queries"]
+        for k, v in queries.items():
+            r = ref.get(k)
+            if r and v > r * INFLATION_RATIO + INFLATION_SLACK_SEC:
+                inflated.append((k, v, r))
+        if len(inflated) > MAX_INFLATED:
+            worst = sorted(inflated, key=lambda t: t[1] / t[2],
+                           reverse=True)[:8]
+            problems.append(
+                f"{len(inflated)} queries >{INFLATION_RATIO}x quiet "
+                f"reference (mid-suite contention signature): "
+                + ", ".join(f"{k} {v:.2f}s/{r:.2f}s" for k, v, r in worst))
+    except (OSError, KeyError, json.JSONDecodeError) as e:
+        problems.append(f"cannot scan vs {ref_path}: {e}")
+
+    summary = (f"total={value}s nqueries={total.get('nqueries', 0)} "
+               f"load_factor={lf:.3f} "
+               f"cpu=({total.get('calib_start')},{total.get('calib_end')}) "
+               f"io=({total.get('calib_io_start')},{io_end}) "
+               f"inflated_vs_ref={len(inflated)}")
+    if problems:
+        print(f"UNQUALIFIED: {summary}")
+        for p in problems:
+            print(f"  - {p}")
+        return 1
+    print(f"QUALIFIED: {summary}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
