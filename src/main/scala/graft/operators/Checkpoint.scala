@@ -1,6 +1,10 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame, GraftBridge}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.types.DataType
 
 /** Materialization seam for index/build pipelines.
   *
@@ -31,4 +35,29 @@ object Checkpoint {
   implicit class CheckpointOps(private val df: DataFrame) extends AnyVal {
     def buildCheckpoint(): DataFrame = Checkpoint(df)
   }
+
+  /** Poison a column of an audit-only plan: planning and plan-walking
+    * pass through untouched (the expression is a narrow projection with
+    * the child's type, so every exchange below stays visible to the
+    * audit), but ANY evaluation — an action run while `inlineForAudit`
+    * is set, or on a plan that leaked past an un-reset flag — throws
+    * IllegalStateException instead of silently returning wrong data.
+    * Used by connectedComponents, whose audit-mode plan is ONE
+    * unconverged fixpoint round (review-caught semantic hazard). */
+  def poison(c: Column, reason: String): Column =
+    GraftBridge.column(AuditPoison(GraftBridge.expression(c), reason))
+}
+
+/** Non-foldable (so no optimizer rule constant-folds it at plan time),
+  * CodegenFallback (never on a hot path — its only job is to throw). */
+case class AuditPoison(child: Expression, reason: String)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = child.dataType
+  override def foldable: Boolean = false
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "graft_audit_poison"
+  override def eval(input: InternalRow): Any =
+    throw new IllegalStateException(s"audit-only plan executed: $reason")
+  override protected def withNewChildInternal(
+      newChild: Expression): AuditPoison = copy(child = newChild)
 }

@@ -243,9 +243,16 @@ object DedupQueries {
     // needs: the full upstream build lineage (edges/labels are inline
     // here) plus the loop body's join + min-aggregate + jump exchanges,
     // which are round-invariant (each round shuffles the same (id, label)
-    // shape). Production runs the loop exactly as before.
+    // shape). Production runs the loop exactly as before. The label
+    // column is POISONED (Checkpoint.poison): one round's labels are
+    // unconverged, so executing this plan — a result-running audit, or a
+    // leaked un-reset flag — must throw, not silently return wrong
+    // clusters (review-caught; AuditSpec pins the throw).
     if (graft.operators.Checkpoint.inlineForAudit)
-      return round(labels).select("id", "label")
+      return round(labels).select(col("id"),
+        graft.operators.Checkpoint.poison(col("label"),
+          "connectedComponents audit-mode plan is ONE unconverged round")
+          .as("label"))
     var changed = 1L
     while (changed > 0) {
       val next = round(labels).buildCheckpoint()

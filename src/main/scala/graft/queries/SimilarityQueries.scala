@@ -154,24 +154,23 @@ object SimilarityQueries {
     }),
 
     // IVF with a PERSISTED index — the production shape the in-memory
-    // sim_ann_ivf stands in for: `assigned` is written once as a
-    // cell-partitioned parquet table (Layout.writePartitioned — the cell
-    // column IS the directory key), and the probe reads it back with
-    // `cell IN (probed)` pruned at file-LISTING time, so only nProbe of
-    // k cell directories are ever opened (DedupSimilaritySpec pins
-    // inputFiles ⊆ probed cells, plus result equality with the
-    // in-memory twin). At 100 TB this is the difference between an ANN
-    // query scanning nProbe/k of the corpus and scanning all of it.
+    // sim_ann_ivf stands in for: `assigned` is written ONCE per dataset
+    // as a cell-partitioned parquet table (Layout.writePartitioned — the
+    // cell column IS the directory key; [[ivfIndex]] memoizes the write
+    // exactly like ivfModel memoizes training, because a production
+    // index is built once and served many times), and the probe reads it
+    // back with `cell IN (probed)` pruned at file-LISTING time, so only
+    // nProbe of k cell directories are ever opened (DedupSimilaritySpec
+    // pins inputFiles ⊆ probed cells, result equality with the in-memory
+    // twin, AND that a second invocation performs no write). At 100 TB
+    // this is the difference between an ANN query scanning nProbe/k of
+    // the corpus and scanning all of it.
     "sim_ann_ivf_indexed" -> ((s, d) => {
       val e = rawVecs(s, d)
       val centroids = ivfModel(s, d)
       if (centroids.isEmpty) emptyIvfResult(e)
-      else {
-        val idxPath = ivfIndexPath(d)
-        graft.operators.Layout.writePartitioned(
-          assignCells(e, centroids), idxPath, Seq("cell"))
-        ivfProbeTopK(e, s.read.parquet(idxPath), centroids)
-      }
+      else ivfProbeTopK(e, s.read.parquet(ivfIndex(s, d, centroids)),
+        centroids)
     }),
 
     // Batched-query ANN — the access pattern a retrieval/dedup pipeline
@@ -259,10 +258,55 @@ object SimilarityQueries {
 
   /** Deterministic per-dataset location for the persisted IVF index —
     * a scratch stand-in for the warehouse table a production pipeline
-    * would maintain. */
-  private[graft] def ivfIndexPath(d: String): String =
-    s"${sys.props("java.io.tmpdir")}/graft_ivf_index_" +
-      java.lang.Integer.toHexString(d.hashCode)
+    * would maintain. Keyed by an md5 of the FULL dataset path (32-bit
+    * String.hashCode collides across paths — review-caught) plus a
+    * per-JVM token, so two concurrent JVMs sharing java.io.tmpdir (e.g.
+    * parallel test runs) can never overwrite each other's index while
+    * the other is probing it. */
+  private lazy val jvmToken: String =
+    java.lang.Long.toHexString(ProcessHandle.current().pid())
+  private[graft] def ivfIndexPath(d: String): String = {
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+      .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    s"${sys.props("java.io.tmpdir")}/graft_ivf_index_${jvmToken}_$md5"
+  }
+
+  /** Write-once persisted IVF index per dataset path (memoized like
+    * [[ivfModel]]): the first caller in a JVM pays the cell-partitioned
+    * write; every later invocation — including plan-walking tools that
+    * build the DataFrame without executing it — reuses the on-disk
+    * table, so constructing the query no longer rewrites the index
+    * another run may be probing (review-caught side effect). The scratch
+    * dirs are removed on JVM exit. [[ivfIndexWrites]] counts actual
+    * writes so the write-once contract is spec-observable. */
+  private[graft] val ivfIndexWrites = new java.util.concurrent.atomic.AtomicLong
+  private val ivfIndexBuilt =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[graft] def ivfIndex(
+      s: SparkSession, d: String, centroids: Seq[Seq[Double]]): String =
+    ivfIndexBuilt.computeIfAbsent(d, _ => {
+      val p = ivfIndexPath(d)
+      graft.operators.Layout.writePartitioned(
+        assignCells(rawVecs(s, d), centroids), p, Seq("cell"))
+      ivfIndexWrites.incrementAndGet()
+      deleteOnExit(p)
+      p
+    })
+
+  /** Recursive scratch-dir cleanup at JVM exit (the persisted index is a
+    * tmpdir stand-in for a warehouse table — it must not accumulate
+    * across runs). */
+  private def deleteOnExit(path: String): Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      import java.nio.file.{Files, Paths}
+      import scala.jdk.CollectionConverters._
+      val root = Paths.get(path)
+      if (Files.exists(root)) {
+        val all = Files.walk(root).iterator().asScala.toSeq
+        all.sortBy(-_.getNameCount).foreach(p =>
+          try Files.delete(p) catch { case _: java.io.IOException => () })
+      }
+    }))
 
   /** Shared IVF probe + exact rerank: nearest nProbe centroids to the
     * vec_id=0 query (O(k·dim) driver arithmetic on already-materialized

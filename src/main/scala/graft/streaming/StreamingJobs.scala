@@ -159,7 +159,10 @@ object StreamingJobs {
     *
     * A query whose probed cells hold no candidates emits nothing (a
     * stream cannot left-join its own input); callers needing coverage
-    * track served qids in the sink. */
+    * track served qids in the sink — submitted-minus-served per
+    * micro-batch in foreachBatch. StreamingSpec's coverage case proves
+    * the pattern: it starves one query's probe cells and the sink-side
+    * ledger detects exactly that qid as unserved. */
   def annServe(
       queries: DataFrame, assigned: DataFrame,
       centroids: Seq[Seq[Double]], nProbe: Int = 4, k: Int = 10,

@@ -69,6 +69,34 @@ class AuditSpec extends SparkSpec {
     }
   }
 
+  test("audit-mode connectedComponents plan fails fast if executed") {
+    // inlineForAudit makes connectedComponents return ONE unconverged
+    // round — fine for plan-walking, semantically WRONG if executed (a
+    // result-running audit, or a flag leaked past an exception). The
+    // label column is poisoned: planning must succeed, any action must
+    // throw, and resetting the flag must restore real execution.
+    import graft.operators.Checkpoint
+    assert(!Checkpoint.inlineForAudit, "suite must start in production mode")
+    val run = graft.queries.DedupQueries.queries("dedup_clusters")
+    try {
+      Checkpoint.inlineForAudit = true
+      val df = run(spark, sf0001)
+      df.queryExecution.executedPlan // planning + audit walk: fine
+      // collect(), not count(): cluster labels feed only output VALUES
+      // (the downstream join keys on doc_id), so a bare count prunes the
+      // poisoned column away — and its result is actually correct (the
+      // id set is round-invariant). The hazard is reading label VALUES.
+      val e = intercept[Exception](df.collect())
+      def causes(t: Throwable): Seq[Throwable] =
+        Option(t).toSeq.flatMap(x => x +: causes(x.getCause))
+      assert(causes(e).exists(c => c.isInstanceOf[IllegalStateException] &&
+          c.getMessage.contains("audit-only plan executed")),
+        s"expected poison throw, got $e")
+    } finally Checkpoint.inlineForAudit = false
+    // flag reset: the same entry point executes for real again
+    assert(run(spark, sf0001).count() > 0)
+  }
+
   test("a wide column used as the partitioning KEY is not flagged") {
     withAqe(on = false) {
       // grouping by the token IS the operator (inverted index / tf

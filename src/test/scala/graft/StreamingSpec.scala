@@ -329,4 +329,53 @@ class StreamingSpec extends SparkSpec {
       StreamingJobs.annServe(self, assigned, Seq.empty)
     }
   }
+
+  test("ann serving coverage: a query with empty probed cells is detected sink-side") {
+    // annServe's one divergence from the batch path's coverage left-join:
+    // a query whose probed cells hold no candidates emits NOTHING (a
+    // stream cannot left-join its own input). The documented contract is
+    // that callers track served qids in the sink — this spec is that
+    // pattern, and it FAILS if the unserved query were silently lost
+    // rather than detected.
+    import graft.queries.SimilarityQueries
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val raw = SimilarityQueries.rawVecs(spark, sf0001)
+    val cents = SimilarityQueries.ivfModel(spark, sf0001)
+    val assigned = SimilarityQueries.assignCells(raw, cents)
+    def probeOf(id: Long): Set[Int] = raw.filter(col("vec_id") === id)
+      .select(SimilarityQueries.probeCells(col("v"), cents, 4).as("p"))
+      .as[Seq[Int]].head().toSet
+    // starve query X: serve against an index missing ALL of X's probe
+    // cells (an index shard outage / a cold cell — the at-scale event
+    // this pattern exists for). Y must probe at least one surviving
+    // cell; the fixture is searched, not assumed (model-determined).
+    val xid = 1L
+    val xCells = probeOf(xid)
+    val yid = (2L to 20L).find(id => (probeOf(id) -- xCells).nonEmpty)
+      .getOrElse(fail(s"fixture degenerate: every probe set within ${xCells}"))
+    val gapped = assigned.filter(!col("cell").isin(xCells.toSeq: _*))
+    val stream = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Seq[Double])]
+    val out = StreamingJobs.annServe(
+      stream.toDS().toDF("qid", "q_v"), gapped, cents, excludeSelf = true)
+    val q = out.writeStream.outputMode("complete")
+      .format("memory").queryName("ann_serve_cov").start()
+    val rows = raw.filter(col("vec_id").isin(xid, yid))
+      .select(col("vec_id"), col("v")).as[(Long, Seq[Double])].collect()
+    try {
+      stream.addData(rows.toIndexedSeq: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    // sink-side served-qid tracking: submitted minus served = unserved.
+    // In production this runs per micro-batch in foreachBatch against
+    // the batch's input qids; the memory sink is that same ledger.
+    val served = spark.table("ann_serve_cov")
+      .select("qid").as[Long].collect().toSet
+    val unserved = Set(xid, yid) -- served
+    assert(served == Set(yid),
+      s"starved query leaked results or victim unserved: served=$served")
+    assert(unserved == Set(xid),
+      s"sink-side tracking failed to detect the starved query: $unserved")
+  }
 }
