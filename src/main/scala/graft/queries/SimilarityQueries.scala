@@ -194,36 +194,44 @@ object SimilarityQueries {
     //     instead of silently vanishing.
     // Approximate (IVF probes miss cells) ⇒ rows-only; per-query recall
     // vs brute force + coverage pinned in DedupSimilaritySpec.
-    "sim_ann_batch" -> ((s, d) => {
-      val e = rawVecs(s, d)
-      val centroids = ivfModel(s, d)
-      if (centroids.isEmpty) {
-        // empty corpus -> no model and no queries; empty result with the
-        // query's schema instead of an analysis-time crash
-        e.select(col("vec_id").as("qid"), lit(0).cast("int").as("rank"),
-          col("vec_id").as("nn_id"), lit(0.0).as("cos")).limit(0)
-      } else {
-        val nProbe = 4
-        val assigned = assignCells(e, centroids)
-        // no join against rawVecs for the label: that equi-join would
-        // shuffle vectors as payload — project label in the same scan
-        val qset = Tables.embeddings(s, d).filter(col("label") === 0)
-          .select(col("vec_id").as("qid"),
-            col("embedding").cast("array<double>").as("q_v"))
-        val probes = qset
-          .withColumn("probe", probeCells(col("q_v"), centroids, nProbe))
-          .select(col("qid"), col("q_v"), explode(col("probe")).as("cell"))
-        val scored = assigned.join(broadcast(probes), Seq("cell"))
-          .filter(col("vec_id") =!= col("qid")) // queries ARE corpus rows here
-          .select(col("qid"), cosine(col("v"), col("q_v")).as("cos_raw"),
-            col("vec_id"))
-        qset.select(col("qid"))
-          .join(topkRanked(scored, k = 10), Seq("qid"), "left")
-      }
-    }),
+    "sim_ann_batch" -> ((s, d) => annBatch(s, d, nProbe = 4)),
 
     // int8 quantization — vector preprocessing for storage/ANN at scale.
     "sim_quantize_int8" -> quantizeQuery)
+
+  /** The sim_ann_batch body, parameterized over nProbe/k so the recall
+    * curve is measurable (DedupSimilaritySpec pins recall@10 vs nProbe —
+    * monotone by construction, since probeCells(n) is a prefix of
+    * probeCells(n+1) and so candidate pools grow superset-wise; at
+    * nProbe = k(cells) the pool is the whole corpus and recall is
+    * exactly 1.0). The registered query serves nProbe=4. */
+  private[graft] def annBatch(
+      s: SparkSession, d: String, nProbe: Int, k: Int = 10): DataFrame = {
+    val e = rawVecs(s, d)
+    val centroids = ivfModel(s, d)
+    if (centroids.isEmpty) {
+      // empty corpus -> no model and no queries; empty result with the
+      // query's schema instead of an analysis-time crash
+      e.select(col("vec_id").as("qid"), lit(0).cast("int").as("rank"),
+        col("vec_id").as("nn_id"), lit(0.0).as("cos")).limit(0)
+    } else {
+      val assigned = assignCells(e, centroids)
+      // no join against rawVecs for the label: that equi-join would
+      // shuffle vectors as payload — project label in the same scan
+      val qset = Tables.embeddings(s, d).filter(col("label") === 0)
+        .select(col("vec_id").as("qid"),
+          col("embedding").cast("array<double>").as("q_v"))
+      val probes = qset
+        .withColumn("probe", probeCells(col("q_v"), centroids, nProbe))
+        .select(col("qid"), col("q_v"), explode(col("probe")).as("cell"))
+      val scored = assigned.join(broadcast(probes), Seq("cell"))
+        .filter(col("vec_id") =!= col("qid")) // queries ARE corpus rows here
+        .select(col("qid"), cosine(col("v"), col("q_v")).as("cos_raw"),
+          col("vec_id"))
+      qset.select(col("qid"))
+        .join(topkRanked(scored, k), Seq("qid"), "left")
+    }
+  }
 
   // No repartition: a shuffle here moves every raw vector across the wire
   // purely to manufacture local parallelism (the fixture is one parquet

@@ -310,6 +310,55 @@ class DedupSimilaritySpec extends SparkSpec {
       s"per-query recalls below floor: ${recalls.count(_ < 0.3)}")
   }
 
+  test("ann recall@10 curve vs nProbe: monotone, exact at full probe") {
+    // The nProbe knob's quality trade, MEASURED: mean recall@10 of
+    // annBatch over all label-0 queries for nProbe in {1,2,4,8,16}.
+    // Monotone non-decreasing by construction — probeCells(n) is a
+    // prefix of probeCells(n+1), so candidate pools grow superset-wise,
+    // and any true-top-10 member in the pool always makes the top-k (it
+    // outranks every non-member by definition). At nProbe=16 (= all
+    // cells) the pool is the whole corpus minus self: recall must be
+    // EXACTLY 1.0 — an equality anchor, not a floor.
+    val e = Tables.embeddings(spark, sf001)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .as[(Long, Seq[Double])].collect()
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val dot = a.lazyZip(b).map(_ * _).sum
+      dot / math.sqrt(a.map(x => x * x).sum * b.map(x => x * x).sum)
+    }
+    val byId = e.toMap
+    val qids = Tables.embeddings(spark, sf001)
+      .filter(col("label") === 0).select("vec_id").as[Long].collect().toSet
+    val truth: Map[Long, Set[Long]] = qids.toSeq.map { q =>
+      val qv = byId(q)
+      q -> e.filter(_._1 != q)
+        .map { case (id, v) => (id, cos(qv, v)) }
+        .sortBy { case (id, c) => (-c, id) }.take(10).map(_._1).toSet
+    }.toMap
+    val curve = Seq(1, 2, 4, 8, 16).map { np =>
+      val got = SimilarityQueries.annBatch(spark, sf001, np)
+        .filter(col("nn_id").isNotNull)
+        .select("qid", "nn_id").as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val mean = qids.toSeq.map { q =>
+        got.getOrElse(q, Set.empty[Long]).intersect(truth(q)).size.toDouble /
+          truth(q).size
+      }.sum / qids.size
+      np -> mean
+    }
+    info(curve.map { case (np, r) => f"nProbe=$np%2d:$r%.3f" }.mkString("  "))
+    curve.sliding(2).foreach {
+      case Seq((n1, r1), (n2, r2)) =>
+        assert(r2 >= r1 - 1e-12,
+          s"recall not monotone: nProbe=$n1 $r1 -> nProbe=$n2 $r2")
+      case _ =>
+    }
+    assert(curve.last._2 == 1.0,
+      s"full probe must be exhaustive: ${curve.last}")
+    assert(curve.head._2 < 1.0,
+      "fixture degenerate: single-probe already exhaustive — curve pins nothing")
+  }
+
   test("connected components: long chains, stars, and singleton isolation") {
     import graft.queries.DedupQueries
     // a 12-node chain (worst case for plain neighbor-min: diameter
