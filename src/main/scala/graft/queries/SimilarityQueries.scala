@@ -169,8 +169,7 @@ object SimilarityQueries {
       val e = rawVecs(s, d)
       val centroids = ivfModel(s, d)
       if (centroids.isEmpty) emptyIvfResult(e)
-      else ivfProbeTopK(e, s.read.parquet(ivfIndex(s, d, centroids)),
-        centroids)
+      else ivfProbeTopK(e, s.read.parquet(ivfIndex(s, d)), centroids)
     }),
 
     // Batched-query ANN — the access pattern a retrieval/dedup pipeline
@@ -284,18 +283,25 @@ object SimilarityQueries {
     * write; every later invocation — including plan-walking tools that
     * build the DataFrame without executing it — reuses the on-disk
     * table, so constructing the query no longer rewrites the index
-    * another run may be probing (review-caught side effect). The scratch
-    * dirs are removed on JVM exit. [[ivfIndexWrites]] counts actual
-    * writes so the write-once contract is spec-observable. */
+    * another run may be probing (review-caught side effect). Takes
+    * (session, path) and trains/fetches the centroids ITSELF via
+    * [[ivfModel]] — not a caller-supplied model — so a memo hit can
+    * never return an index built from different centroids than the
+    * caller holds (the same API hole ivfModel closed, review-caught
+    * again here). The scratch dirs are removed on JVM exit, and stale
+    * dirs orphaned by crashed JVMs (shutdown hooks don't run under
+    * SIGKILL/OOM) are swept on first use — the pid in the dir name
+    * makes liveness checkable. [[ivfIndexWrites]] counts actual writes
+    * so the write-once contract is spec-observable. */
   private[graft] val ivfIndexWrites = new java.util.concurrent.atomic.AtomicLong
   private val ivfIndexBuilt =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
-  private[graft] def ivfIndex(
-      s: SparkSession, d: String, centroids: Seq[Seq[Double]]): String =
+  private[graft] def ivfIndex(s: SparkSession, d: String): String =
     ivfIndexBuilt.computeIfAbsent(d, _ => {
+      sweepStaleIndexes
       val p = ivfIndexPath(d)
       graft.operators.Layout.writePartitioned(
-        assignCells(rawVecs(s, d), centroids), p, Seq("cell"))
+        assignCells(rawVecs(s, d), ivfModel(s, d)), p, Seq("cell"))
       ivfIndexWrites.incrementAndGet()
       deleteOnExit(p)
       p
@@ -305,16 +311,43 @@ object SimilarityQueries {
     * tmpdir stand-in for a warehouse table — it must not accumulate
     * across runs). */
   private def deleteOnExit(path: String): Unit =
-    Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      import java.nio.file.{Files, Paths}
-      import scala.jdk.CollectionConverters._
-      val root = Paths.get(path)
-      if (Files.exists(root)) {
-        val all = Files.walk(root).iterator().asScala.toSeq
-        all.sortBy(-_.getNameCount).foreach(p =>
-          try Files.delete(p) catch { case _: java.io.IOException => () })
+    Runtime.getRuntime.addShutdownHook(
+      new Thread(() => deleteRecursively(java.nio.file.Paths.get(path))))
+
+  private def deleteRecursively(root: java.nio.file.Path): Unit = {
+    import java.nio.file.Files
+    import scala.jdk.CollectionConverters._
+    if (Files.exists(root)) {
+      val walk = Files.walk(root)
+      val all = try walk.iterator().asScala.toList finally walk.close()
+      all.sortBy(-_.getNameCount).foreach(p =>
+        try Files.delete(p) catch { case _: java.io.IOException => () })
+    }
+  }
+
+  /** One-time sweep of index dirs left by JVMs that died without running
+    * their shutdown hook (SIGKILL, OOM killer): every dir embeds its
+    * owner's pid, so a dir whose pid is no longer alive is garbage. Runs
+    * before the first index write of this JVM — accumulation across
+    * crashed runs stays bounded at one generation. */
+  private lazy val sweepStaleIndexes: Unit = {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val dirs = Files.list(Paths.get(sys.props("java.io.tmpdir")))
+    try dirs.iterator().asScala
+      .filter(_.getFileName.toString.startsWith("graft_ivf_index_"))
+      .foreach { p =>
+        val pid = p.getFileName.toString
+          .stripPrefix("graft_ivf_index_").takeWhile(_ != '_')
+        val alive = scala.util.Try(java.lang.Long.parseLong(pid, 16))
+          .toOption.exists { id =>
+            val h = ProcessHandle.of(id)
+            h.isPresent && h.get.isAlive
+          }
+        if (!alive) deleteRecursively(p)
       }
-    }))
+    finally dirs.close()
+  }
 
   /** Shared IVF probe + exact rerank: nearest nProbe centroids to the
     * vec_id=0 query (O(k·dim) driver arithmetic on already-materialized

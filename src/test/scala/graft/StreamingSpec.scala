@@ -343,17 +343,29 @@ class StreamingSpec extends SparkSpec {
     val raw = SimilarityQueries.rawVecs(spark, sf0001)
     val cents = SimilarityQueries.ivfModel(spark, sf0001)
     val assigned = SimilarityQueries.assignCells(raw, cents)
-    def probeOf(id: Long): Set[Int] = raw.filter(col("vec_id") === id)
-      .select(SimilarityQueries.probeCells(col("v"), cents, 4).as("p"))
-      .as[Seq[Int]].head().toSet
+    // ONE job for every candidate's probe cells and one for cell
+    // occupancy (not a filter+collect per id — review-caught), searched
+    // locally: the fixture is searched, not assumed (model-determined).
+    val probeMap: Map[Long, Set[Int]] = raw
+      .filter(col("vec_id").between(1L, 20L))
+      .select(col("vec_id"),
+        SimilarityQueries.probeCells(col("v"), cents, 4).as("p"))
+      .as[(Long, Seq[Int])].collect().toMap.view.mapValues(_.toSet).toMap
+    val cellPop: Map[Int, Set[Long]] = assigned
+      .select(col("cell"), col("vec_id")).as[(Int, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
     // starve query X: serve against an index missing ALL of X's probe
     // cells (an index shard outage / a cold cell — the at-scale event
-    // this pattern exists for). Y must probe at least one surviving
-    // cell; the fixture is searched, not assumed (model-determined).
+    // this pattern exists for). Y must probe a surviving cell that
+    // still holds a NON-SELF candidate (excludeSelf=true drops Y's own
+    // row, and a k-means cell can be empty), else Y would emit nothing
+    // too and the detection assertion could not tell the two apart.
     val xid = 1L
-    val xCells = probeOf(xid)
-    val yid = (2L to 20L).find(id => (probeOf(id) -- xCells).nonEmpty)
-      .getOrElse(fail(s"fixture degenerate: every probe set within ${xCells}"))
+    val xCells = probeMap(xid)
+    val yid = (2L to 20L).find { id =>
+      (probeMap(id) -- xCells).exists(c =>
+        (cellPop.getOrElse(c, Set.empty[Long]) - id).nonEmpty)
+    }.getOrElse(fail(s"fixture degenerate: every probe set within $xCells"))
     val gapped = assigned.filter(!col("cell").isin(xCells.toSeq: _*))
     val stream = org.apache.spark.sql.execution.streaming.runtime
       .MemoryStream[(Long, Seq[Double])]

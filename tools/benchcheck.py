@@ -91,6 +91,21 @@ def main() -> int:
     inflated = []
     try:
         ref = json.load(open(ref_path))["queries"]
+        # key drift kills the scan's coverage silently: a new/renamed
+        # query missing from the reference would be excluded from the
+        # inflation check exactly when it is most likely to be misread,
+        # and stale reference entries hide removed queries. Force the
+        # reference update into the same commit that changes the suite.
+        missing = sorted(set(queries) - set(ref))
+        stale = sorted(set(ref) - set(queries))
+        if missing:
+            problems.append(
+                f"{len(missing)} record queries absent from reference "
+                f"(update tools/bench_reference.json): {missing[:5]}")
+        if stale:
+            problems.append(
+                f"{len(stale)} stale reference entries for removed "
+                f"queries: {stale[:5]}")
         for k, v in queries.items():
             r = ref.get(k)
             if r and v > r * INFLATION_RATIO + INFLATION_SLACK_SEC:
