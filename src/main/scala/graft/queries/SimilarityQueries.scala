@@ -493,7 +493,35 @@ object SimilarityQueries {
         array_max(transform(col("v"), x => abs(x))).as("scale"))
   }
 
+  /** DuckDB oracle for sim_ann_lsh, GENERATED from the same fixed-seed
+    * hyperplanes the query hashes with (embedded as double literals —
+    * Double.toString is shortest-round-trip, so DuckDB parses back the
+    * identical bit pattern): the query is approximate as ANN but every
+    * step is deterministic, so the exact result is SQL-expressible —
+    * bucket = Σ (dot(v, pᵢ) > 0 ? 2ⁱ : 0), hamming-≤2 candidate filter
+    * via bit_count(xor(...)), exact cosine rerank. Sign agreement across
+    * engines is safe because no |dot| in the fixtures comes near the
+    * boundary (min |dot| pinned ≫ accumulated ULP error in
+    * DedupSimilaritySpec). */
+  private def lshOracle: String = {
+    val bucketExpr = hyperplanes(6, 64).zipWithIndex.map { case (p, i) =>
+      val arr = p.mkString("[", ", ", "]")
+      s"(CASE WHEN list_dot_product(v, $arr) > 0 THEN ${1 << i} ELSE 0 END)"
+    }.mkString("\n    + ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+       |b AS (SELECT vec_id, v, $bucketExpr AS bucket FROM e),
+       |q AS (SELECT v AS qv, bucket AS qb FROM b WHERE vec_id = 0)
+       |SELECT b.vec_id,
+       |  ROUND(list_dot_product(b.v, q.qv) /
+       |        sqrt(list_dot_product(b.v, b.v) * list_dot_product(q.qv, q.qv)),
+       |        6) AS cos
+       |FROM b, q WHERE b.vec_id <> 0
+       |  AND bit_count(xor(bucket, qb)) <= 2
+       |ORDER BY cos DESC, vec_id ASC LIMIT 10""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "sim_ann_lsh" -> lshOracle,
     // the CASE mirrors the native expression's deliberate NULL semantics
     // (null element or all-zero vector -> NULL q8) so the oracle stays
     // exact even if a degenerate vector ever enters a fixture

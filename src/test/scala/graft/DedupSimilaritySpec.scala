@@ -310,6 +310,24 @@ class DedupSimilaritySpec extends SparkSpec {
       s"per-query recalls below floor: ${recalls.count(_ < 0.3)}")
   }
 
+  test("lsh bucket sign margins are far from zero (cross-engine oracle safety)") {
+    // sim_ann_lsh now has a REAL DuckDB oracle: the fixed-seed planes are
+    // embedded as double literals and the bucket is recomputed in SQL.
+    // The only cross-engine hazard is a dot product so close to 0 that
+    // IEEE summation-order differences could flip its sign and change a
+    // bucket bit. Pin the margin: the smallest |dot(v, plane)| over the
+    // whole fixture × all 6 planes must dwarf any accumulated ULP error
+    // (64 terms of O(10) magnitude ⇒ error < ~1e-12).
+    val planes = SimilarityQueries.hyperplanes(6, 64)
+    val minAbs = Tables.embeddings(spark, sf001)
+      .select(col("embedding").cast("array<double>").as("v"))
+      .select(least(planes.map(p => abs(graft.functions.VectorFunctions
+        .dot(col("v"), typedlit(p)))): _*).as("m"))
+      .agg(min(col("m"))).as[Double].head()
+    assert(minAbs > 1e-6, f"sign margin $minAbs%.3g too small for a " +
+      "cross-engine exact oracle — regenerate planes or drop the oracle")
+  }
+
   test("ann recall@10 curve vs nProbe: monotone, exact at full probe") {
     // The nProbe knob's quality trade, MEASURED: mean recall@10 of
     // annBatch over all label-0 queries for nProbe in {1,2,4,8,16}.
