@@ -48,9 +48,7 @@ object SparkEntry {
     * EntrySpec enforces that this set is exactly queries ∖ oracleSql. */
   def rowsOnlyPinnedBy: Map[String, String] = Map(
     "dedup_simhash" -> "DedupSimilaritySpec (xxhash64 hash family; oracle twin dedup_simhash_md5)",
-    "sim_ann_ivf" -> "DedupSimilaritySpec (approximate ANN; recall vs exact)",
     "sim_ann_batch" -> "DedupSimilaritySpec (batched-query ANN; per-query recall vs brute force + coverage)",
-    "sim_ann_ivf_indexed" -> "DedupSimilaritySpec (equal to sim_ann_ivf; partition pruning on probed cells)",
     "sim_knn_banded" -> "DedupSimilaritySpec (approximate NN; coverage + agreement)",
     "sketch_cms_topk" -> "CorpusSpec (xxhash64 hash family; oracle twin sketch_cms_topk_md5)",
     "q57_approx_quantile" -> "ExtraRelationalSpec (KLL sketch, engine-specific)",

@@ -449,7 +449,13 @@ object SimilarityQueries {
     * DECIMAL — exact, order-independent addition — so centroids are
     * bit-stable across runs regardless of shuffle fetch order (a plain
     * double avg() could drift at ULP level and flip boundary cell
-    * assignments). */
+    * assignments). The exact sum is cast to double BEFORE the division
+    * (not decimal-divided then cast): same determinism, but the whole
+    * mean is now reproducible outside Spark without replicating Spark's
+    * decimal-division scale rules — that is what lets sim_ann_ivf carry
+    * a real DuckDB oracle (the per-element double→decimal cast goes
+    * through the shortest string representation in both engines:
+    * Spark's BigDecimal.decimal(d), DuckDB via CAST(x AS VARCHAR)). */
   private[graft] def ivfCentroids(
       e: DataFrame, k: Int, iters: Int): Seq[Seq[Double]] = {
     import e.sparkSession.implicits._
@@ -462,8 +468,8 @@ object SimilarityQueries {
       val means = assignCells(e, centroids)
         .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
         .groupBy("cell", "pos")
-        .agg((sum(col("x").cast("decimal(30,20)")) / count(lit(1)))
-          .cast("double").as("m"))
+        .agg((sum(col("x").cast("decimal(30,20)")).cast("double") /
+          count(lit(1))).as("m"))
         .as[(Int, Int, Double)].collect()
         .groupBy(_._1)
         .map { case (cell, rows) =>
@@ -520,8 +526,68 @@ object SimilarityQueries {
        |ORDER BY cos DESC, vec_id ASC LIMIT 10""".stripMargin
   }
 
+  /** DuckDB oracle for sim_ann_ivf (and its persisted-index twin, whose
+    * result equality is spec-pinned): the full deterministic pipeline —
+    * seed-by-id init, TWO unrolled Lloyd iterations, nProbe=4 probe,
+    * exact cosine rerank — re-expressed in SQL. Cross-engine exactness
+    * rests on three pins:
+    *  - the per-element double→decimal(30,20) cast goes through the
+    *    shortest string representation in BOTH engines (Spark's
+    *    BigDecimal.decimal(d); DuckDB via CAST(x AS VARCHAR)) — a bare
+    *    DuckDB CAST(x AS DECIMAL) rounds the exact binary expansion
+    *    instead and diverges at the 16th digit (measured);
+    *  - the decimal sum is exact/order-free, cast to double BEFORE the
+    *    count division (matching [[ivfCentroids]]);
+    *  - assignment and probe decisions have margins ≫ ULP wobble, so
+    *    the d = |c|² − 2·v·c comparisons pick identical cells even
+    *    though accumulation order may differ at the last bit
+    *    (DedupSimilaritySpec pins the margins). */
+  private def ivfOracle: String = {
+    def assign(prev: String) =
+      s"""SELECT e.vec_id, e.v,
+         |  (SELECT c.cell FROM $prev c
+         |   ORDER BY list_dot_product(c.v, c.v) - 2 * list_dot_product(e.v, c.v), c.cell
+         |   LIMIT 1) AS cell
+         |FROM e""".stripMargin
+    def mean(a: String) =
+      s"""SELECT cell, pos,
+         |  CAST(SUM(CAST(CAST(x AS VARCHAR) AS DECIMAL(30,20))) AS DOUBLE)
+         |    / COUNT(*) AS m
+         |FROM (SELECT cell, unnest(v) AS x,
+         |             generate_subscripts(v, 1) - 1 AS pos FROM $a)
+         |GROUP BY cell, pos""".stripMargin
+    def rebuild(prevC: String, m: String) =
+      s"""SELECT $prevC.cell, COALESCE(n.v, $prevC.v) AS v
+         |FROM $prevC LEFT JOIN
+         |  (SELECT cell, list(m ORDER BY pos) AS v FROM $m GROUP BY cell) n
+         |  USING (cell)""".stripMargin
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+       |c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v
+       |       FROM e ORDER BY vec_id LIMIT 16),
+       |a0 AS (${assign("c0")}),
+       |m0 AS (${mean("a0")}),
+       |c1 AS (${rebuild("c0", "m0")}),
+       |a1 AS (${assign("c1")}),
+       |m1 AS (${mean("a1")}),
+       |c2 AS (${rebuild("c1", "m1")}),
+       |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+       |probe AS (SELECT c.cell FROM c2 c, q
+       |          ORDER BY list_dot_product(c.v, c.v) - 2 * list_dot_product(q.qv, c.v), c.cell
+       |          LIMIT 4),
+       |af AS (${assign("c2")})
+       |SELECT af.vec_id,
+       |  ROUND(list_dot_product(af.v, q.qv) /
+       |        sqrt(list_dot_product(af.v, af.v) * list_dot_product(q.qv, q.qv)),
+       |        6) AS cos
+       |FROM af, q
+       |WHERE af.vec_id <> 0 AND af.cell IN (SELECT cell FROM probe)
+       |ORDER BY cos DESC, vec_id ASC LIMIT 10""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "sim_ann_lsh" -> lshOracle,
+    "sim_ann_ivf" -> ivfOracle,
+    "sim_ann_ivf_indexed" -> ivfOracle,
     // the CASE mirrors the native expression's deliberate NULL semantics
     // (null element or all-zero vector -> NULL q8) so the oracle stays
     // exact even if a degenerate vector ever enters a fixture

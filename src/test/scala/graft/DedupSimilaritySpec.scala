@@ -328,6 +328,42 @@ class DedupSimilaritySpec extends SparkSpec {
       "cross-engine exact oracle — regenerate planes or drop the oracle")
   }
 
+  test("ivf assignment and probe margins dwarf ULP wobble (cross-engine oracle safety)") {
+    // sim_ann_ivf(_indexed) now carry a REAL DuckDB oracle that re-runs
+    // the whole deterministic k-means in SQL. The engines' d = |c|²−2·v·c
+    // accumulations can differ in the last bit, so exactness requires
+    // every cell DECISION to have a margin far above that wobble
+    // (≲ dim·|v|·ulp ≈ 1e-13): for each Lloyd stage's centroids, the gap
+    // between best and second-best cell per vector; and for the probe,
+    // the gap between the 4th and 5th nearest cell to the query.
+    val vecs = Tables.embeddings(spark, sf001)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .as[(Long, Seq[Double])].collect()
+    def dists(v: Seq[Double], cents: Seq[Seq[Double]]): Seq[Double] =
+      cents.map { c =>
+        val cSq = c.map(x => x * x).sum
+        val dot = c.lazyZip(v).map(_ * _).sum
+        cSq - dot * 2
+      }
+    val e = SimilarityQueries.rawVecs(spark, sf001)
+    val stages = Seq(0, 1, 2).map(it =>
+      it -> SimilarityQueries.ivfCentroids(e, k = 16, iters = it))
+    stages.foreach { case (it, cents) =>
+      val margin = vecs.iterator.map { case (_, v) =>
+        val s = dists(v, cents).sorted
+        s(1) - s(0)
+      }.min
+      assert(margin > 1e-9,
+        f"iter-$it assignment margin $margin%.3g too small for a " +
+          "cross-engine exact oracle")
+    }
+    val qv = vecs.find(_._1 == 0L).get._2
+    val probeDists = dists(qv, stages.last._2).sorted
+    val probeMargin = probeDists(4) - probeDists(3)
+    assert(probeMargin > 1e-9,
+      f"probe 4th/5th-cell margin $probeMargin%.3g too small")
+  }
+
   test("ann recall@10 curve vs nProbe: monotone, exact at full probe") {
     // The nProbe knob's quality trade, MEASURED: mean recall@10 of
     // annBatch over all label-0 queries for nProbe in {1,2,4,8,16}.
