@@ -542,7 +542,11 @@ object SimilarityQueries {
     *    the d = |c|² − 2·v·c comparisons pick identical cells even
     *    though accumulation order may differ at the last bit
     *    (DedupSimilaritySpec pins the margins). */
-  private def ivfOracle: String = {
+  /** Shared CTE chain: e (vectors + label) → c0 (seed-by-id init) → two
+    * unrolled Lloyd iterations → c2 (final centroids) → af (final
+    * assignment of every vector). Both IVF oracles append their probe +
+    * rerank on top. */
+  private def ivfChainSql: String = {
     def assign(prev: String) =
       s"""SELECT e.vec_id, e.v,
          |  (SELECT c.cell FROM $prev c
@@ -561,7 +565,7 @@ object SimilarityQueries {
          |FROM $prevC LEFT JOIN
          |  (SELECT cell, list(m ORDER BY pos) AS v FROM $m GROUP BY cell) n
          |  USING (cell)""".stripMargin
-    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+    s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) v FROM embeddings),
        |c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v
        |       FROM e ORDER BY vec_id LIMIT 16),
        |a0 AS (${assign("c0")}),
@@ -570,11 +574,15 @@ object SimilarityQueries {
        |a1 AS (${assign("c1")}),
        |m1 AS (${mean("a1")}),
        |c2 AS (${rebuild("c1", "m1")}),
+       |af AS (${assign("c2")})""".stripMargin
+  }
+
+  private def ivfOracle: String =
+    s"""$ivfChainSql,
        |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
        |probe AS (SELECT c.cell FROM c2 c, q
        |          ORDER BY list_dot_product(c.v, c.v) - 2 * list_dot_product(q.qv, c.v), c.cell
-       |          LIMIT 4),
-       |af AS (${assign("c2")})
+       |          LIMIT 4)
        |SELECT af.vec_id,
        |  ROUND(list_dot_product(af.v, q.qv) /
        |        sqrt(list_dot_product(af.v, af.v) * list_dot_product(q.qv, q.qv)),
@@ -582,12 +590,42 @@ object SimilarityQueries {
        |FROM af, q
        |WHERE af.vec_id <> 0 AND af.cell IN (SELECT cell FROM probe)
        |ORDER BY cos DESC, vec_id ASC LIMIT 10""".stripMargin
-  }
+
+  /** DuckDB oracle for sim_ann_batch: per-query probe ranking (the
+    * probeCells struct sort = row_number over the same d = |c|²−2·v·c,
+    * ties to the smaller cell), candidate join on cell minus self,
+    * per-query top-10 by RAW cosine desc / id asc (TopKAggregator's
+    * comparator), rank from position, coverage left join. Raw-cos
+    * ordering is the one new cross-engine surface vs [[ivfOracle]]:
+    * safe because adjacent distinct candidate cosines per query are
+    * pinned ≫ ULP apart (exact bitwise ties — duplicate vectors — order
+    * by id identically in both engines). */
+  private def batchOracle: String =
+    s"""$ivfChainSql,
+       |qs AS (SELECT vec_id AS qid, v AS q_v FROM e WHERE label = 0),
+       |pr AS (SELECT qid, q_v, cell FROM (
+       |        SELECT qs.qid, qs.q_v, c.cell,
+       |          row_number() OVER (PARTITION BY qs.qid
+       |            ORDER BY list_dot_product(c.v, c.v) - 2 * list_dot_product(qs.q_v, c.v), c.cell) AS rn
+       |        FROM qs, c2 c) WHERE rn <= 4),
+       |cand AS (SELECT pr.qid, af.vec_id,
+       |           list_dot_product(af.v, pr.q_v) /
+       |             sqrt(list_dot_product(af.v, af.v) * list_dot_product(pr.q_v, pr.q_v)) AS cos_raw
+       |         FROM pr JOIN af USING (cell) WHERE af.vec_id <> pr.qid),
+       |topk AS (SELECT qid, CAST(rn AS INTEGER) AS rank, vec_id AS nn_id,
+       |           ROUND(cos_raw, 6) AS cos FROM (
+       |          SELECT qid, vec_id, cos_raw,
+       |            row_number() OVER (PARTITION BY qid
+       |              ORDER BY cos_raw DESC, vec_id ASC) AS rn
+       |          FROM cand) WHERE rn <= 10)
+       |SELECT qs.qid, topk.rank, topk.nn_id, topk.cos
+       |FROM qs LEFT JOIN topk USING (qid)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "sim_ann_lsh" -> lshOracle,
     "sim_ann_ivf" -> ivfOracle,
     "sim_ann_ivf_indexed" -> ivfOracle,
+    "sim_ann_batch" -> batchOracle,
     // the CASE mirrors the native expression's deliberate NULL semantics
     // (null element or all-zero vector -> NULL q8) so the oracle stays
     // exact even if a degenerate vector ever enters a fixture

@@ -362,6 +362,39 @@ class DedupSimilaritySpec extends SparkSpec {
     val probeMargin = probeDists(4) - probeDists(3)
     assert(probeMargin > 1e-9,
       f"probe 4th/5th-cell margin $probeMargin%.3g too small")
+    // sim_ann_batch's extra surfaces: every label-0 query's own probe
+    // boundary, and — because its top-10 ranks by RAW cosine — adjacent
+    // DISTINCT candidate cosines per query (exact bitwise ties, i.e.
+    // duplicate vectors, order by id identically in both engines and
+    // are excluded)
+    val cents = stages.last._2
+    val cell: Map[Long, Int] = vecs.iterator.map { case (id, v) =>
+      id -> dists(v, cents).zipWithIndex.min._2
+    }.toMap
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      var sab = 0.0; var saa = 0.0; var sbb = 0.0
+      a.indices.foreach { i =>
+        sab += a(i) * b(i); saa += a(i) * a(i); sbb += b(i) * b(i)
+      }
+      sab / math.sqrt(saa * sbb)
+    }
+    val qset = Tables.embeddings(spark, sf001).filter(col("label") === 0)
+      .select("vec_id").as[Long].collect()
+    qset.foreach { qid =>
+      val qVec = vecs.find(_._1 == qid).get._2
+      val ds = dists(qVec, cents).sorted
+      assert(ds(4) - ds(3) > 1e-9,
+        f"query $qid probe margin ${ds(4) - ds(3)}%.3g too small")
+      val probed = dists(qVec, cents).zipWithIndex.sortBy(_._1)
+        .take(4).map(_._2).toSet
+      val cosines = vecs.iterator
+        .filter { case (id, _) => id != qid && probed(cell(id)) }
+        .map { case (_, v) => cos(qVec, v) }.toSeq.sorted
+      cosines.lazyZip(cosines.drop(1)).foreach { (lo, hi) =>
+        assert(hi == lo || hi - lo > 1e-9,
+          f"query $qid adjacent candidate cos gap ${hi - lo}%.3g too small")
+      }
+    }
   }
 
   test("ann recall@10 curve vs nProbe: monotone, exact at full probe") {
