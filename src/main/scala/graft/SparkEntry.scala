@@ -48,7 +48,6 @@ object SparkEntry {
     * EntrySpec enforces that this set is exactly queries ∖ oracleSql. */
   def rowsOnlyPinnedBy: Map[String, String] = Map(
     "dedup_simhash" -> "DedupSimilaritySpec (xxhash64 hash family; oracle twin dedup_simhash_md5)",
-    "sim_knn_banded" -> "DedupSimilaritySpec (approximate NN; coverage + agreement)",
     "sketch_cms_topk" -> "CorpusSpec (xxhash64 hash family; oracle twin sketch_cms_topk_md5)",
     "q57_approx_quantile" -> "ExtraRelationalSpec (KLL sketch, engine-specific)",
     "q37_approx_distinct" -> "MiscSpec (HLL within 5% of exact)",

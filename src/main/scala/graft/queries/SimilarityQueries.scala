@@ -23,6 +23,18 @@ object SimilarityQueries {
     Seq.fill(nPlanes)(Seq.fill(dim)(rnd.nextGaussian()))
   }
 
+  /** sim_knn_banded's band geometry, shared between the query and its
+    * generated DuckDB oracle: any neighbor with cos ≥ [[bandThreshold]]
+    * projects within [[bandW]] of the query, and [[bandW0]] is the unit
+    * projection direction. */
+  private[graft] val bandThreshold = 0.2
+  private[graft] lazy val bandW: Double = math.sqrt(2 - 2 * bandThreshold)
+  private[graft] lazy val bandW0: Seq[Double] = {
+    val p = hyperplanes(1, 64).head
+    val n = math.sqrt(p.map(x => x * x).sum)
+    p.map(_ / n)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Exact top-10 nearest (cosine) to the vec_id=0 embedding.
@@ -71,18 +83,11 @@ object SimilarityQueries {
     // probe window, i.e. misses can only happen for queries whose true NN
     // is barely better than random.
     "sim_knn_banded" -> ((s, d) => {
-      val t = 0.2
-      val bandW = math.sqrt(2 - 2 * t)
-      val w0 = {
-        val p = hyperplanes(1, 64).head
-        val n = math.sqrt(p.map(x => x * x).sum)
-        p.map(_ / n)
-      }
       val e = Tables.embeddings(s, d)
         .select(col("vec_id"), col("label"),
           col("embedding").cast("array<double>").as("v"))
         .select(col("vec_id"), col("label"), col("v"),
-          floor(dot(col("v"), typedlit(w0)) / bandW)
+          floor(dot(col("v"), typedlit(bandW0)) / bandW)
             .cast("long").as("band"))
         // barrier: materializes `band` as an attribute so the six join
         // branches below ReuseExchange one computed subtree instead of
@@ -621,8 +626,38 @@ object SimilarityQueries {
        |SELECT qs.qid, topk.rank, topk.nn_id, topk.cos
        |FROM qs LEFT JOIN topk USING (qid)""".stripMargin
 
+  /** DuckDB oracle for sim_knn_banded — deterministic despite being
+    * approximate as NN: band = floor(dot(v, w0)/W) with the unit
+    * direction embedded as literals, candidates within ±1 band, argmax
+    * by raw cosine with ties to the smaller cid, coverage left join.
+    * Cross-engine surfaces, each margin-pinned in DedupSimilaritySpec:
+    * floor flips need dot/W near an integer (distance to the nearest
+    * integer pinned ≫ ULP), and the per-query argmax needs a best vs
+    * second-best raw-cos gap (exact bitwise ties order by cid
+    * identically). */
+  private def bandedOracle: String = {
+    val w0 = bandW0.mkString("[", ", ", "]")
+    s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+       |bb AS (SELECT vec_id, label, v,
+       |         CAST(FLOOR(list_dot_product(v, $w0) / $bandW) AS BIGINT) AS band
+       |       FROM e),
+       |a AS (SELECT vec_id AS qid, v AS q_v, band AS q_band FROM bb WHERE label = 0),
+       |b AS (SELECT vec_id AS cid, v AS c_v, band AS c_band FROM bb WHERE label = 1),
+       |scored AS (SELECT a.qid, b.cid,
+       |             list_dot_product(a.q_v, b.c_v) /
+       |               sqrt(list_dot_product(a.q_v, a.q_v) * list_dot_product(b.c_v, b.c_v)) AS cos_raw
+       |           FROM a JOIN b ON b.c_band BETWEEN a.q_band - 1 AND a.q_band + 1),
+       |nn AS (SELECT qid, cid AS nn_id, ROUND(cos_raw, 6) AS cos FROM (
+       |        SELECT qid, cid, cos_raw,
+       |          row_number() OVER (PARTITION BY qid
+       |            ORDER BY cos_raw DESC, cid ASC) AS rn
+       |        FROM scored) WHERE rn = 1)
+       |SELECT a.qid, nn.nn_id, nn.cos FROM a LEFT JOIN nn USING (qid)""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "sim_ann_lsh" -> lshOracle,
+    "sim_knn_banded" -> bandedOracle,
     "sim_ann_ivf" -> ivfOracle,
     "sim_ann_ivf_indexed" -> ivfOracle,
     "sim_ann_batch" -> batchOracle,

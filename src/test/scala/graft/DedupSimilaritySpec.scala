@@ -395,6 +395,28 @@ class DedupSimilaritySpec extends SparkSpec {
           f"query $qid adjacent candidate cos gap ${hi - lo}%.3g too small")
       }
     }
+    // sim_knn_banded's surfaces: floor(dot/W) flips only if dot/W sits
+    // on an integer (distance to the nearest integer pinned), and the
+    // per-query argmax needs a best/second-best raw-cos gap
+    val w0 = SimilarityQueries.bandW0
+    val bw = SimilarityQueries.bandW
+    val labels: Map[Long, Int] = Tables.embeddings(spark, sf001)
+      .select(col("vec_id"), col("label")).as[(Long, Int)].collect().toMap
+    val banded = vecs.map { case (id, v) =>
+      val proj = w0.lazyZip(v).map(_ * _).sum / bw
+      assert(math.abs(proj - math.rint(proj)) > 1e-9,
+        f"vec $id band projection $proj%.12f sits on a floor boundary")
+      (id, labels(id), v, math.floor(proj).toLong)
+    }
+    val cands = banded.filter(_._2 == 1)
+    banded.filter(_._2 == 0).foreach { case (qid, _, qVec, qBand) =>
+      val cs = cands.filter { case (_, _, _, cb) =>
+        cb >= qBand - 1 && cb <= qBand + 1
+      }.map { case (_, _, v, _) => cos(qVec, v) }.sorted.reverse
+      if (cs.size >= 2)
+        assert(cs(0) == cs(1) || cs(0) - cs(1) > 1e-9,
+          f"query $qid banded argmax gap ${cs(0) - cs(1)}%.3g too small")
+    }
   }
 
   test("ann recall@10 curve vs nProbe: monotone, exact at full probe") {
