@@ -508,12 +508,9 @@ object DedupQueries {
     "dedup_embedding_lsh" -> ((s, d) => {
       val t = 0.4
       val bandW = math.sqrt(2 - 2 * t)
-      // deterministic unit direction: first fixed-seed hyperplane, normalized
-      val w = {
-        val p = SimilarityQueries.hyperplanes(1, 64).head
-        val n = math.sqrt(p.map(x => x * x).sum)
-        p.map(_ / n)
-      }
+      // deterministic unit direction: the SAME normalized first
+      // fixed-seed hyperplane sim_knn_banded and its oracle share
+      val w = SimilarityQueries.bandW0
       val banded = unitEmbeddings(s, d)
         .withColumn("band",
           floor(VectorFunctions.dot(col("u"), typedlit(w)) / bandW)

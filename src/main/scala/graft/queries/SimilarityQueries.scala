@@ -552,18 +552,28 @@ object SimilarityQueries {
     * assignment of every vector). Both IVF oracles append their probe +
     * rerank on top. */
   private def ivfChainSql: String = {
+    // degenerate rows (null element / dimension mismatch) mirror
+    // NearestCell's NULL cell and are excluded from the means — NULL
+    // never equi-joins or passes IN, so such rows drop from model and
+    // results oracle-side, while Spark-side training fails loudly
+    // (non-nullable Int decode). Silent divergence is impossible; the
+    // margin spec additionally pins that no fixture row is degenerate.
     def assign(prev: String) =
       s"""SELECT e.vec_id, e.v,
-         |  (SELECT c.cell FROM $prev c
-         |   ORDER BY list_dot_product(c.v, c.v) - 2 * list_dot_product(e.v, c.v), c.cell
-         |   LIMIT 1) AS cell
+         |  CASE WHEN len(list_filter(e.v, x -> x IS NULL)) > 0
+         |            OR len(e.v) <> (SELECT len(v) FROM c0 LIMIT 1)
+         |       THEN NULL
+         |       ELSE (SELECT c.cell FROM $prev c
+         |             ORDER BY list_dot_product(c.v, c.v) - 2 * list_dot_product(e.v, c.v), c.cell
+         |             LIMIT 1) END AS cell
          |FROM e""".stripMargin
     def mean(a: String) =
       s"""SELECT cell, pos,
          |  CAST(SUM(CAST(CAST(x AS VARCHAR) AS DECIMAL(30,20))) AS DOUBLE)
          |    / COUNT(*) AS m
          |FROM (SELECT cell, unnest(v) AS x,
-         |             generate_subscripts(v, 1) - 1 AS pos FROM $a)
+         |             generate_subscripts(v, 1) - 1 AS pos FROM $a
+         |      WHERE cell IS NOT NULL)
          |GROUP BY cell, pos""".stripMargin
     def rebuild(prevC: String, m: String) =
       s"""SELECT $prevC.cell, COALESCE(n.v, $prevC.v) AS v

@@ -319,13 +319,15 @@ class DedupSimilaritySpec extends SparkSpec {
     // whole fixture × all 6 planes must dwarf any accumulated ULP error
     // (64 terms of O(10) magnitude ⇒ error < ~1e-12).
     val planes = SimilarityQueries.hyperplanes(6, 64)
-    val minAbs = Tables.embeddings(spark, sf001)
-      .select(col("embedding").cast("array<double>").as("v"))
-      .select(least(planes.map(p => abs(graft.functions.VectorFunctions
-        .dot(col("v"), typedlit(p)))): _*).as("m"))
-      .agg(min(col("m"))).as[Double].head()
-    assert(minAbs > 1e-6, f"sign margin $minAbs%.3g too small for a " +
-      "cross-engine exact oracle — regenerate planes or drop the oracle")
+    Seq(sf001, "/root/testdata/sf0.1").foreach { sf =>
+      val minAbs = Tables.embeddings(spark, sf)
+        .select(col("embedding").cast("array<double>").as("v"))
+        .select(least(planes.map(p => abs(graft.functions.VectorFunctions
+          .dot(col("v"), typedlit(p)))): _*).as("m"))
+        .agg(min(col("m"))).as[Double].head()
+      assert(minAbs > 1e-6, f"$sf sign margin $minAbs%.3g too small for a " +
+        "cross-engine exact oracle — regenerate planes or drop the oracle")
+    }
   }
 
   test("ivf assignment and probe margins dwarf ULP wobble (cross-engine oracle safety)") {
@@ -335,42 +337,19 @@ class DedupSimilaritySpec extends SparkSpec {
     // every cell DECISION to have a margin far above that wobble
     // (≲ dim·|v|·ulp ≈ 1e-13): for each Lloyd stage's centroids, the gap
     // between best and second-best cell per vector; and for the probe,
-    // the gap between the 4th and 5th nearest cell to the query.
-    val vecs = Tables.embeddings(spark, sf001)
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      .as[(Long, Seq[Double])].collect()
+    // the gap between the 4th and 5th nearest cell to the query. Runs at
+    // BOTH fixture scales — the oracle gate verifies both, so an
+    // unpinned sf0.1 near-tie would make the gate flaky while this spec
+    // stayed green (review-caught). Exact equalities are escaped the
+    // same way as the cos-gap checks: a bitwise tie (duplicate
+    // vectors/centroids) resolves by the same id tiebreak in both
+    // engines.
     def dists(v: Seq[Double], cents: Seq[Seq[Double]]): Seq[Double] =
       cents.map { c =>
         val cSq = c.map(x => x * x).sum
         val dot = c.lazyZip(v).map(_ * _).sum
         cSq - dot * 2
       }
-    val e = SimilarityQueries.rawVecs(spark, sf001)
-    val stages = Seq(0, 1, 2).map(it =>
-      it -> SimilarityQueries.ivfCentroids(e, k = 16, iters = it))
-    stages.foreach { case (it, cents) =>
-      val margin = vecs.iterator.map { case (_, v) =>
-        val s = dists(v, cents).sorted
-        s(1) - s(0)
-      }.min
-      assert(margin > 1e-9,
-        f"iter-$it assignment margin $margin%.3g too small for a " +
-          "cross-engine exact oracle")
-    }
-    val qv = vecs.find(_._1 == 0L).get._2
-    val probeDists = dists(qv, stages.last._2).sorted
-    val probeMargin = probeDists(4) - probeDists(3)
-    assert(probeMargin > 1e-9,
-      f"probe 4th/5th-cell margin $probeMargin%.3g too small")
-    // sim_ann_batch's extra surfaces: every label-0 query's own probe
-    // boundary, and — because its top-10 ranks by RAW cosine — adjacent
-    // DISTINCT candidate cosines per query (exact bitwise ties, i.e.
-    // duplicate vectors, order by id identically in both engines and
-    // are excluded)
-    val cents = stages.last._2
-    val cell: Map[Long, Int] = vecs.iterator.map { case (id, v) =>
-      id -> dists(v, cents).zipWithIndex.min._2
-    }.toMap
     def cos(a: Seq[Double], b: Seq[Double]): Double = {
       var sab = 0.0; var saa = 0.0; var sbb = 0.0
       a.indices.foreach { i =>
@@ -378,44 +357,79 @@ class DedupSimilaritySpec extends SparkSpec {
       }
       sab / math.sqrt(saa * sbb)
     }
-    val qset = Tables.embeddings(spark, sf001).filter(col("label") === 0)
-      .select("vec_id").as[Long].collect()
-    qset.foreach { qid =>
-      val qVec = vecs.find(_._1 == qid).get._2
-      val ds = dists(qVec, cents).sorted
-      assert(ds(4) - ds(3) > 1e-9,
-        f"query $qid probe margin ${ds(4) - ds(3)}%.3g too small")
-      val probed = dists(qVec, cents).zipWithIndex.sortBy(_._1)
-        .take(4).map(_._2).toSet
-      val cosines = vecs.iterator
-        .filter { case (id, _) => id != qid && probed(cell(id)) }
-        .map { case (_, v) => cos(qVec, v) }.toSeq.sorted
-      cosines.lazyZip(cosines.drop(1)).foreach { (lo, hi) =>
-        assert(hi == lo || hi - lo > 1e-9,
-          f"query $qid adjacent candidate cos gap ${hi - lo}%.3g too small")
+    Seq(sf001, "/root/testdata/sf0.1").foreach { sf =>
+      val vecs = Tables.embeddings(spark, sf)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        .as[(Long, Seq[Double])].collect()
+      // fixture sanity the oracles' degenerate-row CASE guard assumes:
+      // no null elements, uniform dimension
+      assert(vecs.forall { case (_, v) => v != null && v.length == 64 &&
+        !v.contains(null) }, s"$sf holds a degenerate embedding row")
+      val e = SimilarityQueries.rawVecs(spark, sf)
+      val stages = Seq(0, 1, 2).map(it =>
+        it -> SimilarityQueries.ivfCentroids(e, k = 16, iters = it))
+      stages.foreach { case (it, cents) =>
+        vecs.foreach { case (id, v) =>
+          val s = dists(v, cents).sorted
+          assert(s(1) == s(0) || s(1) - s(0) > 1e-9,
+            f"$sf vec $id iter-$it assignment margin ${s(1) - s(0)}%.3g " +
+              "too small for a cross-engine exact oracle")
+        }
       }
-    }
-    // sim_knn_banded's surfaces: floor(dot/W) flips only if dot/W sits
-    // on an integer (distance to the nearest integer pinned), and the
-    // per-query argmax needs a best/second-best raw-cos gap
-    val w0 = SimilarityQueries.bandW0
-    val bw = SimilarityQueries.bandW
-    val labels: Map[Long, Int] = Tables.embeddings(spark, sf001)
-      .select(col("vec_id"), col("label")).as[(Long, Int)].collect().toMap
-    val banded = vecs.map { case (id, v) =>
-      val proj = w0.lazyZip(v).map(_ * _).sum / bw
-      assert(math.abs(proj - math.rint(proj)) > 1e-9,
-        f"vec $id band projection $proj%.12f sits on a floor boundary")
-      (id, labels(id), v, math.floor(proj).toLong)
-    }
-    val cands = banded.filter(_._2 == 1)
-    banded.filter(_._2 == 0).foreach { case (qid, _, qVec, qBand) =>
-      val cs = cands.filter { case (_, _, _, cb) =>
-        cb >= qBand - 1 && cb <= qBand + 1
-      }.map { case (_, _, v, _) => cos(qVec, v) }.sorted.reverse
-      if (cs.size >= 2)
-        assert(cs(0) == cs(1) || cs(0) - cs(1) > 1e-9,
-          f"query $qid banded argmax gap ${cs(0) - cs(1)}%.3g too small")
+      val cents = stages.last._2
+      val qv = vecs.find(_._1 == 0L).get._2
+      val probeDists = dists(qv, cents).sorted
+      assert(probeDists(4) == probeDists(3) ||
+        probeDists(4) - probeDists(3) > 1e-9,
+        f"$sf probe 4th/5th-cell margin ${probeDists(4) - probeDists(3)}%.3g too small")
+      // sim_ann_batch's extra surfaces: every label-0 query's own probe
+      // boundary, and — because its top-10 ranks by RAW cosine —
+      // adjacent DISTINCT candidate cosines per query (exact bitwise
+      // ties, i.e. duplicate vectors, order by id identically in both
+      // engines and are excluded)
+      val cell: Map[Long, Int] = vecs.iterator.map { case (id, v) =>
+        id -> dists(v, cents).zipWithIndex.min._2
+      }.toMap
+      val byId = vecs.toMap
+      val qset = Tables.embeddings(spark, sf).filter(col("label") === 0)
+        .select("vec_id").as[Long].collect()
+      qset.foreach { qid =>
+        val qVec = byId(qid)
+        val ds = dists(qVec, cents).sorted
+        assert(ds(4) == ds(3) || ds(4) - ds(3) > 1e-9,
+          f"$sf query $qid probe margin ${ds(4) - ds(3)}%.3g too small")
+        val probed = dists(qVec, cents).zipWithIndex.sortBy(_._1)
+          .take(4).map(_._2).toSet
+        val cosines = vecs.iterator
+          .filter { case (id, _) => id != qid && probed(cell(id)) }
+          .map { case (_, v) => cos(qVec, v) }.toSeq.sorted
+        cosines.lazyZip(cosines.drop(1)).foreach { (lo, hi) =>
+          assert(hi == lo || hi - lo > 1e-9,
+            f"$sf query $qid adjacent candidate cos gap ${hi - lo}%.3g too small")
+        }
+      }
+      // sim_knn_banded's surfaces: floor(dot/W) flips only if dot/W sits
+      // on an integer (distance to the nearest integer pinned), and the
+      // per-query argmax needs a best/second-best raw-cos gap
+      val w0 = SimilarityQueries.bandW0
+      val bw = SimilarityQueries.bandW
+      val labels: Map[Long, Int] = Tables.embeddings(spark, sf)
+        .select(col("vec_id"), col("label")).as[(Long, Int)].collect().toMap
+      val banded = vecs.map { case (id, v) =>
+        val proj = w0.lazyZip(v).map(_ * _).sum / bw
+        assert(math.abs(proj - math.rint(proj)) > 1e-9,
+          f"$sf vec $id band projection $proj%.12f sits on a floor boundary")
+        (id, labels(id), v, math.floor(proj).toLong)
+      }
+      val cands = banded.filter(_._2 == 1)
+      banded.filter(_._2 == 0).foreach { case (qid, _, qVec, qBand) =>
+        val cs = cands.filter { case (_, _, _, cb) =>
+          cb >= qBand - 1 && cb <= qBand + 1
+        }.map { case (_, _, v, _) => cos(qVec, v) }.sorted.reverse
+        if (cs.size >= 2)
+          assert(cs(0) == cs(1) || cs(0) - cs(1) > 1e-9,
+            f"$sf query $qid banded argmax gap ${cs(0) - cs(1)}%.3g too small")
+      }
     }
   }
 
