@@ -50,35 +50,10 @@ object Bench {
     }
     val calibEnd = calib()
     val calibIoEnd = calibIo()
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    // RAW total is the headline number; value_normalized is advisory
-    // context only. Contention estimate = min(calibStart, calibEnd): a
-    // correction applies ONLY when BOTH probes came back inflated (if
-    // either probe saw a quiet box, the suite is presumed to have had
-    // quiet stretches and raw stands). This deliberately under-corrects —
-    // a one-sided average was observed (round 5) to scale a 62.8 s suite
-    // below every quiet-box measurement off a single inflated start probe.
-    // Quiet reference is the settled 32-thread number (BENCH.md);
-    // overridable for other thread counts. A failed probe (-1) leaves the
-    // raw total untouched. Parsed defensively: a malformed or
-    // non-positive override falls back to the 0.30 default reference
-    // rather than failing the run.
     val quietCalib = sys.env.get("SPARK_GRAFT_QUIET_CALIB")
       .flatMap(_.toDoubleOption).filter(_ > 0).getOrElse(0.30)
-    val probes = Seq(calibStart, calibEnd).filter(_ > 0)
-    val loadFactor =
-      if (probes.size == 2) probes.min / quietCalib else 1.0
-    val normalized = if (loadFactor > 1.0) total / loadFactor else total
-    // Per-query detail first on its own line, then the headline total
-    // LAST and COMPACT (scalars only). Round 6 proved the final line must
-    // stay small: embedding the ~4 KB per-query map in it pushed the
-    // "metric":"total" head outside the driver's stdout tail-capture
-    // window and the gating artifact parsed as null. The map lives on the
-    // preceding line and in the persisted BENCH_LAST.json.
-    val detailLine = s"""{"metric":"queries","queries":$qs,"sf":"$sfDir"}"""
-    val totalLine = s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","nqueries":${results.size},"value_normalized":$normalized,"load_factor":$loadFactor,"calib_start":$calibStart,"calib_end":$calibEnd,"calib_io_start":$calibIoStart,"calib_io_end":$calibIoEnd}"""
+    val Seq(detailLine, totalLine) = summaryLines(results, sfDir,
+      calibStart, calibEnd, calibIoStart, calibIoEnd, quietCalib)
     println(detailLine)
     println(totalLine)
     // Stdout tail-captures have dropped the (long) per-query line before;
@@ -91,5 +66,41 @@ object Bench {
     // a read-only tree must not fail the run; fatal errors still propagate
     catch { case scala.util.control.NonFatal(_) => }
     spark.stop()
+  }
+
+  /** The two artifact lines, as a pure function so BenchFormatSpec can
+    * pin the contract that killed the round-6 record: per-query detail
+    * FIRST, then the headline total LAST and COMPACT (scalars only — a
+    * bounded size regardless of query count). The driver tail-captures
+    * stdout, so an over-long final line is truncated from the FRONT,
+    * destroying the `"metric":"total"` head (BENCH_r06.json parsed
+    * null).
+    *
+    * RAW total is the headline number; value_normalized is advisory
+    * context only. Contention estimate = min(calibStart, calibEnd): a
+    * correction applies ONLY when BOTH probes came back inflated (if
+    * either probe saw a quiet box, the suite is presumed to have had
+    * quiet stretches and raw stands). This deliberately under-corrects —
+    * a one-sided average was observed (round 5) to scale a 62.8 s suite
+    * below every quiet-box measurement off a single inflated start
+    * probe. `quietCalib` is the settled 32-thread reference (BENCH.md),
+    * overridable via SPARK_GRAFT_QUIET_CALIB for other thread counts
+    * (parsed defensively — malformed/non-positive falls back to 0.30).
+    * A failed probe (-1) leaves the raw total untouched. */
+  private[graft] def summaryLines(
+      results: Map[String, Double], sfDir: String,
+      calibStart: Double, calibEnd: Double,
+      calibIoStart: Double, calibIoEnd: Double,
+      quietCalib: Double): Seq[String] = {
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val probes = Seq(calibStart, calibEnd).filter(_ > 0)
+    val loadFactor =
+      if (probes.size == 2) probes.min / quietCalib else 1.0
+    val normalized = if (loadFactor > 1.0) total / loadFactor else total
+    Seq(
+      s"""{"metric":"queries","queries":$qs,"sf":"$sfDir"}""",
+      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","nqueries":${results.size},"value_normalized":$normalized,"load_factor":$loadFactor,"calib_start":$calibStart,"calib_end":$calibEnd,"calib_io_start":$calibIoStart,"calib_io_end":$calibIoEnd}""")
   }
 }
