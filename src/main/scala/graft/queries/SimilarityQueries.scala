@@ -552,35 +552,38 @@ object SimilarityQueries {
     * assignment of every vector). Both IVF oracles append their probe +
     * rerank on top. */
   private def ivfChainSql: String = {
-    // degenerate rows (null element / dimension mismatch) mirror
-    // NearestCell's NULL cell and are excluded from the means — NULL
-    // never equi-joins or passes IN, so such rows drop from model and
-    // results oracle-side, while Spark-side training fails loudly
-    // (non-nullable Int decode). Silent divergence is impossible; the
-    // margin spec additionally pins that no fixture row is degenerate.
+    // Degenerate-row doctrine (review round 2 proved a CASE guard here
+    // is DEAD CODE — DuckDB decorrelates the assignment subquery and
+    // evaluates the dot products regardless of the WHEN): a null
+    // ELEMENT or dimension mismatch fails LOUDLY in both engines
+    // (DuckDB: list_inner_product errors; Spark: NULL cell from
+    // NearestCell crashes the non-nullable Int decode in training), and
+    // a wholly-NULL vector — the one case DuckDB would otherwise
+    // silently assign to cell 0 via an all-NULL ORDER BY — is excluded
+    // in the e CTE below, matching Spark (posexplode drops it from
+    // means; its NULL cell never passes isin/joins; a NULL in the SEED
+    // crashes Spark loudly, never silently greens). The margin spec
+    // pins fixtures clean of all three shapes.
     def assign(prev: String) =
       s"""SELECT e.vec_id, e.v,
-         |  CASE WHEN len(list_filter(e.v, x -> x IS NULL)) > 0
-         |            OR len(e.v) <> (SELECT len(v) FROM c0 LIMIT 1)
-         |       THEN NULL
-         |       ELSE (SELECT c.cell FROM $prev c
-         |             ORDER BY list_dot_product(c.v, c.v) - 2 * list_dot_product(e.v, c.v), c.cell
-         |             LIMIT 1) END AS cell
+         |  (SELECT c.cell FROM $prev c
+         |   ORDER BY list_dot_product(c.v, c.v) - 2 * list_dot_product(e.v, c.v), c.cell
+         |   LIMIT 1) AS cell
          |FROM e""".stripMargin
     def mean(a: String) =
       s"""SELECT cell, pos,
          |  CAST(SUM(CAST(CAST(x AS VARCHAR) AS DECIMAL(30,20))) AS DOUBLE)
          |    / COUNT(*) AS m
          |FROM (SELECT cell, unnest(v) AS x,
-         |             generate_subscripts(v, 1) - 1 AS pos FROM $a
-         |      WHERE cell IS NOT NULL)
+         |             generate_subscripts(v, 1) - 1 AS pos FROM $a)
          |GROUP BY cell, pos""".stripMargin
     def rebuild(prevC: String, m: String) =
       s"""SELECT $prevC.cell, COALESCE(n.v, $prevC.v) AS v
          |FROM $prevC LEFT JOIN
          |  (SELECT cell, list(m ORDER BY pos) AS v FROM $m GROUP BY cell) n
          |  USING (cell)""".stripMargin
-    s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+    s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) v
+       |           FROM embeddings WHERE embedding IS NOT NULL),
        |c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v
        |       FROM e ORDER BY vec_id LIMIT 16),
        |a0 AS (${assign("c0")}),

@@ -319,7 +319,7 @@ class DedupSimilaritySpec extends SparkSpec {
     // whole fixture × all 6 planes must dwarf any accumulated ULP error
     // (64 terms of O(10) magnitude ⇒ error < ~1e-12).
     val planes = SimilarityQueries.hyperplanes(6, 64)
-    Seq(sf001, "/root/testdata/sf0.1").foreach { sf =>
+    Seq(sf001, sf01).foreach { sf =>
       val minAbs = Tables.embeddings(spark, sf)
         .select(col("embedding").cast("array<double>").as("v"))
         .select(least(planes.map(p => abs(graft.functions.VectorFunctions
@@ -340,10 +340,12 @@ class DedupSimilaritySpec extends SparkSpec {
     // the gap between the 4th and 5th nearest cell to the query. Runs at
     // BOTH fixture scales — the oracle gate verifies both, so an
     // unpinned sf0.1 near-tie would make the gate flaky while this spec
-    // stayed green (review-caught). Exact equalities are escaped the
-    // same way as the cos-gap checks: a bitwise tie (duplicate
-    // vectors/centroids) resolves by the same id tiebreak in both
-    // engines.
+    // stayed green (review-caught). An exact-equality escape is sound
+    // ONLY when the tied decision's INPUTS are elementwise identical
+    // (then both engines compute bit-equal values and tiebreak by the
+    // same index); equal computed values from DISTINCT inputs can still
+    // differ by 1 ULP under the other engine's accumulation order, so
+    // they must satisfy the margin (review-caught, round 2).
     def dists(v: Seq[Double], cents: Seq[Seq[Double]]): Seq[Double] =
       cents.map { c =>
         val cSq = c.map(x => x * x).sum
@@ -357,56 +359,65 @@ class DedupSimilaritySpec extends SparkSpec {
       }
       sab / math.sqrt(saa * sbb)
     }
-    Seq(sf001, "/root/testdata/sf0.1").foreach { sf =>
+    Seq(sf001, sf01).foreach { sf =>
       val vecs = Tables.embeddings(spark, sf)
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
         .as[(Long, Seq[Double])].collect()
-      // fixture sanity the oracles' degenerate-row CASE guard assumes:
-      // no null elements, uniform dimension
-      assert(vecs.forall { case (_, v) => v != null && v.length == 64 &&
-        !v.contains(null) }, s"$sf holds a degenerate embedding row")
+      // fixture sanity the oracles' degenerate-row doctrine assumes: no
+      // null vectors, uniform dimension. (A null ELEMENT cannot survive
+      // to this assert — the non-nullable decode above throws — which
+      // is itself the loud pin for that shape.)
+      assert(vecs.forall { case (_, v) => v != null && v.length == 64 },
+        s"$sf holds a degenerate embedding row")
+      val byId = vecs.toMap
       val e = SimilarityQueries.rawVecs(spark, sf)
       val stages = Seq(0, 1, 2).map(it =>
         it -> SimilarityQueries.ivfCentroids(e, k = 16, iters = it))
+      // margin between two (distance, cell) decisions: exact ties are
+      // safe only for elementwise-identical centroids
+      def cellMargin(sorted: Seq[(Double, Int)], lo: Int, hi: Int,
+          cents: Seq[Seq[Double]], what: String): Unit = {
+        val safeTie = sorted(hi)._1 == sorted(lo)._1 &&
+          cents(sorted(hi)._2) == cents(sorted(lo)._2)
+        assert(safeTie || sorted(hi)._1 - sorted(lo)._1 > 1e-9,
+          f"$sf $what margin ${sorted(hi)._1 - sorted(lo)._1}%.3g too small " +
+            "for a cross-engine exact oracle")
+      }
       stages.foreach { case (it, cents) =>
         vecs.foreach { case (id, v) =>
-          val s = dists(v, cents).sorted
-          assert(s(1) == s(0) || s(1) - s(0) > 1e-9,
-            f"$sf vec $id iter-$it assignment margin ${s(1) - s(0)}%.3g " +
-              "too small for a cross-engine exact oracle")
+          cellMargin(dists(v, cents).zipWithIndex.sorted, 0, 1, cents,
+            s"vec $id iter-$it assignment")
         }
       }
       val cents = stages.last._2
-      val qv = vecs.find(_._1 == 0L).get._2
-      val probeDists = dists(qv, cents).sorted
-      assert(probeDists(4) == probeDists(3) ||
-        probeDists(4) - probeDists(3) > 1e-9,
-        f"$sf probe 4th/5th-cell margin ${probeDists(4) - probeDists(3)}%.3g too small")
+      cellMargin(dists(byId(0L), cents).zipWithIndex.sorted, 3, 4, cents,
+        "probe 4th/5th-cell")
       // sim_ann_batch's extra surfaces: every label-0 query's own probe
       // boundary, and — because its top-10 ranks by RAW cosine —
-      // adjacent DISTINCT candidate cosines per query (exact bitwise
-      // ties, i.e. duplicate vectors, order by id identically in both
-      // engines and are excluded)
+      // adjacent candidate cosines per query (ties safe only for
+      // elementwise-identical candidate vectors)
       val cell: Map[Long, Int] = vecs.iterator.map { case (id, v) =>
         id -> dists(v, cents).zipWithIndex.min._2
       }.toMap
-      val byId = vecs.toMap
+      def cosMargin(sorted: Seq[(Double, Long)], qid: Long, what: String): Unit =
+        sorted.lazyZip(sorted.drop(1)).foreach {
+          case ((lo, lid), (hi, hid)) =>
+            val safeTie = hi == lo && byId(lid) == byId(hid)
+            assert(safeTie || hi - lo > 1e-9,
+              f"$sf query $qid $what cos gap ${hi - lo}%.3g too small")
+        }
       val qset = Tables.embeddings(spark, sf).filter(col("label") === 0)
         .select("vec_id").as[Long].collect()
       qset.foreach { qid =>
         val qVec = byId(qid)
-        val ds = dists(qVec, cents).sorted
-        assert(ds(4) == ds(3) || ds(4) - ds(3) > 1e-9,
-          f"$sf query $qid probe margin ${ds(4) - ds(3)}%.3g too small")
+        cellMargin(dists(qVec, cents).zipWithIndex.sorted, 3, 4, cents,
+          s"query $qid probe")
         val probed = dists(qVec, cents).zipWithIndex.sortBy(_._1)
           .take(4).map(_._2).toSet
-        val cosines = vecs.iterator
+        cosMargin(vecs.iterator
           .filter { case (id, _) => id != qid && probed(cell(id)) }
-          .map { case (_, v) => cos(qVec, v) }.toSeq.sorted
-        cosines.lazyZip(cosines.drop(1)).foreach { (lo, hi) =>
-          assert(hi == lo || hi - lo > 1e-9,
-            f"$sf query $qid adjacent candidate cos gap ${hi - lo}%.3g too small")
-        }
+          .map { case (id, v) => (cos(qVec, v), id) }.toSeq.sorted,
+          qid, "adjacent candidate")
       }
       // sim_knn_banded's surfaces: floor(dot/W) flips only if dot/W sits
       // on an integer (distance to the nearest integer pinned), and the
@@ -425,10 +436,11 @@ class DedupSimilaritySpec extends SparkSpec {
       banded.filter(_._2 == 0).foreach { case (qid, _, qVec, qBand) =>
         val cs = cands.filter { case (_, _, _, cb) =>
           cb >= qBand - 1 && cb <= qBand + 1
-        }.map { case (_, _, v, _) => cos(qVec, v) }.sorted.reverse
+        }.map { case (id, _, v, _) => (cos(qVec, v), id) }
+          .sortBy { case (c, id) => (-c, id) }
         if (cs.size >= 2)
-          assert(cs(0) == cs(1) || cs(0) - cs(1) > 1e-9,
-            f"$sf query $qid banded argmax gap ${cs(0) - cs(1)}%.3g too small")
+          cosMargin(Seq(cs(1), cs(0)).map { case (c, id) => (c, id) },
+            qid, "banded argmax")
       }
     }
   }
