@@ -4,6 +4,7 @@ import graft.Tables
 import graft.operators.Checkpoint.CheckpointOps
 import graft.functions.BloomFilterAggregator
 import graft.functions.TextFunctions._
+import graft.functions.VectorFunctions
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -386,6 +387,50 @@ object CurationQueries {
       perLang.select(col("lang"), col("sk")).unionAll(union)
         .select(col("lang"),
           hll_sketch_estimate(col("sk")).as("est_distinct"))
+    }),
+
+    // Prototypicality pruning (the D4 recipe's second stage — Tirumala
+    // et al. 2023, arXiv:2308.12284: SemDeDup, then drop each cluster's
+    // most PROTOTYPICAL points): within every k-means cluster, rank by
+    // distance to the cluster centroid and keep the most diverse 75% —
+    // the points nearest the centroid are the redundant "prototypes"
+    // the paper shows contribute least to training. Shares the memoized
+    // IVF model with the ANN family and dedup_semantic (one quantizer
+    // serves the whole pipeline), which is also what makes the oracle
+    // exact: the generated chain reproduces centroids bit-for-bit, and
+    // every within-cluster adjacent distance gap is margin-pinned in
+    // DedupSimilaritySpec so the cross-engine ranking cannot flip.
+    // Scale shape: the centroid join is a k-row broadcast, the vector is
+    // DROPPED before the window shuffle (only (vec_id, cell, dist_sq)
+    // crosses the wire), and the per-cell window is cluster-local — no
+    // global sort, no wide payload anywhere. The keep rule is integer
+    // arithmetic (rn·4 ≤ n·3 ⇔ rn ≤ ⌊3n/4⌋), cross-engine exact.
+    "curate_prototypes" -> ((s, d) => {
+      import s.implicits._
+      val e = SimilarityQueries.rawVecs(s, d)
+      val centroids = SimilarityQueries.ivfModel(s, d)
+      if (centroids.isEmpty)
+        e.select(col("vec_id"), lit(0).as("cell"), lit(false).as("kept"))
+          .limit(0)
+      else {
+        val a = SimilarityQueries.assignCells(e, centroids)
+        val cdf = centroids.zipWithIndex.map { case (c, i) => (i, c) }
+          .toDF("cell", "c_v")
+        // |v − c|² expanded left-to-right exactly as the oracle writes
+        // it ((v·v + c·c) − 2·v·c) so both engines associate identically
+        val narrow = a.join(broadcast(cdf), Seq("cell"))
+          .select(col("vec_id"), col("cell"),
+            (VectorFunctions.dot(col("v"), col("v")) +
+              VectorFunctions.dot(col("c_v"), col("c_v")) -
+              VectorFunctions.dot(col("v"), col("c_v")) * 2).as("dist_sq"))
+        val w = Window.partitionBy("cell")
+        narrow
+          .withColumn("rn", row_number().over(
+            w.orderBy(col("dist_sq").desc, col("vec_id"))))
+          .withColumn("n", count(lit(1)).over(w))
+          .select(col("vec_id"), col("cell"),
+            (col("rn") * 4 <= col("n") * 3).as("kept"))
+      }
     }))
 
   private[graft] val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
@@ -397,6 +442,25 @@ object CurationQueries {
   private val ShuffleSeed = "graft-shuffle-42"
 
   val oracles: Map[String, String] = Map(
+    // generated from the shared deterministic k-means chain
+    // (SimilarityQueries.ivfChainSql); dist_sq is written with the SAME
+    // left-to-right association the query uses ((v·v + c·c) − 2·v·c)
+    // and every within-cluster adjacent gap is margin-pinned, so the
+    // rankings agree decision-for-decision across engines
+    "curate_prototypes" ->
+      s"""${SimilarityQueries.ivfChainSql},
+         |dd AS (SELECT af.vec_id, af.cell,
+         |         list_dot_product(af.v, af.v) + list_dot_product(c.v, c.v)
+         |           - 2 * list_dot_product(af.v, c.v) AS dist_sq
+         |       FROM af JOIN c2 c USING (cell)),
+         |r AS (SELECT vec_id, cell,
+         |        row_number() OVER (PARTITION BY cell
+         |          ORDER BY dist_sq DESC, vec_id) AS rn,
+         |        count(*) OVER (PARTITION BY cell) AS n
+         |      FROM dd)
+         |SELECT vec_id, CAST(cell AS INTEGER) AS cell,
+         |  rn * 4 <= n * 3 AS kept
+         |FROM r""".stripMargin,
     "curate_shuffle" ->
       """SELECT doc_id,
         |  ROW_NUMBER() OVER (ORDER BY

@@ -28,6 +28,13 @@ object DedupQueries {
 
   private val JaccardThreshold = 0.8
 
+  /** dedup_semantic's within-cluster cosine threshold — same 0.4 the
+    * embedding near-dup family uses (this fixture has no tighter
+    * clusters); DedupSimilaritySpec pins every same-cell pair's
+    * |cos − τ| ≫ ULP at both scales so the cross-engine oracle's
+    * threshold decisions cannot flip. */
+  private[graft] val SemThreshold = 0.4
+
   /** (doc_id, shingle) inverted index — distinct 3-gram shingles. NO
     * exchange of its own (the raw text is never shuffled; scan
     * parallelism is reader splits). Callers that localCheckpoint the
@@ -526,6 +533,50 @@ object DedupQueries {
         .filter(VectorFunctions.dot(col("u_a"), col("u_b")) >= t)
         .select(col("vec_a"), col("vec_b"),
           round(VectorFunctions.dot(col("u_a"), col("u_b")), 6).as("cos"))
+    }),
+
+    // SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup at
+    // corpus scale = k-means-cluster the embedding space with a coarse
+    // quantizer, then prune cosine near-duplicates ONLY within each
+    // cluster — the published trick that turns the O(N²) pairwise scan
+    // into Σᵢ O(nᵢ²) cluster-local work (with k grown ∝ N in production,
+    // per-cluster cost stays bounded; the paper uses k=11k for LAION).
+    // Reuses the SHARED memoized IVF model (SimilarityQueries.ivfModel),
+    // exactly as a production pipeline trains one quantizer and serves
+    // clustering, ANN, and dedup from it — and what makes the oracle
+    // exact: the generated k-means CTE chain already reproduces cell
+    // assignments bit-for-bit in DuckDB. Keep rule: deterministic
+    // lowest-id-wins within a near-dup relation (the paper keeps a
+    // pseudo-random representative and measures the choice as
+    // inconsequential — §3; lowest-id makes it reproducible). A row is
+    // a dup iff SOME lower-id row in its cluster is within the cosine
+    // threshold — the same prefix semantics every other dedup op here
+    // uses. Only cluster-LOCAL pairs are compared, so the self-join
+    // equi-key is the cell: at fixture scale Catalyst broadcasts the
+    // prior side; at 100 TB it becomes a co-partitioned SMJ on cell —
+    // cluster locality IS the operator (the audit allowlists v across
+    // that exchange for exactly this reason).
+    "dedup_semantic" -> ((s, d) => {
+      val e = SimilarityQueries.rawVecs(s, d)
+      val centroids = SimilarityQueries.ivfModel(s, d)
+      if (centroids.isEmpty)
+        e.select(col("vec_id"), lit(0).as("cell"), lit(false).as("is_dup"))
+          .limit(0)
+      else {
+        val a = SimilarityQueries.assignCells(e, centroids)
+        val prior = a.toDF("prior_id", "prior_v", "prior_cell")
+        val dupIds = a.join(prior,
+            col("prior_cell") === col("cell") &&
+              col("prior_id") < col("vec_id") &&
+              VectorFunctions.cosine(col("v"), col("prior_v")) >=
+                SemThreshold,
+            "left_semi")
+          .select(col("vec_id"))
+        a.select(col("vec_id"), col("cell"))
+          .join(dupIds.withColumn("is_dup", lit(true)), Seq("vec_id"), "left")
+          .select(col("vec_id"), col("cell"),
+            coalesce(col("is_dup"), lit(false)).as("is_dup"))
+      }
     }))
 
   /** Embeddings normalized to unit vectors — (vec_id, u). Normalize once
@@ -645,6 +696,23 @@ object DedupQueries {
     // identical semantics by the band-containment proof above — shares the
     // brute-force oracle
     "dedup_embedding_lsh" -> dedupEmbeddingOracle,
+    // generated from the same deterministic k-means chain as the IVF
+    // oracles (SimilarityQueries.ivfChainSql — shortest-repr decimal
+    // casts, margin-pinned assignments); the dup rule is a correlated
+    // EXISTS over cluster-local lower-id pairs, cosine on RAW vectors
+    // exactly as the query computes it (threshold decisions margin-pinned
+    // in DedupSimilaritySpec)
+    "dedup_semantic" ->
+      s"""${SimilarityQueries.ivfChainSql},
+         |dup AS (SELECT x.vec_id FROM af x WHERE EXISTS (
+         |  SELECT 1 FROM af y
+         |  WHERE y.cell = x.cell AND y.vec_id < x.vec_id
+         |    AND list_dot_product(x.v, y.v) /
+         |        sqrt(list_dot_product(x.v, x.v) * list_dot_product(y.v, y.v))
+         |      >= $SemThreshold))
+         |SELECT af.vec_id, CAST(af.cell AS INTEGER) AS cell,
+         |  af.vec_id IN (SELECT vec_id FROM dup) AS is_dup
+         |FROM af""".stripMargin,
     "dedup_exact" ->
       """SELECT doc_id,
         |  MIN(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id,

@@ -551,7 +551,7 @@ object SimilarityQueries {
     * unrolled Lloyd iterations → c2 (final centroids) → af (final
     * assignment of every vector). Both IVF oracles append their probe +
     * rerank on top. */
-  private def ivfChainSql: String = {
+  private[graft] def ivfChainSql: String = {
     // Degenerate-row doctrine (review round 2 proved a CASE guard here
     // is DEAD CODE — DuckDB decorrelates the assignment subquery and
     // evaluates the dot products regardless of the WHEN): a null

@@ -92,22 +92,32 @@ object QueryDebug {
     // operator cannot reduce the column before the exchange. Anything
     // not listed here fails the audit.
     val allowed = Map(
-      "sim_knn_banded" -> ("v" ->
+      "sim_knn_banded" -> (Set("v") ->
         ("band equi-join must deliver candidate vectors to the cosine " +
           "verify -- co-locating by band IS the operator")),
-      "ta_boilerplate" -> ("w" ->
+      "ta_boilerplate" -> (Set("w") ->
         ("one-time doc_id co-partitioning INVESTMENT before the index " +
           "checkpoint: the covered-position anti-join and reassembly " +
           "groupBy then plan shuffle-free on the exploded token side -- " +
           "strictly fewer bytes than re-shuffling every (doc_id, pos, " +
-          "tok) row per consumer (round-5 measurement)")))
+          "tok) row per consumer (round-5 measurement)")),
+      // broadcast at fixture scale (no exchange in the audited plan);
+      // listed for the at-scale shape, where the cell equi-join becomes
+      // a co-partitioned SMJ: cluster-locality IS SemDeDup -- the
+      // cosine verify needs both vectors in the cluster's partition,
+      // and the vectors ARE the reduced representation (64 doubles
+      // standing in for the document)
+      "dedup_semantic" -> (Set("v", "prior_v") ->
+        ("SemDeDup cell self-join must co-locate cluster members for " +
+          "the within-cluster cosine verify -- the embedding is the " +
+          "operator's reduced representation, never the raw text")))
     var hits = 0
     var errors = 0
     graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
         wideShuffles(fn(spark, sfDir)).foreach { carried =>
           val justification = allowed.get(name)
-            .collect { case (c, why) if carried.forall(_ == c) => why }
+            .collect { case (cs, why) if carried.forall(cs) => why }
           justification match {
             case Some(why) =>
               println(s"ALLOWED $name: ${carried.mkString(",")} — $why")

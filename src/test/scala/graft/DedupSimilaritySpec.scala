@@ -442,6 +442,112 @@ class DedupSimilaritySpec extends SparkSpec {
           cosMargin(Seq(cs(1), cs(0)).map { case (c, id) => (c, id) },
             qid, "banded argmax")
       }
+      // dedup_semantic's surface: every CLUSTER-LOCAL pair's threshold
+      // decision — |cos − τ| must dwarf cross-engine accumulation wobble
+      // (no tie escape: a pair of identical vectors has cos = 1, far
+      // from τ, so any value near τ is a genuine near-boundary hazard)
+      val byCell = vecs.groupBy { case (id, _) => cell(id) }
+      byCell.values.foreach { members =>
+        for {
+          i <- members.indices; j <- 0 until i
+          c = cos(members(i)._2, members(j)._2)
+        } assert(math.abs(c - graft.queries.DedupQueries.SemThreshold) > 1e-9,
+          f"$sf pair ${members(j)._1}/${members(i)._1} cos $c%.12f sits " +
+            "on the dedup_semantic threshold")
+      }
+      // curate_prototypes' surface: within-cluster adjacent dist-to-
+      // centroid gaps (its ranking is cross-engine only if no two
+      // DISTINCT rows in a cell are ULP-close; elementwise-identical
+      // vectors produce bit-equal distances in both engines and
+      // tiebreak by vec_id identically — the safe-tie escape)
+      byCell.foreach { case (c, members) =>
+        val cv = cents(c)
+        val ds = members.map { case (id, v) =>
+          val vv = v.map(x => x * x).sum
+          val cc = cv.map(x => x * x).sum
+          val vc = v.lazyZip(cv).map(_ * _).sum
+          (vv + cc - 2 * vc, id)
+        }.sorted
+        ds.lazyZip(ds.drop(1)).foreach { case ((lo, lid), (hi, hid)) =>
+          val safeTie = hi == lo && byId(lid) == byId(hid)
+          assert(safeTie || hi - lo > 1e-9,
+            f"$sf cell $c rows $lid/$hid dist gap ${hi - lo}%.3g too " +
+              "small for curate_prototypes' cross-engine ranking")
+        }
+      }
+    }
+  }
+
+  test("dedup_semantic: cluster-local lowest-id-wins, matches independent reimplementation") {
+    // Independent Scala reimplementation on collected vectors (argmin
+    // assignment + pairwise rule) — the oracle gate is the heavy check;
+    // this pins the SEMANTICS against a second implementation and that
+    // the fixture exercises both branches (some dups, some survivors).
+    def dists(v: Seq[Double], cents: Seq[Seq[Double]]): Seq[Double] =
+      cents.map { c =>
+        c.map(x => x * x).sum - c.lazyZip(v).map(_ * _).sum * 2
+      }
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      var sab = 0.0; var saa = 0.0; var sbb = 0.0
+      a.indices.foreach { i =>
+        sab += a(i) * b(i); saa += a(i) * a(i); sbb += b(i) * b(i)
+      }
+      sab / math.sqrt(saa * sbb)
+    }
+    val vecs = Tables.embeddings(spark, sf001)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .as[(Long, Seq[Double])].collect().sortBy(_._1)
+    val cents = SimilarityQueries.ivfModel(spark, sf001)
+    val cell = vecs.map { case (id, v) =>
+      id -> dists(v, cents).zipWithIndex.min._2 }.toMap
+    val expected = vecs.map { case (id, v) =>
+      val isDup = vecs.exists { case (pid, pv) =>
+        pid < id && cell(pid) == cell(id) &&
+          cos(v, pv) >= graft.queries.DedupQueries.SemThreshold
+      }
+      (id, cell(id), isDup)
+    }.toSet
+    val got = graft.queries.DedupQueries.queries("dedup_semantic")(spark, sf001)
+      .as[(Long, Int, Boolean)].collect().toSet
+    assert(got == expected)
+    val nDup = expected.count(_._3)
+    assert(nDup > 0 && nDup < vecs.length,
+      s"fixture exercises only one branch: $nDup dups of ${vecs.length}")
+    // lowest-id-wins sanity: the smallest id of every cluster survives
+    cell.groupBy(_._2).values.foreach { m =>
+      val first = m.keys.min
+      assert(!expected(((first, cell(first), true))),
+        s"cluster seed $first marked dup")
+    }
+  }
+
+  test("curate_prototypes: keeps exactly floor(3n/4) per cluster, most-distant first") {
+    val out = graft.queries.CurationQueries
+      .queries("curate_prototypes")(spark, sf001)
+      .as[(Long, Int, Boolean)].collect()
+    val cents = SimilarityQueries.ivfModel(spark, sf001)
+    val vecs = Tables.embeddings(spark, sf001)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .as[(Long, Seq[Double])].collect().toMap
+    def distSq(v: Seq[Double], c: Seq[Double]): Double =
+      v.map(x => x * x).sum + c.map(x => x * x).sum -
+        2 * v.lazyZip(c).map(_ * _).sum
+    assert(out.map(_._1).toSet == vecs.keySet) // verdict for every row
+    out.groupBy(_._2).foreach { case (c, members) =>
+      val n = members.length
+      val kept = members.filter(_._3)
+      assert(kept.length == n * 3 / 4,
+        s"cell $c kept ${kept.length} of $n, want ${n * 3 / 4}")
+      // the kept set is exactly the most-distant-from-centroid rows:
+      // every kept distance strictly exceeds every dropped distance
+      // (strict because the margins spec pins adjacent gaps apart)
+      val dropped = members.filterNot(_._3)
+      if (kept.nonEmpty && dropped.nonEmpty) {
+        val minKept = kept.map(m => distSq(vecs(m._1), cents(c))).min
+        val maxDropped = dropped.map(m => distSq(vecs(m._1), cents(c))).max
+        assert(minKept > maxDropped,
+          s"cell $c kept a nearer row than one it dropped")
+      }
     }
   }
 
