@@ -404,7 +404,8 @@ object CurationQueries {
     // DROPPED before the window shuffle (only (vec_id, cell, dist_sq)
     // crosses the wire), and the per-cell window is cluster-local — no
     // global sort, no wide payload anywhere. The keep rule is integer
-    // arithmetic (rn·4 ≤ n·3 ⇔ rn ≤ ⌊3n/4⌋), cross-engine exact.
+    // arithmetic (rn = 1 ∨ rn·4 ≤ n·3 ⇔ rn ≤ max(1, ⌊3n/4⌋) — pruning
+    // never deletes a whole cluster), cross-engine exact.
     "curate_prototypes" -> ((s, d) => {
       import s.implicits._
       val e = SimilarityQueries.rawVecs(s, d)
@@ -429,7 +430,10 @@ object CurationQueries {
             w.orderBy(col("dist_sq").desc, col("vec_id"))))
           .withColumn("n", count(lit(1)).over(w))
           .select(col("vec_id"), col("cell"),
-            (col("rn") * 4 <= col("n") * 3).as("kept"))
+            // keep max(1, ⌊3n/4⌋): rn=1 (the most distant member) always
+            // survives, so pruning never deletes a whole cluster — a
+            // singleton cluster IS the diverse tail D4 exists to keep
+            (col("rn") === 1 || col("rn") * 4 <= col("n") * 3).as("kept"))
       }
     }))
 
@@ -459,7 +463,7 @@ object CurationQueries {
          |        count(*) OVER (PARTITION BY cell) AS n
          |      FROM dd)
          |SELECT vec_id, CAST(cell AS INTEGER) AS cell,
-         |  rn * 4 <= n * 3 AS kept
+         |  rn = 1 OR rn * 4 <= n * 3 AS kept
          |FROM r""".stripMargin,
     "curate_shuffle" ->
       """SELECT doc_id,

@@ -554,8 +554,15 @@ object DedupQueries {
     // uses. Only cluster-LOCAL pairs are compared, so the self-join
     // equi-key is the cell: at fixture scale Catalyst broadcasts the
     // prior side; at 100 TB it becomes a co-partitioned SMJ on cell —
-    // cluster locality IS the operator (the audit allowlists v across
-    // that exchange for exactly this reason).
+    // cluster locality IS the operator (the audit allowlists u across
+    // that exchange for exactly this reason). Cell comes from RAW
+    // vectors (the oracle chain's assignment); the pairwise compare
+    // normalizes once per row and dots unit vectors — the same
+    // one-dot-per-pair economy the unitEmbeddings family uses, ~3×
+    // fewer flops in the Σ O(nᵢ²) hot loop than per-pair raw cosine.
+    // Rows whose assignment is undefined (wholly-NULL / degenerate
+    // vector → NULL cell) are excluded in BOTH engines, per the
+    // ivfChainSql degenerate-row doctrine.
     "dedup_semantic" -> ((s, d) => {
       val e = SimilarityQueries.rawVecs(s, d)
       val centroids = SimilarityQueries.ivfModel(s, d)
@@ -564,11 +571,16 @@ object DedupQueries {
           .limit(0)
       else {
         val a = SimilarityQueries.assignCells(e, centroids)
-        val prior = a.toDF("prior_id", "prior_v", "prior_cell")
+          .filter(col("cell").isNotNull)
+          .select(col("vec_id"),
+            graft.functions.UnitNormalize.unit(col("v")).as("u"),
+            col("cell"))
+          .buildCheckpoint() // three consumers: both self-join sides + output spine
+        val prior = a.toDF("prior_id", "prior_u", "prior_cell")
         val dupIds = a.join(prior,
             col("prior_cell") === col("cell") &&
               col("prior_id") < col("vec_id") &&
-              VectorFunctions.cosine(col("v"), col("prior_v")) >=
+              VectorFunctions.dot(col("u"), col("prior_u")) >=
                 SemThreshold,
             "left_semi")
           .select(col("vec_id"))
@@ -699,20 +711,23 @@ object DedupQueries {
     // generated from the same deterministic k-means chain as the IVF
     // oracles (SimilarityQueries.ivfChainSql — shortest-repr decimal
     // casts, margin-pinned assignments); the dup rule is a correlated
-    // EXISTS over cluster-local lower-id pairs, cosine on RAW vectors
-    // exactly as the query computes it (threshold decisions margin-pinned
-    // in DedupSimilaritySpec)
+    // EXISTS over cluster-local lower-id pairs, normalize-then-dot
+    // exactly as the query computes it (x / sqrt(Σx²) mirrors
+    // UnitNormalize bit-for-bit, pinned in DotProductSpec; threshold
+    // decisions margin-pinned in DedupSimilaritySpec). NULL-cell rows
+    // (undefined assignment) are excluded on both sides.
     "dedup_semantic" ->
       s"""${SimilarityQueries.ivfChainSql},
-         |dup AS (SELECT x.vec_id FROM af x WHERE EXISTS (
-         |  SELECT 1 FROM af y
+         |un AS (SELECT vec_id, cell,
+         |         list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS u
+         |       FROM af WHERE cell IS NOT NULL),
+         |dup AS (SELECT x.vec_id FROM un x WHERE EXISTS (
+         |  SELECT 1 FROM un y
          |  WHERE y.cell = x.cell AND y.vec_id < x.vec_id
-         |    AND list_dot_product(x.v, y.v) /
-         |        sqrt(list_dot_product(x.v, x.v) * list_dot_product(y.v, y.v))
-         |      >= $SemThreshold))
-         |SELECT af.vec_id, CAST(af.cell AS INTEGER) AS cell,
-         |  af.vec_id IN (SELECT vec_id FROM dup) AS is_dup
-         |FROM af""".stripMargin,
+         |    AND list_dot_product(x.u, y.u) >= $SemThreshold))
+         |SELECT un.vec_id, CAST(un.cell AS INTEGER) AS cell,
+         |  un.vec_id IN (SELECT vec_id FROM dup) AS is_dup
+         |FROM un""".stripMargin,
     "dedup_exact" ->
       """SELECT doc_id,
         |  MIN(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id,

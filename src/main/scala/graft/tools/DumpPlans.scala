@@ -43,7 +43,7 @@ object DumpPlans {
     "dedup_simhash_md5" -> "oracle-checked SimHash twin: md5-derived 60-bit token hashes; the signature build (partial_simhashaggregator below one doc exchange) sits under the checkpoint feeding both sides of the 16-bit piece-blocked self-join — run the audit's inline mode to see it",
     "curate_shuffle" -> "seeded global permutation: md5 hash key projection + quantile-bucketed global rank — no single-partition window, no wide columns in any exchange",
     "sim_quantize_int8" -> "fused native graft_quantize_int8: zero exchanges — maxabs computed inside the expression's own loop (no CollapseProject quadratic trap, no barrier)",
-    "dedup_semantic" -> "SemDeDup: cell self-join broadcasts at this SF (co-partitioned SMJ at scale), graft_cosine verify inside the semi-join condition, dup flag via narrow id left-join",
+    "dedup_semantic" -> "SemDeDup: checkpointed (cell-filtered, unit-normalized) assignment feeds both self-join sides; cell self-join broadcasts at this SF (co-partitioned SMJ at scale), one graft_dot per pair inside the semi-join condition, dup flag via narrow id left-join",
     "curate_prototypes" -> "D4 prototypicality pruning: k-row broadcast centroid join, vector DROPPED before the per-cell window exchange — only (vec_id, cell, dist_sq) crosses the wire")
 
   def main(args: Array[String]): Unit = {

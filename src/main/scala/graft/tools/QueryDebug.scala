@@ -23,6 +23,7 @@ object QueryDebug {
   private val wideSub = Seq("text", "embedding")
   private val wideExact = Set("toks", "tok", "w", "word", "v", "u",
     "u_a", "u_b", "v_a", "v_b", "q_v", "c_v", "q_emb", "c_emb",
+    "prior_u", "prior_v",
     "norm_text", "chunk_text", "scrubbed")
   private def isWide(n: String) =
     wideSub.exists(n.contains) || wideExact.contains(n)
@@ -104,12 +105,12 @@ object QueryDebug {
       // broadcast at fixture scale (no exchange in the audited plan);
       // listed for the at-scale shape, where the cell equi-join becomes
       // a co-partitioned SMJ: cluster-locality IS SemDeDup -- the
-      // cosine verify needs both vectors in the cluster's partition,
-      // and the vectors ARE the reduced representation (64 doubles
-      // standing in for the document)
-      "dedup_semantic" -> (Set("v", "prior_v") ->
+      // unit-dot verify needs both unit vectors in the cluster's
+      // partition, and the unit vector IS the reduced representation
+      // (64 doubles standing in for the document)
+      "dedup_semantic" -> (Set("u", "prior_u") ->
         ("SemDeDup cell self-join must co-locate cluster members for " +
-          "the within-cluster cosine verify -- the embedding is the " +
+          "the within-cluster unit-dot verify -- the embedding is the " +
           "operator's reduced representation, never the raw text")))
     var hits = 0
     var errors = 0

@@ -521,7 +521,7 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
-  test("curate_prototypes: keeps exactly floor(3n/4) per cluster, most-distant first") {
+  test("curate_prototypes: keeps exactly max(1, floor(3n/4)) per cluster, most-distant first") {
     val out = graft.queries.CurationQueries
       .queries("curate_prototypes")(spark, sf001)
       .as[(Long, Int, Boolean)].collect()
@@ -536,16 +536,19 @@ class DedupSimilaritySpec extends SparkSpec {
     out.groupBy(_._2).foreach { case (c, members) =>
       val n = members.length
       val kept = members.filter(_._3)
-      assert(kept.length == n * 3 / 4,
-        s"cell $c kept ${kept.length} of $n, want ${n * 3 / 4}")
-      // the kept set is exactly the most-distant-from-centroid rows:
-      // every kept distance strictly exceeds every dropped distance
-      // (strict because the margins spec pins adjacent gaps apart)
+      val want = math.max(1, n * 3 / 4)
+      assert(kept.length == want,
+        s"cell $c kept ${kept.length} of $n, want $want")
+      // the kept set is the most-distant-from-centroid rows: no kept
+      // distance falls below any dropped distance (>= not >, because the
+      // margins spec's safe-tie escape permits bit-identical vectors,
+      // whose equal distances may straddle the keep boundary — both
+      // engines then tiebreak by vec_id identically)
       val dropped = members.filterNot(_._3)
       if (kept.nonEmpty && dropped.nonEmpty) {
         val minKept = kept.map(m => distSq(vecs(m._1), cents(c))).min
         val maxDropped = dropped.map(m => distSq(vecs(m._1), cents(c))).max
-        assert(minKept > maxDropped,
+        assert(minKept >= maxDropped,
           s"cell $c kept a nearer row than one it dropped")
       }
     }
