@@ -435,6 +435,64 @@ object CurationQueries {
             // singleton cluster IS the diverse tail D4 exists to keep
             (col("rn") === 1 || col("rn") * 4 <= col("n") * 3).as("kept"))
       }
+    }),
+
+    // Perplexity-style LM quality filter, log-free: train an add-1-
+    // smoothed bigram model ON THE CORPUS ITSELF (the CCNet/Wikipedia-LM
+    // recipe, Wenzek et al. 2020, arXiv:1911.00359 — score each doc by
+    // how predictable its text is under a reference LM; low
+    // predictability ⇒ noise/boilerplate/garbled text), then score every
+    // doc by its MEAN bigram probability p(w2|w1) = (c2+1)/(c1+V).
+    // Mean-of-p instead of perplexity (exp of mean log p) because log is
+    // the one op with no cross-engine bit guarantee (libm vs JVM); the
+    // ranking signal is equivalent for filtering and the score stays
+    // hash-exact: each p is an IEEE division of exactly-representable
+    // integer counts (identical bits in both engines), and the per-doc
+    // mean goes through the shortest-repr decimal(38,28) cast + exact
+    // order-free DECIMAL sum + cast-to-double-BEFORE-divide — the
+    // ivfCentroids technique, widened to 28 decimals so a full 17-digit
+    // double's shortest repr never gets rounded by the cast. Scale shape: the
+    // model build is two map-side-combine aggs on narrow token keys; the
+    // scoring join shuffles (doc_id, w1, w2) on the bigram key — a
+    // fact-to-model co-partitioned join (the model is corpus-vocabulary-
+    // scale, NOT broadcastable at 100 TB); the per-doc mean partial-
+    // aggregates before its exchange so only (doc_id, partial sum, count)
+    // crosses the wire. Docs with <2 tokens keep a row (n_bigrams=0,
+    // NULL score) via the doc-spine left join.
+    "curate_lm_score" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val toks = docs.select(col("doc_id"),
+        tokens(col("text")).as("w"))
+      val nb = greatest(size(col("w")) - 1, lit(0))
+      val big = toks
+        .select(col("doc_id"), explode(zip_with(
+          slice(col("w"), lit(1), nb), slice(col("w"), lit(2), nb),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+        .select(col("doc_id"), col("bg.w1"), col("bg.w2"))
+      val c2 = big.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+      val c1 = big.groupBy("w1").agg(count(lit(1)).as("c1"))
+      val vocab = toks.select(explode(col("w")).as("t"))
+        .agg(countDistinct(col("t")).as("vocab"))
+      val model = c2.join(c1, Seq("w1")).crossJoin(broadcast(vocab))
+      val p = (col("c2") + 1).cast("double") /
+        (col("c1") + col("vocab")).cast("double")
+      val scored = big.join(model, Seq("w1", "w2"))
+        .select(col("doc_id"), p.as("p"))
+        .groupBy("doc_id")
+        // decimal(38,28), not the ivfCentroids (30,20): p is a FULL
+        // 17-significant-digit double (not a float-derived one), and
+        // small p (~1e-4) has 17 sig digits + leading zeros > 20
+        // decimals — the (30,20) cast ROUNDS there, where the engines
+        // disagree by one ULP (observed). 28 decimals hold the shortest
+        // repr of any p ≥ 1e-11 exactly; 10 integer digits hold the sum.
+        .agg(count(lit(1)).as("n_bigrams"),
+          (sum(col("p").cast("decimal(38,28)")).cast("double") /
+            count(lit(1))).as("lm_score"))
+      docs.select(col("doc_id"))
+        .join(scored, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+          col("lm_score"))
     }))
 
   private[graft] val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
@@ -446,6 +504,40 @@ object CurationQueries {
   private val ShuffleSeed = "graft-shuffle-42"
 
   val oracles: Map[String, String] = Map(
+    // add-1 bigram LM predictability: each p is an IEEE division of
+    // exact integer counts (bit-identical across engines); the per-doc
+    // mean uses the shortest-repr decimal cast (CAST(CAST(x AS VARCHAR)
+    // AS DECIMAL) mimics Spark's BigDecimal.decimal(d)) + exact DECIMAL
+    // sum + cast-to-double-before-divide — the ivfCentroids technique
+    // at (38,28) so a 17-digit double's shortest repr is never rounded.
+    // The sum's decimal→double cast ALSO routes through VARCHAR: DuckDB's
+    // direct DECIMAL(38,·)→DOUBLE converts the int128 scaled value with a
+    // double-rounding (1 ULP off, observed at sf0.01), while Java's
+    // BigDecimal.doubleValue (Spark's cast) and DuckDB's VARCHAR→DOUBLE
+    // are both correctly rounded — string-mediating makes them agree.
+    "curate_lm_score" ->
+      """WITH docs AS (
+        |  SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS w
+        |  FROM documents),
+        |big AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(generate_series(1, len(w)-1), i -> w[i])) AS w1,
+        |    unnest(list_transform(generate_series(1, len(w)-1), i -> w[i+1])) AS w2
+        |  FROM docs WHERE len(w) >= 2),
+        |c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM big GROUP BY 1, 2),
+        |c1 AS (SELECT w1, COUNT(*) AS c1 FROM big GROUP BY 1),
+        |voc AS (SELECT COUNT(DISTINCT t) AS vocab
+        |        FROM (SELECT unnest(w) AS t FROM docs)),
+        |scored AS (
+        |  SELECT b.doc_id, COUNT(*) AS n_bigrams,
+        |    CAST(CAST(SUM(CAST(CAST(
+        |        CAST(c2.c2 + 1 AS DOUBLE) / CAST(c1.c1 + voc.vocab AS DOUBLE)
+        |      AS VARCHAR) AS DECIMAL(38,28))) AS VARCHAR) AS DOUBLE)
+        |      / COUNT(*) AS lm_score
+        |  FROM big b JOIN c2 USING (w1, w2) JOIN c1 USING (w1), voc
+        |  GROUP BY 1)
+        |SELECT d.doc_id, COALESCE(s.n_bigrams, 0) AS n_bigrams, s.lm_score
+        |FROM documents d LEFT JOIN scored s USING (doc_id)""".stripMargin,
     // generated from the shared deterministic k-means chain
     // (SimilarityQueries.ivfChainSql); dist_sq is written with the SAME
     // left-to-right association the query uses ((v·v + c·c) − 2·v·c)

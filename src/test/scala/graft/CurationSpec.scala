@@ -273,4 +273,42 @@ class CurationSpec extends SparkSpec {
     val byPos = run1.sortBy(_._2).map(_._1).toSeq
     assert(byPos != byPos.sorted)
   }
+
+  test("curate_lm_score: add-1 bigram mean matches a plain-Scala model") {
+    // independent reimplementation: collect the corpus, build the same
+    // add-1 bigram model in plain Scala, compare per-doc means (1e-12
+    // tolerance — Scala sums doubles in corpus order, the query sums via
+    // exact decimals; bit-exactness is the DuckDB oracle's job)
+    val docs = Tables.documents(spark, sf0001).select("doc_id", "text")
+      .as[(Long, String)].collect()
+    val toks = docs.map { case (id, t) =>
+      id -> t.split(" ").filter(_.nonEmpty).toSeq }.toMap
+    val bigrams = toks.toSeq.flatMap { case (id, w) =>
+      w.zip(w.drop(1)).map(bg => (id, bg)) }
+    val c2 = bigrams.groupBy(_._2).map { case (k, g) => k -> g.size }
+    val c1 = bigrams.groupBy(_._2._1).map { case (k, g) => k -> g.size }
+    val vocab = toks.values.flatten.toSet.size
+    val out = SparkEntry.queries("curate_lm_score")(spark, sf0001)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+      .toMap
+    assert(out.keySet == toks.keySet, "doc spine: one row per document")
+    toks.foreach { case (id, w) =>
+      val (nBigrams, score) = out(id)
+      assert(nBigrams == math.max(w.size - 1, 0), s"doc $id")
+      if (w.size < 2) assert(score.isEmpty, s"doc $id: short doc => NULL")
+      else {
+        val ps = w.zip(w.drop(1)).map(bg =>
+          (c2(bg) + 1).toDouble / (c1(bg._1) + vocab))
+        val expected = ps.sum / ps.size
+        assert(math.abs(score.get - expected) <= 1e-12 * expected,
+          s"doc $id: ${score.get} vs $expected")
+        // every p is a smoothed probability with a seen numerator
+        assert(score.get > 0 && score.get <= 1, s"doc $id")
+      }
+    }
+    // the corpus-trained model must actually discriminate (not constant)
+    val scores = out.values.flatMap(_._2)
+    assert(scores.toSet.size > 1, "scores must vary across docs")
+  }
 }
