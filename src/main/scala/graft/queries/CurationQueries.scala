@@ -493,6 +493,71 @@ object CurationQueries {
         .select(col("doc_id"),
           coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
           col("lm_score"))
+    }),
+
+    // DSIR-style data selection via importance resampling (Xie et al.
+    // 2023, arXiv:2302.03169): hash bigram features into a FIXED bucket
+    // space, estimate smoothed bucket distributions over a target domain
+    // (source 'src0' — the same fixture stand-in decontamination uses)
+    // and over the raw corpus, score each doc by how target-like its
+    // features are, keep the top quarter. Deviations from the paper,
+    // both for cross-engine exactness: (1) per-doc score is the MEAN of
+    // per-occurrence importance ratios rather than the sum of log
+    // ratios (log has no cross-engine bit guarantee; the ratio is a
+    // monotone predictability signal the same way lm_score's mean-of-p
+    // is), and (2) selection is the deterministic top-k of that score
+    // rather than Gumbel sampling (rand() would not replay). Every
+    // ratio is 3 IEEE ops on exactly-representable ints — each factor
+    // cast long→double BEFORE multiplying so no product can overflow
+    // long at any corpus size — and the per-doc mean reuses lm_score's
+    // decimal(38,28) machinery. Scale shape: the model is ≤ DsirBuckets
+    // rows NO MATTER the corpus size (the whole point of feature
+    // hashing) → broadcast to the occurrence stream, zero model
+    // shuffles — contrast lm_score, whose vocabulary-scale model must
+    // co-partition; ranking is the quantile-bucketed global row number
+    // (no single-partition window); unscored docs (<2 tokens) keep a
+    // spine row (n_feat=0, NULL score, selected=false).
+    "curate_dsir" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val toks = docs.select(col("doc_id"), col("source"),
+        tokens(col("text")).as("w"))
+      val nb = greatest(size(col("w")) - 1, lit(0))
+      val feats = toks
+        .select(col("doc_id"), col("source"), explode(zip_with(
+          slice(col("w"), lit(1), nb), slice(col("w"), lit(2), nb),
+          (a, b) => concat(a, lit(" "), b))).as("f"))
+        .select(col("doc_id"), col("source"),
+          pmod(conv(substring(md5(col("f").cast("binary")), 1, 8), 16, 10)
+            .cast("long"), lit(DsirBuckets.toLong)).as("b"))
+      val stats = feats.groupBy("b").agg(
+        count(lit(1)).as("r"),
+        sum(when(col("source") === "src0", 1L).otherwise(0L)).as("t"))
+      val totals = stats.agg(sum(col("r")).as("rtot"), sum(col("t")).as("ttot"))
+      // smoothed importance ratio p_target(b)/p_raw(b); +1 / +B add-one
+      // smoothing keeps never-seen-in-target buckets finite and nonzero
+      val ratio =
+        ((col("t") + 1).cast("double") *
+          (col("rtot") + DsirBuckets).cast("double")) /
+        ((col("r") + 1).cast("double") *
+          (col("ttot") + DsirBuckets).cast("double"))
+      val scored = feats
+        .join(broadcast(stats.crossJoin(totals)), Seq("b"))
+        .select(col("doc_id"), ratio.as("ratio"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_feat"),
+          (sum(col("ratio").cast("decimal(38,28)")).cast("double") /
+            count(lit(1))).as("dsir_score"))
+      val ranked = ExtraRelationalQueries.globalRowNumber(
+          scored, 32, "dsir_score", firstAsc = false,
+          col("dsir_score").desc, col("doc_id").asc)
+        .select(col("doc_id"), col("n_feat"), col("dsir_score"),
+          (col("global_rn") * 4 <= col("total")).as("selected"))
+      docs.select(col("doc_id"))
+        .join(ranked, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_feat"), lit(0L)).as("n_feat"),
+          col("dsir_score"),
+          coalesce(col("selected"), lit(false)).as("selected"))
     }))
 
   private[graft] val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
@@ -502,6 +567,12 @@ object CurationQueries {
   /** Fixed seed for [[queries]]' `curate_shuffle` — a pipeline would take
     * this per training run. */
   private val ShuffleSeed = "graft-shuffle-42"
+
+  /** Hashed-feature space size for `curate_dsir`. Bounds the model at
+    * 4096 rows regardless of corpus size (DSIR uses 10^4; the fixture
+    * vocabulary is small enough that 2^12 keeps buckets from being
+    * 1-occurrence degenerate while still exercising collisions). */
+  private[graft] val DsirBuckets = 4096
 
   val oracles: Map[String, String] = Map(
     // add-1 bigram LM predictability: each p is an IEEE division of
@@ -538,6 +609,46 @@ object CurationQueries {
         |  GROUP BY 1)
         |SELECT d.doc_id, COALESCE(s.n_bigrams, 0) AS n_bigrams, s.lm_score
         |FROM documents d LEFT JOIN scored s USING (doc_id)""".stripMargin,
+    // DSIR importance score: md5-bucketed bigrams (the curate_shuffle
+    // '0x'||hex→UBIGINT recipe), ratio factors cast to DOUBLE before
+    // multiplying exactly like the query, per-doc mean via the same
+    // VARCHAR-mediated decimal(38,28) path as curate_lm_score. Ranking
+    // compares bit-identical doubles with a doc_id tiebreak, so the
+    // top-quarter cut needs no margin (exact bitwise ties are safe).
+    "curate_dsir" ->
+      """WITH docs AS (
+        |  SELECT doc_id, source,
+        |    list_filter(string_split(text,' '), x -> x <> '') AS w
+        |  FROM documents),
+        |feats AS (
+        |  SELECT doc_id, source,
+        |    CAST(('0x' || substring(md5(
+        |      unnest(list_transform(generate_series(1, len(w)-1),
+        |        i -> w[i] || ' ' || w[i+1]))), 1, 8)) AS UBIGINT)
+        |      % 4096 AS b
+        |  FROM docs WHERE len(w) >= 2),
+        |stats AS (
+        |  SELECT b, COUNT(*) AS r,
+        |    COUNT(*) FILTER (WHERE source = 'src0') AS t
+        |  FROM feats GROUP BY 1),
+        |tot AS (SELECT SUM(r) AS rtot, SUM(t) AS ttot FROM stats),
+        |scored AS (
+        |  SELECT f.doc_id, COUNT(*) AS n_feat,
+        |    CAST(CAST(SUM(CAST(CAST(
+        |      (CAST(s.t + 1 AS DOUBLE) * CAST(tot.rtot + 4096 AS DOUBLE)) /
+        |      (CAST(s.r + 1 AS DOUBLE) * CAST(tot.ttot + 4096 AS DOUBLE))
+        |    AS VARCHAR) AS DECIMAL(38,28))) AS VARCHAR) AS DOUBLE)
+        |      / COUNT(*) AS dsir_score
+        |  FROM feats f JOIN stats s USING (b), tot
+        |  GROUP BY 1),
+        |ranked AS (
+        |  SELECT doc_id, n_feat, dsir_score,
+        |    ROW_NUMBER() OVER (ORDER BY dsir_score DESC, doc_id ASC) AS rn,
+        |    COUNT(*) OVER () AS n
+        |  FROM scored)
+        |SELECT d.doc_id, COALESCE(r.n_feat, 0) AS n_feat, r.dsir_score,
+        |  COALESCE(r.rn * 4 <= r.n, FALSE) AS selected
+        |FROM documents d LEFT JOIN ranked r USING (doc_id)""".stripMargin,
     // generated from the shared deterministic k-means chain
     // (SimilarityQueries.ivfChainSql); dist_sq is written with the SAME
     // left-to-right association the query uses ((v·v + c·c) − 2·v·c)

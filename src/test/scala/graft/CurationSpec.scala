@@ -311,4 +311,63 @@ class CurationSpec extends SparkSpec {
     val scores = out.values.flatMap(_._2)
     assert(scores.toSet.size > 1, "scores must vary across docs")
   }
+
+  test("curate_dsir: importance scores match a plain-Scala model; " +
+    "selection is the top quarter and favors the target domain") {
+    val docs = Tables.documents(spark, sf0001)
+      .select("doc_id", "source", "text")
+      .as[(Long, String, String)].collect()
+    val B = 4096L
+    def buckets(text: String): Seq[Long] = {
+      val w = text.split(" ").filter(_.nonEmpty).toSeq
+      w.zip(w.drop(1)).map { case (a, b) =>
+        val hex = java.security.MessageDigest.getInstance("MD5")
+          .digest((a + " " + b).getBytes("UTF-8"))
+          .take(4).map("%02x".format(_)).mkString
+        java.lang.Long.parseLong(hex, 16) % B
+      }
+    }
+    val perDoc = docs.map { case (id, src, t) => (id, src, buckets(t)) }
+    val all = perDoc.flatMap(_._3)
+    val r = all.groupBy(identity).map { case (k, g) => k -> g.size }
+    val t = perDoc.filter(_._2 == "src0").flatMap(_._3)
+      .groupBy(identity).map { case (k, g) => k -> g.size }
+    val (rtot, ttot) = (all.size, perDoc.filter(_._2 == "src0")
+      .map(_._3.size).sum)
+    val expected = perDoc.map { case (id, _, bs) =>
+      id -> (if (bs.isEmpty) None else Some(bs.map(b =>
+        ((t.getOrElse(b, 0) + 1).toDouble * (rtot + B)) /
+          ((r(b) + 1).toDouble * (ttot + B))).sum / bs.size))
+    }.toMap
+    val out = SparkEntry.queries("curate_dsir")(spark, sf0001)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+        r.getBoolean(3))).toMap
+    assert(out.keySet == expected.keySet, "doc spine: one row per doc")
+    expected.foreach { case (id, exp) =>
+      val (nFeat, score, _) = out(id)
+      assert(nFeat == perDoc.find(_._1 == id).get._3.size, s"doc $id")
+      (score, exp) match {
+        case (Some(got), Some(e)) =>
+          assert(math.abs(got - e) <= 1e-12 * e, s"doc $id: $got vs $e")
+        case (None, None) => // short doc: no features, never selected
+          assert(!out(id)._3, s"doc $id")
+        case other => fail(s"doc $id: score presence mismatch $other")
+      }
+    }
+    // selection = exactly the top quarter by (score desc, doc_id asc)
+    val rankedIds = out.toSeq.collect { case (id, (_, Some(sc), _)) =>
+      (sc, id) }.sortBy { case (sc, id) => (-sc, id) }.map(_._2)
+    val k = rankedIds.size / 4
+    val selected = out.collect { case (id, (_, _, true)) => id }.toSet
+    assert(selected == rankedIds.take(k).toSet,
+      s"selected must be the deterministic top quarter (k=$k)")
+    // the point of DSIR: target-domain docs are preferentially selected
+    val srcOf = docs.map(d => d._1 -> d._2).toMap
+    val selRate = (ids: Iterable[Long]) =>
+      if (ids.isEmpty) 0.0 else ids.count(selected).toDouble / ids.size
+    val (srcIds, restIds) = srcOf.keys.partition(srcOf(_) == "src0")
+    assert(selRate(srcIds) > selRate(restIds),
+      s"target selected at ${selRate(srcIds)} vs rest ${selRate(restIds)}")
+  }
 }
