@@ -201,7 +201,53 @@ object SimilarityQueries {
     "sim_ann_batch" -> ((s, d) => annBatch(s, d, nProbe = 4)),
 
     // int8 quantization — vector preprocessing for storage/ANN at scale.
-    "sim_quantize_int8" -> quantizeQuery)
+    "sim_quantize_int8" -> quantizeQuery,
+
+    // Johnson–Lindenstrauss random projection 64→16 — the standard
+    // pre-ANN dimensionality reduction (reduced vectors shrink index
+    // storage 4× and every downstream dot product 4×, at a distance
+    // distortion bounded by JL; the spec pins the realized distortion
+    // on this fixture). Pure narrow projection: the k×d Gaussian
+    // matrix (scaled 1/√k) is a LITERAL folded into whole-stage
+    // codegen — no model table, no join, ZERO shuffles at any corpus
+    // size; at 100 TB this runs map-side in the same stage as the
+    // scan, exactly like sim_quantize_int8.
+    //
+    // Cross-engine exactness WITHOUT decimal machinery: each component
+    // is the literal left-associative chain v[1]·w₁ + v[2]·w₂ + ⋯ —
+    // the SAME IEEE ops in the SAME order in Spark and in the
+    // generated DuckDB SQL (Catalyst's ReorderAssociativeOperator
+    // only touches integral types, so the FP chain is never
+    // reassociated; Double.toString literals round-trip bit-exactly).
+    // Output is long-form (vec_id, dim, val) — bit-identical doubles,
+    // hash-exact, no round() hedge.
+    "sim_rp_reduce" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val comps = rpMatrix.zipWithIndex.map { case (w, j) =>
+        struct(lit(j).as("dim"), rpComponent(col("v"), w).as("val"))
+      }
+      e.select(col("vec_id"), explode(array(comps: _*)).as("p"))
+        .select(col("vec_id"), col("p.dim").as("dim"), col("p.val").as("val"))
+    }))
+
+  /** JL projection matrix for sim_rp_reduce: 16×64 Gaussians scaled by
+    * 1/√16 (own seed — NOT [[hyperplanes]]' 42, so the LSH planes and
+    * the projection stay independent draws). A literal in both engines:
+    * Spark embeds the doubles directly, the oracle via Double.toString
+    * (shortest round-trip). */
+  private[graft] lazy val rpMatrix: Seq[Seq[Double]] = {
+    val rnd = new scala.util.Random(1337)
+    Seq.fill(16)(Seq.fill(64)(rnd.nextGaussian() * 0.25))
+  }
+
+  /** One projected component as the literal left-assoc IEEE chain
+    * v[1]·w₁ + v[2]·w₂ + ⋯ (see sim_rp_reduce's exactness note). */
+  private[graft] def rpComponent(
+      v: org.apache.spark.sql.Column, w: Seq[Double]): org.apache.spark.sql.Column =
+    w.zipWithIndex.map { case (wi, i) =>
+      element_at(v, i + 1) * lit(wi)
+    }.reduce(_ + _)
 
   /** The sim_ann_batch body, parameterized over nProbe/k so the recall
     * curve is measurable (DedupSimilaritySpec pins recall@10 vs nProbe —
@@ -668,7 +714,33 @@ object SimilarityQueries {
        |SELECT a.qid, nn.nn_id, nn.cos FROM a LEFT JOIN nn USING (qid)""".stripMargin
   }
 
+  /** DuckDB oracle for sim_rp_reduce, GENERATED with the projection
+    * matrix inline: one UNION ALL branch per output dim, each val the
+    * same literal left-assoc chain the query builds (see the query's
+    * exactness note — identical IEEE ops in identical order, so the
+    * doubles are bit-identical and the compare is hash-exact).
+    *
+    * Weights MUST go through CAST('…' AS DOUBLE): a bare decimal
+    * literal parses as DECIMAL(18,17) and DuckDB's decimal→double
+    * conversion double-rounds (int→double, then ÷10^s), landing 1 ULP
+    * off the Java double the Spark plan embeds (measured: 2718/8000
+    * cells drifted). The VARCHAR parse is correctly rounded, so the
+    * literal round-trips bit-exactly. The bare-literal lshOracle /
+    * bandedOracle are unaffected — they only need sign/margin
+    * agreement, not bit equality. */
+  private def rpOracle: String = {
+    val branches = rpMatrix.zipWithIndex.map { case (w, j) =>
+      val chain = w.zipWithIndex
+        .map { case (wi, i) => s"v[${i + 1}] * CAST('$wi' AS DOUBLE)" }
+        .mkString(" + ")
+      s"SELECT vec_id, $j AS dim, $chain AS val FROM e"
+    }.mkString("\nUNION ALL ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings)
+       |$branches""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "sim_rp_reduce" -> rpOracle,
     "sim_ann_lsh" -> lshOracle,
     "sim_knn_banded" -> bandedOracle,
     "sim_ann_ivf" -> ivfOracle,

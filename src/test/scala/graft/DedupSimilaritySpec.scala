@@ -691,6 +691,54 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("sim_rp_reduce: bit-exact vs plain-Scala left-assoc chains; " +
+    "JL preserves norms and dot products within pinned distortion") {
+    val emb = Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .as[(Long, Seq[Double])].collect().toMap
+    val out = SimilarityQueries.queries("sim_rp_reduce")(spark, sf0001)
+      .as[(Long, Int, Double)].collect()
+    assert(out.length == emb.size * 16)
+    // exactness: the registered query must equal the strict
+    // left-to-right chain — this is the order the generated DuckDB
+    // oracle unrolls, so drift here means the oracle technique broke
+    val m = SimilarityQueries.rpMatrix
+    out.foreach { case (id, j, got) =>
+      var acc = 0.0
+      val v = emb(id); val w = m(j)
+      var i = 0
+      while (i < 64) { acc = acc + v(i) * w(i); i += 1 }
+      assert(got == acc, s"vec $id dim $j: $got != $acc (bitwise)")
+    }
+    // JL property, realized on this fixture: E[<Rx,Ry>] = <x,y> with
+    // sd ≈ √(1+cos²)/4 ≤ 0.35 of ‖x‖‖y‖ at k=16, so the pins are the
+    // JL statement itself — per-vector norm ratios bounded, and the
+    // NORMALIZED dot error |<Rx,Ry>−<x,y>|/(‖x‖‖y‖) small in mean and
+    // tail. (NOT correlation: most fixture pairs are near-orthogonal,
+    // so signal variance ≪ JL noise and correlation is meaninglessly
+    // low even when every error honors the bound.) Deterministic
+    // fixture + fixed matrix ⇒ pins, not flaky statistics (observed at
+    // sf0.01: ratios 0.16–2.13, err mean 0.19, p95 0.47, max 0.86 —
+    // margins below ~2× looser; theory: mean ≈ 0.8·sd ≈ 0.23, max
+    // over 780 pairs ≈ 3.5·sd ≈ 1.2).
+    val red = out.groupBy(_._1).map { case (id, rows) =>
+      id -> rows.sortBy(_._2).map(_._3).toSeq }
+    def dot(a: Seq[Double], b: Seq[Double]) =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    red.foreach { case (id, r) =>
+      val ratio = dot(r, r) / dot(emb(id), emb(id))
+      assert(ratio > 0.1 && ratio < 5.0, s"vec $id norm ratio $ratio")
+    }
+    val ids = emb.keys.toSeq.sorted.take(40)
+    val errs = ids.combinations(2).map { case Seq(a, b) =>
+      math.abs(dot(red(a), red(b)) - dot(emb(a), emb(b))) /
+        math.sqrt(dot(emb(a), emb(a)) * dot(emb(b), emb(b)))
+    }.toSeq
+    val meanErr = errs.sum / errs.size
+    assert(meanErr < 0.5, s"mean normalized dot error $meanErr")
+    assert(errs.max < 2.0, s"max normalized dot error ${errs.max}")
+  }
+
   test("multimodal decode meta matches spark-side recomputation") {
     val meta = graft.multimodal.Multimodal
       .decodeMeta(spark, Tables.documents(spark, sf0001))
