@@ -370,6 +370,39 @@ object CurationQueries {
         .limit(20)
     }),
 
+    // BPE ENCODE — apply the learned merge table (ta_bpe_merges' top-20,
+    // rank order = cnt desc, pair asc) to every document: per rank, fuse
+    // each adjacent occurrence of the pair into one token, exhaustively
+    // and leftmost-first, earlier ranks consuming first — the greedy
+    // priority semantics of BPE encoding with a given merge list. This
+    // is what real token-budget accounting runs: counting tokens with
+    // the LEARNED vocabulary, not whitespace.
+    //
+    // Mechanics: tokens are bracketed \x02tok\x03 so a merge is ONE
+    // string replace of "\x02a\x03\x02b\x03" → "\x02a\x01b\x03" — the
+    // brackets make adjacency explicit, so back-to-back occurrences
+    // ("a b a b") both merge (a shared-space delimiter would be consumed
+    // by the first match and hide the second — the classic overlap bug),
+    // while "x x x" correctly merges only the left pair (the middle x is
+    // consumed). Spark's UTF8String.replace and DuckDB's replace are
+    // both leftmost non-overlapping, so the cascade is cross-engine
+    // exact and the integer outputs hash-exact.
+    //
+    // Scale shape: the model is ≤20 rows collected once per dataset
+    // (bounded driver state, the ivfModel precedent) and folded into the
+    // expression as literals; encoding is a pure per-row projection —
+    // zero shuffles beyond the trainer's narrow (pair, cnt) aggregate.
+    // Output stays scalar (n_raw, n_bpe) — the encoded string never
+    // crosses a shuffle or sink.
+    "ta_bpe_encode" -> ((s, d) => {
+      val merges = bpeMerges(s, d)
+      Tables.documents(s, d)
+        .select(col("doc_id"), tokens(col("text")).as("w"))
+        .select(col("doc_id"),
+          size(col("w")).cast("long").as("n_raw"),
+          bpeTokenCount(bpeEncodeExpr(col("w"), merges)).as("n_bpe"))
+    }),
+
     // Mergeable distinct-count sketches (Apache DataSketches HLL via
     // Spark built-ins): per-language token sketches + their union — the
     // sketch algebra a 100 TB pipeline ships to the driver instead of
@@ -574,6 +607,84 @@ object CurationQueries {
     * 1-occurrence degenerate while still exercising collisions). */
   private[graft] val DsirBuckets = 4096
 
+  /** ta_bpe_encode's token bracketing (see the query's mechanics note):
+    * every token travels as \x02tok\x03; a merge joins two tokens with
+    * \x01. Control chars absent from the fixture text — and even a
+    * pathological token containing them goes through the IDENTICAL
+    * transform in both engines, so exactness never rests on absence. */
+  private[graft] val TokOpen = "\u0002"
+  private[graft] val TokClose = "\u0003"
+  private[graft] val MergeJoin = "\u0001"
+
+  private val bpeMergeCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[String]]()
+
+  /** DuckDB oracle for ta_bpe_encode, GENERATED as a 20-deep replace
+    * cascade. The merge table is RE-DERIVED in SQL (the ta_bpe_merges
+    * CTE + rank) — not embedded as literals — because it is
+    * data-derived model state, the ivfChainSql rule; each rank's
+    * pattern/replacement is a scalar subquery over it, COALESCEd to a
+    * never-matching chr(4) so absent ranks no-op exactly like Spark's
+    * shorter foldLeft when the corpus has <20 distinct pairs. */
+  private def bpeEncodeOracle: String = {
+    val pat = (rn: Int) =>
+      "COALESCE((SELECT chr(2) || replace(pair, ' ', chr(3) || chr(2)) " +
+        s"|| chr(3) FROM m WHERE rn = $rn), chr(4))"
+    val rep = (rn: Int) =>
+      "COALESCE((SELECT chr(2) || replace(pair, ' ', chr(1)) " +
+        s"|| chr(3) FROM m WHERE rn = $rn), chr(4))"
+    val chain = (1 to 20).foldLeft("s0") { (acc, rn) =>
+      s"replace($acc, ${pat(rn)}, ${rep(rn)})"
+    }
+    s"""WITH t AS (SELECT doc_id,
+       |  list_filter(string_split(text, ' '), x -> x <> '') AS w
+       |  FROM documents),
+       |bg AS (SELECT
+       |  unnest(list_transform(generate_series(1, len(w) - 1),
+       |    i -> w[i] || ' ' || w[i + 1])) AS pair
+       |  FROM t WHERE len(w) >= 2),
+       |m AS (SELECT pair,
+       |        ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, pair ASC) AS rn
+       |      FROM bg GROUP BY pair
+       |      ORDER BY COUNT(*) DESC, pair ASC LIMIT 20),
+       |enc AS (SELECT doc_id, n_raw, $chain AS enc_s
+       |  FROM (SELECT doc_id, len(w) AS n_raw,
+       |          CASE WHEN len(w) = 0 THEN ''
+       |               ELSE chr(2) || array_to_string(w, chr(3) || chr(2))
+       |                    || chr(3) END AS s0
+       |        FROM t))
+       |SELECT doc_id, n_raw,
+       |  len(enc_s) - len(replace(enc_s, chr(2), '')) AS n_bpe
+       |FROM enc""".stripMargin
+  }
+
+  /** The rank-ordered merge list ta_bpe_encode applies — EXACTLY
+    * ta_bpe_merges' result (same plan), collected once per dataset
+    * (≤20 rows of bounded driver model state, the ivfModel precedent). */
+  private[graft] def bpeMerges(s: SparkSession, d: String): Seq[String] =
+    bpeMergeCache.computeIfAbsent(d, _ =>
+      queries("ta_bpe_merges")(s, d)
+        .select("pair").collect().map(_.getString(0)).toSeq)
+
+  /** The bracketed replace cascade over a token-array column (see
+    * ta_bpe_encode's mechanics note) — factored so CurationSpec can
+    * drive it with planted token sequences and a chosen merge list. */
+  private[graft] def bpeEncodeExpr(w: Column, merges: Seq[String]): Column = {
+    val s0 = when(size(w) === 0, lit(""))
+      .otherwise(concat(lit(TokOpen), concat_ws(TokClose + TokOpen, w),
+        lit(TokClose)))
+    merges.foldLeft(s0) { case (c, pair) =>
+      replace(c,
+        lit(TokOpen + pair.replace(" ", TokClose + TokOpen) + TokClose),
+        lit(TokOpen + pair.replace(" ", MergeJoin) + TokClose))
+    }
+  }
+
+  /** Token count of an encoded string = occurrences of the open
+    * bracket (each surviving token carries exactly one). */
+  private[graft] def bpeTokenCount(enc: Column): Column =
+    (length(enc) - length(replace(enc, lit(TokOpen), lit("")))).cast("long")
+
   val oracles: Map[String, String] = Map(
     // add-1 bigram LM predictability: each p is an IEEE division of
     // exact integer counts (bit-identical across engines); the per-doc
@@ -725,6 +836,7 @@ object CurationQueries {
         |  FROM t WHERE len(toks) >= 2)
         |SELECT pair, COUNT(*) AS cnt FROM bg GROUP BY pair
         |ORDER BY cnt DESC, pair ASC LIMIT 20""".stripMargin,
+    "ta_bpe_encode" -> bpeEncodeOracle,
     "ta_boilerplate" ->
       """WITH docs AS (
         |  SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS w

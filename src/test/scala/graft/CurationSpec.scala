@@ -370,4 +370,62 @@ class CurationSpec extends SparkSpec {
     assert(selRate(srcIds) > selRate(restIds),
       s"target selected at ${selRate(srcIds)} vs rest ${selRate(restIds)}")
   }
+
+  test("ta_bpe_encode mechanics: adjacency via brackets, leftmost-greedy, " +
+    "rank priority; registered query matches a plain-Scala reimplementation") {
+    import CurationQueries.{bpeEncodeExpr, bpeTokenCount}
+    def counts(rows: Seq[Seq[String]], merges: Seq[String]): Seq[Long] = {
+      val df = rows.map(Tuple1(_)).toDF("w")
+      df.select(bpeTokenCount(bpeEncodeExpr(col("w"), merges)).as("n"))
+        .as[Long].collect().toSeq
+    }
+    // back-to-back occurrences BOTH merge (the shared-delimiter bug this
+    // bracketing exists to avoid): "a b a b" -> [(ab), (ab)]
+    assert(counts(Seq(Seq("a", "b", "a", "b")), Seq("a b")) == Seq(2L))
+    // leftmost-greedy: "x x x" -> [(xx), x] — the middle x is consumed
+    assert(counts(Seq(Seq("x", "x", "x")), Seq("x x")) == Seq(2L))
+    // rank priority: in "a b c" with merges ["a b", "b c"], rank 1
+    // consumes b, so rank 2 finds nothing
+    assert(counts(Seq(Seq("a", "b", "c")), Seq("a b", "b c")) == Seq(2L))
+    // a merged token is OPAQUE to later merges: ["b c" then "a b"] on
+    // "a b c" -> rank 1 fuses (bc), rank 2's "a b" cannot split it
+    assert(counts(Seq(Seq("a", "b", "c")), Seq("b c", "a b")) == Seq(2L))
+    // empty and single-token docs pass through
+    assert(counts(Seq(Seq.empty, Seq("solo")), Seq("a b")) == Seq(0L, 1L))
+    // registered query == plain-Scala greedy reimplementation on the
+    // fixture, with the independently re-derived merge list
+    val texts = Tables.documents(spark, sf0001)
+      .select("doc_id", "text").as[(Long, String)].collect()
+    def toks(t: String) = t.split(" ").filter(_.nonEmpty).toSeq
+    val pairCnt = texts.flatMap { case (_, t) =>
+      val w = toks(t); w.zip(w.drop(1)).map { case (a, b) => a + " " + b }
+    }.groupBy(identity).map { case (p, g) => p -> g.size }
+    val merges = pairCnt.toSeq.sortBy { case (p, c) => (-c, p) }
+      .take(20).map(_._1)
+    def encode(w: Seq[String]): Long = {
+      var cur = w.map(Seq(_))
+      for (m <- merges; Seq(a, b) = m.split(" ").toSeq) {
+        val out = scala.collection.mutable.Buffer[Seq[String]]()
+        var i = 0
+        while (i < cur.length) {
+          if (i + 1 < cur.length && cur(i) == Seq(a) && cur(i + 1) == Seq(b)) {
+            out += Seq(a, b); i += 2
+          } else { out += cur(i); i += 1 }
+        }
+        cur = out.toSeq
+      }
+      cur.length.toLong
+    }
+    val expected = texts.map { case (id, t) => id -> encode(toks(t)) }.toMap
+    val out = CurationQueries.queries("ta_bpe_encode")(spark, sf0001)
+      .as[(Long, Long, Long)].collect()
+    assert(out.length == texts.length)
+    out.foreach { case (id, nRaw, nBpe) =>
+      assert(nRaw == toks(texts.find(_._1 == id).get._2).length.toLong)
+      assert(nBpe == expected(id), s"doc $id: $nBpe != ${expected(id)}")
+      assert(nBpe <= nRaw && (nRaw == 0L || nBpe >= (nRaw + 1) / 2))
+    }
+    // the merge table actually bites on the fixture
+    assert(out.exists { case (_, r, b) => b < r }, "no doc merged")
+  }
 }
