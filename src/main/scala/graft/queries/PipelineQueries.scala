@@ -168,7 +168,41 @@ object PipelineQueries {
         .withColumn("rn", row_number().over(w).cast("int"))
         .filter(col("rn") <= 5)
         .select(col("doc_id"), col("source"), col("rn"))
+    }),
+
+    // WEIGHTED sampling without replacement, per source (Efraimidis &
+    // Spirakis 2006's exponential race, determinized): each doc draws
+    // u ∈ (0,1] from md5(seed‖doc_id) and races with key −ln(u)/w,
+    // weight w = n_chars (the quality-proxy stand-in — real pipelines
+    // plug a classifier score in); the 5 SMALLEST keys per source win,
+    // giving inclusion odds proportional to weight with replay-stable
+    // winners (no rand()). Cross-engine exactness: the output is
+    // integers only (the keys stay internal), ln differs by ≤ ~2 ULP
+    // between engines, and every ordering decision the rank makes is
+    // margin-pinned ≫ that wobble in PipelineSpec (the sample_temperature
+    // note predates the margin-pin doctrine — a pinned ln IS
+    // oracle-stable; exact bitwise ties break by doc_id identically).
+    // Shape: pure per-row key, then the per-stratum ranking window on
+    // the partition key — narrow columns only; at 100 TB swap the
+    // window for the bounded-heap TopKAggregator per source if stratum
+    // cardinality explodes (same winners, O(k) state).
+    "sample_weighted" -> ((s, d) => {
+      val u01 = (conv(substring(md5(concat(lit(WeightedSeed),
+          col("doc_id").cast("string")).cast("binary")), 1, 8), 16, 10)
+        .cast("long") + 1).cast("double") / lit(4294967296.0)
+      val w = Window.partitionBy("source")
+        .orderBy(col("k").asc, col("doc_id").asc)
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .withColumn("k", -log(u01) / col("n_chars").cast("double"))
+        .withColumn("rk", row_number().over(w).cast("int"))
+        .filter(col("rk") <= 5)
+        .select(col("doc_id"), col("source"), col("rk"))
     }))
+
+  /** Seed for sample_weighted's md5-uniform draw — fixed so a training
+    * run's sample is reproducible; version it to re-roll. */
+  private[graft] val WeightedSeed = "graft-wsample-7"
 
   val oracles: Map[String, String] = Map(
     "ta_repetition" ->
@@ -259,5 +293,18 @@ object PipelineQueries {
         |  CAST(ROW_NUMBER() OVER (PARTITION BY source
         |       ORDER BY hkey ASC, doc_id ASC) AS INTEGER) AS rn
         |  FROM h)
-        |SELECT doc_id, source, rn FROM r WHERE rn <= 5""".stripMargin)
+        |SELECT doc_id, source, rn FROM r WHERE rn <= 5""".stripMargin,
+    // exponential-race keys recomputed with DuckDB's ln — safe because
+    // every rank decision is margin-pinned ≫ ULP wobble (PipelineSpec)
+    "sample_weighted" ->
+      """WITH k AS (SELECT doc_id, source,
+        |  -ln((CAST(('0x' || substring(md5('graft-wsample-7'
+        |        || CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) + 1)
+        |      / 4294967296.0) / n_chars AS k
+        |  FROM documents),
+        |r AS (SELECT doc_id, source,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY source
+        |       ORDER BY k ASC, doc_id ASC) AS INTEGER) AS rk
+        |  FROM k)
+        |SELECT doc_id, source, rk FROM r WHERE rk <= 5""".stripMargin)
 }

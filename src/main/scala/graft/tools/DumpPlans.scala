@@ -21,6 +21,7 @@ object DumpPlans {
     "decontam_overlap" -> "decontamination sweep: distinct benchmark shingles broadcast against the corpus inverted index",
     "pack_sequences" -> "per-shard sequence packing: source-partitioned running-sum window (no global window), generator explode for spanning docs",
     "sample_stratified" -> "stratified quota sample: per-shard ranking window on md5 order, WindowGroupLimit bounds each partition's sort",
+    "sample_weighted" -> "Efraimidis-Spirakis weighted sample: per-row −ln(u)/w race key then the same per-stratum ranking window shape as sample_stratified (WindowGroupLimit, narrow columns only)",
     "dedup_clusters" -> "connected components: label table after fixpoint (iteration joins are localCheckpoint'ed RDD scans, so the final plan stays flat)",
     "q48_salted_agg" -> "two-stage salted aggregation: both shuffles keyed (key,salt) then key — hot keys spread across reducers",
     "decontam_bloom" -> "Bloom-prefiltered decontamination: codegen'd bit-test predicate (literal filter array) ahead of the exact broadcast verify join",

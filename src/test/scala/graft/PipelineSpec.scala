@@ -82,6 +82,50 @@ class PipelineSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("weighted sample: min(5, shard) per source, weight-biased winners, " +
+    "rank margins dwarf ULP wobble (cross-engine oracle safety)") {
+    val docs = Tables.documents(spark, sf001)
+      .select("doc_id", "source", "n_chars")
+      .as[(Long, String, Long)].collect()
+    val out = PipelineQueries.queries("sample_weighted")(spark, sf001)
+      .as[(Long, String, Int)].collect()
+    // exact quota per stratum
+    val sizes = docs.groupBy(_._2).map { case (s, g) => s -> g.size }
+    out.groupBy(_._2).foreach { case (src, g) =>
+      assert(g.length == math.min(5, sizes(src)), s"source=$src")
+      assert(g.map(_._3).sorted.toSeq == (1 to g.length), s"ranks $src")
+    }
+    assert(out.groupBy(_._2).keySet == sizes.keySet)
+    // the race equals a plain-Scala reimplementation (same md5 draw, JVM ln)
+    def key(id: Long, w: Long): Double = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"graft-wsample-7$id".getBytes("UTF-8"))
+        .take(4).map("%02x".format(_)).mkString
+      -math.log((java.lang.Long.parseLong(h, 16) + 1L) / 4294967296.0) / w
+    }
+    val expected = docs.groupBy(_._2).toSeq.flatMap { case (src, g) =>
+      g.toSeq.map { case (id, _, w) => (id, src, key(id, w)) }
+        .sortBy { case (id, _, k) => (k, id) }.take(5).zipWithIndex
+        .map { case ((id, s, _), i) => (id, s, i + 1) }
+    }.toSet
+    assert(out.toSet == expected)
+    // weighting bites: winners are longer than their strata on average
+    val meanAll = docs.map(_._3.toDouble).sum / docs.length
+    val sel = out.map(_._1).toSet
+    val meanSel = docs.filter(d => sel(d._1)).map(_._3.toDouble).sum / sel.size
+    assert(meanSel > meanAll,
+      s"selected mean n_chars $meanSel !> corpus mean $meanAll")
+    // margin pin: every rank decision (all adjacent pairs in each
+    // stratum's full key order) has relative gap >> the ~1e-15 by which
+    // the two engines' ln can differ — so the oracle ordering cannot flip
+    val minGap = docs.groupBy(_._2).values.map { g =>
+      val ks = g.map { case (id, _, w) => (key(id, w), id) }.sorted.map(_._1)
+      ks.zip(ks.drop(1)).map { case (a, b) =>
+        (b - a) / math.max(math.abs(a), math.abs(b)) }.foldLeft(2.0)(_ min _)
+    }.min
+    assert(minGap > 1e-9, s"min adjacent relative key gap $minGap")
+  }
+
   test("temperature sampling flattens language sizes toward sqrt(n_min*n)") {
     val before = Tables.documents(spark, sf001)
       .groupBy("lang").count().as[(String, Long)].collect().toMap
