@@ -7,6 +7,7 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -43,9 +44,17 @@ object Bench {
     calibIo()
     val calibStart = calib()
     val calibIoStart = calibIo()
+    // A thrown query must be VISIBLE in the artifact, not recorded as a
+    // fast run: round 7 logged 16 analysis-broken queries as ~0.06 s
+    // timings and the headline total silently claimed they executed.
+    val errors = scala.collection.mutable.Map.empty[String, String]
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { fn(spark, sfDir).count() } catch {
+        case e: Throwable =>
+          errors(name) = e.getClass.getSimpleName
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val calibEnd = calib()
@@ -53,7 +62,8 @@ object Bench {
     val quietCalib = sys.env.get("SPARK_GRAFT_QUIET_CALIB")
       .flatMap(_.toDoubleOption).filter(_ > 0).getOrElse(0.30)
     val Seq(detailLine, totalLine) = summaryLines(results, sfDir,
-      calibStart, calibEnd, calibIoStart, calibIoEnd, quietCalib)
+      calibStart, calibEnd, calibIoStart, calibIoEnd, quietCalib,
+      errors.toMap)
     println(detailLine)
     println(totalLine)
     // Stdout tail-captures have dropped the (long) per-query line before;
@@ -86,13 +96,22 @@ object Bench {
     * probe. `quietCalib` is the settled 32-thread reference (BENCH.md),
     * overridable via SPARK_GRAFT_QUIET_CALIB for other thread counts
     * (parsed defensively — malformed/non-positive falls back to 0.30).
-    * A failed probe (-1) leaves the raw total untouched. */
+    * A failed probe (-1) leaves the raw total untouched.
+    *
+    * Failure honesty: each thrown query appears in the detail line's
+    * `errors` map (name → exception class) and the total line carries
+    * `nfailed`. `tools/benchcheck.py` refuses to qualify any record
+    * with nfailed > 0 — a broken query can never pose as a fast one. */
   private[graft] def summaryLines(
       results: Map[String, Double], sfDir: String,
       calibStart: Double, calibEnd: Double,
       calibIoStart: Double, calibIoEnd: Double,
-      quietCalib: Double): Seq[String] = {
+      quietCalib: Double,
+      errors: Map[String, String] = Map.empty): Seq[String] = {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val errs = errors.toSeq.sorted
+      .map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val probes = Seq(calibStart, calibEnd).filter(_ > 0)
@@ -100,7 +119,7 @@ object Bench {
       if (probes.size == 2) probes.min / quietCalib else 1.0
     val normalized = if (loadFactor > 1.0) total / loadFactor else total
     Seq(
-      s"""{"metric":"queries","queries":$qs,"sf":"$sfDir"}""",
-      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","nqueries":${results.size},"value_normalized":$normalized,"load_factor":$loadFactor,"calib_start":$calibStart,"calib_end":$calibEnd,"calib_io_start":$calibIoStart,"calib_io_end":$calibIoEnd}""")
+      s"""{"metric":"queries","queries":$qs,"errors":$errs,"sf":"$sfDir"}""",
+      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","nqueries":${results.size},"nfailed":${errors.size},"value_normalized":$normalized,"load_factor":$loadFactor,"calib_start":$calibStart,"calib_end":$calibEnd,"calib_io_start":$calibIoStart,"calib_io_end":$calibIoEnd}""")
   }
 }

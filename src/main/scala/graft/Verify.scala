@@ -15,10 +15,16 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // A thrown query must leave a visible record (round 7: 16 broken
+    // queries were simply ABSENT from the correctness artifact; a reader
+    // had to diff against the registry to notice). errors.json maps each
+    // failed query to its exception class so the dump is self-describing.
+    val errors = scala.collection.mutable.Map.empty[String, String]
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
+        errors(name) = e.getClass.getSimpleName
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
@@ -50,6 +56,9 @@ object Verify {
       }
     }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/query_modes.json"), modes)
+    val errJson = errors.toSeq.sorted
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/errors.json"), errJson)
     spark.stop()
   }
 }

@@ -22,21 +22,35 @@ import org.apache.spark.sql.types._
   */
 object StreamingJobs {
 
-  /** events.parquet schema, with ts as raw nanos (long) — converted after
-    * read like Tables.events. */
-  private val eventsRawSchema = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
+  /** events schema with a caller-chosen physical `ts` type: the file
+    * stream source needs a user-supplied schema, and the fixture has
+    * shipped `ts` both as TIMESTAMP(NANOS)-read-as-long and as
+    * micros-NTZ (see [[graft.Tables.events]]). */
+  private def eventsRawSchema(tsType: DataType) = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", tsType),
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
 
-  /** Replay an events parquet directory as a stream. */
+  /** Replay an events parquet directory as a stream. Schema-adaptive the
+    * same way Tables.events is: one batch footer read resolves the
+    * on-disk `ts` type, then the stream normalizes it to a session-TZ
+    * timestamp. The peek is planning-time metadata only (no data scan).
+    */
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
-      .schema(eventsRawSchema)
+    val tsType =
+      spark.read.parquet(s"$dir/events.parquet").schema("ts").dataType
+    val raw = spark.readStream
+      .schema(eventsRawSchema(tsType))
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    tsType match {
+      case LongType =>
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }
   }
 
   /** Rate-limited file replay (SURVEY §7.4's framing of the events
@@ -50,7 +64,7 @@ object StreamingJobs {
       spark: SparkSession, replayDir: String,
       filesPerTrigger: Int = 1): DataFrame =
     spark.readStream
-      .schema(eventsRawSchema)
+      .schema(eventsRawSchema(LongType))
       .option("maxFilesPerTrigger", filesPerTrigger)
       .parquet(replayDir)
       .withColumn("ts", expr("timestamp_micros(ts)"))

@@ -142,6 +142,62 @@ class SourcesSpec extends SparkSpec {
       plan.take(600))
   }
 
+  test("fixture drift guard: every Tables.* loader yields the expected schema") {
+    // The round-7 fixture regeneration (events.ts TIMESTAMP(NANOS) →
+    // timestamp[us]) broke 16 queries scattered across 6 suites. This
+    // single test pins the post-normalization schema of every fixture
+    // table so the NEXT drift fails ONE named assertion that says which
+    // table and column moved.
+    val expected: Map[String, Seq[(String, String)]] = Map(
+      "region" -> Seq("r_regionkey" -> "int", "r_name" -> "string"),
+      "nation" -> Seq("n_nationkey" -> "int", "n_name" -> "string",
+        "n_regionkey" -> "int"),
+      "customer" -> Seq("c_custkey" -> "bigint", "c_name" -> "string",
+        "c_nationkey" -> "int", "c_acctbal" -> "double",
+        "c_mktsegment" -> "string"),
+      "supplier" -> Seq("s_suppkey" -> "bigint", "s_name" -> "string",
+        "s_nationkey" -> "int", "s_acctbal" -> "double"),
+      "part" -> Seq("p_partkey" -> "bigint", "p_name" -> "string",
+        "p_brand" -> "string", "p_type" -> "string", "p_size" -> "int",
+        "p_retailprice" -> "double"),
+      "orders" -> Seq("o_orderkey" -> "bigint", "o_custkey" -> "bigint",
+        "o_orderstatus" -> "string", "o_totalprice" -> "double",
+        "o_orderdate" -> "timestamp_ntz", "o_orderpriority" -> "string"),
+      "lineitem" -> Seq("l_orderkey" -> "bigint", "l_partkey" -> "bigint",
+        "l_suppkey" -> "bigint", "l_linenumber" -> "int",
+        "l_quantity" -> "double", "l_extendedprice" -> "double",
+        "l_discount" -> "double", "l_tax" -> "double",
+        "l_returnflag" -> "string", "l_linestatus" -> "string",
+        "l_shipdate" -> "timestamp_ntz"),
+      // ts is TimestampType BY CONTRACT — Tables.events normalizes
+      // whatever physical layout the fixture ships (nanos-as-int64 or
+      // micros-NTZ) to a session-TZ timestamp.
+      "events" -> Seq("event_id" -> "bigint", "ts" -> "timestamp",
+        "user_id" -> "bigint", "event_type" -> "string",
+        "value" -> "double", "props" -> "string"),
+      "documents" -> Seq("doc_id" -> "bigint", "text" -> "string",
+        "lang" -> "string", "source" -> "string", "n_chars" -> "bigint"),
+      "embeddings" -> Seq("vec_id" -> "bigint",
+        "embedding" -> "array<float>", "label" -> "int"))
+    val loaders: Map[String, (org.apache.spark.sql.SparkSession, String) =>
+        org.apache.spark.sql.DataFrame] = Map(
+      "region" -> Tables.region, "nation" -> Tables.nation,
+      "customer" -> Tables.customer, "supplier" -> Tables.supplier,
+      "part" -> Tables.part, "orders" -> Tables.orders,
+      "lineitem" -> Tables.lineitem, "events" -> Tables.events,
+      "documents" -> Tables.documents, "embeddings" -> Tables.embeddings)
+    assert(loaders.keySet == Tables.all.toSet)
+    for (sf <- Seq(sf0001, sf001); t <- Tables.all) {
+      val got = loaders(t)(spark, sf).schema.fields.toSeq
+        .map(f => f.name -> f.dataType.simpleString)
+      val want = expected(t)
+      val drift = got.zipAll(want, "<missing>" -> "", "<missing>" -> "")
+        .collect { case (g, w) if g != w => s"got $g, want $w" }
+      assert(drift.isEmpty,
+        s"FIXTURE DRIFT in $sf/$t.parquet: ${drift.mkString("; ")}")
+    }
+  }
+
   test("partitioned parquet write enables partition pruning") {
     val dir = Files.createTempDirectory("pqpart").toString
     Tables.orders(spark, sf0001)

@@ -86,6 +86,21 @@ def main() -> int:
     if failed:
         problems.append(f"{len(failed)} queries failed (-1s): {failed[:5]}")
 
+    # Failure honesty (round 7: 16 analysis-broken queries were logged as
+    # ~0.06 s timings and the record still "qualified"): any nfailed > 0
+    # or a non-empty errors map disqualifies the record outright.
+    nfailed = total.get("nfailed", 0)
+    errors = {}
+    for line in lines:
+        rec = json.loads(line)
+        if isinstance(rec.get("errors"), dict):
+            errors.update(rec["errors"])
+    if nfailed or errors:
+        names = sorted(errors) or ["(unnamed)"]
+        problems.append(
+            f"{max(nfailed, len(errors))} queries THREW during the run: "
+            + ", ".join(f"{k}={errors.get(k, '?')}" for k in names[:8]))
+
     ref_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                             "bench_reference.json")
     inflated = []
