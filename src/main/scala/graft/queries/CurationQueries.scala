@@ -484,14 +484,21 @@ object CurationQueries {
     // mean goes through the shortest-repr decimal(38,28) cast + exact
     // order-free DECIMAL sum + cast-to-double-BEFORE-divide — the
     // ivfCentroids technique, widened to 28 decimals so a full 17-digit
-    // double's shortest repr never gets rounded by the cast. Scale shape: the
-    // model build is two map-side-combine aggs on narrow token keys; the
-    // scoring join shuffles (doc_id, w1, w2) on the bigram key — a
-    // fact-to-model co-partitioned join (the model is corpus-vocabulary-
-    // scale, NOT broadcastable at 100 TB); the per-doc mean partial-
-    // aggregates before its exchange so only (doc_id, partial sum, count)
-    // crosses the wire. Docs with <2 tokens keep a row (n_bigrams=0,
-    // NULL score) via the doc-spine left join.
+    // double's shortest repr never gets rounded by the cast. Scale shape
+    // (reworked round 8): the raw (doc_id, w1, w2) occurrence stream is
+    // aggregated to per-doc bigram COUNTS first — one shuffle with
+    // map-side combine — and everything downstream (the c2/c1 model
+    // build, the scoring join, the per-doc mean) runs over that strictly
+    // smaller distinct-bigrams stream instead of re-shuffling every
+    // occurrence three times (c2 build, c1 build, scoring join). Each
+    // occurrence of a repeated bigram contributes the same p, so the
+    // score becomes the cnt-weighted mean: pw = (c2+1)*cnt / (c1+V),
+    // still one exact-integer IEEE division per row ((c2+1)*cnt is exact
+    // long arithmetic ≪ 2^53 → both engines produce identical bits).
+    // The model join stays fact-to-model co-partitioned (the model is
+    // corpus-vocabulary-scale, NOT broadcastable at 100 TB). Docs with
+    // <2 tokens keep a row (n_bigrams=0, NULL score) via the doc-spine
+    // left join.
     "curate_lm_score" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val toks = docs.select(col("doc_id"),
@@ -502,25 +509,28 @@ object CurationQueries {
           slice(col("w"), lit(1), nb), slice(col("w"), lit(2), nb),
           (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
         .select(col("doc_id"), col("bg.w1"), col("bg.w2"))
-      val c2 = big.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
-      val c1 = big.groupBy("w1").agg(count(lit(1)).as("c1"))
+      val perDoc = big.groupBy("doc_id", "w1", "w2")
+        .agg(count(lit(1)).as("cnt"))
+      val c2 = perDoc.groupBy("w1", "w2").agg(sum("cnt").as("c2"))
+      val c1 = perDoc.groupBy("w1").agg(sum("cnt").as("c1"))
       val vocab = toks.select(explode(col("w")).as("t"))
         .agg(countDistinct(col("t")).as("vocab"))
       val model = c2.join(c1, Seq("w1")).crossJoin(broadcast(vocab))
-      val p = (col("c2") + 1).cast("double") /
+      val pw = ((col("c2") + 1) * col("cnt")).cast("double") /
         (col("c1") + col("vocab")).cast("double")
-      val scored = big.join(model, Seq("w1", "w2"))
-        .select(col("doc_id"), p.as("p"))
+      val scored = perDoc.join(model, Seq("w1", "w2"))
+        .select(col("doc_id"), pw.as("pw"), col("cnt"))
         .groupBy("doc_id")
-        // decimal(38,28), not the ivfCentroids (30,20): p is a FULL
+        // decimal(38,28), not the ivfCentroids (30,20): pw is a FULL
         // 17-significant-digit double (not a float-derived one), and
-        // small p (~1e-4) has 17 sig digits + leading zeros > 20
+        // small pw (~1e-4) has 17 sig digits + leading zeros > 20
         // decimals — the (30,20) cast ROUNDS there, where the engines
         // disagree by one ULP (observed). 28 decimals hold the shortest
-        // repr of any p ≥ 1e-11 exactly; 10 integer digits hold the sum.
-        .agg(count(lit(1)).as("n_bigrams"),
-          (sum(col("p").cast("decimal(38,28)")).cast("double") /
-            count(lit(1))).as("lm_score"))
+        // repr of any pw ≥ 1e-11 exactly; 10 integer digits hold the
+        // sum (pw ≤ cnt, bounded by the longest doc).
+        .agg(sum(col("cnt")).as("n_bigrams"),
+          (sum(col("pw").cast("decimal(38,28)")).cast("double") /
+            sum(col("cnt"))).as("lm_score"))
       docs.select(col("doc_id"))
         .join(scored, Seq("doc_id"), "left")
         .select(col("doc_id"),
@@ -706,17 +716,22 @@ object CurationQueries {
         |    unnest(list_transform(generate_series(1, len(w)-1), i -> w[i])) AS w1,
         |    unnest(list_transform(generate_series(1, len(w)-1), i -> w[i+1])) AS w2
         |  FROM docs WHERE len(w) >= 2),
-        |c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM big GROUP BY 1, 2),
-        |c1 AS (SELECT w1, COUNT(*) AS c1 FROM big GROUP BY 1),
+        |perdoc AS (
+        |  SELECT doc_id, w1, w2, COUNT(*) AS cnt FROM big GROUP BY 1, 2, 3),
+        |c2 AS (SELECT w1, w2, CAST(SUM(cnt) AS BIGINT) AS c2
+        |       FROM perdoc GROUP BY 1, 2),
+        |c1 AS (SELECT w1, CAST(SUM(cnt) AS BIGINT) AS c1
+        |       FROM perdoc GROUP BY 1),
         |voc AS (SELECT COUNT(DISTINCT t) AS vocab
         |        FROM (SELECT unnest(w) AS t FROM docs)),
         |scored AS (
-        |  SELECT b.doc_id, COUNT(*) AS n_bigrams,
+        |  SELECT p.doc_id, CAST(SUM(p.cnt) AS BIGINT) AS n_bigrams,
         |    CAST(CAST(SUM(CAST(CAST(
-        |        CAST(c2.c2 + 1 AS DOUBLE) / CAST(c1.c1 + voc.vocab AS DOUBLE)
+        |        CAST((c2.c2 + 1) * p.cnt AS DOUBLE)
+        |          / CAST(c1.c1 + voc.vocab AS DOUBLE)
         |      AS VARCHAR) AS DECIMAL(38,28))) AS VARCHAR) AS DOUBLE)
-        |      / COUNT(*) AS lm_score
-        |  FROM big b JOIN c2 USING (w1, w2) JOIN c1 USING (w1), voc
+        |      / CAST(SUM(p.cnt) AS BIGINT) AS lm_score
+        |  FROM perdoc p JOIN c2 USING (w1, w2) JOIN c1 USING (w1), voc
         |  GROUP BY 1)
         |SELECT d.doc_id, COALESCE(s.n_bigrams, 0) AS n_bigrams, s.lm_score
         |FROM documents d LEFT JOIN scored s USING (doc_id)""".stripMargin,
