@@ -229,6 +229,66 @@ object SimilarityQueries {
       }
       e.select(col("vec_id"), explode(array(comps: _*)).as("p"))
         .select(col("vec_id"), col("p.dim").as("dim"), col("p.val").as("val"))
+    }),
+
+    // Product-quantization ADC scan (Jégou, Douze, Schmid 2011, "Product
+    // Quantization for Nearest Neighbor Search", IEEE TPAMI — the third
+    // classic ANN scale path next to LSH and IVF, and the one that
+    // compresses MEMORY: the 64-dim vector splits into pqM=4 subspaces
+    // of pqSub=16 dims, each with its own 16-centroid codebook trained
+    // by the SAME deterministic Lloyd recipe as the IVF coarse
+    // quantizer, so a corpus vector stores as 4 small codes — 4 bytes
+    // instead of 256, a 64× shrink that is what lets a 100 TB corpus'
+    // index live in cluster RAM. Query scoring is asymmetric distance
+    // computation (ADC): the query builds one 4×16 lookup table of
+    // subspace distances DRIVER-SIDE (bounded model-scale arithmetic),
+    // and every candidate's approximate |q−v|² is 4 array lookups + 3
+    // adds — no per-candidate dot product. Scale shape: encode+score is
+    // a pure projection (codes would be PRECOMPUTED at 100 TB exactly
+    // like sim_ann_ivf_indexed persists cells; computed inline here),
+    // top-10 via TakeOrderedAndProject — zero shuffles of vectors.
+    // Production PQ uses m=8–16 subspaces × 256 centroids; sized to the
+    // fixture here, same machinery.
+    //
+    // Cross-engine exactness doctrine = the IVF family's: codebook
+    // centroids are bit-identical in both engines (decimal-exact means,
+    // shortest-repr casts), code assignment and the top-10 cut have
+    // margins ≫ ULP (pinned in DedupSimilaritySpec), and the emitted
+    // adc rounds to 6 places — so the generated DuckDB oracle (four
+    // unrolled per-subspace k-means chains + the same LUT arithmetic)
+    // is a REAL hash-exact oracle, not rows-only.
+    "sim_ann_pq_adc" -> ((s, d) => {
+      import s.implicits._
+      val e = rawVecs(s, d)
+      val cbs = pqModel(s, d)
+      if (cbs.exists(_.isEmpty))
+        e.filter(lit(false)).select(col("vec_id"),
+          lit(null).cast("double").as("adc"))
+      else {
+        val qv = e.filter(col("vec_id") === 0).select("v")
+          .as[Seq[Double]].head()
+        // Per-subspace ADC lookup table: dj(cell) = (|c|²−2·q_j·c)+|q_j|²
+        // — the same associativity the oracle's SQL uses, so the doubles
+        // agree to ≪ the pinned rounding margin.
+        val luts: Seq[Seq[Double]] = cbs.zipWithIndex.map { case (cb, j) =>
+          val qj = qv.slice(j * pqSub, (j + 1) * pqSub)
+          val qSq = qj.map(x => x * x).sum
+          cb.map { c =>
+            val cSq = c.map(x => x * x).sum
+            val qc = c.zip(qj).map { case (a, b) => a * b }.sum
+            (cSq - 2 * qc) + qSq
+          }
+        }
+        val adc = (0 until pqM).map { j =>
+          element_at(typedlit(luts(j)),
+            graft.functions.NearestCell.nearest(
+              slice(col("v"), j * pqSub + 1, pqSub), cbs(j)) + 1)
+        }.reduce(_ + _)
+        e.filter(col("vec_id") =!= 0)
+          .select(col("vec_id"), round(adc, 6).as("adc"))
+          .orderBy(col("adc").asc, col("vec_id").asc)
+          .limit(10)
+      }
     }))
 
   /** JL projection matrix for sim_rp_reduce: 16×64 Gaussians scaled by
@@ -302,6 +362,25 @@ object SimilarityQueries {
     * [[ivfCentroids]] is bit-deterministic (seed-by-id init, DECIMAL
     * mean) and the fixture datasets are immutable; the value is k×dim
     * doubles — bounded model state. */
+  /** PQ geometry: pqM subspaces of pqSub dims each (pqM·pqSub = 64, the
+    * fixture embedding dim), 16 centroids per subspace codebook. */
+  private[graft] val pqM = 4
+  private[graft] val pqSub = 16
+
+  /** Memoized per-dataset PQ codebooks: one deterministic Lloyd run per
+    * subspace over the sliced subvectors — the identical recipe (and
+    * bit-stability argument) as [[ivfModel]], keyed by path for the same
+    * API-hole reason. */
+  private val pqModelCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[Seq[Seq[Double]]]]
+  private[graft] def pqModel(
+      s: SparkSession, d: String): Seq[Seq[Seq[Double]]] =
+    pqModelCache.computeIfAbsent(d,
+      _ => (0 until pqM).map { j =>
+        ivfCentroids(rawVecs(s, d).select(col("vec_id"),
+          slice(col("v"), j * pqSub + 1, pqSub).as("v")), k = 16, iters = 2)
+      })
+
   private val ivfModelCache =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[Seq[Double]]]()
   private[graft] def ivfModel(s: SparkSession, d: String): Seq[Seq[Double]] =
@@ -739,7 +818,69 @@ object SimilarityQueries {
        |$branches""".stripMargin
   }
 
+  /** DuckDB oracle for sim_ann_pq_adc, GENERATED: four unrolled
+    * per-subspace Lloyd chains (the [[ivfChainSql]] recipe applied to
+    * the v[lo:hi] slice — same seed-by-id init, same VARCHAR-mediated
+    * DECIMAL(30,20) exact means), per-subspace ADC lookup tables with
+    * the query's exact associativity ((|c|² − 2·q·c) + |q|²), and the
+    * left-assoc ADC sum l0+l1+l2+l3 matching the query's reduce. The
+    * cross-engine pins are the IVF family's (centroids bit-identical;
+    * assignment + rounding margins in DedupSimilaritySpec). */
+  private def pqOracle: String = {
+    def chain(j: Int): String = {
+      val lo = j * pqSub + 1
+      val hi = (j + 1) * pqSub
+      def assign(prev: String) =
+        s"""SELECT e.vec_id, e.v,
+           |  (SELECT c.cell FROM $prev c
+           |   ORDER BY list_dot_product(c.v, c.v) - 2 * list_dot_product(e.v, c.v), c.cell
+           |   LIMIT 1) AS cell
+           |FROM e$j e""".stripMargin
+      def mean(a: String) =
+        s"""SELECT cell, pos,
+           |  CAST(SUM(CAST(CAST(x AS VARCHAR) AS DECIMAL(30,20))) AS DOUBLE)
+           |    / COUNT(*) AS m
+           |FROM (SELECT cell, unnest(v) AS x,
+           |             generate_subscripts(v, 1) - 1 AS pos FROM $a)
+           |GROUP BY cell, pos""".stripMargin
+      def rebuild(prevC: String, m: String) =
+        s"""SELECT $prevC.cell, COALESCE(n.v, $prevC.v) AS v
+           |FROM $prevC LEFT JOIN
+           |  (SELECT cell, list(m ORDER BY pos) AS v FROM $m GROUP BY cell) n
+           |  USING (cell)""".stripMargin
+      s"""e$j AS (SELECT vec_id, v[$lo:$hi] AS v FROM e),
+         |c0_$j AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v
+         |          FROM e$j ORDER BY vec_id LIMIT 16),
+         |a0_$j AS (${assign(s"c0_$j")}),
+         |m0_$j AS (${mean(s"a0_$j")}),
+         |c1_$j AS (${rebuild(s"c0_$j", s"m0_$j")}),
+         |a1_$j AS (${assign(s"c1_$j")}),
+         |m1_$j AS (${mean(s"a1_$j")}),
+         |c2_$j AS (${rebuild(s"c1_$j", s"m1_$j")}),
+         |af$j AS (SELECT vec_id, cell FROM (${assign(s"c2_$j")})),
+         |lut$j AS (SELECT c.cell,
+         |  list_dot_product(c.v, c.v) - 2 * list_dot_product(q.qv[$lo:$hi], c.v)
+         |    + list_dot_product(q.qv[$lo:$hi], q.qv[$lo:$hi]) AS dj
+         |  FROM c2_$j c, q)""".stripMargin
+    }
+    val afJoins = (1 until pqM)
+      .map(j => s"JOIN af$j USING (vec_id)").mkString(" ")
+    val lutJoins = (0 until pqM)
+      .map(j => s"JOIN lut$j l$j ON af$j.cell = l$j.cell").mkString("\n  ")
+    val adcSum = (0 until pqM).map(j => s"l$j.dj").mkString(" + ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v
+       |           FROM embeddings WHERE embedding IS NOT NULL),
+       |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+       |${(0 until pqM).map(chain).mkString(",\n")}
+       |SELECT af0.vec_id, ROUND($adcSum, 6) AS adc
+       |FROM af0 $afJoins
+       |  $lutJoins
+       |WHERE vec_id <> 0
+       |ORDER BY adc ASC, vec_id ASC LIMIT 10""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "sim_ann_pq_adc" -> pqOracle,
     "sim_rp_reduce" -> rpOracle,
     "sim_ann_lsh" -> lshOracle,
     "sim_knn_banded" -> bandedOracle,

@@ -739,6 +739,109 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(errs.max < 2.0, s"max normalized dot error ${errs.max}")
   }
 
+  test("pq subspace assignments, adc ranking, and rounding margins dwarf ULP wobble") {
+    // sim_ann_pq_adc carries a real generated DuckDB oracle (four
+    // unrolled per-subspace Lloyd chains + ADC lookup tables), so its
+    // cross-engine surfaces need the same pins as the IVF family:
+    //  1. per-subspace cell assignment margins at every Lloyd stage
+    //     (best vs second-best d, exact ties safe only for elementwise-
+    //     identical centroids);
+    //  2. adjacent candidate adc gaps ≫ ULP (the top-10 cut and the
+    //     ordering are over rounded adc with id tiebreaks, so distinct
+    //     raw values must not be ULP-close);
+    //  3. a rounding-boundary pin: no candidate's raw adc sits within
+    //     1e-9 of a 0.5e-6 round-half boundary, where a last-bit
+    //     accumulation difference would flip the 6th decimal.
+    import SimilarityQueries.{pqM, pqSub}
+    def dists(v: Seq[Double], cents: Seq[Seq[Double]]): Seq[Double] =
+      cents.map { c =>
+        val cSq = c.map(x => x * x).sum
+        val dot = c.lazyZip(v).map(_ * _).sum
+        cSq - dot * 2
+      }
+    Seq(sf001, sf01).foreach { sf =>
+      val vecs = Tables.embeddings(spark, sf)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        .as[(Long, Seq[Double])].collect()
+      val byId = vecs.toMap
+      val qv = byId(0L)
+      val cbs = SimilarityQueries.pqModel(spark, sf)
+      assert(cbs.size == pqM && cbs.forall(_.size == 16))
+      // 1. assignment margins per subspace per Lloyd stage
+      for (j <- 0 until pqM) {
+        val sube = SimilarityQueries.rawVecs(spark, sf)
+          .select(col("vec_id"),
+            slice(col("v"), j * pqSub + 1, pqSub).as("v"))
+        Seq(0, 1, 2).foreach { it =>
+          val cents = SimilarityQueries.ivfCentroids(sube, k = 16, iters = it)
+          vecs.foreach { case (id, v) =>
+            val sv = v.slice(j * pqSub, (j + 1) * pqSub)
+            val sorted = dists(sv, cents).zipWithIndex.sorted
+            val safeTie = sorted(1)._1 == sorted(0)._1 &&
+              cents(sorted(1)._2) == cents(sorted(0)._2)
+            assert(safeTie || sorted(1)._1 - sorted(0)._1 > 1e-9,
+              f"$sf vec $id sub-$j iter-$it assignment margin " +
+                f"${sorted(1)._1 - sorted(0)._1}%.3g too small")
+          }
+        }
+        // final codebooks the query serves must equal the stage-2 rerun
+        assert(cbs(j) == SimilarityQueries.ivfCentroids(sube, 16, 2))
+      }
+      // driver-side adc per candidate, same associativity as the query
+      val luts = cbs.zipWithIndex.map { case (cb, j) =>
+        val qj = qv.slice(j * pqSub, (j + 1) * pqSub)
+        val qSq = qj.map(x => x * x).sum
+        cb.map { c =>
+          val cSq = c.map(x => x * x).sum
+          val qc = c.zip(qj).map { case (a, b) => a * b }.sum
+          (cSq - 2 * qc) + qSq
+        }
+      }
+      val codes: Map[Long, Seq[Int]] = vecs.iterator.map { case (id, v) =>
+        id -> (0 until pqM).map { j =>
+          dists(v.slice(j * pqSub, (j + 1) * pqSub), cbs(j))
+            .zipWithIndex.min._2
+        }
+      }.toMap
+      val adcs = vecs.filter(_._1 != 0L).map { case (id, v) =>
+        ((0 until pqM).map(j => luts(j)(codes(id)(j))).reduce(_ + _), id)
+      }
+      // 2. adjacent distinct-adc gaps. The safe-tie escape is EQUAL CODE
+      // TUPLES, not equal vectors: adc is a function of (codes, shared
+      // LUT) only, so same codes ⇒ bit-equal adc in both engines — and
+      // PQ quantization maps many distinct vectors to the same codes by
+      // design. An exact tie with DIFFERENT codes is the real hazard
+      // (two independent accumulations could split at ULP) and must
+      // satisfy the margin.
+      val sorted = adcs.sorted.toSeq
+      sorted.lazyZip(sorted.drop(1)).foreach { case ((lo, lid), (hi, hid)) =>
+        val safeTie = hi == lo && codes(lid) == codes(hid)
+        assert(safeTie || hi - lo > 1e-9,
+          f"$sf adc gap ${hi - lo}%.3g between vec $lid and $hid too small")
+      }
+      // 3. rounding-boundary distance — scoped to the oracle's actual
+      // compare surface: the 10 emitted rows plus the cut neighborhood
+      // (a boundary flip of a near-cut candidate could promote/demote
+      // it across the LIMIT). Deep-tail candidates never reach the
+      // artifact, so their boundary proximity is harmless.
+      sorted.take(12).foreach { case (adc, id) =>
+        val frac = adc * 1e6
+        val d = math.abs(frac - math.floor(frac) - 0.5)
+        assert(d > 1e-3, // 1e-3 of a 1e-6 unit = 1e-9 absolute
+          f"$sf vec $id adc $adc%.12f sits on a round-6 boundary")
+      }
+      // sanity: the registered query's top-10 equals the driver replay
+      val got = SimilarityQueries.queries("sim_ann_pq_adc")(spark, sf)
+        .as[(Long, Double)].collect().toSeq
+      val want = adcs.map { case (a, id) =>
+        // Spark's round() is BigDecimal HALF_UP, not rint (half-even)
+        (id, BigDecimal(a).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+          .toDouble) }
+        .sortBy { case (id, a) => (a, id) }.take(10).toSeq
+      assert(got.toSeq == want, s"$sf got=${got.toSeq} want=$want")
+    }
+  }
+
   test("multimodal decode meta matches spark-side recomputation") {
     val meta = graft.multimodal.Multimodal
       .decodeMeta(spark, Tables.documents(spark, sf0001))
