@@ -198,6 +198,56 @@ object PipelineQueries {
         .withColumn("rk", row_number().over(w).cast("int"))
         .filter(col("rk") <= 5)
         .select(col("doc_id"), col("source"), col("rk"))
+    }),
+
+    // UniMax language-balanced sampling (Chung et al. 2023, "UniMax:
+    // Fairer and More Effective Language Sampling for Large-Scale
+    // Multilingual Pretraining", arXiv:2304.09151): distribute a total
+    // character budget across languages as uniformly as possible subject
+    // to an epoch cap — visit languages SMALLEST-FIRST; each takes
+    // min(maxEpochs·size, remaining_budget/remaining_langs), so small
+    // languages cap at maxEpochs repeats (never oversampled into
+    // memorization) and large ones split the rest evenly. Integerized
+    // with floor divisions so every quantity is exact BIGINT arithmetic
+    // in both engines — the oracle replays the waterfill as a recursive
+    // CTE, hash-exact with zero FP machinery. Per-language epochs then
+    // become per-doc repeat counts: floor(epochs) for everyone, plus one
+    // extra epoch for the md5-ranked doc prefix whose cumulative chars
+    // fit the fractional remainder (the replay-stable hash-order recipe
+    // sample_stratified uses). Shape: the waterfill runs on a
+    // #languages-row aggregate — bounded MODEL state on the driver, like
+    // BPE's merge list; the allocation table is a k-row broadcast join;
+    // the only window partitions by lang (at 100 TB a skewed giant
+    // language swaps the prefix cut for the two-pass bucketed cumsum —
+    // same winners, no single-reducer window; budget = total/2 and
+    // maxEpochs = 3 are fixture-scale stand-ins for run config).
+    "sample_unimax" -> ((s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val stats = docs.groupBy("lang")
+        .agg(sum("n_chars").as("chars")).as[(String, Long)].collect()
+        .sortBy { case (lang, c) => (c, lang) }
+      val maxEpochs = 3L
+      var b = stats.map(_._2).sum / 2
+      var k = stats.length.toLong
+      val alloc = stats.map { case (lang, langChars) =>
+        val a = math.min(maxEpochs * langChars, b / k)
+        b -= a; k -= 1
+        (lang, langChars, a)
+      }
+      val allocDf = broadcast(
+        alloc.toSeq.toDF("lang", "lang_chars", "alloc"))
+      val h = md5(col("doc_id").cast("string").cast("binary"))
+      val w = Window.partitionBy("lang").orderBy(h.asc, col("doc_id").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      docs.select(col("doc_id"), col("lang"), col("n_chars"))
+        .join(allocDf, Seq("lang"))
+        .withColumn("cum", sum(col("n_chars")).over(w))
+        .select(col("doc_id"), col("lang"),
+          (expr("alloc div greatest(lang_chars, 1L)") +
+            when(col("cum") <= col("alloc") %
+              greatest(col("lang_chars"), lit(1L)), 1L).otherwise(0L))
+            .as("n_repeats"))
     }))
 
   /** Seed for sample_weighted's md5-uniform draw — fixed so a training
@@ -306,5 +356,37 @@ object PipelineQueries {
         |  CAST(ROW_NUMBER() OVER (PARTITION BY source
         |       ORDER BY k ASC, doc_id ASC) AS INTEGER) AS rk
         |  FROM k)
-        |SELECT doc_id, source, rk FROM r WHERE rk <= 5""".stripMargin)
+        |SELECT doc_id, source, rk FROM r WHERE rk <= 5""".stripMargin,
+    // the integerized UniMax waterfill replayed as a recursive CTE —
+    // smallest-first visit order, floor divisions, LEAST caps: pure
+    // BIGINT arithmetic end to end, so the compare needs no FP pins
+    "sample_unimax" ->
+      """WITH RECURSIVE stats AS (
+        |  SELECT lang, CAST(SUM(n_chars) AS BIGINT) AS L
+        |  FROM documents GROUP BY 1),
+        |ord AS (SELECT lang, L,
+        |  CAST(row_number() OVER (ORDER BY L ASC, lang ASC) AS BIGINT) AS rn
+        |  FROM stats),
+        |tot AS (SELECT CAST(SUM(L) AS BIGINT) // 2 AS b0,
+        |  CAST(COUNT(*) AS BIGINT) AS k0 FROM stats),
+        |fill AS (
+        |  SELECT CAST(0 AS BIGINT) AS rn, b0 AS b, k0 AS k,
+        |    CAST(NULL AS VARCHAR) AS lang, CAST(0 AS BIGINT) AS a,
+        |    CAST(0 AS BIGINT) AS L
+        |  FROM tot
+        |  UNION ALL
+        |  SELECT o.rn, f.b - LEAST(3 * o.L, f.b // f.k), f.k - 1,
+        |    o.lang, LEAST(3 * o.L, f.b // f.k), o.L
+        |  FROM fill f JOIN ord o ON o.rn = f.rn + 1),
+        |alloc AS (SELECT lang, L, a FROM fill WHERE rn > 0),
+        |c AS (SELECT d.doc_id, d.lang, al.a, al.L,
+        |  SUM(d.n_chars) OVER (PARTITION BY d.lang
+        |    ORDER BY md5(CAST(d.doc_id AS VARCHAR)) ASC, d.doc_id ASC
+        |    ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM documents d JOIN alloc al USING (lang))
+        |SELECT doc_id, lang,
+        |  a // GREATEST(L, 1) +
+        |    CASE WHEN cum <= a % GREATEST(L, 1) THEN 1 ELSE 0 END
+        |    AS n_repeats
+        |FROM c""".stripMargin)
 }

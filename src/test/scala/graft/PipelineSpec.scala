@@ -150,6 +150,60 @@ class PipelineSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("unimax: epoch cap, budget conservation, smallest-first fairness") {
+    // Pins the integerized UniMax waterfill's invariants at both fixture
+    // scales (the oracle already proves Spark == DuckDB; this proves
+    // both match the PAPER's contract):
+    //  - no language exceeds the epoch cap (n_repeats ≤ 3 for every doc);
+    //  - assigned chars per language ≤ its allocation, allocations sum
+    //    to ≤ the budget, and the leftover is < the remaining languages'
+    //    headroom (the fill is maximal up to floor rounding);
+    //  - non-capped allocations are non-decreasing in visit order
+    //    (uniformity: later/larger languages never get less).
+    Seq(sf001, sf01).foreach { sf =>
+      val docs = Tables.documents(spark, sf)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .as[(Long, String, Long)].collect()
+      val byLang = docs.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+      val budget = byLang.values.sum / 2
+      val out = graft.queries.PipelineQueries
+        .queries("sample_unimax")(spark, sf)
+        .as[(Long, String, Long)].collect()
+      assert(out.length == docs.length)
+      assert(out.forall { case (_, _, r) => r >= 0 && r <= 3 },
+        s"$sf epoch cap violated: ${out.filter(_._3 > 3).take(3).toSeq}")
+      // replay the waterfill
+      val stats = byLang.toSeq.sortBy { case (l, c) => (c, l) }
+      var b = budget
+      var k = stats.length.toLong
+      val alloc = stats.map { case (lang, c) =>
+        val a = math.min(3 * c, b / k); b -= a; k -= 1; (lang, c, a)
+      }
+      assert(alloc.map(_._3).sum <= budget)
+      // maximal fill: leftover only from floor rounding or every lang
+      // at cap — less than one char per remaining lang plus cap slack
+      val uncapped = alloc.filter { case (_, c, a) => a < 3 * c }
+      assert(b < math.max(uncapped.size, 1),
+        s"$sf leftover $b with ${uncapped.size} uncapped langs")
+      // fairness: uncapped allocations non-decreasing in visit order
+      uncapped.map(_._3).sliding(2).foreach { w =>
+        if (w.size == 2) assert(w(0) <= w(1), s"$sf fairness: $uncapped")
+      }
+      // per-language assigned chars = Σ n_repeats·n_chars ≤ allocation,
+      // and within one max-doc of it (the prefix cut wastes < 1 doc)
+      val nc = docs.map(t => t._1 -> t._3).toMap
+      val assigned = out.groupBy(_._2).view
+        .mapValues(_.map { case (id, _, r) => nc(id) * r }.sum).toMap
+      alloc.foreach { case (lang, _, a) =>
+        val got = assigned.getOrElse(lang, 0L)
+        val maxDoc = docs.filter(_._2 == lang).map(_._3).max
+        assert(got <= a, s"$sf $lang assigned $got > alloc $a")
+        assert(a - got <= maxDoc,
+          s"$sf $lang left ${a - got} unfilled > max doc $maxDoc")
+      }
+    }
+  }
+
   test("repetition: planted repetitive text scores high, varied text low") {
     val df = Seq(
       (1L, "spam spam spam spam spam spam spam spam spam spam"),
