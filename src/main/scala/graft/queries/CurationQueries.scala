@@ -403,6 +403,37 @@ object CurationQueries {
           bpeTokenCount(bpeEncodeExpr(col("w"), merges)).as("n_bpe"))
     }),
 
+    // Tokenizer fertility per language (Rust et al. 2021, "How Good is
+    // Your Tokenizer?", arXiv:2012.15613 — fertility = subword tokens
+    // per word, THE standard cross-lingual tokenizer-quality metric:
+    // high-fertility languages pay more compute per word and exhaust
+    // context windows sooner, which is exactly what a multilingual
+    // data-mixing pipeline needs to see next to sample_unimax's budget
+    // split). Measured on the corpus-learned BPE tokenizer
+    // (ta_bpe_merges' model): per language, Σ tokens / Σ words and
+    // chars-per-token (compression), both as exact basis points (the
+    // floor(·10000/den) recipe). Shape: the encode is the same
+    // zero-shuffle literal-cascade projection as ta_bpe_encode; the
+    // aggregate is a #languages-row groupBy with map-side combine.
+    "ta_fertility" -> ((s, d) => {
+      val merges = bpeMerges(s, d)
+      Tables.documents(s, d)
+        .select(col("lang"), col("n_chars"), tokens(col("text")).as("w"))
+        .select(col("lang"), col("n_chars"),
+          size(col("w")).cast("long").as("n_raw"),
+          bpeTokenCount(bpeEncodeExpr(col("w"), merges)).as("n_bpe"))
+        .groupBy("lang")
+        .agg(sum("n_raw").as("n_words"), sum("n_bpe").as("n_tokens"),
+          sum("n_chars").as("sum_chars"))
+        .select(col("lang"), col("n_words"), col("n_tokens"),
+          when(col("n_words") > 0,
+            floor(col("n_tokens").cast("double") * 10000 / col("n_words")))
+            .cast("long").as("fertility_bp"),
+          when(col("n_tokens") > 0,
+            floor(col("sum_chars").cast("double") * 10000 / col("n_tokens")))
+            .cast("long").as("chars_per_token_bp"))
+    }),
+
     // Mergeable distinct-count sketches (Apache DataSketches HLL via
     // Spark built-ins): per-language token sketches + their union — the
     // sketch algebra a 100 TB pipeline ships to the driver instead of
@@ -636,7 +667,11 @@ object CurationQueries {
     * pattern/replacement is a scalar subquery over it, COALESCEd to a
     * never-matching chr(4) so absent ranks no-op exactly like Spark's
     * shorter foldLeft when the corpus has <20 distinct pairs. */
-  private def bpeEncodeOracle: String = {
+  /** Shared WITH-prefix for the BPE cascade oracles: merge-table
+    * derivation + the 20-deep replace chain, ending in a `cnt` CTE of
+    * (doc_id, n_raw, n_bpe). ta_bpe_encode selects it directly;
+    * ta_fertility aggregates it per language. */
+  private def bpeCascadePrefix: String = {
     val pat = (rn: Int) =>
       "COALESCE((SELECT chr(2) || replace(pair, ' ', chr(3) || chr(2)) " +
         s"|| chr(3) FROM m WHERE rn = $rn), chr(4))"
@@ -662,11 +697,33 @@ object CurationQueries {
        |          CASE WHEN len(w) = 0 THEN ''
        |               ELSE chr(2) || array_to_string(w, chr(3) || chr(2))
        |                    || chr(3) END AS s0
-       |        FROM t))
-       |SELECT doc_id, n_raw,
+       |        FROM t)),
+       |cnt AS (SELECT doc_id, n_raw,
        |  len(enc_s) - len(replace(enc_s, chr(2), '')) AS n_bpe
-       |FROM enc""".stripMargin
+       |  FROM enc)""".stripMargin
   }
+
+  // NB: suffixes are stripMargin'd SEPARATELY and concatenated — an
+  // outer stripMargin over the interpolated prefix would re-strip a
+  // pipe from any prefix line whose content begins with `||` (the
+  // double-stripMargin trap; it ate a concat operator here once).
+  private def bpeEncodeOracle: String =
+    bpeCascadePrefix + "\nSELECT doc_id, n_raw, n_bpe FROM cnt"
+
+  private def fertilityOracle: String =
+    bpeCascadePrefix + "\n" +
+      """SELECT d.lang,
+        |  CAST(SUM(c.n_raw) AS BIGINT) AS n_words,
+        |  CAST(SUM(c.n_bpe) AS BIGINT) AS n_tokens,
+        |  CASE WHEN SUM(c.n_raw) > 0 THEN
+        |    CAST(FLOOR(CAST(SUM(c.n_bpe) AS DOUBLE) * 10000
+        |      / CAST(SUM(c.n_raw) AS BIGINT)) AS BIGINT) END AS fertility_bp,
+        |  CASE WHEN SUM(c.n_bpe) > 0 THEN
+        |    CAST(FLOOR(CAST(SUM(d.n_chars) AS DOUBLE) * 10000
+        |      / CAST(SUM(c.n_bpe) AS BIGINT)) AS BIGINT) END
+        |    AS chars_per_token_bp
+        |FROM cnt c JOIN documents d USING (doc_id)
+        |GROUP BY d.lang""".stripMargin
 
   /** The rank-ordered merge list ta_bpe_encode applies — EXACTLY
     * ta_bpe_merges' result (same plan), collected once per dataset
@@ -852,6 +909,7 @@ object CurationQueries {
         |SELECT pair, COUNT(*) AS cnt FROM bg GROUP BY pair
         |ORDER BY cnt DESC, pair ASC LIMIT 20""".stripMargin,
     "ta_bpe_encode" -> bpeEncodeOracle,
+    "ta_fertility" -> fertilityOracle,
     "ta_boilerplate" ->
       """WITH docs AS (
         |  SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS w

@@ -428,4 +428,33 @@ class CurationSpec extends SparkSpec {
     // the merge table actually bites on the fixture
     assert(out.exists { case (_, r, b) => b < r }, "no doc merged")
   }
+
+  test("ta_fertility: per-language ratios equal a recomputation from " +
+    "ta_bpe_encode, and the word-merge tokenizer compresses") {
+    val enc = CurationQueries.queries("ta_bpe_encode")(spark, sf0001)
+      .as[(Long, Long, Long)].collect()
+    val meta = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .as[(Long, String, Long)].collect()
+      .map(t => t._1 -> (t._2, t._3)).toMap
+    val byLang = enc.groupBy { case (id, _, _) => meta(id)._1 }
+    val got = CurationQueries.queries("ta_fertility")(spark, sf0001)
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got.keySet == byLang.keySet)
+    byLang.foreach { case (lang, rows) =>
+      val words = rows.map(_._2).sum
+      val toksN = rows.map(_._3).sum
+      val chars = rows.map { case (id, _, _) => meta(id)._2 }.sum
+      val (gw, gt, fert, cpt) = got(lang)
+      assert(gw == words && gt == toksN, s"$lang counts drifted")
+      assert(fert == math.floor(toksN.toDouble * 10000 / words).toLong)
+      assert(cpt == math.floor(chars.toDouble * 10000 / toksN).toLong)
+      // our BPE merges whole word-tokens, so the tokenizer can only
+      // COMPRESS: fertility ≤ 1.0 (10000 bp), and strictly < where the
+      // merge table bites
+      assert(fert > 0 && fert <= 10000, s"$lang fertility $fert")
+    }
+    assert(got.values.exists(_._3 < 10000), "merges never fired")
+  }
 }
