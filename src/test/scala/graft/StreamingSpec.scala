@@ -144,6 +144,20 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.subsetOf(batch),
       s"streamed results not a subset of batch: ${streamed.diff(batch).take(3)}")
     assert(streamed.size >= batch.size / 2)
+    // EXACT agreement on the finalized region: the only rows batch has
+    // and the stream withheld must be windows the 10-minute watermark
+    // could not finalize — i.e. windows whose END is past
+    // max(event ts) − 10 min. Anything older that went missing would be
+    // a real divergence, not append-mode semantics.
+    val maxTs = Tables.events(spark, sf0001)
+      .agg(max(unix_micros(col("ts")))).head().getLong(0)
+    val horizonUs = maxTs - 10L * 60 * 1000000
+    val badlyMissing = batch.diff(streamed).filter { r =>
+      val endUs = r.getTimestamp(0).getTime * 1000 + 3600L * 1000000
+      endUs <= horizonUs
+    }
+    assert(badlyMissing.isEmpty,
+      s"finalized windows missing from the stream: ${badlyMissing.take(3)}")
   }
 
   test("streaming word count converges to batch counts in the doc store") {
