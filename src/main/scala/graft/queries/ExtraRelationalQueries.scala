@@ -253,6 +253,63 @@ object ExtraRelationalQueries {
           min(col("us")).as("start_us"), max(col("us")).as("end_us"))
     }),
 
+    // Gaps-and-islands / SCD2 run compression: collapse each user's
+    // CONSECUTIVE runs of the same event_type into one versioned row
+    // (valid_from/valid_to + run length) — the slowly-changing-dimension
+    // type-2 build every warehouse runs on change streams, and the
+    // classic islands pattern: lag() marks change points, a running sum
+    // numbers the islands, one aggregate per island. Shape: both
+    // windows and the final groupBy share the user_id partition key —
+    // ONE shuffle total at any scale; state per row is two narrow
+    // columns. NULL-ts rows are excluded for the q60 ordering reason.
+    "q68_value_islands" -> ((s, d) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("us").asc, col("event_id").asc)
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"))
+        .filter(col("us").isNotNull)
+        .withColumn("chg",
+          when(lag(col("event_type"), 1).over(w).isNull ||
+            lag(col("event_type"), 1).over(w) =!= col("event_type"), 1L)
+            .otherwise(0L))
+        .withColumn("island", sum(col("chg"))
+          .over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("long"))
+        .groupBy("user_id", "island")
+        .agg(min(col("event_type")).as("event_type"),
+          min(col("us")).as("valid_from_us"),
+          max(col("us")).as("valid_to_us"),
+          count(lit(1)).as("n_events"))
+    }),
+
+    // MERGE INTO / upsert semantics (the lakehouse write path, SQL:2003
+    // MERGE): a source of per-user latest event values merged into the
+    // customer dimension — WHEN MATCHED the balance updates to the
+    // event value, WHEN NOT MATCHED BY TARGET the user inserts as a new
+    // row, WHEN NOT MATCHED BY SOURCE the customer row carries over.
+    // Expressed as compact-latest (q67's shape) + one full outer join
+    // with COALESCE/CASE — exactly the plan Delta/Iceberg MERGE lowers
+    // to, shuffling both sides once on the merge key. The `action`
+    // column makes the three MERGE branches auditable (and the compare
+    // total: every target and source row accounted for exactly once).
+    "q69_merge_upsert" -> ((s, d) => {
+      val wl = Window.partitionBy("user_id")
+        .orderBy(unix_micros(col("ts")).desc, col("event_id").desc)
+      val src = Tables.events(s, d)
+        .filter(col("ts").isNotNull)
+        .withColumn("rn", row_number().over(wl))
+        .filter(col("rn") === 1)
+        .select(col("user_id").as("key"), col("value").as("src_value"))
+      val tgt = Tables.customer(s, d)
+        .select(col("c_custkey").as("key"), col("c_acctbal"))
+      tgt.join(src, Seq("key"), "full_outer")
+        .select(col("key"),
+          coalesce(col("src_value"), col("c_acctbal")).as("acctbal"),
+          when(col("c_acctbal").isNull, "insert")
+            .when(col("src_value").isNull, "keep")
+            .otherwise("update").as("action"))
+    }),
+
     // Time-series resample with gap filling: per-user hourly buckets from
     // the user's first to last event, zero-filled where no events landed
     // — the "regularize an irregular series" operator behind rate
@@ -459,6 +516,37 @@ object ExtraRelationalQueries {
         |  CAST(COALESCE(p.sv, 0) AS DOUBLE) AS sum_value
         |FROM s LEFT JOIN p
         |  ON s.user_id = p.user_id AND s.hr = p.hr""".stripMargin,
+    "q68_value_islands" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+        |  FROM events WHERE ts IS NOT NULL),
+        |m AS (SELECT user_id, event_id, event_type, us,
+        |  CASE WHEN LAG(event_type) OVER (PARTITION BY user_id
+        |           ORDER BY us ASC, event_id ASC) IS NULL
+        |         OR LAG(event_type) OVER (PARTITION BY user_id
+        |           ORDER BY us ASC, event_id ASC) <> event_type
+        |       THEN 1 ELSE 0 END AS chg
+        |  FROM e),
+        |i AS (SELECT user_id, event_id, event_type, us,
+        |  SUM(chg) OVER (PARTITION BY user_id ORDER BY us ASC, event_id ASC
+        |    ROWS UNBOUNDED PRECEDING) AS island
+        |  FROM m)
+        |SELECT user_id, CAST(island AS BIGINT) AS island,
+        |  MIN(event_type) AS event_type,
+        |  MIN(us) AS valid_from_us, MAX(us) AS valid_to_us,
+        |  COUNT(*) AS n_events
+        |FROM i GROUP BY user_id, island""".stripMargin,
+    "q69_merge_upsert" ->
+      """WITH src AS (SELECT user_id AS key, value AS src_value FROM (
+        |  SELECT user_id, value, ROW_NUMBER() OVER (PARTITION BY user_id
+        |    ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+        |  FROM events WHERE ts IS NOT NULL) WHERE rn = 1),
+        |tgt AS (SELECT c_custkey AS key, c_acctbal FROM customer)
+        |SELECT COALESCE(t.key, s.key) AS key,
+        |  COALESCE(s.src_value, t.c_acctbal) AS acctbal,
+        |  CASE WHEN t.c_acctbal IS NULL THEN 'insert'
+        |       WHEN s.src_value IS NULL THEN 'keep'
+        |       ELSE 'update' END AS action
+        |FROM tgt t FULL OUTER JOIN src s ON t.key = s.key""".stripMargin,
     "q54_global_rank_scalable" ->
       """SELECT p_partkey, p_name, p_retailprice,
         |  ROW_NUMBER() OVER (ORDER BY p_retailprice DESC, p_partkey ASC)

@@ -149,6 +149,54 @@ class ExtraRelationalSpec extends SparkSpec {
       "an idle hour should be zero-filled (fixture spans idle hours)")
   }
 
+  test("q68_value_islands: islands conserve events, are maximal, and " +
+    "reassemble the per-user timeline") {
+    val ev = Tables.events(spark, sf001)
+      .filter(col("ts").isNotNull)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .as[(Long, Long, String, Long)].collect()
+    val out = ExtraRelationalQueries.queries("q68_value_islands")(spark, sf001)
+      .as[(Long, Long, String, Long, Long, Long)].collect()
+    // conservation: island event counts sum to the event total
+    assert(out.map(_._6).sum == ev.length)
+    // replay: compressing each user's (us, event_id)-ordered type
+    // sequence must reproduce the islands exactly — order, type, span
+    ev.groupBy(_._1).foreach { case (uid, rows) =>
+      val seq = rows.sortBy(r => (r._4, r._2))
+      val runs = scala.collection.mutable.Buffer[(String, Long, Long, Long)]()
+      seq.foreach { case (_, _, t, us) =>
+        if (runs.nonEmpty && runs.last._1 == t) {
+          val l = runs.last
+          runs(runs.size - 1) = (l._1, l._2, us, l._4 + 1)
+        } else runs += ((t, us, us, 1L))
+      }
+      val got = out.filter(_._1 == uid).sortBy(_._2)
+        .map(r => (r._3, r._4, r._5, r._6)).toSeq
+      assert(got == runs.toSeq, s"user $uid islands drifted")
+      // maximality: adjacent islands always change type
+      got.lazyZip(got.drop(1)).foreach { case (a, b) =>
+        assert(a._1 != b._1, s"user $uid has mergeable adjacent islands")
+      }
+    }
+  }
+
+  test("q69_merge_upsert: the three MERGE branches account for every " +
+    "target and source row exactly once") {
+    val tgtKeys = Tables.customer(spark, sf001)
+      .select(col("c_custkey")).as[Long].collect().toSet
+    val srcKeys = Tables.events(spark, sf001).filter(col("ts").isNotNull)
+      .select(col("user_id")).distinct().as[Long].collect().toSet
+    val out = ExtraRelationalQueries.queries("q69_merge_upsert")(spark, sf001)
+      .as[(Long, Double, String)].collect()
+    assert(out.length == (tgtKeys ++ srcKeys).size)
+    assert(out.map(_._1).toSet == (tgtKeys ++ srcKeys))
+    val byAction = out.groupBy(_._3).view.mapValues(_.map(_._1).toSet).toMap
+    assert(byAction.getOrElse("insert", Set()) == srcKeys.diff(tgtKeys))
+    assert(byAction.getOrElse("keep", Set()) == tgtKeys.diff(srcKeys))
+    assert(byAction.getOrElse("update", Set()) == tgtKeys.intersect(srcKeys))
+  }
+
   test("q57_approx_quantile tracks exact order statistics") {
     val approx = ExtraRelationalQueries
       .queries("q57_approx_quantile")(spark, sf001)
