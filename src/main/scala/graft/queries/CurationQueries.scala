@@ -501,6 +501,57 @@ object CurationQueries {
       }
     }),
 
+    // The full D4 recipe (Tirumala et al. 2023, arXiv:2308.12284),
+    // composed end-to-end: SemDeDup drops within-cluster semantic
+    // duplicates, THEN prototypicality pruning ranks the SURVIVORS per
+    // cluster and keeps the most-diverse 75% — the exact two-stage
+    // order the paper ablates (dedup before diversification matters:
+    // duplicate clumps would otherwise dominate the prototype region
+    // and distort the rank cut). Emits pipeline_e2e-style stage flags
+    // (sem_dup, proto_kept NULL for dropped dups) + the final
+    // `survives` verdict. No NEW cross-engine surfaces: the dist
+    // ranking over a survivor SUBSET inherits the full per-cell
+    // adjacent-gap margins already pinned for curate_prototypes
+    // (subset adjacent gaps can only be ≥ full adjacent gaps), and the
+    // dup decisions are dedup_semantic's pinned thresholds. Shape: one
+    // extra narrow survivor join on vec_id + the cluster-local window —
+    // nothing wide crosses a shuffle that didn't already.
+    "curate_d4" -> ((s, d) => {
+      import s.implicits._
+      val e = SimilarityQueries.rawVecs(s, d)
+      val centroids = SimilarityQueries.ivfModel(s, d)
+      if (centroids.isEmpty)
+        e.select(col("vec_id"), lit(0).as("cell"),
+          lit(false).as("sem_dup"), lit(false).as("proto_kept"),
+          lit(false).as("survives")).limit(0)
+      else {
+        val sem = DedupQueries.queries("dedup_semantic")(s, d)
+        val surv = sem.filter(!col("is_dup"))
+          .select(col("vec_id"), col("cell"))
+        val cdf = centroids.zipWithIndex.map { case (c, i) => (i, c) }
+          .toDF("cell", "c_v")
+        val narrow = surv.join(e, Seq("vec_id"))
+          .join(broadcast(cdf), Seq("cell"))
+          .select(col("vec_id"), col("cell"),
+            (VectorFunctions.dot(col("v"), col("v")) +
+              VectorFunctions.dot(col("c_v"), col("c_v")) -
+              VectorFunctions.dot(col("v"), col("c_v")) * 2).as("dist_sq"))
+        val w = Window.partitionBy("cell")
+        val ranked = narrow
+          .withColumn("rn", row_number().over(
+            w.orderBy(col("dist_sq").desc, col("vec_id"))))
+          .withColumn("n", count(lit(1)).over(w))
+          .select(col("vec_id"),
+            (col("rn") === 1 || col("rn") * 4 <= col("n") * 3)
+              .as("proto_kept"))
+        sem.join(ranked, Seq("vec_id"), "left")
+          .select(col("vec_id"), col("cell"),
+            col("is_dup").as("sem_dup"), col("proto_kept"),
+            (!col("is_dup") && coalesce(col("proto_kept"), lit(false)))
+              .as("survives"))
+      }
+    }),
+
     // Perplexity-style LM quality filter, log-free: train an add-1-
     // smoothed bigram model ON THE CORPUS ITSELF (the CCNet/Wikipedia-LM
     // recipe, Wenzek et al. 2020, arXiv:1911.00359 — score each doc by
@@ -837,6 +888,34 @@ object CurationQueries {
     // left-to-right association the query uses ((v·v + c·c) − 2·v·c)
     // and every within-cluster adjacent gap is margin-pinned, so the
     // rankings agree decision-for-decision across engines
+    // the D4 composition: dedup_semantic's un/dup CTEs, then the
+    // curate_prototypes rank restricted to survivors, stage flags out
+    "curate_d4" ->
+      s"""${SimilarityQueries.ivfChainSql},
+         |un AS (SELECT vec_id, cell,
+         |         list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS u
+         |       FROM af WHERE cell IS NOT NULL),
+         |dup AS (SELECT x.vec_id FROM un x WHERE EXISTS (
+         |  SELECT 1 FROM un y
+         |  WHERE y.cell = x.cell AND y.vec_id < x.vec_id
+         |    AND list_dot_product(x.u, y.u) >= ${DedupQueries.SemThreshold})),
+         |dd AS (SELECT af.vec_id, af.cell,
+         |         list_dot_product(af.v, af.v) + list_dot_product(c.v, c.v)
+         |           - 2 * list_dot_product(af.v, c.v) AS dist_sq
+         |       FROM af JOIN c2 c USING (cell)
+         |       WHERE af.cell IS NOT NULL
+         |         AND af.vec_id NOT IN (SELECT vec_id FROM dup)),
+         |r AS (SELECT vec_id,
+         |        row_number() OVER (PARTITION BY cell
+         |          ORDER BY dist_sq DESC, vec_id) AS rn,
+         |        count(*) OVER (PARTITION BY cell) AS n
+         |      FROM dd)
+         |SELECT un.vec_id, CAST(un.cell AS INTEGER) AS cell,
+         |  un.vec_id IN (SELECT vec_id FROM dup) AS sem_dup,
+         |  r.rn = 1 OR r.rn * 4 <= r.n * 3 AS proto_kept,
+         |  COALESCE(r.rn = 1 OR r.rn * 4 <= r.n * 3, FALSE)
+         |    AND un.vec_id NOT IN (SELECT vec_id FROM dup) AS survives
+         |FROM un LEFT JOIN r USING (vec_id)""".stripMargin,
     "curate_prototypes" ->
       s"""${SimilarityQueries.ivfChainSql},
          |dd AS (SELECT af.vec_id, af.cell,

@@ -429,6 +429,31 @@ class CurationSpec extends SparkSpec {
     assert(out.exists { case (_, r, b) => b < r }, "no doc merged")
   }
 
+  test("curate_d4: stage flags agree with dedup_semantic, and the " +
+    "survivor-only keep rule holds per cluster") {
+    val d4 = CurationQueries.queries("curate_d4")(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2),
+        if (r.isNullAt(3)) None else Some(r.getBoolean(3)),
+        r.getBoolean(4)))
+    val sem = graft.queries.DedupQueries.queries("dedup_semantic")(
+      spark, sf001).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(d4.length == sem.size)
+    d4.foreach { case (id, _, dup, kept, survives) =>
+      assert(dup == sem(id), s"vec $id sem_dup drifted from dedup_semantic")
+      assert(kept.isEmpty == dup, s"vec $id proto_kept null-ness wrong")
+      assert(survives == (!dup && kept.contains(true)), s"vec $id verdict")
+    }
+    // keep rule over survivors: per cell, kept == max(1, ⌊3n/4⌋)
+    d4.filter(!_._3).groupBy(_._2).foreach { case (cell, rows) =>
+      val n = rows.length
+      val kept = rows.count(_._4.contains(true))
+      assert(kept == math.max(1, 3 * n / 4), s"cell $cell kept $kept of $n")
+    }
+    // the composition actually bites both ways on the fixture
+    assert(d4.exists(_._3) && d4.exists(r => !r._3 && r._4.contains(false)))
+  }
+
   test("ta_fertility: per-language ratios equal a recomputation from " +
     "ta_bpe_encode, and the word-merge tokenizer compresses") {
     val enc = CurationQueries.queries("ta_bpe_encode")(spark, sf0001)
