@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.TopKAggregator
+import graft.operators.Checkpoint.CheckpointOps
 import graft.operators.Salting
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -29,6 +30,57 @@ object MiscQueries {
         .select(col("o_custkey"), col("t._2").as("o_orderkey"),
           col("t._1").as("o_totalprice"),
           (col("pos") + 1).cast("int").as("rn"))
+    }),
+
+    // PageRank (Page et al. 1999) over the customer–supplier bipartite
+    // graph induced by orders⋈lineitem — the iterative graph operator
+    // every entity-importance / spam-scoring pipeline runs, in the
+    // Pregel shape Spark executes well: per iteration ONE edge-to-rank
+    // join on the src key plus one dst-keyed aggregate, nothing but
+    // (node, double) crossing the wire. The edge list is derived once
+    // and checkpointed (three iterations + degree reuse it); N and the
+    // iteration count are the only driver state (two scalars). Fixed 3
+    // iterations, damping 0.85, undirected edges (every node has
+    // degree ≥ 1 by construction — no dangling-mass term needed).
+    //
+    // Cross-engine exactness, with NO rounding hedge: r/deg and the
+    // damping update are IEEE ops on identical inputs; the per-node
+    // contribution sum — the one order-sensitive reduction — goes
+    // through the shortest-repr decimal(38,28) exact-sum machinery
+    // (the curate_lm_score recipe), so ranks are bit-identical doubles
+    // after every iteration. Damping constants enter DuckDB as
+    // CAST('0.15' AS DOUBLE) VARCHAR parses (a bare 0.15 literal is
+    // DECIMAL(3,2) there and double-rounds — the rpOracle lesson).
+    "graph_pagerank" -> ((s, d) => {
+      val eo = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"))
+        .join(Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_suppkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("src"),
+          (col("l_suppkey") * 2 + 1).as("dst"))
+        .distinct()
+      val bi = eo.unionAll(
+        eo.select(col("dst").as("src"), col("src").as("dst")))
+        .buildCheckpoint() // 3 iterations + degree all re-scan the edges
+      val deg = bi.groupBy("src").agg(count(lit(1)).as("deg"))
+      val nn = deg.count() // bounded driver state: one scalar
+      var ranks = deg.select(col("src").as("node"),
+        lit(1.0 / nn).as("r"))
+      for (_ <- 1 to 3) {
+        val contrib = bi
+          .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
+          .join(deg, Seq("src"))
+          .select(col("dst").as("node"),
+            (col("r") / col("deg").cast("double")).as("c"))
+        ranks = contrib.groupBy("node")
+          .agg((lit(0.15 / nn) + lit(0.85) *
+            sum(col("c").cast("decimal(38,28)")).cast("double")).as("r"))
+      }
+      ranks.select(
+        when(col("node") % 2 === 0, "customer").otherwise("supplier")
+          .as("node_type"),
+        expr("node div 2").as("id"), col("r").as("pagerank"))
     }),
 
     // Banded range join: ordered event pairs of the same user within
@@ -279,7 +331,39 @@ object MiscQueries {
           coalesce(element_at(col("m"), "O"), lit(0L)).as("n_o"))
     }))
 
+  /** DuckDB oracle for graph_pagerank, GENERATED with one CTE per
+    * iteration: the contribution sum rides the VARCHAR-mediated
+    * DECIMAL(38,28) exact-sum recipe and the damping constants enter as
+    * VARCHAR-parsed doubles, so every rank is bit-identical to Spark's
+    * (see the query's exactness note). */
+  private def pagerankOracle: String = {
+    def iter(prev: String, cur: String) =
+      s"""$cur AS (SELECT b.dst AS node,
+         |  CAST('0.15' AS DOUBLE) / n.nn + CAST('0.85' AS DOUBLE) *
+         |    CAST(CAST(SUM(CAST(CAST(p.r / d.deg AS VARCHAR)
+         |      AS DECIMAL(38,28))) AS VARCHAR) AS DOUBLE) AS r
+         |  FROM bi b JOIN $prev p ON p.node = b.src
+         |    JOIN deg d ON d.src = b.src, n
+         |  GROUP BY b.dst, n.nn)""".stripMargin
+    s"""WITH eo AS (SELECT DISTINCT o_custkey * 2 AS src,
+       |    l_suppkey * 2 + 1 AS dst
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       |bi AS (SELECT src, dst FROM eo
+       |       UNION ALL SELECT dst AS src, src AS dst FROM eo),
+       |deg AS (SELECT src, COUNT(*) AS deg FROM bi GROUP BY 1),
+       |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM deg),
+       |r0 AS (SELECT src AS node, CAST(1 AS DOUBLE) / nn AS r FROM deg, n),
+       |${iter("r0", "r1")},
+       |${iter("r1", "r2")},
+       |${iter("r2", "r3")}
+       |SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END
+       |    AS node_type,
+       |  node // 2 AS id, r AS pagerank
+       |FROM r3""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "graph_pagerank" -> pagerankOracle,
     "q35_topk_agg" -> RelationalQueries.oracles("q9_rank_orders_per_customer"),
     "q41_asof_custom" -> RelationalQueries.oracles("q33_asof_last_click"),
     "q44_smj_join" ->

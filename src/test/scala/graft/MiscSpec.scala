@@ -53,4 +53,45 @@ class MiscSpec extends SparkSpec {
     assert(plan.contains("bitmap_construct_agg") ||
       plan.toLowerCase.contains("bitmapconstructagg"))
   }
+
+  test("graph_pagerank: mass conservation, positivity, and a plain-Scala " +
+    "power-iteration replay agrees bit-for-bit") {
+    val out = MiscQueries.queries("graph_pagerank")(spark, sf001)
+      .as[(String, Long, Double)].collect()
+    // undirected + no dangling nodes ⇒ total mass stays 1 (up to FP)
+    val mass = out.map(_._3).sum
+    assert(math.abs(mass - 1.0) < 1e-9, s"mass $mass")
+    assert(out.forall(_._3 > 0))
+    assert(out.map(r => (r._1, r._2)).distinct.length == out.length)
+    // replay: 3 damped iterations with exact BigDecimal contribution
+    // sums over the same edge list must reproduce every double exactly
+    val edges = Tables.orders(spark, sf001)
+      .select(col("o_orderkey"), col("o_custkey"))
+      .join(Tables.lineitem(spark, sf001)
+        .select(col("l_orderkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("src"),
+        (col("l_suppkey") * 2 + 1).as("dst"))
+      .distinct().as[(Long, Long)].collect()
+    val bi = edges ++ edges.map { case (a, b) => (b, a) }
+    val deg = bi.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val nn = deg.size
+    var r = deg.keys.map(_ -> 1.0 / nn).toMap
+    for (_ <- 1 to 3) {
+      val sums = scala.collection.mutable.Map[Long, BigDecimal]()
+      bi.foreach { case (s, t) =>
+        val c = r(s) / deg(s)
+        // mirror Spark's double→decimal(38,28) shortest-repr cast
+        val dec = BigDecimal(c.toString).setScale(28,
+          BigDecimal.RoundingMode.HALF_UP)
+        sums(t) = sums.getOrElse(t, BigDecimal(0)) + dec
+      }
+      r = sums.map { case (node, sm) =>
+        node -> (0.15 / nn + 0.85 * sm.toDouble) }.toMap
+    }
+    val want = r.map { case (node, pr) =>
+      ((if (node % 2 == 0) "customer" else "supplier"), node / 2, pr) }.toSet
+    assert(out.toSet == want,
+      s"diff=${out.toSet.diff(want).take(3)} / ${want.diff(out.toSet).take(3)}")
+  }
 }
