@@ -310,6 +310,47 @@ object ExtraRelationalQueries {
             .otherwise("update").as("action"))
     }),
 
+    // Robust statistics / outlier detection: per-segment MEDIAN and MAD
+    // (median absolute deviation) with a 3×MAD outlier count — the
+    // data-cleaning screen that survives the heavy tails that break
+    // mean/stddev z-scores. Exactness by construction: both medians are
+    // ORDER STATISTICS (the lower median, rank (n+1) div 2, tie-broken
+    // by o_orderkey) — a picked value, never an interpolation — so the
+    // only FP ops are |x − med| (exact IEEE subtraction of identical
+    // doubles) and one 3×mad multiply, identical in both engines; no
+    // rounding hedge anywhere. Shape: two per-segment rank windows +
+    // key-local joins; at 100 TB a skewed segment swaps the window for
+    // the two-pass bucketed rank (the q55 NTILE arithmetic) — same
+    // picks, no single-reducer sort.
+    "q70_mad_outliers" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+        .join(Tables.customer(s, d),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_mktsegment").as("seg"), col("o_orderkey"),
+          col("o_totalprice").as("x"))
+      val w = Window.partitionBy("seg")
+      val med = o
+        .withColumn("rn", row_number().over(
+          w.orderBy(col("x").asc, col("o_orderkey").asc)))
+        .withColumn("n", count(lit(1)).over(w))
+        .filter(col("rn") === expr("(n + 1) div 2"))
+        .select(col("seg"), col("x").as("med"))
+      val dev = o.join(med, Seq("seg"))
+        .withColumn("adev", abs(col("x") - col("med")))
+      val mad = dev
+        .withColumn("rn", row_number().over(
+          w.orderBy(col("adev").asc, col("o_orderkey").asc)))
+        .withColumn("n", count(lit(1)).over(w))
+        .filter(col("rn") === expr("(n + 1) div 2"))
+        .select(col("seg"), col("adev").as("mad"))
+      dev.join(mad, Seq("seg"))
+        .groupBy("seg")
+        .agg(count(lit(1)).as("n"),
+          min(col("med")).as("median"), min(col("mad")).as("mad"),
+          sum(when(col("adev") > lit(3.0) * col("mad"), 1L).otherwise(0L))
+            .as("n_outliers"))
+    }),
+
     // Time-series resample with gap filling: per-user hourly buckets from
     // the user's first to last event, zero-filled where no events landed
     // — the "regularize an irregular series" operator behind rate
@@ -516,6 +557,27 @@ object ExtraRelationalQueries {
         |  CAST(COALESCE(p.sv, 0) AS DOUBLE) AS sum_value
         |FROM s LEFT JOIN p
         |  ON s.user_id = p.user_id AND s.hr = p.hr""".stripMargin,
+    "q70_mad_outliers" ->
+      """WITH o AS (SELECT c_mktsegment AS seg, o_orderkey, o_totalprice AS x
+        |  FROM orders JOIN customer ON o_custkey = c_custkey),
+        |rk AS (SELECT seg, o_orderkey, x,
+        |  ROW_NUMBER() OVER (PARTITION BY seg
+        |    ORDER BY x ASC, o_orderkey ASC) AS rn,
+        |  COUNT(*) OVER (PARTITION BY seg) AS n FROM o),
+        |med AS (SELECT seg, x AS med FROM rk WHERE rn = (n + 1) // 2),
+        |dev AS (SELECT o.seg, o.o_orderkey, o.x, m.med,
+        |  ABS(o.x - m.med) AS adev FROM o JOIN med m USING (seg)),
+        |mrk AS (SELECT seg, adev,
+        |  ROW_NUMBER() OVER (PARTITION BY seg
+        |    ORDER BY adev ASC, o_orderkey ASC) AS rn,
+        |  COUNT(*) OVER (PARTITION BY seg) AS n FROM dev),
+        |mad AS (SELECT seg, adev AS mad FROM mrk WHERE rn = (n + 1) // 2)
+        |SELECT d.seg, COUNT(*) AS n, MIN(d.med) AS median,
+        |  MIN(md.mad) AS mad,
+        |  CAST(SUM(CASE WHEN d.adev > CAST(3 AS DOUBLE) * md.mad
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |FROM dev d JOIN mad md USING (seg)
+        |GROUP BY d.seg""".stripMargin,
     "q68_value_islands" ->
       """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us
         |  FROM events WHERE ts IS NOT NULL),

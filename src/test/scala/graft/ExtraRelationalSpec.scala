@@ -197,6 +197,33 @@ class ExtraRelationalSpec extends SparkSpec {
     assert(byAction.getOrElse("update", Set()) == tgtKeys.intersect(srcKeys))
   }
 
+  test("q70_mad_outliers: medians are true order statistics and the " +
+    "3xMAD rule matches a plain-Scala recomputation") {
+    val rows = Tables.orders(spark, sf001)
+      .join(Tables.customer(spark, sf001),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment"), col("o_orderkey"), col("o_totalprice"))
+      .as[(String, Long, Double)].collect()
+    val out = ExtraRelationalQueries.queries("q70_mad_outliers")(spark, sf001)
+      .as[(String, Long, Double, Double, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    val segs = rows.groupBy(_._1)
+    assert(out.keySet == segs.keySet)
+    segs.foreach { case (seg, g) =>
+      def lowerMedian(vs: Seq[(Double, Long)]): Double = {
+        val sorted = vs.sortBy { case (v, id) => (v, id) }
+        sorted(((sorted.size + 1) / 2) - 1)._1
+      }
+      val med = lowerMedian(g.map(r => (r._3, r._2)).toSeq)
+      val mad = lowerMedian(g.map(r => (math.abs(r._3 - med), r._2)).toSeq)
+      val nOut = g.count(r => math.abs(r._3 - med) > 3.0 * mad)
+      assert(out(seg) == ((g.length.toLong, med, mad, nOut.toLong)),
+        s"$seg: got ${out(seg)} want ${(g.length, med, mad, nOut)}")
+      // outliers must be a small tail, or the 3xMAD screen is broken
+      assert(nOut < g.length / 4, s"$seg flags $nOut of ${g.length}")
+    }
+  }
+
   test("q57_approx_quantile tracks exact order statistics") {
     val approx = ExtraRelationalQueries
       .queries("q57_approx_quantile")(spark, sf001)
