@@ -134,7 +134,48 @@ object Multimodal {
           (octet_length(col("payload")) % 17).cast("float"))
           .as("features"))
 
+  /** Media–caption alignment filtering — the LAION/DataComp shape: score
+    * every (media payload, caption) pair by the cosine of a media-side
+    * feature vector against a caption-side embedding and keep only
+    * well-aligned pairs (the CLIP-score screen that curates web-scraped
+    * image-text corpora). Both encoders here are DETERMINISTIC FAKES
+    * (byte statistics vs token statistics — a real CLIP tower drops
+    * into either side without touching the dataflow), but the shape is
+    * production-real: two per-row encoders in ONE projection, a cosine,
+    * a threshold — linear scan, zero shuffles, zero joins (the pair is
+    * a single row by construction).
+    *
+    * Exactness: every feature is an INTEGER, so the dot products and
+    * their product are exact long arithmetic (all ≪ 2^53); the only FP
+    * ops are one sqrt and one division of identical inputs —
+    * bit-identical in both engines, no margin machinery needed. */
+  def captionAlign(docs: DataFrame): DataFrame = {
+    val w = graft.functions.TextFunctions.tokens(col("text"))
+    val nb = octet_length(col("text")).cast("long")
+    val withF = docs.select(col("doc_id"),
+      nb.as("m1"), (nb % 251).as("m2"), (nb % 63).as("m3"),
+      (nb % 17).as("m4"),
+      size(w).cast("long").as("c1"),
+      size(array_distinct(w)).cast("long").as("c2"),
+      coalesce(array_max(transform(w, t => length(t))), lit(0))
+        .cast("long").as("c3"),
+      (length(col("text")) % 97).cast("long").as("c4"))
+    val mc = col("m1") * col("c1") + col("m2") * col("c2") +
+      col("m3") * col("c3") + col("m4") * col("c4")
+    val mm = col("m1") * col("m1") + col("m2") * col("m2") +
+      col("m3") * col("m3") + col("m4") * col("m4")
+    val cc = col("c1") * col("c1") + col("c2") * col("c2") +
+      col("c3") * col("c3") + col("c4") * col("c4")
+    withF
+      .withColumn("align", when(mm > 0 && cc > 0,
+        round(mc.cast("double") / sqrt((mm * cc).cast("double")), 6)))
+      .select(col("doc_id"), col("align"),
+        coalesce(col("align") >= 0.9, lit(false)).as("keep"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_caption_align" -> ((s, d) =>
+      captionAlign(Tables.documents(s, d))),
     "mm_decode_meta" -> ((s, d) =>
       decodeMeta(s, Tables.documents(s, d)).toDF()),
     "mm_frame_sample" -> ((s, d) =>
@@ -150,6 +191,30 @@ object Multimodal {
             .as("features"))))
 
   val oracles: Map[String, String] = Map(
+    "mm_caption_align" ->
+      """WITH t AS (SELECT doc_id, text, octet_length(encode(text)) AS nb,
+        |  list_filter(string_split(text, ' '), x -> x <> '') AS w
+        |  FROM documents),
+        |f AS (SELECT doc_id,
+        |  CAST(nb AS BIGINT) AS m1, CAST(nb % 251 AS BIGINT) AS m2,
+        |  CAST(nb % 63 AS BIGINT) AS m3, CAST(nb % 17 AS BIGINT) AS m4,
+        |  CAST(len(w) AS BIGINT) AS c1,
+        |  CAST(len(list_distinct(w)) AS BIGINT) AS c2,
+        |  CAST(COALESCE(list_max(list_transform(w, x -> len(x))), 0)
+        |    AS BIGINT) AS c3,
+        |  CAST(length(text) % 97 AS BIGINT) AS c4
+        |  FROM t),
+        |s AS (SELECT doc_id,
+        |  m1*c1 + m2*c2 + m3*c3 + m4*c4 AS mc,
+        |  m1*m1 + m2*m2 + m3*m3 + m4*m4 AS mm,
+        |  c1*c1 + c2*c2 + c3*c3 + c4*c4 AS cc FROM f),
+        |a AS (SELECT doc_id,
+        |  CASE WHEN mm > 0 AND cc > 0 THEN
+        |    ROUND(CAST(mc AS DOUBLE) / sqrt(CAST(mm * cc AS DOUBLE)), 6)
+        |  END AS align FROM s)
+        |SELECT doc_id, align,
+        |  COALESCE(align >= CAST('0.9' AS DOUBLE), FALSE) AS keep
+        |FROM a""".stripMargin,
     "mm_decode_meta" ->
       """SELECT doc_id,
         |  CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,

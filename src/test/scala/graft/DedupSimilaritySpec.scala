@@ -842,6 +842,21 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("mm_caption_align: cosine bounds, threshold consistency, and the " +
+    "screen bites both ways") {
+    val out = graft.multimodal.Multimodal.queries("mm_caption_align")(
+      spark, sf001).collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getDouble(1)),
+        r.getBoolean(2)))
+    assert(out.length == 500)
+    out.foreach { case (id, align, keep) =>
+      align.foreach(a => assert(a >= -1.0 && a <= 1.0, s"doc $id align $a"))
+      assert(keep == align.exists(_ >= 0.9), s"doc $id keep/threshold")
+    }
+    assert(out.exists(_._3) && out.exists(!_._3), "degenerate screen")
+  }
+
   test("multimodal decode meta matches spark-side recomputation") {
     val meta = graft.multimodal.Multimodal
       .decodeMeta(spark, Tables.documents(spark, sf0001))
