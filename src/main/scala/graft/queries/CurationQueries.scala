@@ -501,6 +501,65 @@ object CurationQueries {
       }
     }),
 
+    // Distributed quality-probe TRAINING — the weak-label classifier
+    // recipe (CCNet / GPT-3 data curation: train a cheap classifier to
+    // prefer a trusted source, score everything, keep high scorers;
+    // Brown et al. 2020 §A used exactly this shape with a linear model
+    // over hashed features). Here the full training LOOP runs on the
+    // cluster: binary hashed-bigram presence features (the DSIR md5
+    // recipe, 64 buckets), weak label y = [source == 'src0'], and TWO
+    // full-batch gradient-descent steps of least-squares linear
+    // regression — per step one b-keyed model join + doc-keyed
+    // residual aggregate + b-keyed gradient aggregate, every reduction
+    // through the decimal(38,28) exact-sum recipe, so the learned
+    // weights (and the emitted per-doc scores) are bit-identical across
+    // engines with no rounding hedge. Linear (not logistic) on purpose:
+    // no exp/sigmoid — the one op with no cross-engine bit guarantee —
+    // and the ranking signal is the same for a screening threshold.
+    // Shape: the feature table is checkpointed once (five consumers);
+    // the model is a ≤64-row DataFrame that never touches the driver;
+    // n (one scalar aggregate) is the only broadcast. Production runs
+    // more steps and 2^18+ buckets — same plan per step.
+    "curate_probe_train" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val toks = docs.select(col("doc_id"), tokens(col("text")).as("w"))
+      val nbg = greatest(size(col("w")) - 1, lit(0))
+      val feats = toks
+        .select(col("doc_id"), explode(zip_with(
+          slice(col("w"), lit(1), nbg), slice(col("w"), lit(2), nbg),
+          (a, b) => concat(a, lit(" "), b))).as("f"))
+        .select(col("doc_id"),
+          pmod(conv(substring(md5(col("f").cast("binary")), 1, 8), 16, 10)
+            .cast("long"), lit(64L)).as("b"))
+        .distinct()
+        .buildCheckpoint() // 2 preds + 2 grads + final scoring reuse it
+      val y = docs.select(col("doc_id"),
+        when(col("source") === "src0", 1.0).otherwise(0.0).as("y"))
+      val n = feats.agg(countDistinct(col("doc_id")).as("n"))
+      def decSum(c: org.apache.spark.sql.Column) =
+        sum(c.cast("decimal(38,28)")).cast("double")
+      def predict(w: DataFrame): DataFrame =
+        feats.join(broadcast(w), Seq("b"))
+          .groupBy("doc_id").agg(decSum(col("w")).as("pred"))
+      def step(w: DataFrame): DataFrame = {
+        val resid = predict(w).join(y, Seq("doc_id"))
+          .select(col("doc_id"), (col("pred") - col("y")).as("r"))
+        val grad = feats.join(resid, Seq("doc_id"))
+          .groupBy("b").agg(decSum(col("r")).as("gsum"))
+          .crossJoin(broadcast(n))
+          .select(col("b"), (col("gsum") / col("n").cast("double")).as("g"))
+        w.join(grad, Seq("b"), "left")
+          .select(col("b"),
+            (col("w") - lit(0.1) * coalesce(col("g"), lit(0.0))).as("w"))
+      }
+      val w0 = feats.select(col("b")).distinct()
+        .select(col("b"), lit(0.0).as("w"))
+      val trained = step(step(w0))
+      docs.select(col("doc_id"))
+        .join(predict(trained).withColumnRenamed("pred", "score"),
+          Seq("doc_id"), "left")
+    }),
+
     // The full D4 recipe (Tirumala et al. 2023, arXiv:2308.12284),
     // composed end-to-end: SemDeDup drops within-cluster semantic
     // duplicates, THEN prototypicality pruning ranks the SURVIVORS per
@@ -803,6 +862,52 @@ object CurationQueries {
   private[graft] def bpeTokenCount(enc: Column): Column =
     (length(enc) - length(replace(enc, lit(TokOpen), lit("")))).cast("long")
 
+  /** DuckDB oracle for curate_probe_train, GENERATED with one CTE
+    * triple (predict / residual / gradient) per unrolled GD step: every
+    * reduction rides the VARCHAR-mediated DECIMAL(38,28) exact-sum
+    * recipe and the learning rate enters as a VARCHAR-parsed double, so
+    * weights and scores are bit-identical to Spark's (see the query's
+    * exactness note). */
+  private def probeTrainOracle: String = {
+    def decSum(x: String) =
+      s"CAST(CAST(SUM(CAST(CAST($x AS VARCHAR) AS DECIMAL(38,28))) " +
+        "AS VARCHAR) AS DOUBLE)"
+    def gdStep(k: Int): String = {
+      val (wPrev, p, r, g, wNext) =
+        (s"w$k", s"p${k + 1}", s"r${k + 1}", s"g${k + 1}", s"w${k + 1}")
+      s"""$p AS (SELECT f.doc_id, ${decSum(s"$wPrev.w")} AS pred
+         |  FROM feats f JOIN $wPrev USING (b) GROUP BY 1),
+         |$r AS (SELECT p.doc_id, p.pred - y.y AS r
+         |  FROM $p p JOIN y USING (doc_id)),
+         |$g AS (SELECT f.b, ${decSum("r.r")} / n.n AS g
+         |  FROM feats f JOIN $r r USING (doc_id), n GROUP BY f.b, n.n),
+         |$wNext AS (SELECT w.b,
+         |  w.w - CAST('0.1' AS DOUBLE) * COALESCE(g.g, CAST(0 AS DOUBLE)) AS w
+         |  FROM $wPrev w LEFT JOIN $g g USING (b))""".stripMargin
+    }
+    s"""WITH docs AS (SELECT doc_id, source,
+       |  list_filter(string_split(text, ' '), x -> x <> '') AS w
+       |  FROM documents),
+       |feats AS (SELECT DISTINCT doc_id, b FROM (
+       |  SELECT doc_id,
+       |    CAST(('0x' || substring(md5(
+       |      unnest(list_transform(generate_series(1, len(w) - 1),
+       |        i -> w[i] || ' ' || w[i + 1]))), 1, 8)) AS UBIGINT)
+       |      % 64 AS b
+       |  FROM docs WHERE len(w) >= 2)),
+       |y AS (SELECT doc_id,
+       |  CASE WHEN source = 'src0' THEN CAST(1 AS DOUBLE)
+       |       ELSE CAST(0 AS DOUBLE) END AS y FROM documents),
+       |n AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n FROM feats),
+       |w0 AS (SELECT DISTINCT b, CAST(0 AS DOUBLE) AS w FROM feats),
+       |${gdStep(0)},
+       |${gdStep(1)},
+       |score AS (SELECT f.doc_id, ${decSum("w2.w")} AS score
+       |  FROM feats f JOIN w2 USING (b) GROUP BY 1)
+       |SELECT d.doc_id, s.score
+       |FROM documents d LEFT JOIN score s USING (doc_id)""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     // add-1 bigram LM predictability: each p is an IEEE division of
     // exact integer counts (bit-identical across engines); the per-doc
@@ -888,6 +993,7 @@ object CurationQueries {
     // left-to-right association the query uses ((v·v + c·c) − 2·v·c)
     // and every within-cluster adjacent gap is margin-pinned, so the
     // rankings agree decision-for-decision across engines
+    "curate_probe_train" -> probeTrainOracle,
     // the D4 composition: dedup_semantic's un/dup CTEs, then the
     // curate_prototypes rank restricted to survivors, stage flags out
     "curate_d4" ->

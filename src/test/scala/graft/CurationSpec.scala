@@ -429,6 +429,58 @@ class CurationSpec extends SparkSpec {
     assert(out.exists { case (_, r, b) => b < r }, "no doc merged")
   }
 
+  test("curate_probe_train: a plain-Scala GD replay matches every score " +
+    "bit-for-bit, and the probe separates the weak label") {
+    val docs = Tables.documents(spark, sf001)
+      .select(col("doc_id"), col("source"), col("text"))
+      .as[(Long, String, String)].collect()
+    // replay: binary hashed-bigram features, 2 exact GD steps
+    def buckets(t: String): Set[Long] = {
+      val w = t.split(" ").filter(_.nonEmpty)
+      w.zip(w.drop(1)).map { case (a, b) =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+          .digest((a + " " + b).getBytes("UTF-8"))
+          .take(4).map(x => f"$x%02x").mkString
+        java.lang.Long.parseLong(md, 16) % 64
+      }.toSet
+    }
+    val feats = docs.map { case (id, _, t) => id -> buckets(t) }.toMap
+    val y = docs.map { case (id, src, _) =>
+      id -> (if (src == "src0") 1.0 else 0.0) }.toMap
+    val withF = docs.map(_._1).filter(feats(_).nonEmpty)
+    val nn = withF.size
+    def dec(d: Double) = BigDecimal(d.toString).setScale(28,
+      BigDecimal.RoundingMode.HALF_UP)
+    var w = Map.empty[Long, Double].withDefaultValue(0.0)
+    for (_ <- 1 to 2) {
+      val pred = withF.map(id =>
+        id -> feats(id).toSeq.map(b => dec(w(b))).sum.toDouble).toMap
+      val gsum = scala.collection.mutable
+        .Map[Long, BigDecimal]().withDefaultValue(BigDecimal(0))
+      withF.foreach { id =>
+        val r = pred(id) - y(id)
+        feats(id).foreach(b => gsum(b) += dec(r))
+      }
+      w = w.keys.++(gsum.keys).map(b =>
+        b -> (w(b) - 0.1 * (gsum(b).toDouble / nn))).toMap
+        .withDefaultValue(0.0)
+    }
+    val want = docs.map { case (id, _, _) =>
+      id -> (if (feats(id).isEmpty) None
+        else Some(feats(id).toSeq.map(b => dec(w(b))).sum.toDouble)) }.toMap
+    val got = CurationQueries.queries("curate_probe_train")(spark, sf001)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(got.size == docs.length)
+    val diffs = got.filter { case (id, v) => want(id) != v }
+    assert(diffs.isEmpty, s"${diffs.size} scores drifted: ${diffs.take(3)}")
+    // the trained probe separates the classes in the right direction
+    val s0 = docs.filter(_._2 == "src0").flatMap(d => got(d._1))
+    val rest = docs.filter(_._2 != "src0").flatMap(d => got(d._1))
+    assert(s0.sum / s0.size > rest.sum / rest.size,
+      "probe failed to separate the weak label")
+  }
+
   test("curate_d4: stage flags agree with dedup_semantic, and the " +
     "survivor-only keep rule holds per cluster") {
     val d4 = CurationQueries.queries("curate_d4")(spark, sf001)
