@@ -32,6 +32,30 @@ object MiscQueries {
           (col("pos") + 1).cast("int").as("rn"))
     }),
 
+    // ANALYZE-style table profiling — the statistics pass a cost-based
+    // optimizer (and any data-quality monitor) runs before planning:
+    // per-column row count, null count, EXACT distinct count, min/max.
+    // One aggregate per column, unioned — each branch's scan is pruned
+    // to ITS column (ReadSchema shows a single field), which is exactly
+    // how per-column ANALYZE amortizes at 100 TB on columnar storage;
+    // the single-distinct aggregate plans as a two-level agg (no
+    // Expand). At petabyte NDV you'd flip n_distinct to the HLL sketch
+    // (sketch_hll_union's machinery) and accept rows-only — exact here
+    // keeps the oracle binding. All profiled columns are numeric, so
+    // min/max cast to double losslessly (bigints ≪ 2^53).
+    "stats_table_profile" -> ((s, d) => {
+      profiledColumns.map { c =>
+        Tables.lineitem(s, d).select(col(c).as("v"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(when(col("v").isNull, 1L).otherwise(0L)).as("n_nulls"),
+            countDistinct(col("v")).as("n_distinct"),
+            min(col("v")).cast("double").as("min_v"),
+            max(col("v")).cast("double").as("max_v"))
+          .select(lit(c).as("col_name"), col("n_rows"), col("n_nulls"),
+            col("n_distinct"), col("min_v"), col("max_v"))
+      }.reduce(_ unionAll _)
+    }),
+
     // PageRank (Page et al. 1999) over the customer–supplier bipartite
     // graph induced by orders⋈lineitem — the iterative graph operator
     // every entity-importance / spam-scoring pipeline runs, in the
@@ -362,7 +386,25 @@ object MiscQueries {
        |FROM r3""".stripMargin
   }
 
+  /** Lineitem columns stats_table_profile profiles — ONE list drives
+    * both the query and the generated oracle so they cannot drift. */
+  private val profiledColumns = Seq(
+    "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+    "l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+  private def tableProfileOracle: String =
+    profiledColumns.map { c =>
+      s"""SELECT '$c' AS col_name, COUNT(*) AS n_rows,
+         |  CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_nulls,
+         |  COUNT(DISTINCT $c) AS n_distinct,
+         |  CAST(MIN($c) AS DOUBLE) AS min_v,
+         |  CAST(MAX($c) AS DOUBLE) AS max_v
+         |FROM lineitem""".stripMargin
+    }.mkString("\nUNION ALL\n")
+
   val oracles: Map[String, String] = Map(
+    "stats_table_profile" -> tableProfileOracle,
     "graph_pagerank" -> pagerankOracle,
     "q35_topk_agg" -> RelationalQueries.oracles("q9_rank_orders_per_customer"),
     "q41_asof_custom" -> RelationalQueries.oracles("q33_asof_last_click"),

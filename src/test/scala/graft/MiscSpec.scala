@@ -54,6 +54,30 @@ class MiscSpec extends SparkSpec {
       plan.toLowerCase.contains("bitmapconstructagg"))
   }
 
+  test("stats_table_profile: values match recomputation; every branch " +
+    "scan is pruned to its single column") {
+    val out = MiscQueries.queries("stats_table_profile")(spark, sf001)
+      .as[(String, Long, Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+    val li = Tables.lineitem(spark, sf001)
+    Seq("l_orderkey", "l_quantity", "l_discount").foreach { c =>
+      val want = li.select(
+        count(lit(1)), sum(when(col(c).isNull, 1L).otherwise(0L)),
+        countDistinct(col(c)),
+        min(col(c)).cast("double"), max(col(c)).cast("double"))
+        .head()
+      assert(out(c) == ((want.getLong(0), want.getLong(1),
+        want.getLong(2), want.getDouble(3), want.getDouble(4))), c)
+    }
+    // column pruning per branch: each union arm reads ONE field
+    val plan = MiscQueries.queries("stats_table_profile")(spark, sf001)
+      .queryExecution.executedPlan.toString
+    Seq("l_orderkey", "l_tax").foreach { c =>
+      assert(plan.contains(s"ReadSchema: struct<$c:"),
+        s"branch for $c not pruned: ${plan.take(400)}")
+    }
+  }
+
   test("graph_pagerank: mass conservation, positivity, and a plain-Scala " +
     "power-iteration replay agrees bit-for-bit") {
     val out = MiscQueries.queries("graph_pagerank")(spark, sf001)
