@@ -231,6 +231,58 @@ object SimilarityQueries {
         .select(col("vec_id"), col("p.dim").as("dim"), col("p.val").as("val"))
     }),
 
+    // Greedy k-center coreset selection (Sener & Savarese 2018,
+    // arXiv:1708.00489 — the geometric data-selection method: pick the
+    // point FARTHEST from everything chosen so far, 8 rounds, then
+    // assign every vector to its nearest center; the selected set is a
+    // 2-approximation of the optimal k-center cover, used to pick
+    // maximally-diverse training subsets). Deterministic: seed = lowest
+    // vec_id, farthest-point ties break to the smaller vec_id. Shape:
+    // each round is ONE distributed argmax (TakeOrderedAndProject —
+    // no shuffle of vectors) against the ≤8-vector center set held as
+    // bounded driver model state (the ivfCentroids pattern); the final
+    // assignment is a pure NearestCell projection. Output is
+    // DECISIONS only (vec_id, center_id, sel_round) — no float column,
+    // so cross-engine exactness needs only the selection/assignment
+    // margins pinned in DedupSimilaritySpec, no rounding machinery.
+    "sample_kcenter" -> ((s, d) => {
+      import s.implicits._
+      val e = rawVecs(s, d)
+      val seed = e.orderBy("vec_id").limit(1)
+        .select(col("vec_id"), col("v")).as[(Long, Seq[Double])]
+        .collect().headOption
+      if (seed.isEmpty)
+        e.select(col("vec_id"), lit(0L).as("center_id"),
+          lit(0).as("sel_round")).limit(0)
+      else {
+        var centers = Vector(seed.get)
+        for (_ <- 2 to 8) {
+          // min over chosen centers of |c|²−2·v·c, plus the row's own
+          // |v|² — the same (d, cell) structs the IVF family ranks with
+          val mind = array_min(cellDistStructs(col("v"),
+            centers.map(_._2))).getField("d") + dot(col("v"), col("v"))
+          val next = e
+            .select(col("vec_id"), col("v"), mind.as("mind"))
+            .orderBy(col("mind").desc, col("vec_id").asc).limit(1)
+            .select(col("vec_id"), col("v")).as[(Long, Seq[Double])]
+            .head()
+          centers :+= next
+        }
+        val roundOf = centers.zipWithIndex
+          .map { case ((id, _), i) => (id, i + 1) }
+        e.select(col("vec_id"),
+          graft.functions.NearestCell.nearest(col("v"),
+            centers.map(_._2)).as("cidx"))
+          .select(col("vec_id"),
+            element_at(typedlit(centers.map(_._1)), col("cidx") + 1)
+              .as("center_id"))
+          .join(broadcast(roundOf.toDF("center_id", "sel_round")),
+            Seq("center_id"), "left")
+          .select(col("vec_id"), col("center_id"),
+            coalesce(col("sel_round"), lit(0)).as("sel_round"))
+      }
+    }),
+
     // Product-quantization ADC scan (Jégou, Douze, Schmid 2011, "Product
     // Quantization for Nearest Neighbor Search", IEEE TPAMI — the third
     // classic ANN scale path next to LSH and IVF, and the one that
@@ -879,7 +931,50 @@ object SimilarityQueries {
        |ORDER BY adc ASC, vec_id ASC LIMIT 10""".stripMargin
   }
 
+  /** DuckDB oracle for sample_kcenter, GENERATED with one (center,
+    * distance-update) CTE pair per greedy round: farthest-point argmax
+    * ranked by the running LEAST of |c|²−2·v·c plus the row's own |v|²
+    * (identical associativity to the query's struct-min + dot), ties to
+    * the smaller vec_id; assignment mirrors NearestCell's (d, index)
+    * ordering via (d, rnd). Decisions only — margins pinned in
+    * DedupSimilaritySpec, no float output. */
+  private def kcenterOracle: String = {
+    def distTo(c: String, row: String) =
+      s"(SELECT list_dot_product(c.v, c.v) - 2 * list_dot_product($row.v, c.v) FROM $c c)"
+    val rounds = (2 to 8).map { k =>
+      val sel =
+        s"""c$k AS (SELECT vec_id, v FROM d${k - 1}
+           |  ORDER BY p + list_dot_product(v, v) DESC, vec_id ASC
+           |  LIMIT 1)""".stripMargin
+      val upd = if (k < 8)
+        s""",
+           |d$k AS (SELECT d.vec_id, d.v,
+           |  LEAST(d.p, ${distTo(s"c$k", "d")}) AS p
+           |  FROM d${k - 1} d)""".stripMargin
+      else ""
+      sel + upd
+    }.mkString(",\n")
+    val cent = (1 to 8)
+      .map(k => s"SELECT $k AS rnd, vec_id, v FROM c$k")
+      .mkString("\n  UNION ALL ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v
+       |           FROM embeddings WHERE embedding IS NOT NULL),
+       |c1 AS (SELECT vec_id, v FROM e ORDER BY vec_id ASC LIMIT 1),
+       |d1 AS (SELECT e.vec_id, e.v, ${distTo("c1", "e")} AS p FROM e),
+       |$rounds,
+       |cent AS (
+       |  $cent),
+       |asg AS (SELECT e.vec_id,
+       |  (SELECT c.vec_id FROM cent c
+       |   ORDER BY list_dot_product(c.v, c.v) - 2 * list_dot_product(e.v, c.v), c.rnd
+       |   LIMIT 1) AS center_id
+       |  FROM e)
+       |SELECT a.vec_id, a.center_id, CAST(c.rnd AS INTEGER) AS sel_round
+       |FROM asg a JOIN cent c ON c.vec_id = a.center_id""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "sample_kcenter" -> kcenterOracle,
     "sim_ann_pq_adc" -> pqOracle,
     "sim_rp_reduce" -> rpOracle,
     "sim_ann_lsh" -> lshOracle,

@@ -842,6 +842,52 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("kcenter selection and assignment margins dwarf ULP wobble; " +
+    "plain-Scala greedy replay agrees") {
+    // sample_kcenter emits decisions only, so its cross-engine surfaces
+    // are (a) each greedy round's farthest-point argmax (top-1 vs top-2
+    // running-min-distance gap) and (b) every vector's nearest-center
+    // assignment (best vs second-best). Ties escape only when the tied
+    // inputs are elementwise identical (the ivf doctrine).
+    def dists(v: Seq[Double], cents: Seq[Seq[Double]]): Seq[Double] =
+      cents.map { c =>
+        val cSq = c.map(x => x * x).sum
+        val dot = c.lazyZip(v).map(_ * _).sum
+        cSq - dot * 2
+      }
+    Seq(sf001, sf01).foreach { sf =>
+      val vecs = Tables.embeddings(spark, sf)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        .as[(Long, Seq[Double])].collect().sortBy(_._1)
+      // greedy replay
+      var centers = Vector(vecs.head)
+      for (round <- 2 to 8) {
+        val ranked = vecs.map { case (id, v) =>
+          val vv = v.map(x => x * x).sum
+          (dists(v, centers.map(_._2)).min + vv, id, v)
+        }.sortBy { case (m, id, _) => (-m, id) }
+        val (top, second) = (ranked(0), ranked(1))
+        assert(top._1 - second._1 > 1e-9 ||
+          (top._1 == second._1 && top._3 == second._3),
+          f"$sf round $round argmax margin ${top._1 - second._1}%.3g")
+        centers :+= ((top._2, top._3))
+      }
+      val byId = vecs.toMap
+      val cvs = centers.map(_._2)
+      val asg = vecs.map { case (id, v) =>
+        val ds = dists(v, cvs).zipWithIndex.sorted
+        val safeTie = ds(1)._1 == ds(0)._1 && cvs(ds(1)._2) == cvs(ds(0)._2)
+        assert(safeTie || ds(1)._1 - ds(0)._1 > 1e-9,
+          f"$sf vec $id assignment margin ${ds(1)._1 - ds(0)._1}%.3g")
+        (id, centers(ds(0)._2)._1, ds(0)._2 + 1)
+      }.toSet
+      val got = SimilarityQueries.queries("sample_kcenter")(spark, sf)
+        .as[(Long, Long, Int)].collect().toSet
+      assert(got == asg.map { case (id, cid, rnd) => (id, cid, rnd) },
+        s"$sf kcenter drifted: ${got.diff(asg).take(3)}")
+    }
+  }
+
   test("mm_caption_align: cosine bounds, threshold consistency, and the " +
     "screen bites both ways") {
     val out = graft.multimodal.Multimodal.queries("mm_caption_align")(
