@@ -87,6 +87,10 @@ object MiscQueries {
       val bi = eo.unionAll(
         eo.select(col("dst").as("src"), col("src").as("dst")))
         .buildCheckpoint() // 3 iterations + degree all re-scan the edges
+      // deg deliberately NOT fused into the checkpointed edge table: an
+      // sf0.1 A/B (one join per iteration vs two) showed no gain beyond
+      // box noise — the deg build side is tiny either way, and fusing
+      // widens every checkpointed row by a column.
       val deg = bi.groupBy("src").agg(count(lit(1)).as("deg"))
       val nn = deg.count() // bounded driver state: one scalar
       var ranks = deg.select(col("src").as("node"),
