@@ -129,6 +129,75 @@ object StatefulOps {
       }
   }
 
+  final case class IslandEvent(user_id: Long, event_id: Long,
+      ts: java.sql.Timestamp, event_type: String)
+  final case class IslandState(idx: Long, etype: String,
+      from_us: Long, to_us: Long, n: Long)
+  final case class ClosedIsland(user_id: Long, island: Long,
+      event_type: String, valid_from_us: Long, valid_to_us: Long,
+      n_events: Long)
+
+  /** Streaming twin of the batch q68_value_islands: per-user SCD2 run
+    * compression on a live change stream — consecutive same-type runs
+    * close the moment a DIFFERENT type arrives for that user (emitted
+    * immediately with their validity interval and per-user island
+    * index), and the final open run flushes by event-time TIMEOUT once
+    * the watermark passes last_event + flush horizon (the sessionizer's
+    * EventTimeTimeout recipe — deterministic, no wall clock). This is
+    * the streaming CDC→SCD2 path a warehouse runs between batch
+    * rebuilds. State is O(1) per user: (island idx, current type,
+    * interval, count) — the store scales with ACTIVE users, not events.
+    * In-batch arrival order is canonicalized to (us, event_id), the
+    * batch query's exact tiebreak. */
+  def islandsStream(
+      events: Dataset[IslandEvent], lateMin: Int = 30,
+      flushHorizonMin: Int = 5 * 1440): Dataset[ClosedIsland] = {
+    import events.sparkSession.implicits._
+    // Two independent clocks: `lateMin` is the WATERMARK delay (late-data
+    // tolerance); `flushHorizonMin` is how long an open island survives
+    // user INACTIVITY before being emitted as final. Strict SCD2 never
+    // times out (the open version IS the current row) — the horizon
+    // exists so bounded replays flush; it must exceed the max same-user
+    // inter-event gap or a quiet stretch splits one batch island in two
+    // (observed at 30 min on the fixture: 812 streamed vs 802 batch).
+    val flushMs = flushHorizonMin * 60L * 1000L
+    events
+      .withWatermark("ts", s"$lateMin minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[IslandState, ClosedIsland](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, it: Iterator[IslandEvent],
+         state: GroupState[IslandState]) =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[ClosedIsland]
+          if (state.hasTimedOut) {
+            val st = state.get
+            out += ClosedIsland(user, st.idx, st.etype,
+              st.from_us, st.to_us, st.n)
+            state.remove()
+          } else {
+            var st = state.getOption.orNull
+            it.map(e => (Math.floorDiv(e.ts.getTime, 1000L) * 1000000L +
+                e.ts.getNanos / 1000L, e.event_id, e.event_type))
+              .toSeq.sorted.foreach { case (us, _, t) =>
+                if (st == null) st = IslandState(1L, t, us, us, 1L)
+                else if (t != st.etype) {
+                  out += ClosedIsland(user, st.idx, st.etype,
+                    st.from_us, st.to_us, st.n)
+                  st = IslandState(st.idx + 1, t, us, us, 1L)
+                } else st = IslandState(st.idx, st.etype,
+                  st.from_us, us, st.n + 1)
+              }
+            if (st != null) {
+              state.update(st)
+              state.setTimeoutTimestamp(math.max(
+                Math.floorDiv(st.to_us, 1000L) + flushMs,
+                state.getCurrentWatermarkMs() + 1))
+            }
+          }
+          out.iterator
+      }
+  }
+
   def detectAnomalies(
       events: Dataset[Event],
       factor: Double = 3.0): Dataset[Alert] = {

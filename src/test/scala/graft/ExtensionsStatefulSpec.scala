@@ -245,6 +245,52 @@ class ExtensionsStatefulSpec extends SparkSpec {
         s"onlyBatch=${batch.diff(streamed).take(3)}")
   }
 
+  test("streaming SCD2 islands == batch q68 on fixture events fed in order") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import StatefulOps.{ClosedIsland, IslandEvent}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ev = Tables.events(spark, sf0001)
+      .filter(col("user_id").isNotNull && col("ts").isNotNull)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .as[(Long, Long, java.sql.Timestamp, String)].collect()
+      // feed in the batch query's (us, event_id) order so cross-batch
+      // ties agree with q68's window tiebreak
+      .sortBy { case (_, id, t, _) => (t.getTime, id) }
+      .map { case (u, id, t, tp) => IslandEvent(u, id, t, tp) }.toSeq
+    val maxMs = ev.map(_.ts.getTime).max
+    val stream = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[IslandEvent]
+    val q = StatefulOps.islandsStream(stream.toDS())
+      .writeStream.outputMode("append").format("memory")
+      .queryName("isl_parity").start()
+    try {
+      ev.grouped(math.max(1, ev.size / 4 + 1)).foreach { batch =>
+        stream.addData(batch)
+        q.processAllAvailable()
+      }
+      // far-future sentinels: first advances the watermark past every
+      // open island's flush horizon, second gives the store a batch in
+      // which to fire the timeouts
+      stream.addData(IslandEvent(-1L, -1L,
+        new java.sql.Timestamp(maxMs + 10L * 86400000L), "view"))
+      q.processAllAvailable()
+      stream.addData(IslandEvent(-1L, -2L,
+        new java.sql.Timestamp(maxMs + 10L * 86400000L + 1), "view"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("isl_parity").as[ClosedIsland].collect()
+      .filter(_.user_id >= 0)
+      .map(c => (c.user_id, c.island, c.event_type,
+        c.valid_from_us, c.valid_to_us, c.n_events)).toSet
+    val batch = SparkEntry.queries("q68_value_islands")(spark, sf0001)
+      .as[(Long, Long, String, Long, Long, Long)].collect().toSet
+    assert(streamed == batch,
+      s"streamed=${streamed.size} batch=${batch.size} " +
+        s"onlyStream=${streamed.diff(batch).take(3)} " +
+        s"onlyBatch=${batch.diff(streamed).take(3)}")
+  }
+
   test("transformWithState budget admission: per-source caps hold across micro-batches") {
     import spark.implicits._
     import graft.streaming.BudgetOps
