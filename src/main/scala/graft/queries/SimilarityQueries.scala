@@ -319,29 +319,71 @@ object SimilarityQueries {
       else {
         val qv = e.filter(col("vec_id") === 0).select("v")
           .as[Seq[Double]].head()
-        // Per-subspace ADC lookup table: dj(cell) = (|c|²−2·q_j·c)+|q_j|²
-        // — the same associativity the oracle's SQL uses, so the doubles
-        // agree to ≪ the pinned rounding margin.
-        val luts: Seq[Seq[Double]] = cbs.zipWithIndex.map { case (cb, j) =>
-          val qj = qv.slice(j * pqSub, (j + 1) * pqSub)
-          val qSq = qj.map(x => x * x).sum
-          cb.map { c =>
-            val cSq = c.map(x => x * x).sum
-            val qc = c.zip(qj).map { case (a, b) => a * b }.sum
-            (cSq - 2 * qc) + qSq
-          }
-        }
-        val adc = (0 until pqM).map { j =>
-          element_at(typedlit(luts(j)),
-            graft.functions.NearestCell.nearest(
-              slice(col("v"), j * pqSub + 1, pqSub), cbs(j)) + 1)
-        }.reduce(_ + _)
         e.filter(col("vec_id") =!= 0)
-          .select(col("vec_id"), round(adc, 6).as("adc"))
+          .select(col("vec_id"), round(pqAdc(qv, cbs), 6).as("adc"))
+          .orderBy(col("adc").asc, col("vec_id").asc)
+          .limit(10)
+      }
+    }),
+
+    // IVF-PQ — the COMPOSED system from Jégou et al. 2011 §V and every
+    // production vector store (FAISS IVFPQ): the IVF coarse quantizer
+    // prunes the search to nProbe=4 of 16 cells, and the candidates
+    // inside those cells score by the PQ ADC lookup — so at 100 TB a
+    // query touches nProbe/k of the corpus AND reads 4-byte codes
+    // instead of 256-byte vectors. Both models are the memoized ones
+    // the rest of the ANN family serves (one quantizer + one codebook
+    // set per dataset, as production trains them). The oracle chains
+    // the two existing generated SQL derivations (coarse k-means +
+    // four subspace k-means) and filters the ADC ranking to the probed
+    // cells; margins inherit from both families' pins, plus the
+    // subset-specific rounding pin in DedupSimilaritySpec.
+    "sim_ann_ivfpq" -> ((s, d) => {
+      import s.implicits._
+      val e = rawVecs(s, d)
+      val coarse = ivfModel(s, d)
+      val cbs = pqModel(s, d)
+      if (coarse.isEmpty || cbs.exists(_.isEmpty))
+        e.filter(lit(false)).select(col("vec_id"),
+          lit(null).cast("double").as("adc"))
+      else {
+        val qv = e.filter(col("vec_id") === 0).select("v")
+          .as[Seq[Double]].head()
+        val probe = coarse.zipWithIndex
+          .map { case (c, i) =>
+            (i, c.zip(qv).map { case (x, y) => (x - y) * (x - y) }.sum) }
+          .sortBy(_._2).take(4).map(_._1)
+        assignCells(e, coarse)
+          .filter(col("vec_id") =!= 0 && col("cell").isin(probe: _*))
+          .select(col("vec_id"), round(pqAdc(qv, cbs), 6).as("adc"))
           .orderBy(col("adc").asc, col("vec_id").asc)
           .limit(10)
       }
     }))
+
+  /** The PQ ADC scoring expression shared by sim_ann_pq_adc and
+    * sim_ann_ivfpq: per-subspace driver-built lookup tables
+    * dj(cell) = (|c|²−2·q_j·c)+|q_j|² — the same associativity the
+    * oracles' SQL uses, so the doubles agree to ≪ the pinned rounding
+    * margin — indexed by the fused NearestCell code assignment and
+    * summed left-associatively. */
+  private[graft] def pqAdc(
+      qv: Seq[Double], cbs: Seq[Seq[Seq[Double]]]): org.apache.spark.sql.Column = {
+    val luts: Seq[Seq[Double]] = cbs.zipWithIndex.map { case (cb, j) =>
+      val qj = qv.slice(j * pqSub, (j + 1) * pqSub)
+      val qSq = qj.map(x => x * x).sum
+      cb.map { c =>
+        val cSq = c.map(x => x * x).sum
+        val qc = c.zip(qj).map { case (a, b) => a * b }.sum
+        (cSq - 2 * qc) + qSq
+      }
+    }
+    (0 until pqM).map { j =>
+      element_at(typedlit(luts(j)),
+        graft.functions.NearestCell.nearest(
+          slice(col("v"), j * pqSub + 1, pqSub), cbs(j)) + 1)
+    }.reduce(_ + _)
+  }
 
   /** JL projection matrix for sim_rp_reduce: 16×64 Gaussians scaled by
     * 1/√16 (own seed — NOT [[hyperplanes]]' 42, so the LSH planes and
@@ -878,56 +920,81 @@ object SimilarityQueries {
     * left-assoc ADC sum l0+l1+l2+l3 matching the query's reduce. The
     * cross-engine pins are the IVF family's (centroids bit-identical;
     * assignment + rounding margins in DedupSimilaritySpec). */
+  /** One subspace's CTE chunk (training chain + assignment + ADC LUT)
+    * — shared by pqOracle and ivfpqOracle. Expects `e` (vec_id, v) and
+    * `q` (qv) CTEs in scope. */
+  private def pqChainSql(j: Int): String = {
+    val lo = j * pqSub + 1
+    val hi = (j + 1) * pqSub
+    def assign(prev: String) =
+      s"""SELECT e.vec_id, e.v,
+         |  (SELECT c.cell FROM $prev c
+         |   ORDER BY list_dot_product(c.v, c.v) - 2 * list_dot_product(e.v, c.v), c.cell
+         |   LIMIT 1) AS cell
+         |FROM e$j e""".stripMargin
+    def mean(a: String) =
+      s"""SELECT cell, pos,
+         |  CAST(SUM(CAST(CAST(x AS VARCHAR) AS DECIMAL(30,20))) AS DOUBLE)
+         |    / COUNT(*) AS m
+         |FROM (SELECT cell, unnest(v) AS x,
+         |             generate_subscripts(v, 1) - 1 AS pos FROM $a)
+         |GROUP BY cell, pos""".stripMargin
+    def rebuild(prevC: String, m: String) =
+      s"""SELECT $prevC.cell, COALESCE(n.v, $prevC.v) AS v
+         |FROM $prevC LEFT JOIN
+         |  (SELECT cell, list(m ORDER BY pos) AS v FROM $m GROUP BY cell) n
+         |  USING (cell)""".stripMargin
+    s"""e$j AS (SELECT vec_id, v[$lo:$hi] AS v FROM e),
+       |c0_$j AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v
+       |          FROM e$j ORDER BY vec_id LIMIT 16),
+       |a0_$j AS (${assign(s"c0_$j")}),
+       |m0_$j AS (${mean(s"a0_$j")}),
+       |c1_$j AS (${rebuild(s"c0_$j", s"m0_$j")}),
+       |a1_$j AS (${assign(s"c1_$j")}),
+       |m1_$j AS (${mean(s"a1_$j")}),
+       |c2_$j AS (${rebuild(s"c1_$j", s"m1_$j")}),
+       |af$j AS (SELECT vec_id, cell FROM (${assign(s"c2_$j")})),
+       |lut$j AS (SELECT c.cell,
+       |  list_dot_product(c.v, c.v) - 2 * list_dot_product(q.qv[$lo:$hi], c.v)
+       |    + list_dot_product(q.qv[$lo:$hi], q.qv[$lo:$hi]) AS dj
+       |  FROM c2_$j c, q)""".stripMargin
+  }
+
+  private def pqAfLutJoins: (String, String, String) = (
+    (1 until pqM).map(j => s"JOIN af$j USING (vec_id)").mkString(" "),
+    (0 until pqM).map(j => s"JOIN lut$j l$j ON af$j.cell = l$j.cell")
+      .mkString("\n  "),
+    (0 until pqM).map(j => s"l$j.dj").mkString(" + "))
+
   private def pqOracle: String = {
-    def chain(j: Int): String = {
-      val lo = j * pqSub + 1
-      val hi = (j + 1) * pqSub
-      def assign(prev: String) =
-        s"""SELECT e.vec_id, e.v,
-           |  (SELECT c.cell FROM $prev c
-           |   ORDER BY list_dot_product(c.v, c.v) - 2 * list_dot_product(e.v, c.v), c.cell
-           |   LIMIT 1) AS cell
-           |FROM e$j e""".stripMargin
-      def mean(a: String) =
-        s"""SELECT cell, pos,
-           |  CAST(SUM(CAST(CAST(x AS VARCHAR) AS DECIMAL(30,20))) AS DOUBLE)
-           |    / COUNT(*) AS m
-           |FROM (SELECT cell, unnest(v) AS x,
-           |             generate_subscripts(v, 1) - 1 AS pos FROM $a)
-           |GROUP BY cell, pos""".stripMargin
-      def rebuild(prevC: String, m: String) =
-        s"""SELECT $prevC.cell, COALESCE(n.v, $prevC.v) AS v
-           |FROM $prevC LEFT JOIN
-           |  (SELECT cell, list(m ORDER BY pos) AS v FROM $m GROUP BY cell) n
-           |  USING (cell)""".stripMargin
-      s"""e$j AS (SELECT vec_id, v[$lo:$hi] AS v FROM e),
-         |c0_$j AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v
-         |          FROM e$j ORDER BY vec_id LIMIT 16),
-         |a0_$j AS (${assign(s"c0_$j")}),
-         |m0_$j AS (${mean(s"a0_$j")}),
-         |c1_$j AS (${rebuild(s"c0_$j", s"m0_$j")}),
-         |a1_$j AS (${assign(s"c1_$j")}),
-         |m1_$j AS (${mean(s"a1_$j")}),
-         |c2_$j AS (${rebuild(s"c1_$j", s"m1_$j")}),
-         |af$j AS (SELECT vec_id, cell FROM (${assign(s"c2_$j")})),
-         |lut$j AS (SELECT c.cell,
-         |  list_dot_product(c.v, c.v) - 2 * list_dot_product(q.qv[$lo:$hi], c.v)
-         |    + list_dot_product(q.qv[$lo:$hi], q.qv[$lo:$hi]) AS dj
-         |  FROM c2_$j c, q)""".stripMargin
-    }
-    val afJoins = (1 until pqM)
-      .map(j => s"JOIN af$j USING (vec_id)").mkString(" ")
-    val lutJoins = (0 until pqM)
-      .map(j => s"JOIN lut$j l$j ON af$j.cell = l$j.cell").mkString("\n  ")
-    val adcSum = (0 until pqM).map(j => s"l$j.dj").mkString(" + ")
+    val (afJoins, lutJoins, adcSum) = pqAfLutJoins
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v
        |           FROM embeddings WHERE embedding IS NOT NULL),
        |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
-       |${(0 until pqM).map(chain).mkString(",\n")}
+       |${(0 until pqM).map(pqChainSql).mkString(",\n")}
        |SELECT af0.vec_id, ROUND($adcSum, 6) AS adc
        |FROM af0 $afJoins
        |  $lutJoins
        |WHERE vec_id <> 0
+       |ORDER BY adc ASC, vec_id ASC LIMIT 10""".stripMargin
+  }
+
+  /** DuckDB oracle for sim_ann_ivfpq: the coarse-quantizer chain
+    * ([[ivfChainSql]] — defines e with label, c2, af) composed with the
+    * four subspace chains, the ivfOracle probe, and the ADC ranking
+    * filtered to candidates whose COARSE cell is probed. */
+  private def ivfpqOracle: String = {
+    val (afJoins, lutJoins, adcSum) = pqAfLutJoins
+    s"""$ivfChainSql,
+       |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+       |probe AS (SELECT c.cell FROM c2 c, q
+       |          ORDER BY list_dot_product(c.v, c.v) - 2 * list_dot_product(q.qv, c.v), c.cell
+       |          LIMIT 4),
+       |${(0 until pqM).map(pqChainSql).mkString(",\n")}
+       |SELECT af.vec_id, ROUND($adcSum, 6) AS adc
+       |FROM af JOIN af0 USING (vec_id) $afJoins
+       |  $lutJoins
+       |WHERE af.vec_id <> 0 AND af.cell IN (SELECT cell FROM probe)
        |ORDER BY adc ASC, vec_id ASC LIMIT 10""".stripMargin
   }
 
@@ -976,6 +1043,7 @@ object SimilarityQueries {
   val oracles: Map[String, String] = Map(
     "sample_kcenter" -> kcenterOracle,
     "sim_ann_pq_adc" -> pqOracle,
+    "sim_ann_ivfpq" -> ivfpqOracle,
     "sim_rp_reduce" -> rpOracle,
     "sim_ann_lsh" -> lshOracle,
     "sim_knn_banded" -> bandedOracle,

@@ -831,14 +831,38 @@ class DedupSimilaritySpec extends SparkSpec {
           f"$sf vec $id adc $adc%.12f sits on a round-6 boundary")
       }
       // sanity: the registered query's top-10 equals the driver replay
+      def roundedTop10(cands: Seq[(Double, Long)]): Seq[(Long, Double)] =
+        cands.map { case (a, id) =>
+          // Spark's round() is BigDecimal HALF_UP, not rint (half-even)
+          (id, BigDecimal(a).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+            .toDouble) }
+          .sortBy { case (id, a) => (a, id) }.take(10)
       val got = SimilarityQueries.queries("sim_ann_pq_adc")(spark, sf)
         .as[(Long, Double)].collect().toSeq
-      val want = adcs.map { case (a, id) =>
-        // Spark's round() is BigDecimal HALF_UP, not rint (half-even)
-        (id, BigDecimal(a).setScale(6, BigDecimal.RoundingMode.HALF_UP)
-          .toDouble) }
-        .sortBy { case (id, a) => (a, id) }.take(10).toSeq
+      val want = roundedTop10(adcs.toSeq)
       assert(got.toSeq == want, s"$sf got=${got.toSeq} want=$want")
+      // sim_ann_ivfpq's extra surfaces: the COARSE probe decision is
+      // already pinned by the ivf margin spec; what's new is the ADC
+      // ranking over the probed SUBSET — its emitted top-12 needs its
+      // own rounding-boundary pin (a deep-tail candidate of the full
+      // ranking can be a top-10 row of the subset), and the query must
+      // equal the driver replay of probe→filter→rank.
+      val coarse = SimilarityQueries.ivfModel(spark, sf)
+      val probed = dists(qv, coarse).zipWithIndex.sorted.take(4)
+        .map(_._2).toSet
+      val cellOf: Map[Long, Int] = vecs.iterator.map { case (id, v) =>
+        id -> dists(v, coarse).zipWithIndex.min._2 }.toMap
+      val subset = adcs.filter { case (_, id) => probed(cellOf(id)) }
+      subset.sorted.take(12).foreach { case (adc, id) =>
+        val frac = adc * 1e6
+        val dd = math.abs(frac - math.floor(frac) - 0.5)
+        assert(dd > 1e-3,
+          f"$sf ivfpq vec $id adc $adc%.12f sits on a round-6 boundary")
+      }
+      val gotI = SimilarityQueries.queries("sim_ann_ivfpq")(spark, sf)
+        .as[(Long, Double)].collect().toSeq
+      assert(gotI == roundedTop10(subset.toSeq),
+        s"$sf ivfpq got=$gotI want=${roundedTop10(subset.toSeq)}")
     }
   }
 
