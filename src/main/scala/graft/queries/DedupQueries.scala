@@ -300,6 +300,24 @@ object DedupQueries {
           (col("doc_id") =!= col("canonical_id")).as("is_dup"))
     }),
 
+    // Soft deduplication (SoftDeDup, He et al. 2024, arXiv:2407.06654):
+    // instead of DROPPING duplicates, downweight them — every member of
+    // an exact-duplicate cluster gets sampling weight 1/cluster_size,
+    // so the cluster contributes one document's worth of training
+    // signal in expectation while keeping all surface variation
+    // downstream stages might use. The paper shows this beats hard
+    // removal on perplexity at the same token budget. Weight emitted as
+    // exact basis points (10000 div n — pure integer arithmetic, zero
+    // FP). Shape: identical to dedup_exact — ONE hash-partitioned
+    // window, fingerprint-only shuffle.
+    "dedup_soft_weights" -> ((s, d) => {
+      val w = Window.partitionBy(md5(col("text").cast("binary")))
+      Tables.documents(s, d)
+        .withColumn("cluster_size", count(lit(1)).over(w))
+        .select(col("doc_id"), col("cluster_size"),
+          expr("10000 div cluster_size").as("weight_bp"))
+    }),
+
     // N-gram Jaccard near-dup: inverted-index candidates + exact verify,
     // with the df>=2 singleton-pruning guard decided adaptively from
     // one-pass corpus stats (big vocab -> prune; this fixture's hot
@@ -732,6 +750,11 @@ object DedupQueries {
       """SELECT doc_id,
         |  MIN(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id,
         |  doc_id <> MIN(doc_id) OVER (PARTITION BY md5(text)) AS is_dup
+        |FROM documents""".stripMargin,
+    "dedup_soft_weights" ->
+      """SELECT doc_id,
+        |  COUNT(*) OVER (PARTITION BY md5(text)) AS cluster_size,
+        |  10000 // COUNT(*) OVER (PARTITION BY md5(text)) AS weight_bp
         |FROM documents""".stripMargin,
     "dedup_ngram_jaccard" -> dedupNgramJaccardOracle,
     "dedup_embedding" -> dedupEmbeddingOracle,
