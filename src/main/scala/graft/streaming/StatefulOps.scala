@@ -185,7 +185,15 @@ object StatefulOps {
                     st.from_us, st.to_us, st.n)
                   st = IslandState(st.idx + 1, t, us, us, 1L)
                 } else st = IslandState(st.idx, st.etype,
-                  st.from_us, us, st.n + 1)
+                  // min/max, not overwrite: a same-type event landing in a
+                  // LATER micro-batch with an EARLIER timestamp (legal within
+                  // the watermark) must widen the open run, never shrink it —
+                  // plain `to_us = us` could emit valid_to_us < valid_from_us.
+                  // A late DIFFERENT-type event still splits the run at its
+                  // arrival point (the machine keeps no event buffer to
+                  // re-interleave); that residual divergence from batch q68
+                  // is part of the documented flush-horizon caveat above.
+                  math.min(st.from_us, us), math.max(st.to_us, us), st.n + 1)
               }
             if (st != null) {
               state.update(st)

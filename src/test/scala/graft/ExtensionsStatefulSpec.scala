@@ -291,6 +291,46 @@ class ExtensionsStatefulSpec extends SparkSpec {
         s"onlyBatch=${batch.diff(streamed).take(3)}")
   }
 
+  test("streaming SCD2 islands: cross-batch out-of-order same-type event widens, never shrinks, the open run") {
+    import spark.implicits._
+    import StatefulOps.{ClosedIsland, IslandEvent}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // keep the timeline clear of epoch 0 (initial watermark) and use a
+    // watermark delay large enough that a batch-2 event with a batch-1-era
+    // timestamp is still on time
+    val base = 10000L
+    def at(min: Long) = new java.sql.Timestamp((base + min) * 60000L)
+    val us = 60L * 1000000L
+    val stream = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[IslandEvent]
+    val q = StatefulOps.islandsStream(stream.toDS(), lateMin = 120)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("isl_ooo").start()
+    try {
+      // batch 1: open a "view" run covering [10, 20]
+      stream.addData(IslandEvent(1L, 1L, at(10), "view"),
+        IslandEvent(1L, 2L, at(20), "view"))
+      q.processAllAvailable()
+      // batch 2: a same-type straggler at minute 5 — earlier than the
+      // run's from_us, legal under the 120-min watermark. Pre-fix this
+      // overwrote to_us=5 (< from_us=10); it must instead widen to [5, 20]
+      stream.addData(IslandEvent(1L, 3L, at(5), "view"))
+      q.processAllAvailable()
+      // batch 3: a different type closes the run and emits it
+      stream.addData(IslandEvent(1L, 4L, at(30), "click"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val closed = spark.table("isl_ooo").as[ClosedIsland].collect()
+      .map(c => (c.user_id, c.island, c.event_type,
+        c.valid_from_us / us - base, c.valid_to_us / us - base, c.n_events))
+      .toSet
+    assert(closed == Set((1L, 1L, "view", 5L, 20L, 3L)),
+      s"got $closed")
+    val inverted = spark.table("isl_ooo").as[ClosedIsland].collect()
+      .filter(c => c.valid_to_us < c.valid_from_us)
+    assert(inverted.isEmpty, s"inverted intervals: ${inverted.toSeq}")
+  }
+
   test("transformWithState budget admission: per-source caps hold across micro-batches") {
     import spark.implicits._
     import graft.streaming.BudgetOps

@@ -30,6 +30,7 @@ the same commit, with the reason in the commit message.
 """
 import json
 import os
+import subprocess
 import sys
 
 LOAD_FACTOR_MAX = 1.05
@@ -37,6 +38,65 @@ IO_END_MAX = 0.18
 INFLATION_RATIO = 1.5
 INFLATION_SLACK_SEC = 0.15
 MAX_INFLATED = 5
+
+
+def parse_record(text):
+    """Return (total_dict_or_None, queries_map) from a bench record body."""
+    total, queries = None, {}
+    for line in text.splitlines():
+        line = line.strip()
+        if not line:
+            continue
+        try:
+            rec = json.loads(line)
+        except json.JSONDecodeError:
+            return None, {}
+        if rec.get("metric") == "total":
+            total = rec
+        if isinstance(rec.get("queries"), dict):
+            queries.update(rec["queries"])
+    return total, queries
+
+
+def count_inflated(queries, ref):
+    return sum(1 for k, v in queries.items()
+               if ref.get(k) and v > ref[k] * INFLATION_RATIO
+               + INFLATION_SLACK_SEC)
+
+
+def displacement_check(path, queries, total, ref):
+    """BENCH.md record policy: canonical = best qualified committed record.
+
+    When the checked file is a git-modified BENCH_LAST.json, qualify the
+    committed HEAD version too and warn (non-fatal) if the working tree
+    would displace a better-qualified record. Returns a warning string
+    or None."""
+    if os.path.basename(path) != "BENCH_LAST.json":
+        return None
+    try:
+        repo_dir = os.path.dirname(os.path.abspath(path)) or "."
+        head = subprocess.run(
+            ["git", "-C", repo_dir, "show", "HEAD:BENCH_LAST.json"],
+            capture_output=True, text=True, timeout=10)
+        if head.returncode != 0:
+            return None
+        if head.stdout.strip() == open(path).read().strip():
+            return None  # not modified
+    except (OSError, subprocess.SubprocessError):
+        return None
+    head_total, head_queries = parse_record(head.stdout)
+    if head_total is None or not head_queries:
+        return None
+    new_inf = count_inflated(queries, ref)
+    old_inf = count_inflated(head_queries, ref)
+    new_lf = total.get("load_factor", 1.0)
+    old_lf = head_total.get("load_factor", 1.0)
+    if (new_inf, new_lf) > (old_inf, old_lf):
+        return (f"DISPLACEMENT WARNING: working-tree BENCH_LAST.json "
+                f"(inflated={new_inf}, lf={new_lf:.3f}) is worse-qualified "
+                f"than committed HEAD (inflated={old_inf}, lf={old_lf:.3f}) "
+                f"— keep the committed record: git checkout BENCH_LAST.json")
+    return None
 
 
 def main() -> int:
@@ -125,6 +185,9 @@ def main() -> int:
             r = ref.get(k)
             if r and v > r * INFLATION_RATIO + INFLATION_SLACK_SEC:
                 inflated.append((k, v, r))
+        warn = displacement_check(path, queries, total, ref)
+        if warn:
+            print(warn)
         if len(inflated) > MAX_INFLATED:
             worst = sorted(inflated, key=lambda t: t[1] / t[2],
                            reverse=True)[:8]
