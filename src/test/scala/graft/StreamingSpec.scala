@@ -344,6 +344,89 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("ann serving at replay scale: state tracks active queries, not corpus size, and coverage holds") {
+    // The sf1-scale state-store check (round-9 scale-proofing): serve a
+    // stream of queries against a 20,000-vector corpus — the sf1
+    // embeddings count — and assert the RocksDB state store holds one
+    // row per DISTINCT ACTIVE QUERY, independent of corpus size, and
+    // stays FLAT when known qids are re-sent. The corpus comes straight
+    // from GenData's pure per-id generator, so no files are involved and
+    // the corpus is exactly what `GenData <dir> 1.0` writes at sf1.
+    import graft.queries.SimilarityQueries
+    import graft.tools.GenData
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val nCorpus = 20000
+    val nQueries = 200
+    val corpus = spark.range(nCorpus.toLong).map { id =>
+      (id, GenData.emb(id).embedding.map(_.toDouble).toSeq)
+    }.toDF("vec_id", "v")
+    // deterministic 16-cell coarse quantizer (same recipe as sim_ann_*);
+    // trained on the fixture — serving-state shape does not depend on
+    // quantizer quality, only on the cell partition being total
+    val cents = SimilarityQueries.ivfModel(spark, sf0001)
+    val assigned = SimilarityQueries.assignCells(corpus, cents)
+    // request ids are NOT corpus ids (the real serving shape): fresh id
+    // space, vectors from the generator stream beyond the corpus range
+    val queries = (0 until nQueries).map { i =>
+      (1000000L + i,
+        GenData.emb(500000L + i).embedding.map(_.toDouble).toSeq)
+    }
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    val stream = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Seq[Double])]
+    val out = StreamingJobs.annServe(
+      stream.toDS().toDF("qid", "q_v"), assigned, cents)
+    val q = out.writeStream.outputMode("complete")
+      .format("memory").queryName("ann_serve_scale").start()
+    def stateRows(): Long = {
+      val p = q.lastProgress
+      if (p == null) 0L else p.stateOperators.map(_.numRowsTotal).sum
+    }
+    try {
+      // half the queries, then the rest, then a RE-SEND of known qids
+      stream.addData(queries.take(nQueries / 2): _*)
+      q.processAllAvailable()
+      val afterHalf = stateRows()
+      stream.addData(queries.drop(nQueries / 2): _*)
+      q.processAllAvailable()
+      val afterAll = stateRows()
+      stream.addData(queries.take(20): _*)
+      q.processAllAvailable()
+      val afterResend = stateRows()
+      assert(afterHalf == nQueries / 2,
+        s"state rows $afterHalf != active qids ${nQueries / 2}")
+      assert(afterAll == nQueries,
+        s"state rows $afterAll != active qids $nQueries")
+      assert(afterResend == afterAll,
+        s"re-sent known qids grew state: $afterAll -> $afterResend")
+      assert(afterAll < nCorpus / 10,
+        s"state rows $afterAll scale with the corpus ($nCorpus), " +
+          "not the query set")
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+    // coverage at this density: 20k vectors over 16 cells leave no probe
+    // cell empty, so every submitted qid must be served (the starved-cell
+    // case is the sibling coverage spec)
+    val served = spark.table("ann_serve_scale")
+      .select("qid").as[Long].collect().toSet
+    assert(served == queries.map(_._1).toSet,
+      s"unserved qids at full cell occupancy: " +
+        s"${(queries.map(_._1).toSet -- served).take(5)}")
+    // and the per-query result is exactly k deep
+    val depths = spark.table("ann_serve_scale")
+      .groupBy("qid").count().select("count").as[Long].collect().toSet
+    assert(depths == Set(10L), s"per-query depths: $depths")
+  }
+
   test("ann serving coverage: a query with empty probed cells is detected sink-side") {
     // annServe's one divergence from the batch path's coverage left-join:
     // a query whose probed cells hold no candidates emits NOTHING (a
