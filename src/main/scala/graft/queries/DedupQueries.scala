@@ -502,9 +502,14 @@ object DedupQueries {
       val a = unit.toDF("vec_a", "u_a")
       val b = unit.toDF("vec_b", "u_b")
       a.join(b, col("vec_a") < col("vec_b"))
-        .filter(VectorFunctions.dot(col("u_a"), col("u_b")) >= 0.4)
+        // compute the dot ONCE into a column, filter on it, round after:
+        // filter(dot >= t).select(round(dot)) evaluated the 64-element
+        // loop twice per pair — measured 2x on the 200M-pair sf1 corpus
         .select(col("vec_a"), col("vec_b"),
-          round(VectorFunctions.dot(col("u_a"), col("u_b")), 6).as("cos"))
+          VectorFunctions.dot(col("u_a"), col("u_b")).as("cos_raw"))
+        .filter(col("cos_raw") >= 0.4)
+        .select(col("vec_a"), col("vec_b"),
+          round(col("cos_raw"), 6).as("cos"))
     }),
 
     // Embedding near-dup via banded projection join — SAME results as
@@ -523,13 +528,16 @@ object DedupQueries {
     // full recall would visit every bucket. The projection band carries a
     // proof, not a probability.)
     //
-    // Scale: pruning power = band width vs projection spread. At this
-    // fixture's loose t=0.4 (W≈1.1 vs ±0.5 spread) everything lands in a
-    // couple of bands — candidates ≈ brute force, but through a hash join
-    // rather than a nested loop. At production near-dup thresholds
-    // (t ≥ 0.9 ⇒ W ≤ 0.45) with clustered corpora the bands thin out and
-    // AND-ing several independent directions (join on the composite band
-    // tuple, 3^p neighbor offsets) multiplies the pruning.
+    // Scale: pruning power = band width vs projection spread (σ = 1/√dim
+    // on unit vectors, so ±~0.5 at dim 64). MEASURED at sf1 (200M pairs,
+    // graft.tools.BandSelectivity, SCALE.md §Band selectivity): a single
+    // direction prunes NOTHING at any practical threshold — W = √(2−2t)
+    // is 1.095/0.775/0.447 at t = 0.4/0.7/0.9, always ≥ the spread, so
+    // the corpus occupies 2-4 bands and ±1-band candidates are ~100% of
+    // all pairs. The single-direction win is hash-join vs nested loop
+    // (measured 3×), not pruning. Real pruning needs AND-ed independent
+    // directions (composite band tuple, 3^p offsets, ≈ f^p) on the
+    // clustered corpora where near-dup structure exists at all.
     "dedup_embedding_lsh" -> ((s, d) => {
       val t = 0.4
       val bandW = math.sqrt(2 - 2 * t)
@@ -548,9 +556,12 @@ object DedupQueries {
           a.join(b, col("band_b") === col("band_a") + off &&
             col("vec_a") < col("vec_b"))
         }.reduce(_ unionAll _)
-        .filter(VectorFunctions.dot(col("u_a"), col("u_b")) >= t)
+        // single dot evaluation per candidate (see dedup_embedding)
         .select(col("vec_a"), col("vec_b"),
-          round(VectorFunctions.dot(col("u_a"), col("u_b")), 6).as("cos"))
+          VectorFunctions.dot(col("u_a"), col("u_b")).as("cos_raw"))
+        .filter(col("cos_raw") >= t)
+        .select(col("vec_a"), col("vec_b"),
+          round(col("cos_raw"), 6).as("cos"))
     }),
 
     // SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup at

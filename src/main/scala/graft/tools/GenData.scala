@@ -21,10 +21,17 @@ import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
   * without a join). The same code generates 100 TB on a cluster by raising
   * `sf` and `filesPerTable`; rows are identical regardless of partitioning.
   *
-  * Usage: GenData <outDir> [sf=1.0] [filesPerTable=1]
+  * Usage: GenData <outDir> [sf=1.0] [filesPerTable=16]
   * With filesPerTable=1 each table lands as a single bare
-  * `<outDir>/<name>.parquet` FILE (the fixture layout, which
-  * tools/check.py's DuckDB views expect); otherwise a directory.
+  * `<outDir>/<name>.parquet` FILE (the exact fixture layout); otherwise a
+  * DIRECTORY of at most filesPerTable part files, clamped per table to
+  * ~>=10k rows/file so small dims stay single-file. Multi-file is the
+  * default and the honest scale shape: a single 100 MB parquet file is
+  * ONE Spark scan task, which serializes every downstream map-side
+  * pipeline and makes trivially-linear queries read as superlinear
+  * (measured at sf1: wordcount 6.2 s single-file vs the multi-file
+  * parallel scan; at 100 TB data is always many files).
+  * tools/check.py handles both layouts (bare file or directory).
   *
   * Never writes to /root/testdata — scale runs target /tmp (e.g. /tmp/sf1).
   */
@@ -214,7 +221,7 @@ object GenData {
     require(!outDir.startsWith("/root/testdata"),
       "refusing to write into the read-only driver fixtures")
     val sf = if (args.length > 1) args(1).toDouble else 1.0
-    val files = if (args.length > 2) args(2).toInt else 1
+    val filesRequested = if (args.length > 2) args(2).toInt else 16
     val sz = Sizes(sf)
 
     val spark = SparkSession.builder()
@@ -228,9 +235,18 @@ object GenData {
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
 
-    def write(df: DataFrame, name: String, sortCols: Seq[String]): Long = {
-      val sorted = df.repartition(files)
-        .sortWithinPartitions(sortCols.map(org.apache.spark.sql.functions.col): _*)
+    def write(df: DataFrame, name: String, sortCols: Seq[String],
+        approxRows: Long): Long = {
+      // clamp: no point fragmenting small tables (>=10k rows per file)
+      val files = math.max(1L, math.min(filesRequested.toLong,
+        approxRows / 10000L)).toInt
+      // range-partition on the sort key: files carry disjoint key ranges
+      // with tight parquet min/max stats (the pruning-friendly layout a
+      // production writer produces)
+      val keyCols = sortCols.map(org.apache.spark.sql.functions.col)
+      val sorted = (if (files == 1) df.repartition(1)
+                    else df.repartitionByRange(files, keyCols: _*))
+        .sortWithinPartitions(keyCols: _*)
       val tmp = s"$outDir/_tmp_$name"
       sorted.write.mode(SaveMode.Overwrite).parquet(tmp)
       val fs = new java.io.File(tmp)
@@ -262,30 +278,34 @@ object GenData {
 
     counts("region") = write(
       regions.zipWithIndex.map { case (n, i) => Region(i, n) }.toSeq.toDF(),
-      "region", Seq("r_regionkey"))
+      "region", Seq("r_regionkey"), 5L)
     counts("nation") = write(
       (0 until 25).map(i => Nation(i, s"NATION_$i", i % 5)).toDF(),
-      "nation", Seq("n_nationkey"))
+      "nation", Seq("n_nationkey"), 25L)
     counts("customer") = write(
       spark.range(sz.nCust).map(customer(_, sz)).toDF(),
-      "customer", Seq("c_custkey"))
+      "customer", Seq("c_custkey"), sz.nCust)
     counts("supplier") = write(
       spark.range(sz.nSupp).map(supplier(_)).toDF(),
-      "supplier", Seq("s_suppkey"))
+      "supplier", Seq("s_suppkey"), sz.nSupp)
     counts("part") = write(
-      spark.range(sz.nPart).map(part(_)).toDF(), "part", Seq("p_partkey"))
+      spark.range(sz.nPart).map(part(_)).toDF(), "part", Seq("p_partkey"),
+      sz.nPart)
     val ordersDs: Dataset[Order] = spark.range(sz.nOrders).map(order(_, sz))
-    counts("orders") = write(ordersDs.toDF(), "orders", Seq("o_orderkey"))
+    counts("orders") = write(ordersDs.toDF(), "orders", Seq("o_orderkey"),
+      sz.nOrders)
     counts("lineitem") = write(
       ordersDs.flatMap(lines(_, sz)).toDF(),
-      "lineitem", Seq("l_orderkey", "l_linenumber"))
+      "lineitem", Seq("l_orderkey", "l_linenumber"), sz.nOrders * 4)
     counts("events") = write(
       spark.range(sz.nEvents).map(event(_, sz)).toDF(),
-      "events", Seq("event_id"))
+      "events", Seq("event_id"), sz.nEvents)
     counts("documents") = write(
-      spark.range(sz.nDocs).map(doc(_)).toDF(), "documents", Seq("doc_id"))
+      spark.range(sz.nDocs).map(doc(_)).toDF(), "documents", Seq("doc_id"),
+      sz.nDocs)
     counts("embeddings") = write(
-      spark.range(sz.nEmb).map(emb(_)).toDF(), "embeddings", Seq("vec_id"))
+      spark.range(sz.nEmb).map(emb(_)).toDF(), "embeddings", Seq("vec_id"),
+      sz.nEmb)
 
     println(counts.map { case (k, v) => s""""$k": $v""" }
       .mkString("{", ", ", s""", "sf": $sf, "dir": "$outDir"}"""))
