@@ -564,6 +564,62 @@ object DedupQueries {
           round(col("cos_raw"), 6).as("cos"))
     }),
 
+    // Composite AND-band near-dup join — the production pruning path the
+    // single-direction measurement (SCALE.md §Band selectivity) points
+    // to: TWO orthonormal deterministic directions, a pair is a
+    // candidate iff BOTH banded projections are ≤1 cell apart. Same
+    // recall-1.0 proof as dedup_embedding_lsh applied per direction
+    // (|wᵢ·a − wᵢ·b| ≤ ‖a−b‖₂ ≤ √(2−2t) for every unit wᵢ), so the
+    // output is identical to dedup_embedding and shares its brute-force
+    // oracle. Pruning multiplies across independent directions — the
+    // fᵖ law measured to ~1% on a clustered 200M-pair corpus
+    // (graft.tools.BandSelectivity clustered mode; SCALE.md §Composite
+    // AND-bands: f=0.753 per direction at t=0.99 → 0.563 at p=2, 0.442
+    // at p=3, wall −18%). The same measurement bounds the approach:
+    // random-direction f = P(|Δproj| ≤ W) never gets small at
+    // practical thresholds, so AND-bands buy constant factors with
+    // exact recall; subquadratic candidate generation requires
+    // dedup_minhash_lsh (probabilistic) or dedup_semantic (k-means
+    // cells) — this operator is the exact-recall middle rung.
+    //
+    // Plan shape: ONE shuffle equi-join on the composite (k0,k1) cell
+    // key — the probe side explodes each row into its 3²=9 neighbor
+    // cells (a fixed 9× fan-out of (id, band, band) tuples, NOT of
+    // vectors... the exploded side carries the unit vector once per
+    // neighbor cell, 9×72 bytes/row at dim 64 — bounded, and the join
+    // itself never goes nested-loop). Each qualifying pair matches
+    // exactly one offset, so the join output is duplicate-free by
+    // construction — no distinct needed.
+    "dedup_embedding_lsh_and" -> ((s, d) => {
+      val t = 0.4
+      val bandW = math.sqrt(2 - 2 * t)
+      val dirs = SimilarityQueries.bandDirs(2)
+      val banded = unitEmbeddings(s, d)
+        .select(col("vec_id"), col("u"),
+          floor(VectorFunctions.dot(col("u"), typedlit(dirs(0))) / bandW)
+            .cast("long").as("b0"),
+          floor(VectorFunctions.dot(col("u"), typedlit(dirs(1))) / bandW)
+            .cast("long").as("b1"))
+      val offs = typedlit(
+        for { o0 <- -1 to 1; o1 <- -1 to 1 } yield (o0, o1))
+      val probe = banded
+        .withColumn("off", explode(offs))
+        .select(col("vec_id").as("vec_b"), col("u").as("u_b"),
+          (col("b0") + col("off._1")).as("k0"),
+          (col("b1") + col("off._2")).as("k1"))
+      val build = banded
+        .select(col("vec_id").as("vec_a"), col("u").as("u_a"),
+          col("b0").as("k0"), col("b1").as("k1"))
+      build.join(probe, Seq("k0", "k1"))
+        .filter(col("vec_a") < col("vec_b"))
+        // single dot evaluation per candidate (see dedup_embedding)
+        .select(col("vec_a"), col("vec_b"),
+          VectorFunctions.dot(col("u_a"), col("u_b")).as("cos_raw"))
+        .filter(col("cos_raw") >= t)
+        .select(col("vec_a"), col("vec_b"),
+          round(col("cos_raw"), 6).as("cos"))
+    }),
+
     // SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup at
     // corpus scale = k-means-cluster the embedding space with a coarse
     // quantizer, then prune cosine near-duplicates ONLY within each
@@ -737,6 +793,9 @@ object DedupQueries {
     // identical semantics by the band-containment proof above — shares the
     // brute-force oracle
     "dedup_embedding_lsh" -> dedupEmbeddingOracle,
+    // per-direction band containment ⇒ exact recall for the AND of two
+    // directions too — same brute-force oracle
+    "dedup_embedding_lsh_and" -> dedupEmbeddingOracle,
     // generated from the same deterministic k-means chain as the IVF
     // oracles (SimilarityQueries.ivfChainSql — shortest-repr decimal
     // casts, margin-pinned assignments); the dup rule is a correlated

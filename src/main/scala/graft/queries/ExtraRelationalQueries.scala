@@ -351,6 +351,33 @@ object ExtraRelationalQueries {
             .as("n_outliers"))
     }),
 
+    // Time-bounded attribution join (every purchase ⋈ the same user's
+    // clicks within the preceding 30 minutes) — the canonical
+    // stream-stream-join workload (ad impression↔conversion), here as
+    // the batch anchor for the streaming twin
+    // (StreamingJobs.attributionStream, pinned set-equal on a full
+    // replay in StreamingSpec). Shape: equi-join on user_id with a
+    // range residual — one key shuffle, no time-bucket blowup; micros
+    // integer arithmetic end to end so the oracle compares exactly. At
+    // scale this is the join whose STREAMING form is the point: the
+    // watermark bounds both sides' state to the 30-minute horizon,
+    // where the batch form would re-shuffle the full history.
+    "q71_attribution" -> ((s, d) => {
+      val horizonUs = 1800000000L // 30 min
+      val ev = Tables.events(s, d)
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          unix_micros(col("ts")).as("p_us"))
+      val c = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"),
+          unix_micros(col("ts")).as("c_us"))
+      p.join(c, Seq("user_id"))
+        .filter(col("c_us") <= col("p_us") &&
+          col("c_us") >= col("p_us") - horizonUs)
+        .select(col("purchase_id"), col("click_id"), col("user_id"),
+          (col("p_us") - col("c_us")).as("lag_us"))
+    }),
+
     // Time-series resample with gap filling: per-user hourly buckets from
     // the user's first to last event, zero-filled where no events landed
     // — the "regularize an irregular series" operator behind rate
@@ -578,6 +605,13 @@ object ExtraRelationalQueries {
         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
         |FROM dev d JOIN mad md USING (seg)
         |GROUP BY d.seg""".stripMargin,
+    "q71_attribution" ->
+      """SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+        |  p.user_id, epoch_us(p.ts) - epoch_us(c.ts) AS lag_us
+        |FROM events p JOIN events c ON c.user_id = p.user_id
+        |WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+        |  AND epoch_us(c.ts) <= epoch_us(p.ts)
+        |  AND epoch_us(c.ts) >= epoch_us(p.ts) - 1800000000""".stripMargin,
     "q68_value_islands" ->
       """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us
         |  FROM events WHERE ts IS NOT NULL),

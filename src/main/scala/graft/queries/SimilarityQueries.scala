@@ -35,6 +35,26 @@ object SimilarityQueries {
     p.map(_ / n)
   }
 
+  /** p orthonormal deterministic projection directions for composite
+    * AND-band joins (dedup_embedding_lsh_and). Gram–Schmidt over the
+    * fixed-seed hyperplanes, so `bandDirs(p).head == bandW0` (same first
+    * plane, same seed) and the remaining directions are orthogonal —
+    * independence is what makes AND-ed pruning multiply (≈ fᵖ) instead
+    * of re-measuring the same axis. The per-direction recall proof
+    * (Cauchy–Schwarz band containment) needs only unit norm, which
+    * Gram–Schmidt preserves. */
+  private[graft] def bandDirs(p: Int): Seq[Seq[Double]] = {
+    val raw = hyperplanes(p, 64)
+    raw.foldLeft(Seq.empty[Seq[Double]]) { (acc, v) =>
+      val ortho = acc.foldLeft(v) { (u, w) =>
+        val proj = u.zip(w).map { case (a, b) => a * b }.sum
+        u.zip(w).map { case (a, b) => a - proj * b }
+      }
+      val n = math.sqrt(ortho.map(x => x * x).sum)
+      acc :+ ortho.map(_ / n)
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Exact top-10 nearest (cosine) to the vec_id=0 embedding.

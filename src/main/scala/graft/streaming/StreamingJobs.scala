@@ -145,6 +145,39 @@ object StreamingJobs {
       .withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-STREAM time-bounded attribution join — the streaming twin
+    * of batch q71_attribution (every purchase ⋈ the same user's clicks
+    * within the preceding 30 minutes). Both sides are filters of the
+    * same replayed event stream (a supported stream-stream self-join);
+    * each carries its own watermark, and the join condition bounds
+    * click time against purchase time on BOTH ends, so Spark derives a
+    * state-cleanup horizon for both sides: click state older than the
+    * 30-minute attribution window + watermark is dropped, purchase
+    * state as soon as its window passes. That bounded state is the
+    * whole point at scale — the batch form re-shuffles the full
+    * history, the stream holds only the horizon. INNER join ⇒ matches
+    * emit as soon as both rows have arrived (no flush-horizon caveat
+    * like the outer-join family); on a full in-order replay the result
+    * is set-equal to batch q71 (StreamingSpec pins it). */
+  def attributionStream(events: DataFrame): DataFrame = {
+    val clicks = events
+      .filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"),
+        col("user_id").as("c_user"), col("ts").as("c_ts"))
+      .withWatermark("c_ts", "30 minutes")
+    val purchases = events
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"),
+        col("user_id"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", "30 minutes")
+    purchases.join(clicks,
+        col("c_user") === col("user_id") &&
+          col("c_ts") <= col("p_ts") &&
+          col("c_ts") >= col("p_ts") - expr("interval 30 minutes"))
+      .select(col("purchase_id"), col("click_id"), col("user_id"),
+        (unix_micros(col("p_ts")) - unix_micros(col("c_ts"))).as("lag_us"))
+  }
+
   /** ANN serving as a STREAM-STATIC join — the online half of the
     * retrieval story whose offline half is `sim_ann_batch`: query
     * vectors arrive as a stream (qid, q_v) and are served against the

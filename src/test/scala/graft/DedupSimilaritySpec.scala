@@ -68,6 +68,62 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(brute.nonEmpty)
     assert(banded == brute,
       s"missed=${brute.diff(banded)} extra=${banded.diff(brute)}")
+    // the composite AND-band variant applies the same proof per
+    // direction, so it too must be identical — including cosines
+    val and2 = rows("dedup_embedding_lsh_and")
+    assert(and2 == brute,
+      s"missed=${brute.diff(and2)} extra=${and2.diff(brute)}")
+  }
+
+  test("composite AND-band join is exact on a clustered corpus too") {
+    // the pruning case the fixture can't exercise: tight clusters, where
+    // AND-ed bands drop cross-cluster pairs. Recall must still be 1.0 —
+    // verify the one-join-exploded-probe geometry against brute force on
+    // deterministic clustered points (mixture of 4 sphere clusters)
+    val rnd = new scala.util.Random(7)
+    val dim = 64
+    def unit(v: Array[Double]) = {
+      val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n)
+    }
+    // geometry that PRUNES: band width W = √(2−2t) must undercut the
+    // projection spread of pair differences (σ·√2 ≈ 0.177 at dim 64), so
+    // t = 0.99 (W ≈ 0.141); clusters tight enough (σ_within = 0.01 →
+    // within-cluster cos ≈ 0.994) that qualifying pairs exist at that t
+    val centers = Array.fill(12)(unit(Array.fill(dim)(rnd.nextGaussian())))
+    val pts = (0L until 120L).map { i =>
+      i -> unit(centers((i % 12).toInt).map(_ + 0.01 * rnd.nextGaussian()))
+    }
+    val t = 0.99
+    val brutePairs = (for {
+      (ia, va) <- pts; (ib, vb) <- pts if ia < ib
+      c = va.lazyZip(vb).map(_ * _).sum if c >= t
+    } yield (ia, ib)).toSet
+    assert(brutePairs.nonEmpty, "clustered fixture produced no pairs")
+    val bandW = math.sqrt(2 - 2 * t)
+    val dirs = SimilarityQueries.bandDirs(2)
+    def cellOf(v: Array[Double]) = dirs.map(w =>
+      math.floor(w.lazyZip(v).map(_ * _).sum / bandW).toLong)
+    val cells = pts.map { case (i, v) => i -> cellOf(v) }.toMap
+    val bandedPairs = (for {
+      (ia, _) <- pts; (ib, _) <- pts if ia < ib
+      ca = cells(ia); cb = cells(ib)
+      if ca.lazyZip(cb).forall((x, y) => math.abs(x - y) <= 1)
+      c = pts(ia.toInt)._2.lazyZip(pts(ib.toInt)._2).map(_ * _).sum
+      if c >= t
+    } yield (ia, ib)).toSet
+    assert(bandedPairs == brutePairs,
+      s"missed=${brutePairs.diff(bandedPairs)}")
+    // and the AND actually prunes here: candidate cells differ across
+    // clusters, so the ≤1-apart candidate set is a strict subset of all
+    // pairs (this is the claim SCALE.md measures at scale)
+    val candCount = (for {
+      (ia, _) <- pts; (ib, _) <- pts if ia < ib
+      ca = cells(ia); cb = cells(ib)
+      if ca.lazyZip(cb).forall((x, y) => math.abs(x - y) <= 1)
+    } yield 1).size
+    val allPairs = pts.size * (pts.size - 1) / 2
+    assert(candCount < allPairs,
+      s"AND-band pruned nothing on clustered data ($candCount/$allPairs)")
   }
 
   test("dedup clusters: transitive closure of pairs, canonical = min id") {

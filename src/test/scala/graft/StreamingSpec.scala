@@ -65,6 +65,80 @@ class StreamingSpec extends SparkSpec {
       s"streamed=$streamed batch=$batchCounts")
   }
 
+  test("stream-stream attribution join on replay == batch q71 exactly") {
+    import spark.implicits._
+    val stream = StreamingJobs.eventsReplayStream(spark, replayDir)
+    val q = StreamingJobs.attributionStream(stream)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("replay_attrib").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("replay_attrib")
+      .filter(col("user_id") >= 0)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val batch = SparkEntry.queries("q71_attribution")(spark, sf0001)
+      .select(col("purchase_id"), col("click_id"), col("user_id"),
+        col("lag_us"))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(batch.nonEmpty, "fixture produced no attribution pairs")
+    assert(streamed == batch,
+      s"streamed=${streamed.size} batch=${batch.size} " +
+        s"onlyStream=${streamed.diff(batch).take(3)} " +
+        s"onlyBatch=${batch.diff(streamed).take(3)}")
+  }
+
+  test("attribution join state is bounded by the watermark horizon, not input size") {
+    // The scale property that justifies the streaming twin: as event
+    // time advances, click/purchase state older than the 30-min window
+    // + 30-min watermark is evicted, so state tracks the HORIZON while
+    // cumulative input grows without bound. Feed 12 hourly-advancing
+    // micro-batches of equal size and assert late-run state stays flat
+    // (vs the ~12× growth an unbounded join would show).
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long, Long, String)]
+    val events = stream.toDS()
+      .toDF("event_id", "us", "user_id", "event_type")
+      .select(col("event_id"), expr("timestamp_micros(us)").as("ts"),
+        col("user_id"), col("event_type"))
+    val q = StreamingJobs.attributionStream(events)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("attrib_state").start()
+    val hourUs = 3600000000L
+    val perBatch = 50
+    def stateRows(): Long = {
+      val p = q.lastProgress
+      if (p == null) 0L else p.stateOperators.map(_.numRowsTotal).sum
+    }
+    val observed = scala.collection.mutable.ArrayBuffer.empty[Long]
+    try {
+      (0 until 12).foreach { h =>
+        val base = h.toLong * hourUs
+        val rows = (0 until perBatch).flatMap { i =>
+          val uid = (i % 10).toLong
+          Seq((h * 1000L + i * 2, base + i * 1000000L, uid, "click"),
+            (h * 1000L + i * 2 + 1, base + i * 1000000L + 60000000L,
+              uid, "purchase"))
+        }
+        stream.addData(rows)
+        q.processAllAvailable()
+        observed += stateRows()
+      }
+    } finally q.stop()
+    // matches were produced (the join is live)
+    assert(spark.table("attrib_state").count() > 0)
+    // once eviction starts, state must plateau: the max over the last 4
+    // batches stays within 2x the max over batches 3-6, where an
+    // unbounded join would have grown ~3x between those windows
+    val early = observed.slice(3, 7).max
+    val late = observed.takeRight(4).max
+    assert(late <= early * 2,
+      s"state grew: early=$early late=$late all=$observed")
+    // and absolute sanity: far below cumulative input (12 batches x 100)
+    assert(late < 12L * perBatch * 2 / 2,
+      s"state ~ input size: $late all=$observed")
+  }
+
   test("checkpoint recovery: sessionizer restarted mid-replay == batch q60, no re-emission") {
     import spark.implicits._
     import graft.streaming.StatefulOps
