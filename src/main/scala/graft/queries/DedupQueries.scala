@@ -551,17 +551,22 @@ object DedupQueries {
       val a = banded.toDF("vec_a", "u_a", "band_a")
       val b = banded.toDF("vec_b", "u_b", "band_b")
       // |band_a − band_b| ≤ 1 as three equi-joins (each pair matches
-      // exactly one offset, so the union is duplicate-free)
+      // exactly one offset, so the union is duplicate-free). The full
+      // predicate lives in the JOIN condition with the cheap id
+      // compare written BEFORE the cosine threshold: the conjunct
+      // order survives into the join residual, and short-circuiting
+      // on vec_a < vec_b halves the 64-element dot evaluations
+      // (measured 11-12 s → ~8 s on the 200M-pair sf1 corpus vs the
+      // pushed-filter form, whose residual ran the dot first). The
+      // output dot is re-evaluated only for the ~0.05% survivors.
       Seq(-1, 0, 1).map { off =>
           a.join(b, col("band_b") === col("band_a") + off &&
-            col("vec_a") < col("vec_b"))
+            col("vec_a") < col("vec_b") &&
+            VectorFunctions.dot(col("u_a"), col("u_b")) >= t)
         }.reduce(_ unionAll _)
-        // single dot evaluation per candidate (see dedup_embedding)
         .select(col("vec_a"), col("vec_b"),
-          VectorFunctions.dot(col("u_a"), col("u_b")).as("cos_raw"))
-        .filter(col("cos_raw") >= t)
-        .select(col("vec_a"), col("vec_b"),
-          round(col("cos_raw"), 6).as("cos"))
+          round(VectorFunctions.dot(col("u_a"), col("u_b")), 6)
+            .as("cos"))
     }),
 
     // Composite AND-band near-dup join — the production pruning path the
@@ -575,20 +580,18 @@ object DedupQueries {
     // fᵖ law measured to ~1% on a clustered 200M-pair corpus
     // (graft.tools.BandSelectivity clustered mode; SCALE.md §Composite
     // AND-bands: f=0.753 per direction at t=0.99 → 0.563 at p=2, 0.442
-    // at p=3, wall −18%). The same measurement bounds the approach:
-    // random-direction f = P(|Δproj| ≤ W) never gets small at
-    // practical thresholds, so AND-bands buy constant factors with
-    // exact recall; subquadratic candidate generation requires
+    // at p=3). The same measurement bounds the approach: random-
+    // direction f = P(|Δproj| ≤ W) never gets small at practical
+    // thresholds, and each extra direction multiplies the join count
+    // by 3 while pruning only ×f — AND-bands pay where per-match work
+    // dominates per-join overhead (large n, tight thresholds, real
+    // cluster structure); subquadratic candidate generation requires
     // dedup_minhash_lsh (probabilistic) or dedup_semantic (k-means
     // cells) — this operator is the exact-recall middle rung.
     //
-    // Plan shape: ONE shuffle equi-join on the composite (k0,k1) cell
-    // key — the probe side explodes each row into its 3²=9 neighbor
-    // cells (a fixed 9× fan-out of (id, band, band) tuples, NOT of
-    // vectors... the exploded side carries the unit vector once per
-    // neighbor cell, 9×72 bytes/row at dim 64 — bounded, and the join
-    // itself never goes nested-loop). Each qualifying pair matches
-    // exactly one offset, so the join output is duplicate-free by
+    // Plan shape: 3² = 9 broadcast equi-joins on a PACKED single-long
+    // cell key, one per neighbor offset, unioned. Each qualifying pair
+    // matches exactly one offset, so the union is duplicate-free by
     // construction — no distinct needed.
     "dedup_embedding_lsh_and" -> ((s, d) => {
       val t = 0.4
@@ -600,18 +603,31 @@ object DedupQueries {
             .cast("long").as("b0"),
           floor(VectorFunctions.dot(col("u"), typedlit(dirs(1))) / bandW)
             .cast("long").as("b1"))
-      val offs = typedlit(
-        for { o0 <- -1 to 1; o1 <- -1 to 1 } yield (o0, o1))
-      val probe = banded
-        .withColumn("off", explode(offs))
+      // Two formulation choices, both MEASURED on the 200M-pair sf1
+      // corpus at equal candidate counts:
+      //  - pack the two band indices into ONE long key (|band| ≤
+      //    1/W + 1 ≪ 2^20 at any threshold) so the broadcast hash
+      //    relation stays on the primitive-long fast path;
+      //  - one equi-join PER neighbor offset with the offset folded
+      //    into the streamed side's key arithmetic (the
+      //    dedup_embedding_lsh shape), NOT one join against a 3²-way
+      //    exploded probe table: the exploded single-join form ran
+      //    ~3× slower at identical match counts (35 s vs 12 s for
+      //    p=1; 20-32 s vs ~13 s for this query).
+      // Each pair still matches exactly one offset tuple — the union
+      // is duplicate-free by construction.
+      val pack = (c0: org.apache.spark.sql.Column,
+                  c1: org.apache.spark.sql.Column) =>
+        (c0 + lit(1L << 20)) * lit(1L << 21) + (c1 + lit(1L << 20))
+      val a = banded.toDF("vec_a", "u_a", "a0", "a1")
+      val b = banded
         .select(col("vec_id").as("vec_b"), col("u").as("u_b"),
-          (col("b0") + col("off._1")).as("k0"),
-          (col("b1") + col("off._2")).as("k1"))
-      val build = banded
-        .select(col("vec_id").as("vec_a"), col("u").as("u_a"),
-          col("b0").as("k0"), col("b1").as("k1"))
-      build.join(probe, Seq("k0", "k1"))
-        .filter(col("vec_a") < col("vec_b"))
+          pack(col("b0"), col("b1")).as("cell_b"))
+      (for { o0 <- -1 to 1; o1 <- -1 to 1 } yield
+        a.join(b, col("cell_b") ===
+          pack(col("a0") + o0, col("a1") + o1) &&
+          col("vec_a") < col("vec_b")))
+        .reduce(_ unionAll _)
         // single dot evaluation per candidate (see dedup_embedding)
         .select(col("vec_a"), col("vec_b"),
           VectorFunctions.dot(col("u_a"), col("u_b")).as("cos_raw"))

@@ -116,25 +116,32 @@ object BandSelectivity {
       val nBands = banded
         .select(countDistinct(struct((0 until p).map(i => col(s"b$i")): _*)))
         .head().getLong(0)
-      // probe side exploded into its 3^p neighbor cells; build side
-      // keeps the home cell — one equi-join on the composite key, each
-      // pair matches exactly one offset tuple (dedup_embedding_lsh_and's
-      // plan shape)
+      // one equi-join PER neighbor offset tuple with the offset folded
+      // into the streamed side's packed key (dedup_embedding_lsh_and's
+      // plan shape — measured ~3× faster than one join against a
+      // 3^p-way exploded probe table at identical match counts); each
+      // pair matches exactly one offset, so the union is
+      // duplicate-free. Small packed fields (2^11 per dimension, bands
+      // ≤ 1/W + 2 ≪ 2^10) keep p ≤ 5 overflow-safe on a long key.
+      def packed(bs: Seq[org.apache.spark.sql.Column]) =
+        bs.foldLeft(lit(0L)) { (acc, b) =>
+          acc * lit(1L << 11) + (b + lit(1L << 10)) }
       val offsets: Seq[Seq[Int]] =
         (0 until p).foldLeft(Seq(Seq.empty[Int])) { (acc, _) =>
           acc.flatMap(o => Seq(-1, 0, 1).map(o :+ _))
         }
-      val probe = banded
-        .withColumn("off", explode(typedlit(offsets)))
-        .select(Seq(col("vec_id").as("vec_b"), col("u").as("u_b")) ++
-          (0 until p).map(i =>
-            (col(s"b$i") + col("off").getItem(i)).as(s"k$i")): _*)
-      val build = banded
-        .select(Seq(col("vec_id").as("vec_a"), col("u").as("u_a")) ++
-          (0 until p).map(i => col(s"b$i").as(s"k$i")): _*)
+      val a = banded.select(
+        Seq(col("vec_id").as("vec_a"), col("u").as("u_a")) ++
+          (0 until p).map(i => col(s"b$i").as(s"a$i")): _*)
+      val b = banded.select(col("vec_id").as("vec_b"),
+        col("u").as("u_b"),
+        packed((0 until p).map(i => col(s"b$i"))).as("cell_b"))
       val t1 = System.nanoTime()
-      val res = build.join(probe, (0 until p).map(i => s"k$i"))
-        .filter(col("vec_a") < col("vec_b"))
+      val res = offsets.map { off =>
+          a.join(b, col("cell_b") === packed(
+            (0 until p).map(i => col(s"a$i") + off(i))) &&
+            col("vec_a") < col("vec_b"))
+        }.reduce(_ unionAll _)
         .select(VectorFunctions.dot(col("u_a"), col("u_b")).as("cos"))
         .agg(count(lit(1)).as("cand"),
           sum(when(col("cos") >= t, 1L).otherwise(0L)).as("qual"))
