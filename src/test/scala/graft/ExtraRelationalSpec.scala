@@ -133,6 +133,29 @@ class ExtraRelationalSpec extends SparkSpec {
       (2L, 1) -> ((1L, 15L, 15L))))
   }
 
+  test("q71_attribution: inclusive window boundaries, exact to the microsecond") {
+    // pin the interval semantics cross-engine: a click exactly AT the
+    // 30-min horizon and exactly AT the purchase instant are both
+    // attributed; one microsecond outside either end is not. Integer
+    // micros arithmetic — no FP tie hazard.
+    val dir = java.nio.file.Files.createTempDirectory("graft-attrib").toString
+    val pUs = 6000000000L // purchase at 100 min
+    val hUs = 1800000000L // 30-min horizon
+    Seq(
+      (10L, pUs * 1000L, 1L, "purchase", 1.0, "{}"),
+      (1L, (pUs - hUs) * 1000L, 1L, "click", 1.0, "{}"), // at horizon: in
+      (2L, (pUs - hUs - 1L) * 1000L, 1L, "click", 1.0, "{}"), // 1us out
+      (3L, pUs * 1000L, 1L, "click", 1.0, "{}"), // at purchase: in
+      (4L, (pUs + 1L) * 1000L, 1L, "click", 1.0, "{}"), // after: out
+      (5L, (pUs - 600L) * 1000L, 2L, "click", 1.0, "{}")) // other user
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = ExtraRelationalQueries.queries("q71_attribution")(spark, dir)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2, r._4)).toSet
+    assert(out == Set((10L, 1L, hUs), (10L, 3L, 0L)), s"got $out")
+  }
+
   test("q61_resample: contiguous per-user spine, events conserved, gaps zero-filled") {
     val rows = ExtraRelationalQueries.queries("q61_resample")(spark, sf001)
       .as[(Long, Long, Long, Double)].collect()
