@@ -339,6 +339,96 @@ object DedupQueries {
     // identical SQL.
     "dedup_ngram_prefix" -> ((s, d) => prefixJaccardPairs(s, d)),
 
+    // Edit-distance similarity join (PassJoin, Li et al. VLDB 2012):
+    // pairs of documents whose normalized 40-char prefixes are within
+    // Levenshtein distance K=3, WITHOUT the O(n²) all-pairs scan — and
+    // with PROVABLE exact recall, unlike dedup_editdist below whose
+    // candidate step inherits the jaccard ≥ 0.5 index's recall. The
+    // pigeonhole rule: split each string into K+1 segments — any pair
+    // with ed ≤ K must leave at least one segment untouched, and an
+    // untouched segment reappears verbatim in the partner at a position
+    // shifted by at most K (the net indels before it). So candidates come
+    // from ONE equi-join: an index of each string's K+1 even-partition
+    // segments against probe substrings extracted at every admissible
+    // (source length, segment, ±K shift) placement — a constant
+    // ≤(2K+1)²(K+1) fan-out per row, not n per row. Exact recall by
+    // construction (both directions of the pigeonhole hold, so the
+    // doc_a < doc_b orientation is safe); precision restored by a
+    // levenshtein verify on the deduped candidates.
+    //
+    // 100 TB shape: index O((K+1)·n) rows and probe O(K²·(K+1)·n) rows
+    // of ≤⌈P/(K+1)⌉-char keys — fingerprint-sized shuffles, raw text
+    // only rejoined for the verify of surviving candidates. A corpus-hot
+    // segment (shared boilerplate prefix) skews the equi-join exactly
+    // like a hot shingle: AQE skew-join is the documented default
+    // (SCALE.md §Skew), and the candidate set stays bounded by the
+    // verify's |Δlen| ≤ K gate. Strings shorter than K+1 chars cannot
+    // feed the pigeonhole (some segment is empty), so the degenerate
+    // ≤(2K)-char class pairs through a bounded nested-loop fallback —
+    // at most alphabet^(2K) distinct such strings exist, a constant
+    // class; the fixture (min 48 chars) never exercises it but
+    // RobustnessSpec's empty/whitespace docs do.
+    "dedup_editdist_passjoin" -> ((s, d) => {
+      val K = 3; val Segs = K + 1; val Pref = 40
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), lower(substring(col("text"), 1, Pref)).as("pre"))
+        .withColumn("len", length(col("pre")))
+      // index: the K+1 even-partition segments (first len%Segs one longer)
+      val segIdx = docs
+        .withColumn("i", explode(sequence(lit(0), lit(Segs - 1))))
+        .withColumn("seg_len",
+          expr(s"len div $Segs") + when(col("i") < col("len") % Segs, 1).otherwise(0))
+        .filter(col("seg_len") >= 1)
+        .withColumn("start",
+          col("i") * expr(s"len div $Segs") + least(col("i"), col("len") % Segs))
+        .select(col("doc_id").as("doc_a"), col("len").as("la"), col("i"),
+          col("pre").substr(col("start") + 1, col("seg_len")).as("seg"))
+      // probes: for every admissible partner length la ∈ [len−K, len+K],
+      // segment i, and shift δ ∈ [−K, K], the substring this string would
+      // have to contain if the partner's segment i went untouched
+      val laSeq = {
+        val lo = greatest(lit(Segs), col("len") - K)
+        val hi = least(lit(Pref), col("len") + K)
+        when(hi >= lo, sequence(lo, hi)).otherwise(array().cast("array<int>"))
+      }
+      val probes = docs
+        .withColumn("pla", explode(laSeq))
+        .withColumn("pi", explode(sequence(lit(0), lit(Segs - 1))))
+        .withColumn("dlt", explode(sequence(lit(-K), lit(K))))
+        .withColumn("p_len",
+          expr(s"pla div $Segs") + when(col("pi") < col("pla") % Segs, 1).otherwise(0))
+        .withColumn("p_pos",
+          col("pi") * expr(s"pla div $Segs") + least(col("pi"), col("pla") % Segs)
+            + col("dlt"))
+        .filter(col("p_len") >= 1 && col("p_pos") >= 0 &&
+          col("p_pos") + col("p_len") <= col("len"))
+        .select(col("doc_id").as("doc_b"), col("pla"), col("pi"),
+          col("pre").substr(col("p_pos") + 1, col("p_len")).as("sub"))
+      val cand = segIdx.join(probes,
+          segIdx("la") === probes("pla") && segIdx("i") === probes("pi") &&
+            segIdx("seg") === probes("sub") && col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"))
+      // degenerate fallback: any qualifying pair with a side shorter than
+      // Segs has BOTH sides ≤ Segs−1+K chars — a bounded constant class
+      val near = docs.filter(col("len") <= Segs - 1 + K)
+      val tinyCand = near.select(col("doc_id").as("doc_a"), col("len").as("lna"))
+        .join(broadcast(near.select(col("doc_id").as("doc_b"), col("len").as("lnb"))),
+          col("doc_a") < col("doc_b") &&
+            abs(col("lna") - col("lnb")) <= K &&
+            (col("lna") < Segs || col("lnb") < Segs))
+        .select(col("doc_a"), col("doc_b"))
+      val byA = docs.select(col("doc_id").as("doc_a"), col("pre").as("pre_a"),
+        col("len").as("len_a"))
+      val byB = docs.select(col("doc_id").as("doc_b"), col("pre").as("pre_b"),
+        col("len").as("len_b"))
+      cand.union(tinyCand).distinct()
+        .join(byA, "doc_a").join(byB, "doc_b")
+        .filter(abs(col("len_a") - col("len_b")) <= K)
+        .withColumn("dist", levenshtein(col("pre_a"), col("pre_b")))
+        .filter(col("dist") <= K)
+        .select(col("doc_a"), col("doc_b"), col("dist"))
+    }),
+
     // MinHash(64) + LSH(8 bands × 8 rows) candidates, then exact-jaccard
     // verification of candidate docs only. Probabilistic recall (>0.99 at
     // j≥0.9); pinned against dedup_ngram_jaccard in DedupSpec.
@@ -843,6 +933,14 @@ object DedupQueries {
         |  10000 // COUNT(*) OVER (PARTITION BY md5(text)) AS weight_bp
         |FROM documents""".stripMargin,
     "dedup_ngram_jaccard" -> dedupNgramJaccardOracle,
+    "dedup_editdist_passjoin" ->
+      """WITH p AS (SELECT doc_id, lower(substr(text, 1, 40)) AS pre
+        |  FROM documents)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(levenshtein(a.pre, b.pre) AS INTEGER) AS dist
+        |FROM p a JOIN p b ON a.doc_id < b.doc_id
+        |WHERE abs(length(a.pre) - length(b.pre)) <= 3
+        |  AND levenshtein(a.pre, b.pre) <= 3""".stripMargin,
     "dedup_embedding" -> dedupEmbeddingOracle,
     "dedup_incremental" ->
       """WITH docs AS (

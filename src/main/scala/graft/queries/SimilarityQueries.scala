@@ -91,6 +91,57 @@ object SimilarityQueries {
           round(col("cos_raw"), 6).as("cos"))
     }),
 
+    // Two-stage truncated-dimension rerank (the Matryoshka retrieval
+    // pattern, Kusupati et al. NeurIPS 2022): stage 1 scores candidates
+    // with only the first 16 of 64 dims (4× less FLOPs and memory
+    // traffic per candidate) and keeps the top M=40 per probe; stage 2
+    // reranks ONLY those 40 with the full-dimension exact cosine and
+    // keeps the top 5. Both stages are deterministic (ties broken by
+    // cid), so the composed semantics is SQL-expressible and the query
+    // stays hash-exact — a rare cross-engine pin on a rerank pipeline.
+    //
+    // 100 TB shape: the value of the operator is the STAGE STRUCTURE,
+    // not stage 1's scan — here stage 1 is the brute-force scan so the
+    // oracle can replay it, but it composes with any registered
+    // candidate generator (sim_ann_ivf / sim_ann_pq_adc produce exactly
+    // the (qid, cid) shape stage 2 consumes). The production layout
+    // stores the 16-dim prefix as its own column (scan reads 1/4 of the
+    // vector bytes; same trick as PQ codes-only scans). No vector ever
+    // rides a shuffle: stage 1's per-probe exchange carries only
+    // (qid, cid, coarse), and stage 2 re-fetches full vectors by
+    // BROADCASTING the ≤ nProbes·M survivor id pairs back against the
+    // corpus scan (the sim_ann_batch idiom) — corpus vectors stream,
+    // never shuffle. Both top cuts compile to WindowGroupLimit bounded
+    // heaps; at fleet query volume the TopKAggregator (q35) replaces
+    // the window.
+    "sim_rerank_truncated" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val probes = e.filter(col("vec_id") < 8)
+      val survivors = e.filter(col("vec_id") >= 8)
+        .select(col("vec_id").as("cid"),
+          slice(col("embedding"), 1, 16).as("c16"))
+        .join(broadcast(probes.select(col("vec_id").as("qid"),
+          slice(col("embedding"), 1, 16).as("q16"))))
+        .select(col("qid"), col("cid"),
+          dot(col("c16"), col("q16")).as("coarse"))
+        .withColumn("crn", row_number().over(Window.partitionBy("qid")
+          .orderBy(col("coarse").desc, col("cid").asc)))
+        .filter(col("crn") <= 40)
+        .select(col("qid"), col("cid"))
+      broadcast(survivors)
+        .join(e.filter(col("vec_id") >= 8)
+          .select(col("vec_id").as("cid"), col("embedding").as("c_emb")), "cid")
+        .join(broadcast(probes.select(col("vec_id").as("qid"),
+          col("embedding").as("q_emb"))), "qid")
+        .select(col("qid"), col("cid"),
+          cosine(col("c_emb"), col("q_emb")).as("cos_raw"))
+        .withColumn("rank", row_number().over(Window.partitionBy("qid")
+          .orderBy(col("cos_raw").desc, col("cid").asc)))
+        .filter(col("rank") <= 5)
+        .select(col("qid"), col("cid"), col("rank"),
+          round(col("cos_raw"), 6).as("cos"))
+    }),
+
     // The at-scale KNN-join twin of sim_nn_cross_label: both sides banded
     // on one unit projection (the dedup_embedding_lsh machinery) and
     // joined only within ±1 band — a shuffle equi-join whose cost tracks
@@ -1106,5 +1157,28 @@ object SimilarityQueries {
         |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_raw DESC, cid ASC) AS rn
         |  FROM pairs)
         |SELECT qid, cid AS nn_id, ROUND(cos_raw, 6) AS cos
-        |FROM ranked WHERE rn = 1""".stripMargin)
+        |FROM ranked WHERE rn = 1""".stripMargin,
+    "sim_rerank_truncated" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+        |p AS (SELECT vec_id AS qid, list_slice(v, 1, 16) AS q16, v AS qv
+        |      FROM e WHERE vec_id < 8),
+        |c AS (SELECT vec_id AS cid, list_slice(v, 1, 16) AS c16, v AS cv
+        |      FROM e WHERE vec_id >= 8),
+        |coarse AS (
+        |  SELECT qid, cid, cv, qv,
+        |    ROW_NUMBER() OVER (PARTITION BY qid
+        |      ORDER BY list_dot_product(c16, q16) DESC, cid ASC) AS crn
+        |  FROM c, p),
+        |rr AS (
+        |  SELECT qid, cid,
+        |    list_dot_product(cv, qv) /
+        |      sqrt(list_dot_product(cv, cv) * list_dot_product(qv, qv)) AS cos_raw
+        |  FROM coarse WHERE crn <= 40),
+        |ranked AS (
+        |  SELECT qid, cid, cos_raw,
+        |    ROW_NUMBER() OVER (PARTITION BY qid
+        |      ORDER BY cos_raw DESC, cid ASC) AS rank
+        |  FROM rr)
+        |SELECT qid, cid, CAST(rank AS INTEGER) AS rank, ROUND(cos_raw, 6) AS cos
+        |FROM ranked WHERE rank <= 5""".stripMargin)
 }

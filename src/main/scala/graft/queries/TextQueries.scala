@@ -157,6 +157,48 @@ object TextQueries {
       val df = tf.groupBy("word").agg(count(lit(1)).as("df"))
       tf.join(broadcast(df), "word")
         .select(col("doc_id"), col("word"), col("tf"), col("df"))
+    }),
+
+    // BM25 retrieval scoring (Robertson et al., Okapi at TREC-3 1994)
+    // against a fixed query term set, in EXACT integer arithmetic so the
+    // score is bit-identical cross-engine. Two textbook substitutions,
+    // both order-preserving per term: (a) the idf log is dropped in favor
+    // of the raw Robertson–Spärck-Jones odds (N − df + ½)/(df + ½) —
+    // scaled by 2 to clear the halves — and (b) k1 = 1.2, b = 0.75 are
+    // cleared to integers by multiplying the saturation term through by
+    // 20·T (T = corpus token count), giving per-term basis points
+    //   floor(10⁴ · (2N−2df+1)/(2df+1) · 44·T·tf / (20·T·tf + 6·T + 18·dl·N)).
+    // decimal(38,0) intermediates (DuckDB: HUGEINT) keep the products
+    // exact far beyond the 64-bit overflow point (~sf1 in longs).
+    //
+    // 100 TB shape: tokens are filtered to the q query terms BEFORE any
+    // exchange (the corpus-wide explode feeds a map-side-combined
+    // groupBy on the filtered subset only); df is a q-row aggregate and
+    // (N, T) a 1-row scalar, both broadcast back. One fingerprint-sized
+    // shuffle total; raw text never crosses the wire. The fixed-term
+    // variant IS the production shape — a query batch replaces the
+    // literal list with a broadcast terms table, nothing else moves.
+    "retrieve_bm25" -> ((s, d) => {
+      val terms = Seq("spark", "join", "window")
+      val dl = docsWithToks(s, d)
+        .select(col("doc_id"), col("toks"), size(col("toks")).as("dl"))
+      val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("t_tokens"))
+      val tf = dl
+        .select(col("doc_id"), col("dl"), explode(col("toks")).as("tok"))
+        .filter(col("tok").isin(terms: _*))
+        .groupBy(col("doc_id"), col("dl"), col("tok"))
+        .agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+      tf.join(broadcast(df), "tok")
+        .crossJoin(broadcast(stats)) // 1-row corpus stats
+        .withColumn("term_bp", expr(
+          """(CAST(10000 AS DECIMAL(38,0)) * (2*n_docs - 2*df + 1) * 44 * t_tokens * tf)
+            | div
+            |((CAST(2 AS DECIMAL(38,0))*df + 1) *
+            | (CAST(20 AS DECIMAL(38,0))*t_tokens*tf + 6*t_tokens + 18*dl*n_docs))"""
+            .stripMargin))
+        .groupBy("doc_id").agg(sum(col("term_bp")).as("score_bp"))
+        .select(col("doc_id"), col("score_bp"))
     }))
 
   // ta_fingerprint (rolling_fp) is xxhash64-based and not reproducible in
@@ -240,5 +282,27 @@ object TextQueries {
         |tfc AS (SELECT doc_id, word, COUNT(*) AS tf FROM tf GROUP BY 1, 2),
         |dfc AS (SELECT word, COUNT(*) AS df FROM tfc GROUP BY 1)
         |SELECT tfc.doc_id, tfc.word, tfc.tf, dfc.df
-        |FROM tfc JOIN dfc ON tfc.word = dfc.word""".stripMargin)
+        |FROM tfc JOIN dfc ON tfc.word = dfc.word""".stripMargin,
+    "retrieve_bm25" ->
+      """WITH d AS (SELECT doc_id,
+        |  list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |dl AS (SELECT doc_id, len(toks) AS dl, toks FROM d),
+        |g AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS t_tokens FROM dl),
+        |tf AS (
+        |  SELECT doc_id, dl, tok, COUNT(*) AS tf
+        |  FROM (SELECT doc_id, dl, unnest(toks) AS tok FROM dl)
+        |  WHERE tok IN ('spark', 'join', 'window')
+        |  GROUP BY 1, 2, 3),
+        |dfq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1),
+        |sc AS (
+        |  SELECT tf.doc_id,
+        |    (CAST(10000 AS HUGEINT) * (2*g.n_docs - 2*dfq.df + 1) * 44
+        |       * g.t_tokens * tf.tf)
+        |    // ((CAST(2 AS HUGEINT)*dfq.df + 1) *
+        |       (CAST(20 AS HUGEINT)*g.t_tokens*tf.tf + 6*g.t_tokens
+        |        + 18*tf.dl*g.n_docs)) AS term_bp
+        |  FROM tf JOIN dfq USING (tok), g)
+        |SELECT doc_id, CAST(SUM(term_bp) AS BIGINT) AS score_bp
+        |FROM sc GROUP BY 1""".stripMargin)
 }

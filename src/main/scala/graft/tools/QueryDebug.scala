@@ -14,8 +14,24 @@ object QueryDebug {
     case "explain" => explain(args.drop(1))
     case "time"    => time(args.drop(1))
     case "audit"   => audit(args.drop(1))
+    case "dump"    => dump(args.drop(1))
     case other =>
-      sys.error(s"unknown mode '$other' (expected explain|time|audit)")
+      sys.error(s"unknown mode '$other' (expected explain|time|audit|dump)")
+  }
+
+  /** dump <sfDir> <names,comma-sep> <outDir>: Verify's per-query parquet
+    * dump for a subset — iterating on ONE oracle without a full Verify. */
+  private def dump(args: Array[String]): Unit = {
+    val Array(sfDir, names, outDir) = args
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", 8)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    for (n <- names.split(","))
+      graft.SparkEntry.queries(n)(spark, sfDir).coalesce(1)
+        .write.mode("overwrite").parquet(s"$outDir/$n")
+    spark.stop()
   }
 
   // raw source columns by substring; derived wide names (token arrays /

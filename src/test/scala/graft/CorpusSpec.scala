@@ -183,4 +183,33 @@ class CorpusSpec extends SparkSpec {
       assert(out(id) == ((exp, exp > 0)), s"doc $id margin mismatch")
     }
   }
+
+  test("retrieve_bm25: exact-integer BM25 matches a BigInt replay") {
+    val terms = Seq("spark", "join", "window")
+    val toks = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+      .map { case (id, t) => id -> t.split(" ").filter(_.nonEmpty).toSeq }
+    val n = BigInt(toks.length)
+    val tTot = BigInt(toks.map(_._2.length.toLong).sum)
+    val df = terms.map(t => t -> BigInt(toks.count(_._2.contains(t)))).toMap
+    val expected = toks.flatMap { case (id, w) =>
+      if (!terms.exists(w.contains(_))) None
+      else {
+        val dl = BigInt(w.length)
+        val score = terms.map { t =>
+          val tf = BigInt(w.count(_ == t))
+          if (tf == 0) BigInt(0)
+          // BigInt `/` truncates; operands are positive so it equals the
+          // floor division Spark's `div` / DuckDB's `//` perform
+          else (BigInt(10000) * (2 * n - 2 * df(t) + 1) * 44 * tTot * tf) /
+            ((2 * df(t) + 1) * (BigInt(20) * tTot * tf + 6 * tTot + 18 * dl * n))
+        }.sum
+        Some(id -> score.toLong)
+      }
+    }.toMap
+    val out = graft.queries.TextQueries.queries("retrieve_bm25")(spark, sf0001)
+      .as[(Long, Long)].collect().toMap
+    assert(out == expected)
+    assert(out.nonEmpty && out.valuesIterator.exists(_ > 0))
+  }
 }

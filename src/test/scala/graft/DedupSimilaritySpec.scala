@@ -994,4 +994,74 @@ class DedupSimilaritySpec extends SparkSpec {
       assert(m.header_hex.length == math.min(8, m.n_bytes) * 2)
     }
   }
+
+  /** All (doc_a<doc_b, dist≤3) pairs over 40-char lower prefixes, the slow
+    * way — the recall yardstick for the PassJoin candidate scheme. (No
+    * |Δlen| pre-filter needed: levenshtein ≥ |Δlen| already implies it.) */
+  private def bruteEditPairs(dir: String): Set[(Long, Long, Int)] = {
+    val p = Tables.documents(spark, dir).select(col("doc_id"),
+      lower(substring(col("text"), 1, 40)).as("pre"))
+    p.toDF("doc_a", "pre_a").join(p.toDF("doc_b", "pre_b"),
+        col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        levenshtein(col("pre_a"), col("pre_b")).as("dist"))
+      .filter(col("dist") <= 3).as[(Long, Long, Int)].collect().toSet
+  }
+
+  test("dedup_editdist_passjoin: planted edit types found; equals brute force") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-passjoin").toString
+    // short enough that base and its 3-char-inserted variant BOTH fit
+    // inside the 40-char prefix window (else truncation shifts the tail
+    // out and the planted distance changes)
+    val base = "the quick brown fox jumps over dog"
+    val docs = Seq(
+      (1L, base),
+      (2L, base.replace("quick", "quack")), // 1 substitution inside the prefix
+      (3L, "xx " + base),                   // 3 insertions at the front
+      (4L, base.drop(4)),                   // 4 deletions -> excluded vs 1
+      (5L, "completely unrelated content that matches nothing else at all"),
+      (6L, "ab"), (7L, "abc"),              // short strings: fallback path
+      (8L, base))                           // exact duplicate of 1
+    docs.toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val out = DedupQueries.queries("dedup_editdist_passjoin")(spark, dir)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(out == bruteEditPairs(dir), "planted corpus: PassJoin != brute force")
+    val pairSet = out.map(t => (t._1, t._2))
+    assert(pairSet.contains((1L, 2L)) && pairSet.contains((1L, 3L)) &&
+      pairSet.contains((6L, 7L)) && pairSet.contains((1L, 8L)))
+    assert(out.contains((1L, 8L, 0)) && out.contains((6L, 7L, 1)))
+    assert(!pairSet.contains((1L, 4L)) && !pairSet.contains((1L, 5L)))
+    // and on the real fixture: candidate pruning loses nothing
+    val fx = DedupQueries.queries("dedup_editdist_passjoin")(spark, sf0001)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(fx == bruteEditPairs(sf0001), "fixture: PassJoin != brute force")
+    assert(fx.nonEmpty)
+  }
+
+  test("sim_rerank_truncated: plain-Scala two-stage replay matches exactly") {
+    val all = Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])]
+      .collect().map { case (id, e) => id -> e.map(_.toDouble) }
+    def dot(a: Seq[Double], b: Seq[Double]): Double =
+      a.zip(b).foldLeft(0.0) { case (s, (x, y)) => s + x * y }
+    val probes = all.filter(_._1 < 8)
+    val corpus = all.filter(_._1 >= 8)
+    val expected = probes.flatMap { case (qid, qv) =>
+      val q16 = qv.take(16)
+      val top40 = corpus
+        .map { case (cid, cv) => (cid, cv, dot(cv.take(16), q16)) }
+        .sortBy { case (cid, _, s) => (-s, cid) }.take(40)
+      top40
+        .map { case (cid, cv, _) =>
+          (cid, dot(cv, qv) / math.sqrt(dot(cv, cv) * dot(qv, qv))) }
+        .sortBy { case (cid, s) => (-s, cid) }.take(5)
+        .zipWithIndex.map { case ((cid, _), i) => (qid, cid, i + 1) }
+    }.toSet
+    val out = SimilarityQueries.queries("sim_rerank_truncated")(spark, sf0001)
+      .select(col("qid"), col("cid"), col("rank"))
+      .as[(Long, Long, Int)].collect().toSet
+    assert(out == expected)
+    assert(out.size == probes.length * 5)
+  }
 }
