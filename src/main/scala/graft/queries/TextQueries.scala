@@ -199,6 +199,45 @@ object TextQueries {
             .stripMargin))
         .groupBy("doc_id").agg(sum(col("term_bp")).as("score_bp"))
         .select(col("doc_id"), col("score_bp"))
+    }),
+
+    // Collocation mining (Church & Hanks 1990): corpus bigrams whose
+    // co-occurrence beats chance — PMI's log dropped in favor of its
+    // exact-integer argument, the LIFT n·T_u² / (T_b·c1·c2), floored to
+    // basis points (10⁴ = independence). Same monotone-per-term move as
+    // retrieve_bm25's odds idf: ranking and thresholds are unchanged,
+    // the arithmetic becomes cross-engine bit-exact. Min support n ≥ 5
+    // (PMI's classic low-count pathology — a hapax pair maxes the score).
+    //
+    // 100 TB shape: two narrow token-keyed aggregates (bigram counts +
+    // unigram counts, both map-side combined), then token-keyed joins of
+    // the SUPPORTED bigrams against the vocab-scale unigram table —
+    // vocab tables join, they don't broadcast (the curate_lm_score
+    // rule); the two totals are a broadcast 1-row scalar. Headroom:
+    // decimal(38,0) holds 10⁴·n·T_u² exactly to ~10¹⁵-token corpora at
+    // n ≤ 10⁸; past that the exact-integer lift yields to log-space PMI
+    // in doubles (the reporting scale changes, not the plan).
+    "ta_collocations" -> ((s, d) => {
+      val toks = docsWithToks(s, d).select(col("toks").as("w"))
+      val nb = greatest(size(col("w")) - 1, lit(0))
+      val cxy = toks
+        .select(explode(zip_with(
+          slice(col("w"), lit(1), nb), slice(col("w"), lit(2), nb),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+        .groupBy(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+        .agg(count(lit(1)).as("n"))
+      val uni = toks.select(explode(col("w")).as("t"))
+        .groupBy("t").agg(count(lit(1)).as("c"))
+      val scalars = broadcast(cxy.agg(sum(col("n")).as("t_big"))
+        .crossJoin(uni.agg(sum(col("c")).as("t_uni"))))
+      cxy.filter(col("n") >= 5)
+        .join(uni.select(col("t").as("w1"), col("c").as("c1")), "w1")
+        .join(uni.select(col("t").as("w2"), col("c").as("c2")), "w2")
+        .crossJoin(scalars)
+        .select(concat_ws(" ", col("w1"), col("w2")).as("bigram"), col("n"),
+          expr("""(CAST(10000 AS DECIMAL(38,0)) * n * t_uni * t_uni)
+                 | div (CAST(t_big AS DECIMAL(38,0)) * c1 * c2)""".stripMargin)
+            .as("lift_bp"))
     }))
 
   // ta_fingerprint (rolling_fp) is xxhash64-based and not reproducible in
@@ -304,5 +343,25 @@ object TextQueries {
         |        + 18*tf.dl*g.n_docs)) AS term_bp
         |  FROM tf JOIN dfq USING (tok), g)
         |SELECT doc_id, CAST(SUM(term_bp) AS BIGINT) AS score_bp
-        |FROM sc GROUP BY 1""".stripMargin)
+        |FROM sc GROUP BY 1""".stripMargin,
+    "ta_collocations" ->
+      """WITH docs AS (
+        |  SELECT list_filter(string_split(text, ' '), x -> x <> '') AS w
+        |  FROM documents),
+        |big AS (
+        |  SELECT unnest(list_transform(generate_series(1, len(w)-1), i -> w[i])) AS w1,
+        |         unnest(list_transform(generate_series(1, len(w)-1), i -> w[i+1])) AS w2
+        |  FROM docs WHERE len(w) >= 2),
+        |cxy AS (SELECT w1, w2, COUNT(*) AS n FROM big GROUP BY 1, 2),
+        |unic AS (SELECT t, COUNT(*) AS c
+        |         FROM (SELECT unnest(w) AS t FROM docs) GROUP BY 1),
+        |tot AS (SELECT (SELECT SUM(n) FROM cxy) AS t_big,
+        |               (SELECT SUM(c) FROM unic) AS t_uni)
+        |SELECT cxy.w1 || ' ' || cxy.w2 AS bigram, cxy.n,
+        |  CAST((CAST(10000 AS HUGEINT) * cxy.n * tot.t_uni * tot.t_uni)
+        |       // (CAST(tot.t_big AS HUGEINT) * u1.c * u2.c) AS BIGINT) AS lift_bp
+        |FROM cxy
+        |JOIN unic u1 ON u1.t = cxy.w1
+        |JOIN unic u2 ON u2.t = cxy.w2, tot
+        |WHERE cxy.n >= 5""".stripMargin)
 }

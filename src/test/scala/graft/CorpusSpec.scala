@@ -212,4 +212,26 @@ class CorpusSpec extends SparkSpec {
     assert(out == expected)
     assert(out.nonEmpty && out.valuesIterator.exists(_ > 0))
   }
+
+  test("ta_collocations: exact-integer lift matches a BigInt replay") {
+    val ws = Tables.documents(spark, sf0001)
+      .select(col("text")).as[String].collect()
+      .map(_.split(" ").filter(_.nonEmpty).toSeq)
+    val bigrams = ws.flatMap(w => w.zip(w.drop(1)))
+    val cxy = bigrams.groupBy(identity).map { case (k, v) => k -> BigInt(v.length) }
+    val unic = ws.flatten.groupBy(identity).map { case (k, v) => k -> BigInt(v.length) }
+    val tBig = cxy.values.sum
+    val tUni = unic.values.sum
+    val expected = cxy.collect { case ((w1, w2), n) if n >= 5 =>
+      (s"$w1 $w2", n.toLong,
+        ((BigInt(10000) * n * tUni * tUni) /
+          (tBig * unic(w1) * unic(w2))).toLong)
+    }.toSet
+    val out = graft.queries.TextQueries.queries("ta_collocations")(spark, sf0001)
+      .as[(String, Long, Long)].collect().toSet
+    assert(out == expected)
+    // independence sanity: lift centers on 10000 bp for this word-salad
+    // corpus (no real collocational structure), never collapses to 0
+    assert(out.nonEmpty && out.forall(_._3 > 0))
+  }
 }
