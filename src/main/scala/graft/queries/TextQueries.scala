@@ -201,6 +201,46 @@ object TextQueries {
         .select(col("doc_id"), col("score_bp"))
     }),
 
+    // The batch-retrieval twin of retrieve_bm25 — the production shape
+    // stated in its scale note, made concrete: the query terms arrive as
+    // a TABLE (qid, term), not a literal list. The corpus-side plan is
+    // unchanged (filter-before-shuffle becomes a broadcast LEFT SEMI
+    // against the distinct term set; df and (N, T) exactly as before);
+    // scoring fans each matching (doc, term) out to its queries via a
+    // broadcast join on term, and the per-query top-10 compiles to a
+    // WindowGroupLimit bounded heap. Scoring arithmetic is byte-for-byte
+    // retrieve_bm25's, so the same exactness argument pins it.
+    "retrieve_bm25_batch" -> ((s, d) => {
+      val qt = broadcast(s.createDataFrame(Seq(
+        (1L, "spark"), (1L, "join"), (2L, "window"), (2L, "table"),
+        (3L, "data"), (3L, "query"), (3L, "filter"))).toDF("qid", "term"))
+      val dl = docsWithToks(s, d)
+        .select(col("doc_id"), col("toks"), size(col("toks")).as("dl"))
+      val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("t_tokens"))
+      val tf = dl
+        .select(col("doc_id"), col("dl"), explode(col("toks")).as("tok"))
+        .join(broadcast(qt.select(col("term").as("tok")).distinct()),
+          Seq("tok"), "left_semi")
+        .groupBy(col("doc_id"), col("dl"), col("tok"))
+        .agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+      tf.join(broadcast(df), "tok")
+        .join(broadcast(qt.select(col("qid"), col("term").as("tok"))), "tok")
+        .crossJoin(broadcast(stats))
+        .withColumn("term_bp", expr(
+          """(CAST(10000 AS DECIMAL(38,0)) * (2*n_docs - 2*df + 1) * 44 * t_tokens * tf)
+            | div
+            |((CAST(2 AS DECIMAL(38,0))*df + 1) *
+            | (CAST(20 AS DECIMAL(38,0))*t_tokens*tf + 6*t_tokens + 18*dl*n_docs))"""
+            .stripMargin))
+        .groupBy("qid", "doc_id").agg(sum(col("term_bp")).as("score_bp"))
+        .withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("qid")
+            .orderBy(col("score_bp").desc, col("doc_id").asc)))
+        .filter(col("rank") <= 10)
+        .select(col("qid"), col("doc_id"), col("rank"), col("score_bp"))
+    }),
+
     // Collocation mining (Church & Hanks 1990): corpus bigrams whose
     // co-occurrence beats chance — PMI's log dropped in favor of its
     // exact-integer argument, the LIFT n·T_u² / (T_b·c1·c2), floored to
@@ -344,6 +384,39 @@ object TextQueries {
         |  FROM tf JOIN dfq USING (tok), g)
         |SELECT doc_id, CAST(SUM(term_bp) AS BIGINT) AS score_bp
         |FROM sc GROUP BY 1""".stripMargin,
+    "retrieve_bm25_batch" ->
+      """WITH qt(qid, term) AS (VALUES
+        |  (1, 'spark'), (1, 'join'), (2, 'window'), (2, 'table'),
+        |  (3, 'data'), (3, 'query'), (3, 'filter')),
+        |d AS (SELECT doc_id,
+        |  list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |dl AS (SELECT doc_id, len(toks) AS dl, toks FROM d),
+        |g AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS t_tokens FROM dl),
+        |tf AS (
+        |  SELECT doc_id, dl, tok, COUNT(*) AS tf
+        |  FROM (SELECT doc_id, dl, unnest(toks) AS tok FROM dl)
+        |  WHERE tok IN (SELECT term FROM qt)
+        |  GROUP BY 1, 2, 3),
+        |dfq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1),
+        |sc AS (
+        |  SELECT qt.qid, tf.doc_id,
+        |    (CAST(10000 AS HUGEINT) * (2*g.n_docs - 2*dfq.df + 1) * 44
+        |       * g.t_tokens * tf.tf)
+        |    // ((CAST(2 AS HUGEINT)*dfq.df + 1) *
+        |       (CAST(20 AS HUGEINT)*g.t_tokens*tf.tf + 6*g.t_tokens
+        |        + 18*tf.dl*g.n_docs)) AS term_bp
+        |  FROM tf JOIN dfq USING (tok) JOIN qt ON qt.term = tf.tok, g),
+        |scored AS (
+        |  SELECT qid, doc_id, SUM(term_bp) AS score_bp FROM sc GROUP BY 1, 2),
+        |ranked AS (
+        |  SELECT qid, doc_id, score_bp,
+        |    ROW_NUMBER() OVER (PARTITION BY qid
+        |      ORDER BY score_bp DESC, doc_id ASC) AS rank
+        |  FROM scored)
+        |SELECT CAST(qid AS BIGINT) AS qid, doc_id, CAST(rank AS INTEGER) AS rank,
+        |  CAST(score_bp AS BIGINT) AS score_bp
+        |FROM ranked WHERE rank <= 10""".stripMargin,
     "ta_collocations" ->
       """WITH docs AS (
         |  SELECT list_filter(string_split(text, ' '), x -> x <> '') AS w

@@ -213,6 +213,36 @@ class CorpusSpec extends SparkSpec {
     assert(out.nonEmpty && out.valuesIterator.exists(_ > 0))
   }
 
+  test("retrieve_bm25_batch: per-query top-10 matches a BigInt replay") {
+    val queries = Map(
+      1L -> Seq("spark", "join"), 2L -> Seq("window", "table"),
+      3L -> Seq("data", "query", "filter"))
+    val allTerms = queries.values.flatten.toSet
+    val toks = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+      .map { case (id, t) => id -> t.split(" ").filter(_.nonEmpty).toSeq }
+    val n = BigInt(toks.length)
+    val tTot = BigInt(toks.map(_._2.length.toLong).sum)
+    val df = allTerms.map(t => t -> BigInt(toks.count(_._2.contains(t)))).toMap
+    val expected = queries.toSeq.flatMap { case (qid, terms) =>
+      toks.flatMap { case (id, w) =>
+        val dl = BigInt(w.length)
+        val score = terms.map { t =>
+          val tf = BigInt(w.count(_ == t))
+          if (tf == 0) BigInt(0)
+          else (BigInt(10000) * (2 * n - 2 * df(t) + 1) * 44 * tTot * tf) /
+            ((2 * df(t) + 1) * (BigInt(20) * tTot * tf + 6 * tTot + 18 * dl * n))
+        }.sum
+        if (terms.exists(w.contains(_))) Some((id, score.toLong)) else None
+      }.sortBy { case (id, sc) => (-sc, id) }.take(10)
+        .zipWithIndex.map { case ((id, sc), i) => (qid, id, i + 1, sc) }
+    }.toSet
+    val out = graft.queries.TextQueries.queries("retrieve_bm25_batch")(spark, sf0001)
+      .as[(Long, Long, Int, Long)].collect().toSet
+    assert(out == expected)
+    assert(out.size == 30)
+  }
+
   test("ta_collocations: exact-integer lift matches a BigInt replay") {
     val ws = Tables.documents(spark, sf0001)
       .select(col("text")).as[String].collect()
