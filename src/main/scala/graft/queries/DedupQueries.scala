@@ -351,7 +351,8 @@ object DedupQueries {
     // from ONE equi-join: an index of each string's K+1 even-partition
     // segments against probe substrings extracted at every admissible
     // (source length, segment, ±K shift) placement — a constant
-    // ≤(2K+1)²(K+1) fan-out per row, not n per row. Exact recall by
+    // ≤(2K+1)(K+1)² fan-out per row (the tight shift budget below cuts
+    // the naive (2K+1)²(K+1) roughly in half), not n per row. Exact recall by
     // construction (both directions of the pigeonhole hold, so the
     // doc_a < doc_b orientation is safe); precision restored by a
     // levenshtein verify on the deduped candidates.
@@ -384,8 +385,15 @@ object DedupQueries {
         .select(col("doc_id").as("doc_a"), col("len").as("la"), col("i"),
           col("pre").substr(col("start") + 1, col("seg_len")).as("seg"))
       // probes: for every admissible partner length la ∈ [len−K, len+K],
-      // segment i, and shift δ ∈ [−K, K], the substring this string would
-      // have to contain if the partner's segment i went untouched
+      // segment i, and shift δ, the substring this string would have to
+      // contain if the partner's segment i went untouched. δ is bounded
+      // by the TIGHT pigeonhole budget |δ| + |Δ−δ| ≤ K (Δ = len−la):
+      // the untouched segment's shift equals the net indels BEFORE it
+      // (≥ |δ| edits), the remaining edits must close the length gap
+      // after it (≥ |Δ−δ| edits), and the two groups share one budget
+      // of K. Cuts the per-(la, i) shift window from 2K+1 to ≤ K+1
+      // placements (3 instead of 7 at equal lengths) with zero recall
+      // loss — the bound is implied, not heuristic.
       val laSeq = {
         val lo = greatest(lit(Segs), col("len") - K)
         val hi = least(lit(Pref), col("len") + K)
@@ -395,6 +403,7 @@ object DedupQueries {
         .withColumn("pla", explode(laSeq))
         .withColumn("pi", explode(sequence(lit(0), lit(Segs - 1))))
         .withColumn("dlt", explode(sequence(lit(-K), lit(K))))
+        .filter(abs(col("dlt")) + abs(col("len") - col("pla") - col("dlt")) <= K)
         .withColumn("p_len",
           expr(s"pla div $Segs") + when(col("pi") < col("pla") % Segs, 1).otherwise(0))
         .withColumn("p_pos",
