@@ -282,6 +282,56 @@ object ExtraRelationalQueries {
           count(lit(1)).as("n_events"))
     }),
 
+    // Point-in-time (PIT) join — the feature-store / temporal-warehouse
+    // lookup: each fact row joins the SCD2 dimension VERSION that was
+    // valid at the fact's own timestamp, never a later one (no feature
+    // leakage). Dimension = q68's island compression over the user's
+    // non-purchase activity, made half-open via lead(): version v covers
+    // [valid_from, next version's valid_from); the last version is
+    // open-ended. Facts = purchases. Intervals are disjoint by
+    // construction, so every purchase matches at most one version and
+    // the join needs no post-dedup.
+    //
+    // 100 TB shape: one user_id shuffle per side; the range predicate
+    // rides the equi-join as a RESIDUAL (the q71 recipe — no time-bucket
+    // expansion), and the dimension side is version-COMPRESSED before
+    // the join (islands, not raw events), so residual work per user is
+    // versions × purchases, both small. An as-of twin via the AsOfJoin
+    // strategy would also fit; the residual form is kept because the
+    // half-open interval semantics (incl. empty intervals at equal-us
+    // boundaries) is explicit in the predicate.
+    "q72_pit_join" -> ((s, d) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("us").asc, col("event_id").asc)
+      val dim = Tables.events(s, d)
+        .filter(col("event_type") =!= "purchase")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"))
+        .filter(col("us").isNotNull)
+        .withColumn("chg",
+          when(lag(col("event_type"), 1).over(w).isNull ||
+            lag(col("event_type"), 1).over(w) =!= col("event_type"), 1L)
+            .otherwise(0L))
+        .withColumn("island", sum(col("chg"))
+          .over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("long"))
+        .groupBy("user_id", "island")
+        .agg(min(col("event_type")).as("state_type"),
+          min(col("us")).as("valid_from_us"))
+        .withColumn("valid_until_us", lead(col("valid_from_us"), 1)
+          .over(Window.partitionBy("user_id")
+            .orderBy(col("valid_from_us").asc, col("island").asc)))
+      val facts = Tables.events(s, d)
+        .filter(col("event_type") === "purchase" && col("ts").isNotNull)
+        .select(col("event_id").as("purchase_id"),
+          col("user_id").as("p_user"), unix_micros(col("ts")).as("p_us"))
+      facts.join(dim,
+          col("p_user") === dim("user_id") &&
+            col("p_us") >= col("valid_from_us") &&
+            (col("valid_until_us").isNull || col("p_us") < col("valid_until_us")))
+        .select(col("purchase_id"), col("p_user").as("user_id"),
+          col("state_type"), col("island"), col("valid_from_us"), col("p_us"))
+    }),
+
     // MERGE INTO / upsert semantics (the lakehouse write path, SQL:2003
     // MERGE): a source of per-user latest event values merged into the
     // customer dimension — WHEN MATCHED the balance updates to the
@@ -631,6 +681,34 @@ object ExtraRelationalQueries {
         |  MIN(us) AS valid_from_us, MAX(us) AS valid_to_us,
         |  COUNT(*) AS n_events
         |FROM i GROUP BY user_id, island""".stripMargin,
+    "q72_pit_join" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+        |  FROM events WHERE ts IS NOT NULL AND event_type <> 'purchase'),
+        |m AS (SELECT user_id, event_id, event_type, us,
+        |  CASE WHEN LAG(event_type) OVER (PARTITION BY user_id
+        |           ORDER BY us ASC, event_id ASC) IS NULL
+        |         OR LAG(event_type) OVER (PARTITION BY user_id
+        |           ORDER BY us ASC, event_id ASC) <> event_type
+        |       THEN 1 ELSE 0 END AS chg
+        |  FROM e),
+        |i AS (SELECT user_id, event_id, event_type, us,
+        |  SUM(chg) OVER (PARTITION BY user_id ORDER BY us ASC, event_id ASC
+        |    ROWS UNBOUNDED PRECEDING) AS island
+        |  FROM m),
+        |v AS (SELECT user_id, CAST(island AS BIGINT) AS island,
+        |    MIN(event_type) AS state_type, MIN(us) AS valid_from_us
+        |  FROM i GROUP BY user_id, island),
+        |dim AS (SELECT user_id, island, state_type, valid_from_us,
+        |    LEAD(valid_from_us) OVER (PARTITION BY user_id
+        |      ORDER BY valid_from_us ASC, island ASC) AS valid_until_us
+        |  FROM v),
+        |f AS (SELECT event_id AS purchase_id, user_id, epoch_us(ts) AS p_us
+        |  FROM events WHERE event_type = 'purchase' AND ts IS NOT NULL)
+        |SELECT f.purchase_id, f.user_id, dim.state_type, dim.island,
+        |  dim.valid_from_us, f.p_us
+        |FROM f JOIN dim ON dim.user_id = f.user_id
+        |  AND f.p_us >= dim.valid_from_us
+        |  AND (dim.valid_until_us IS NULL OR f.p_us < dim.valid_until_us)""".stripMargin,
     "q69_merge_upsert" ->
       """WITH src AS (SELECT user_id AS key, value AS src_value FROM (
         |  SELECT user_id, value, ROW_NUMBER() OVER (PARTITION BY user_id

@@ -156,6 +156,41 @@ class ExtraRelationalSpec extends SparkSpec {
     assert(out == Set((10L, 1L, hUs), (10L, 3L, 0L)), s"got $out")
   }
 
+  test("q72_pit_join: half-open version boundaries, no leakage, one match per fact") {
+    // planted SCD2 timeline for user 1 (micros): click-run from 1000,
+    // view-run from 3000, click-run from 5000 -> versions
+    // [1000,3000) click, [3000,5000) view, [5000,inf) click
+    val dir = java.nio.file.Files.createTempDirectory("graft-pit").toString
+    Seq(
+      (1L, 1000L * 1000L, 1L, "click", 1.0, "{}"),
+      (2L, 2000L * 1000L, 1L, "click", 1.0, "{}"),
+      (3L, 3000L * 1000L, 1L, "view", 1.0, "{}"),
+      (4L, 5000L * 1000L, 1L, "click", 1.0, "{}"),
+      (100L, 500L * 1000L, 1L, "purchase", 1.0, "{}"),   // before v1: no match
+      (101L, 1000L * 1000L, 1L, "purchase", 1.0, "{}"),  // at v1 start: v1
+      (102L, 2999L * 1000L, 1L, "purchase", 1.0, "{}"),  // inside v1
+      (103L, 3000L * 1000L, 1L, "purchase", 1.0, "{}"),  // boundary: NEW version
+      (104L, 10000L * 1000L, 1L, "purchase", 1.0, "{}"), // open-ended last
+      (105L, 4000L * 1000L, 2L, "purchase", 1.0, "{}"))  // user with no dim
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = ExtraRelationalQueries.queries("q72_pit_join")(spark, dir)
+      .select(col("purchase_id"), col("state_type"), col("valid_from_us"))
+      .as[(Long, String, Long)].collect().toSet
+    assert(out == Set(
+      (101L, "click", 1000L), (102L, "click", 1000L),
+      (103L, "view", 3000L), (104L, "click", 5000L)), s"got $out")
+    // fixture-wide invariants: at most one version per purchase, and the
+    // matched version never starts after the purchase (no feature leakage)
+    val fx = ExtraRelationalQueries.queries("q72_pit_join")(spark, sf001)
+      .as[(Long, Long, String, Long, Long, Long)].collect()
+    assert(fx.map(_._1).distinct.length == fx.length, "duplicate match")
+    fx.foreach { case (pid, _, _, _, from, pUs) =>
+      assert(from <= pUs, s"purchase $pid joined a FUTURE version")
+    }
+    assert(fx.nonEmpty)
+  }
+
   test("q61_resample: contiguous per-user spine, events conserved, gaps zero-filled") {
     val rows = ExtraRelationalQueries.queries("q61_resample")(spark, sf001)
       .as[(Long, Long, Long, Double)].collect()
