@@ -104,6 +104,50 @@ object ExtraRelationalQueries {
     d.bitwiseOR(shiftleft(d, 1)).bitwiseAND(lit(0x55555555L))
   }
 
+  /** q72's SCD2 dimension build: island-compressed activity-state
+    * versions over the NON-purchase events, with lead()-derived
+    * half-open validity [valid_from_us, valid_until_us) — NULL until =
+    * open-ended last version. All on one user_id exchange. Shared with
+    * the streaming twin (StreamingJobs.pitServe) so batch and stream
+    * dimensions cannot diverge. */
+  private[graft] def scd2PitDim(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("us").asc, col("event_id").asc)
+    events
+      .filter(col("event_type") =!= "purchase")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .filter(col("us").isNotNull)
+      .withColumn("chg",
+        when(lag(col("event_type"), 1).over(w).isNull ||
+          lag(col("event_type"), 1).over(w) =!= col("event_type"), 1L)
+          .otherwise(0L))
+      .withColumn("island", sum(col("chg"))
+        .over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("long"))
+      .groupBy("user_id", "island")
+      .agg(min(col("event_type")).as("state_type"),
+        min(col("us")).as("valid_from_us"))
+      .withColumn("valid_until_us", lead(col("valid_from_us"), 1)
+        .over(Window.partitionBy("user_id")
+          .orderBy(col("valid_from_us").asc, col("island").asc)))
+  }
+
+  /** The point-in-time lookup itself: facts (event rows) against a
+    * [[scd2PitDim]] dimension — user_id equi-join with the half-open
+    * interval as a pure residual. Works unchanged whether `facts` is a
+    * batch DataFrame (q72_pit_join) or a streaming one (stream-static
+    * join in StreamingJobs.pitServe): the code path is literally shared. */
+  private[graft] def pitLookup(facts: DataFrame, dim: DataFrame): DataFrame =
+    facts
+      .select(col("event_id").as("purchase_id"),
+        col("user_id").as("p_user"), unix_micros(col("ts")).as("p_us"))
+      .join(dim,
+        col("p_user") === dim("user_id") &&
+          col("p_us") >= col("valid_from_us") &&
+          (col("valid_until_us").isNull || col("p_us") < col("valid_until_us")))
+      .select(col("purchase_id"), col("p_user").as("user_id"),
+        col("state_type"), col("island"), col("valid_from_us"), col("p_us"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Correlated EXISTS through the SQL surface — Catalyst decorrelates
@@ -301,35 +345,9 @@ object ExtraRelationalQueries {
     // half-open interval semantics (incl. empty intervals at equal-us
     // boundaries) is explicit in the predicate.
     "q72_pit_join" -> ((s, d) => {
-      val w = Window.partitionBy("user_id")
-        .orderBy(col("us").asc, col("event_id").asc)
-      val dim = Tables.events(s, d)
-        .filter(col("event_type") =!= "purchase")
-        .select(col("user_id"), col("event_id"), col("event_type"),
-          unix_micros(col("ts")).as("us"))
-        .filter(col("us").isNotNull)
-        .withColumn("chg",
-          when(lag(col("event_type"), 1).over(w).isNull ||
-            lag(col("event_type"), 1).over(w) =!= col("event_type"), 1L)
-            .otherwise(0L))
-        .withColumn("island", sum(col("chg"))
-          .over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("long"))
-        .groupBy("user_id", "island")
-        .agg(min(col("event_type")).as("state_type"),
-          min(col("us")).as("valid_from_us"))
-        .withColumn("valid_until_us", lead(col("valid_from_us"), 1)
-          .over(Window.partitionBy("user_id")
-            .orderBy(col("valid_from_us").asc, col("island").asc)))
       val facts = Tables.events(s, d)
         .filter(col("event_type") === "purchase" && col("ts").isNotNull)
-        .select(col("event_id").as("purchase_id"),
-          col("user_id").as("p_user"), unix_micros(col("ts")).as("p_us"))
-      facts.join(dim,
-          col("p_user") === dim("user_id") &&
-            col("p_us") >= col("valid_from_us") &&
-            (col("valid_until_us").isNull || col("p_us") < col("valid_until_us")))
-        .select(col("purchase_id"), col("p_user").as("user_id"),
-          col("state_type"), col("island"), col("valid_from_us"), col("p_us"))
+      pitLookup(facts, scd2PitDim(Tables.events(s, d)))
     }),
 
     // MERGE INTO / upsert semantics (the lakehouse write path, SQL:2003

@@ -178,6 +178,26 @@ object StreamingJobs {
         (unix_micros(col("p_ts")) - unix_micros(col("c_ts"))).as("lag_us"))
   }
 
+  /** Point-in-time SCD2 lookup as a STREAM-STATIC join — the online
+    * half of q72_pit_join: purchase facts arrive as a stream and join
+    * the STATIC version-compressed dimension
+    * (ExtraRelationalQueries.scd2PitDim, typically rebuilt/persisted by
+    * a periodic batch job) on user_id with the half-open interval
+    * residual. The join body is LITERALLY
+    * ExtraRelationalQueries.pitLookup — the same code the batch query
+    * runs — so online and offline lookups cannot diverge; StreamingSpec
+    * pins stream == batch on a full fixture replay. Stream-static inner
+    * joins are stateless on the stream side (each micro-batch probes
+    * the static relation; nothing is buffered), so state is O(1)
+    * regardless of how long the stream runs — the scale contract. A
+    * fact whose user has no version yet simply emits nothing in that
+    * micro-batch (inner join); PIT-correct late serving would REPLAY
+    * the fact after the next dimension rebuild, not backfill state. */
+  def pitServe(facts: DataFrame, dim: DataFrame): DataFrame =
+    graft.queries.ExtraRelationalQueries.pitLookup(
+      facts.filter(col("event_type") === "purchase" && col("ts").isNotNull),
+      dim)
+
   /** ANN serving as a STREAM-STATIC join — the online half of the
     * retrieval story whose offline half is `sim_ann_batch`: query
     * vectors arrive as a stream (qid, q_v) and are served against the

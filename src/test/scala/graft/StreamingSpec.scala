@@ -86,6 +86,27 @@ class StreamingSpec extends SparkSpec {
         s"onlyBatch=${batch.diff(streamed).take(3)}")
   }
 
+  test("stream-static PIT lookup on replay == batch q72 exactly") {
+    import spark.implicits._
+    val dim = graft.queries.ExtraRelationalQueries
+      .scd2PitDim(Tables.events(spark, sf0001))
+    val stream = StreamingJobs.eventsReplayStream(spark, replayDir)
+    val q = StreamingJobs.pitServe(stream, dim)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("replay_pit").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("replay_pit")
+      .filter(col("user_id") >= 0)
+      .as[(Long, Long, String, Long, Long, Long)].collect().toSet
+    val batch = SparkEntry.queries("q72_pit_join")(spark, sf0001)
+      .as[(Long, Long, String, Long, Long, Long)].collect().toSet
+    assert(batch.nonEmpty, "fixture produced no PIT matches")
+    assert(streamed == batch,
+      s"streamed=${streamed.size} batch=${batch.size} " +
+        s"onlyStream=${streamed.diff(batch).take(3)} " +
+        s"onlyBatch=${batch.diff(streamed).take(3)}")
+  }
+
   test("attribution join state is bounded by the watermark horizon, not input size") {
     // The scale property that justifies the streaming twin: as event
     // time advances, click/purchase state older than the 30-min window
