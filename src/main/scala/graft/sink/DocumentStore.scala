@@ -98,6 +98,10 @@ class FileDocumentStoreFactory(root: String) extends DocumentStoreFactory {
           StandardCopyOption.REPLACE_EXISTING,
           StandardCopyOption.ATOMIC_MOVE)
       }
+      // publish the batch to the store's change feed AFTER the docs are
+      // durable — a feed entry always refers to readable state (the
+      // Firestore-watch analogue; see DocStoreChangelog)
+      DocStoreChangelog.append(root, collection, docs)
     }
   }
 

@@ -62,7 +62,8 @@ class DocStoreTable(root: String, maxBatchSize: Int = 500)
   override def name(): String = s"docstore($root)"
   override def schema(): StructType = DocStoreDataSource.schema
   override def capabilities(): util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.MICRO_BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new DocStoreScanBuilder(root)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
@@ -175,9 +176,12 @@ class DocStoreScanBuilder(root: String) extends ScanBuilder with Scan
   override def toBatch: Batch = this
 
   override def planInputPartitions(): Array[InputPartition] = {
+    // `_`-prefixed directories are store metadata (the change feed),
+    // not collections — the usual lake convention
     val all = Option(new File(root).listFiles())
       .getOrElse(Array.empty[File])
-      .filter(_.isDirectory).map(_.getName).sorted
+      .filter(f => f.isDirectory && !f.getName.startsWith("_"))
+      .map(_.getName).sorted
     val allowed = accepted.foldLeft(all.toSet) { (acc, f) =>
       f match {
         case EqualTo(_, v: String) => acc.intersect(Set(v))
@@ -191,6 +195,98 @@ class DocStoreScanBuilder(root: String) extends ScanBuilder with Scan
 
   override def createReaderFactory(): PartitionReaderFactory =
     new DocStoreReaderFactory
+
+  /** Streaming read = the store's CHANGE FEED (one row per upserted doc
+    * per commit — Firestore's watch stream), not a re-scan of current
+    * state; the batch path above stays the state read. Accepted
+    * collection filters and pruned columns apply to the feed too (the
+    * reader enforces the allowlist itself, since accepted pushed
+    * filters are never re-evaluated by Spark). */
+  override def toMicroBatchStream(
+      checkpointLocation: String): org.apache.spark.sql.connector.read
+        .streaming.MicroBatchStream = {
+    val allowed: Option[Set[String]] =
+      if (accepted.isEmpty) None
+      else Some(accepted.foldLeft(Set.empty[String]) { (acc, f) =>
+        f match {
+          case EqualTo(_, v: String) => acc + v
+          case In(_, vs) => acc ++ vs.collect { case s: String => s }
+          case _ => acc
+        }
+      })
+    new DocStoreMicroBatchStream(root, required.fieldNames, allowed)
+  }
+}
+
+/** Micro-batch tail of [[graft.sink.DocStoreChangelog]]: offsets are the
+  * feed's dense sequence numbers, a batch covers (start, end], and
+  * `latestOffset` only advances over the fully-written prefix — so a
+  * claimed-but-in-flight commit holds the offset back and no entry is
+  * ever skipped. Same offsets ⇒ same rows (entries are immutable), which
+  * is the replayable-source half of exactly-once; restarting from a
+  * checkpoint resumes after the last committed sequence.
+  *
+  * Scale shape: one input partition per feed entry (a committed batch,
+  * ≤ maxBatchSize docs) — reader parallelism tracks commit volume per
+  * micro-batch; at a real deployment the feed directory is the analogue
+  * of a change-stream shard and `commit(end)` is where consumed entries
+  * would be truncated/archived (kept here — replay is the test story). */
+class DocStoreMicroBatchStream(root: String, fields: Array[String],
+    allowed: Option[Set[String]])
+  extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  private case class SeqOffset(seq: Long) extends Offset {
+    override def json(): String = seq.toString
+  }
+
+  override def initialOffset(): Offset = SeqOffset(-1L)
+  override def latestOffset(): Offset =
+    SeqOffset(graft.sink.DocStoreChangelog.latestComplete(root))
+  override def deserializeOffset(json: String): Offset =
+    SeqOffset(json.trim.toLong)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(
+      start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[SeqOffset].seq
+    val e = end.asInstanceOf[SeqOffset].seq
+    ((s + 1) to e).map(n =>
+      DocStoreFeedPartition(root, n, fields, allowed): InputPartition).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new DocStoreFeedReaderFactory
+}
+
+case class DocStoreFeedPartition(root: String, seq: Long,
+    fields: Array[String], allowed: Option[Set[String]])
+  extends InputPartition
+
+class DocStoreFeedReaderFactory extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val part = p.asInstanceOf[DocStoreFeedPartition]
+    new PartitionReader[InternalRow] {
+      private val rows = graft.sink.DocStoreChangelog
+        .entries(part.root, part.seq - 1, part.seq)
+        .filter { case (c, _, _) => part.allowed.forall(_.contains(c)) }
+        .iterator
+      private var current: InternalRow = _
+      override def next(): Boolean =
+        if (rows.hasNext) {
+          val (collection, id, count) = rows.next()
+          current = InternalRow(part.fields.map {
+            case "collection" => UTF8String.fromString(collection)
+            case "doc_id" => UTF8String.fromString(id)
+            case "count" => count
+          }.toIndexedSeq: _*)
+          true
+        } else false
+      override def get(): InternalRow = current
+      override def close(): Unit = ()
+    }
+  }
 }
 
 case class DocStorePartition(root: String, collection: String,

@@ -170,6 +170,62 @@ class DocStoreSourceSpec extends SparkSpec {
       s"store diverged after replay: $rows")
   }
 
+  test("streaming change feed: every committed upsert replays exactly once") {
+    val root = Files.createTempDirectory("graft-dsv2cf").toString
+    val ckpt = Files.createTempDirectory("graft-dsv2cf-ckpt").toString
+    val store = new FileDocumentStoreFactory(root).open()
+    store.commitBatch("c1", Seq("a" -> Map("count" -> 1L), "b" -> Map("count" -> 2L)))
+    store.commitBatch("c2", Seq("x" -> Map("count" -> 9L)))
+    val stream = spark.readStream.format("graft.sources.DocStoreDataSource")
+      .option("path", root).load()
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    def collector(buf: scala.collection.mutable.Buffer[(String, String, Long)])
+        : (org.apache.spark.sql.DataFrame, Long) => Unit =
+      (batch, _) => buf.synchronized {
+        buf ++= batch.as[(String, String, Long)].collect()
+      }
+    val q = stream.writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch(collector(seen)).start()
+    try {
+      q.processAllAvailable()
+      assert(seen.toSet ==
+        Set(("c1", "a", 1L), ("c1", "b", 2L), ("c2", "x", 9L)))
+      // a later commit — including a RE-upsert of doc a — emits ONLY the
+      // new change rows (a feed, not a state re-scan)
+      store.commitBatch("c1", Seq("a" -> Map("count" -> 5L)))
+      q.processAllAvailable()
+      assert(seen.length == 4, s"expected 4 change rows, got $seen")
+      assert(seen.count(_ == (("c1", "a", 1L))) == 1 &&
+        seen.count(_ == (("c1", "a", 5L))) == 1)
+    } finally q.stop()
+    // restart from the same checkpoint: only entries committed after the
+    // stop are served (offsets resume, nothing replays twice)
+    store.commitBatch("c2", Seq("y" -> Map("count" -> 7L)))
+    val resumed = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    val q2 = stream.writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch(collector(resumed)).start()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(resumed.toSet == Set(("c2", "y", 7L)),
+      s"resume leaked rows: $resumed")
+  }
+
+  test("streaming change feed honors collection filters and pruned columns") {
+    val root = Files.createTempDirectory("graft-dsv2cff").toString
+    val store = new FileDocumentStoreFactory(root).open()
+    store.commitBatch("keep", Seq("k" -> Map("count" -> 1L)))
+    store.commitBatch("drop", Seq("d" -> Map("count" -> 2L)))
+    val q = spark.readStream.format("graft.sources.DocStoreDataSource")
+      .option("path", root).load()
+      .filter($"collection" === "keep")
+      .select($"doc_id")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("feedf").start()
+    try q.processAllAvailable() finally q.stop()
+    assert(spark.table("feedf").as[String].collect().toSeq == Seq("k"))
+  }
+
   test("DSv2 source parallelizes by collection and supports SQL") {
     val root = Files.createTempDirectory("graft-dsv2b").toString
     val f = new FileDocumentStoreFactory(root)
