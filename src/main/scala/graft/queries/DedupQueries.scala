@@ -433,8 +433,11 @@ object DedupQueries {
       cand.union(tinyCand).distinct()
         .join(byA, "doc_a").join(byB, "doc_b")
         .filter(abs(col("len_a") - col("len_b")) <= K)
-        .withColumn("dist", levenshtein(col("pre_a"), col("pre_b")))
-        .filter(col("dist") <= K)
+        // threshold form: banded O(K·n) DP with early abort instead of
+        // the full O(n²) matrix; returns −1 above K, so `dist ≥ 0` IS
+        // the `dist ≤ K` filter and kept rows carry the exact distance
+        .withColumn("dist", levenshtein(col("pre_a"), col("pre_b"), K))
+        .filter(col("dist") >= 0)
         .select(col("doc_a"), col("doc_b"), col("dist"))
     }),
 
