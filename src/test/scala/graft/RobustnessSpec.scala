@@ -47,7 +47,11 @@ class RobustnessSpec extends SparkSpec {
     "q66_outer_explode",
     // round-5: seeded permutation on a 6-doc corpus (quantile stats pass
     // degenerates to a single bucket — must still rank 1..6)
-    "curate_shuffle")
+    "curate_shuffle",
+    // round-9: null/empty text -> null prefix (no segments, no probes,
+    // tiny-class fallback idles); no query terms / no bigrams at n >= 5
+    "dedup_editdist_passjoin", "retrieve_bm25", "retrieve_bm25_batch",
+    "ta_collocations")
 
   test("text/curation queries run on empty/whitespace/null/single-token docs") {
     textQueries.foreach { name =>
