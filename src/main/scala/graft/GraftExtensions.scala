@@ -99,5 +99,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       }))
     // aggregate(zip_with(a,b,*), 0.0, +) -> native DotProduct
     e.injectOptimizerRule(_ => graft.plans.RewriteHofDotProduct)
+    // Filter(levenshtein(l,r) <= k) -> banded threshold form
+    e.injectOptimizerRule(_ => graft.plans.RewriteThresholdLevenshtein)
   }
 }

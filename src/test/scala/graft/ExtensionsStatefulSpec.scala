@@ -419,4 +419,58 @@ class ExtensionsStatefulSpec extends SparkSpec {
       assert(!p.contains("graft_dot"), p.take(300))
     }
   }
+
+  test("optimizer rule rewrites levenshtein filters to the banded threshold form") {
+    import org.apache.spark.sql.functions._
+    val prev = spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s2 = try {
+      SparkSession.builder().master("local[4]")
+        .withExtensions(new GraftExtensions)
+        // keep the Filter visible in the optimized plan (otherwise the
+        // local Seq relation is pre-evaluated and there is no plan to
+        // assert on); execution semantics are unchanged
+        .config("spark.sql.optimizer.excludedRules",
+          "org.apache.spark.sql.catalyst.optimizer.ConvertToLocalRelation")
+        .config("spark.ui.enabled", "false").getOrCreate()
+    } finally {
+      SparkSession.setDefaultSession(prev)
+      SparkSession.setActiveSession(prev)
+    }
+    import s2.implicits._
+    val df = Seq(
+      ("kitten", "sitting"),   // dist 3
+      ("abc", "abc"),          // dist 0
+      ("abc", "xyz"),          // dist 3
+      ("short", "muchlongerstring"), // dist > 3
+      (null.asInstanceOf[String], "x")) // null -> filtered either way
+      .toDF("a", "b")
+    def optimized(d: org.apache.spark.sql.DataFrame) =
+      d.queryExecution.optimizedPlan.toString
+    val le = df.filter(levenshtein($"a", $"b") <= 3)
+    assert(optimized(le).contains("levenshtein(") &&
+      optimized(le).contains("Some(3)) >= 0"), optimized(le).take(400))
+    assert(le.select($"a").as[String].collect().toSet ==
+      Set("kitten", "abc"))
+    val lt = df.filter(levenshtein($"a", $"b") < 3)
+    assert(optimized(lt).contains("Some(2)) >= 0"), optimized(lt).take(400))
+    assert(lt.select($"a", $"b").as[(String, String)].collect().toSeq ==
+      Seq(("abc", "abc")))
+    // PROJECTED levenshtein is untouched (caller wants the distance)
+    val proj = df.select(levenshtein($"a", $"b").as("d"))
+    assert(!optimized(proj).contains(">= 0"), optimized(proj).take(400))
+    // and the rewrite agrees with the unbounded form on the suite
+    // session (no extensions) over the fixture prefixes
+    def pairs(s: SparkSession): Set[(Long, Long)] = {
+      val p = s.read.parquet(s"$sf0001/documents.parquet")
+        .select(col("doc_id"), lower(substring(col("text"), 1, 40)).as("pre"))
+      p.toDF("da", "pa").join(p.toDF("db", "pb"), col("da") < col("db"))
+        .filter(levenshtein(col("pa"), col("pb")) <= 3)
+        .select(col("da"), col("db"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    assert(pairs(s2) == pairs(spark))
+    assert(pairs(s2).nonEmpty)
+  }
 }
