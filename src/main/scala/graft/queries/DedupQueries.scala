@@ -332,6 +332,56 @@ object DedupQueries {
         .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6)
           .as("jaccard"))),
 
+    // Containment / subset-duplicate detection (Broder 1997's asymmetric
+    // resemblance): DIRECTED pairs where ≥ 90% of the contained doc's
+    // 3-gram shingles appear in the container — the quote/excerpt/
+    // boilerplate-inclusion case jaccard MISSES by construction (a short
+    // doc fully inside a long one has tiny jaccard but containment 1.0).
+    // Same inverted-index co-occurrence machinery as the jaccard family
+    // (one shingle equi-join, unordered-pair counts), then each pair is
+    // tested in BOTH directions with pure integer arithmetic
+    // (inter·10 ≥ 9·n, inter·10⁴ div n basis points — zero FP). Scale
+    // shape identical to dedup_ngram_jaccard; for hot-shingle corpora
+    // the PPJoin prefix rule applies unchanged (containment ≥ t bounds
+    // the intersection by ⌈t·|contained|⌉, same pigeonhole).
+    "dedup_containment" -> ((s, d) => {
+      val sh = shingleIndex(s, d).repartition(col("doc_id")).buildCheckpoint()
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      // the jaccard family's adaptive df≥2 pruning applies verbatim:
+      // a df=1 shingle joins with nothing, and sizes always count the
+      // FULL sets — exactness preserved, measured 2× at sf1 where the
+      // grown vocabulary makes singletons the bulk of the index
+      val joinSide =
+        if (singletonPruningPaysOff(sh)) {
+          val df2 = sh.groupBy("s").agg(count(lit(1)).as("df"))
+            .filter(col("df") >= 2).select("s")
+          sh.join(df2, Seq("s"), "left_semi").select("doc_id", "s")
+        } else sh
+      val inter = joinSide.toDF("doc_a", "s")
+        .join(joinSide.toDF("doc_b", "s"), "s")
+        .filter(col("doc_a") < col("doc_b"))
+        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+      // both directions in ONE pass over the pair table (a union of two
+      // filtered branches would re-run the co-occurrence join per branch
+      // — measured 3× at sf1); the cheap least() gate drops the ~all
+      // pairs that qualify in neither direction before the explode
+      inter
+        .join(sizes.toDF("doc_a", "na"), "doc_a")
+        .join(sizes.toDF("doc_b", "nb"), "doc_b")
+        .filter(col("inter") * 10 >= least(col("na"), col("nb")) * 9)
+        .select(explode(array(
+          when(col("inter") * 10 >= col("na") * 9,
+            struct(col("doc_a").as("contained"), col("doc_b").as("container"),
+              expr("(inter * 10000) div na").as("containment_bp"))),
+          when(col("inter") * 10 >= col("nb") * 9,
+            struct(col("doc_b").as("contained"), col("doc_a").as("container"),
+              expr("(inter * 10000) div nb").as("containment_bp"))))).as("r"))
+        .filter(col("r").isNotNull)
+        .select(col("r.contained").as("contained"),
+          col("r.container").as("container"),
+          col("r.containment_bp").as("containment_bp"))
+    }),
+
     // Prefix-filtered exact jaccard (see prefixJaccardPairs): provably the
     // same output, candidates cut 10× on this fixture (122k vs 1.27M raw
     // pairs) and asymptotically immune to hot-shingle f² blowup — the
@@ -945,6 +995,34 @@ object DedupQueries {
         |  10000 // COUNT(*) OVER (PARTITION BY md5(text)) AS weight_bp
         |FROM documents""".stripMargin,
     "dedup_ngram_jaccard" -> dedupNgramJaccardOracle,
+    "dedup_containment" ->
+      """WITH docs AS (
+        |  SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS w
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, CASE WHEN len(w) >= 3 THEN
+        |    list_distinct(list_transform(generate_series(1, len(w)-2),
+        |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+        |    ELSE [] END AS shingles
+        |  FROM docs),
+        |idx AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM idx GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+        |  FROM idx a JOIN idx b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |wide AS (
+        |  SELECT doc_a, doc_b, i, sa.n AS na, sb.n AS nb
+        |  FROM inter
+        |  JOIN sizes sa ON sa.doc_id = doc_a
+        |  JOIN sizes sb ON sb.doc_id = doc_b)
+        |SELECT doc_a AS contained, doc_b AS container,
+        |  (i * 10000) // na AS containment_bp
+        |FROM wide WHERE i * 10 >= na * 9
+        |UNION ALL
+        |SELECT doc_b AS contained, doc_a AS container,
+        |  (i * 10000) // nb AS containment_bp
+        |FROM wide WHERE i * 10 >= nb * 9""".stripMargin,
     "dedup_editdist_passjoin" ->
       """WITH p AS (SELECT doc_id, lower(substr(text, 1, 40)) AS pre
         |  FROM documents)

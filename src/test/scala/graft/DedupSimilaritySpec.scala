@@ -1039,6 +1039,27 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(fx.nonEmpty)
   }
 
+  test("dedup_containment: a quoted excerpt flags directionally where jaccard is blind") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-contain").toString
+    val container = "alpha beta gamma delta epsilon zeta eta theta iota " +
+      "kappa lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val excerpt = "delta epsilon zeta eta theta iota" // every shingle ⊂ container
+    Seq((1L, container), (2L, excerpt),
+      (3L, "unrelated totally different words here entirely now"))
+      .toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val out = DedupQueries.queries("dedup_containment")(spark, dir)
+      .as[(Long, Long, Long)].collect().toSet
+    // excerpt contained in container at exactly 100% — and ONLY that
+    // direction (the container is nowhere near contained in the excerpt)
+    assert(out == Set((2L, 1L, 10000L)), s"got $out")
+    // jaccard is structurally blind to this pair: 4 shared shingles over
+    // 18 union ⇒ far below any dedup threshold
+    val jac = DedupQueries.queries("dedup_ngram_jaccard")(spark, dir)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(!jac.contains((1L, 2L)) && !jac.contains((2L, 1L)))
+  }
+
   test("sim_rerank_truncated: plain-Scala two-stage replay matches exactly") {
     val all = Tables.embeddings(spark, sf0001)
       .select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])]
