@@ -65,7 +65,8 @@ class DocStoreTable(root: String, maxBatchSize: Int = 500)
     Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.MICRO_BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new DocStoreScanBuilder(root)
+    new DocStoreScanBuilder(root,
+      Option(options.get("maxEntriesPerTrigger")).map(_.toLong))
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     val in = info.schema()
     val expected = DocStoreDataSource.schema.map(f => f.name -> f.dataType)
@@ -149,7 +150,8 @@ case class DocStoreWriteCommitted(partitionId: Int)
   *
   * At a 100 TB store this is the difference between listing every
   * directory and touching one. */
-class DocStoreScanBuilder(root: String) extends ScanBuilder with Scan
+class DocStoreScanBuilder(root: String,
+    maxEntriesPerTrigger: Option[Long] = None) extends ScanBuilder with Scan
     with Batch with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns {
   import org.apache.spark.sql.sources.{EqualTo, Filter, In}
@@ -214,7 +216,8 @@ class DocStoreScanBuilder(root: String) extends ScanBuilder with Scan
           case _ => acc
         }
       })
-    new DocStoreMicroBatchStream(root, required.fieldNames, allowed)
+    new DocStoreMicroBatchStream(root, required.fieldNames, allowed,
+      maxEntriesPerTrigger)
   }
 }
 
@@ -232,9 +235,10 @@ class DocStoreScanBuilder(root: String) extends ScanBuilder with Scan
   * of a change-stream shard and `commit(end)` is where consumed entries
   * would be truncated/archived (kept here — replay is the test story). */
 class DocStoreMicroBatchStream(root: String, fields: Array[String],
-    allowed: Option[Set[String]])
-  extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
-  import org.apache.spark.sql.connector.read.streaming.Offset
+    allowed: Option[Set[String]], maxEntriesPerTrigger: Option[Long] = None)
+  extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+  with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
+  import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
 
   private case class SeqOffset(seq: Long) extends Offset {
     override def json(): String = seq.toString
@@ -242,6 +246,21 @@ class DocStoreMicroBatchStream(root: String, fields: Array[String],
 
   override def initialOffset(): Offset = SeqOffset(-1L)
   override def latestOffset(): Offset =
+    SeqOffset(graft.sink.DocStoreChangelog.latestComplete(root))
+  /** Admission control: `.option("maxEntriesPerTrigger", n)` caps each
+    * micro-batch at n feed entries (= n committed store batches), so a
+    * long backlog replays as a SEQUENCE of small ordered batches instead
+    * of one giant one — which is also what makes last-write-wins
+    * REPLICATION through the feed order-correct when n = 1 (two upserts
+    * of the same doc in one batch would race across partitions; one
+    * entry per trigger applies them in commit order). */
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[SeqOffset].seq
+    val complete = graft.sink.DocStoreChangelog.latestComplete(root)
+    SeqOffset(maxEntriesPerTrigger.fold(complete)(n => math.min(complete, s + n)))
+  }
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+  override def reportLatestOffset(): Offset =
     SeqOffset(graft.sink.DocStoreChangelog.latestComplete(root))
   override def deserializeOffset(json: String): Offset =
     SeqOffset(json.trim.toLong)

@@ -226,6 +226,39 @@ class DocStoreSourceSpec extends SparkSpec {
     assert(spark.table("feedf").as[String].collect().toSeq == Seq("k"))
   }
 
+  test("change-feed replication: store A streams into store B and converges") {
+    val rootA = Files.createTempDirectory("graft-repl-a").toString
+    val rootB = Files.createTempDirectory("graft-repl-b").toString
+    val ckpt = Files.createTempDirectory("graft-repl-ckpt").toString
+    val storeA = new FileDocumentStoreFactory(rootA).open()
+    // two commits UPSERT the same doc — replication is only correct if
+    // the feed applies in commit order (maxEntriesPerTrigger=1: one
+    // ordered micro-batch per committed store batch)
+    storeA.commitBatch("c", Seq("w1" -> Map("count" -> 1L),
+      "w2" -> Map("count" -> 2L)))
+    storeA.commitBatch("c", Seq("w1" -> Map("count" -> 5L)))
+    val q = spark.readStream.format("graft.sources.DocStoreDataSource")
+      .option("path", rootA).option("maxEntriesPerTrigger", "1").load()
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        batch.write.format("graft.sources.DocStoreDataSource")
+          .option("path", rootB).mode("append").save()
+      }.start()
+    try {
+      q.processAllAvailable()
+      assert(new FileDocumentStoreFactory(rootB).readAll("c") ==
+        Map("w1" -> Map("count" -> 5L), "w2" -> Map("count" -> 2L)))
+      // admission control really split the backlog: at least 2 batches
+      assert(q.recentProgress.count(_.numInputRows > 0) >= 2,
+        q.recentProgress.map(_.numInputRows).mkString(","))
+      // live tail: a new commit on A replicates without a restart
+      storeA.commitBatch("c2", Seq("x" -> Map("count" -> 9L)))
+      q.processAllAvailable()
+      assert(new FileDocumentStoreFactory(rootB).readAll("c2") ==
+        Map("x" -> Map("count" -> 9L)))
+    } finally q.stop()
+  }
+
   test("DSv2 source parallelizes by collection and supports SQL") {
     val root = Files.createTempDirectory("graft-dsv2b").toString
     val f = new FileDocumentStoreFactory(root)
