@@ -1039,6 +1039,44 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(fx.nonEmpty)
   }
 
+  test("dedup_editdist_passjoin: randomized edit scripts never escape the candidates") {
+    // seeded property sweep: corpora of random strings plus variants at
+    // random edit scripts (0-4 ops, mixed ins/del/sub at random
+    // positions) — the query must equal brute force on every corpus,
+    // i.e. the segment-signature candidates catch every planted script
+    // with ed <= 3 and the verify rejects every one beyond it
+    val rnd = new scala.util.Random(4242)
+    val alpha = "abcdefgh"
+    def randStr(n: Int) = Seq.fill(n)(alpha(rnd.nextInt(alpha.length))).mkString
+    def edit(sIn: String): String = {
+      val sb = new StringBuilder(sIn)
+      rnd.nextInt(3) match {
+        case 0 if sb.nonEmpty => sb.deleteCharAt(rnd.nextInt(sb.length))
+        case 1 => sb.insert(rnd.nextInt(sb.length + 1),
+          alpha(rnd.nextInt(alpha.length)))
+        case _ if sb.nonEmpty =>
+          sb.setCharAt(rnd.nextInt(sb.length), alpha(rnd.nextInt(alpha.length)))
+        case _ => sb.append(alpha(rnd.nextInt(alpha.length)))
+      }
+      sb.toString
+    }
+    for (round <- 1 to 3) {
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"graft-pjprop$round").toString
+      val docs = (0 until 12).flatMap { i =>
+        val base = randStr(8 + rnd.nextInt(30)) // spans the tiny-class edge
+        val nEdits = rnd.nextInt(5)             // 0..4: includes beyond-K
+        val variant = (1 to nEdits).foldLeft(base)((s, _) => edit(s))
+        Seq((i * 2L, base), (i * 2L + 1L, variant))
+      }
+      docs.toDF("doc_id", "text").write.mode("overwrite")
+        .parquet(s"$dir/documents.parquet")
+      val got = DedupQueries.queries("dedup_editdist_passjoin")(spark, dir)
+        .as[(Long, Long, Int)].collect().toSet
+      assert(got == bruteEditPairs(dir), s"round $round diverged")
+    }
+  }
+
   test("dedup_containment: a quoted excerpt flags directionally where jaccard is blind") {
     val dir = java.nio.file.Files.createTempDirectory("graft-contain").toString
     val container = "alpha beta gamma delta epsilon zeta eta theta iota " +
