@@ -326,6 +326,49 @@ object ExtraRelationalQueries {
           count(lit(1)).as("n_events"))
     }),
 
+    // Winsorization / robust clipping — the ML-preprocessing outlier
+    // treatment: per group, clip values at the EXACT p05/p95 order
+    // statistics (k = ⌈0.05n⌉ / ⌈0.95n⌉-th smallest, pure integer rank
+    // arithmetic — no approx sketch, no interpolation ambiguity) and
+    // report the clipped aggregate. Thresholds come from counting-sort
+    // order statistics: per-(group, value) counts, a cumulative window
+    // over the DISTINCT-VALUE table only, and min(value | cum ≥ k).
+    //
+    // 100 TB shape: facts fold into the (group, value) count table via
+    // one map-side-combined aggregate; the quantile window runs over
+    // that table, which for real bounded-domain money values (integer
+    // cents) stays ~|domain| rows however large the fact table grows.
+    // The 3-row threshold table broadcasts back for the clip pass. On
+    // this fixture's synthetic continuous doubles the distinct table is
+    // fact-sized, so the window would get the q55-style bucketed-rank
+    // swap at scale — the documented trade, same as q70's medians.
+    "q73_winsorize" -> ((s, d) => {
+      val src = Tables.lineitem(s, d)
+        .select(col("l_returnflag").as("grp"),
+          dec(col("l_extendedprice")).as("pv"))
+      val counts = src.groupBy("grp", "pv").agg(count(lit(1)).as("c"))
+      val cum = counts
+        .withColumn("cum", sum(col("c")).over(Window.partitionBy("grp")
+          .orderBy(col("pv").asc)
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      val th = cum
+        .join(counts.groupBy("grp").agg(sum(col("c")).as("n")), "grp")
+        .withColumn("k_lo", expr("(n + 19) div 20"))
+        .withColumn("k_hi", expr("(19*n + 19) div 20"))
+        .groupBy("grp")
+        .agg(min(when(col("cum") >= col("k_lo"), col("pv"))).as("lo"),
+          min(when(col("cum") >= col("k_hi"), col("pv"))).as("hi"))
+      src.join(broadcast(th), "grp")
+        .groupBy("grp")
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("lo")).cast("double").as("p05"),
+          min(col("hi")).cast("double").as("p95"),
+          sum(least(greatest(col("pv"), col("lo")), col("hi")))
+            .cast("double").as("sum_winsorized"),
+          sum(when(col("pv") < col("lo"), 1L).otherwise(0L)).as("n_clipped_low"),
+          sum(when(col("pv") > col("hi"), 1L).otherwise(0L)).as("n_clipped_high"))
+    }),
+
     // Point-in-time (PIT) join — the feature-store / temporal-warehouse
     // lookup: each fact row joins the SCD2 dimension VERSION that was
     // valid at the fact's own timestamp, never a later one (no feature
@@ -699,6 +742,34 @@ object ExtraRelationalQueries {
         |  MIN(us) AS valid_from_us, MAX(us) AS valid_to_us,
         |  COUNT(*) AS n_events
         |FROM i GROUP BY user_id, island""".stripMargin,
+    "q73_winsorize" ->
+      """WITH src AS (
+        |  SELECT l_returnflag AS grp,
+        |    CAST(l_extendedprice AS DECIMAL(12,2)) AS pv
+        |  FROM lineitem),
+        |counts AS (SELECT grp, pv, COUNT(*) AS c FROM src GROUP BY 1, 2),
+        |cum AS (SELECT grp, pv, c,
+        |    SUM(c) OVER (PARTITION BY grp ORDER BY pv ASC
+        |      ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM counts),
+        |ns AS (SELECT grp, SUM(c) AS n FROM counts GROUP BY 1),
+        |th AS (
+        |  SELECT cum.grp,
+        |    MIN(CASE WHEN cum >= (n + 19) // 20 THEN pv END) AS lo,
+        |    MIN(CASE WHEN cum >= (19*n + 19) // 20 THEN pv END) AS hi
+        |  FROM cum JOIN ns ON ns.grp = cum.grp
+        |  GROUP BY 1)
+        |SELECT src.grp, COUNT(*) AS n_rows,
+        |  CAST(MIN(lo) AS DOUBLE) AS p05,
+        |  CAST(MIN(hi) AS DOUBLE) AS p95,
+        |  -- CASE, not LEAST/GREATEST: DuckDB's LEAST/GREATEST cast
+        |  -- DECIMAL args to DOUBLE, which would sum with FP error
+        |  CAST(SUM(CASE WHEN pv < lo THEN lo WHEN pv > hi THEN hi ELSE pv END)
+        |       AS DOUBLE) AS sum_winsorized,
+        |  CAST(SUM(CASE WHEN pv < lo THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_low,
+        |  CAST(SUM(CASE WHEN pv > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_high
+        |FROM src JOIN th ON th.grp = src.grp
+        |GROUP BY 1""".stripMargin,
     "q72_pit_join" ->
       """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us
         |  FROM events WHERE ts IS NOT NULL AND event_type <> 'purchase'),

@@ -156,6 +156,32 @@ class ExtraRelationalSpec extends SparkSpec {
     assert(out == Set((10L, 1L, hUs), (10L, 3L, 0L)), s"got $out")
   }
 
+  test("q73_winsorize: thresholds are the exact order statistics; BigDecimal replay agrees") {
+    val out = ExtraRelationalQueries.queries("q73_winsorize")(spark, sf0001)
+      .collect().map(r => r.getAs[String]("grp") -> r).toMap
+    val vals = Tables.lineitem(spark, sf0001)
+      .select(col("l_returnflag"), col("l_extendedprice").cast("decimal(12,2)"))
+      .as[(String, java.math.BigDecimal)].collect()
+    vals.groupBy(_._1).foreach { case (g, rows) =>
+      val sorted = rows.map(_._2).sorted
+      val n = sorted.length
+      val lo = sorted((n + 19) / 20 - 1)      // ceil(0.05n)-th smallest
+      val hi = sorted((19 * n + 19) / 20 - 1) // ceil(0.95n)-th smallest
+      val r = out(g)
+      assert(r.getAs[Double]("p05") == lo.doubleValue, s"$g p05")
+      assert(r.getAs[Double]("p95") == hi.doubleValue, s"$g p95")
+      assert(r.getAs[Long]("n_clipped_low") == sorted.count(_.compareTo(lo) < 0))
+      assert(r.getAs[Long]("n_clipped_high") == sorted.count(_.compareTo(hi) > 0))
+      val sum = sorted.map(v =>
+        if (v.compareTo(lo) < 0) lo else if (v.compareTo(hi) > 0) hi else v)
+        .foldLeft(java.math.BigDecimal.ZERO)(_.add(_))
+      assert(r.getAs[Double]("sum_winsorized") == sum.doubleValue, s"$g sum")
+      assert(r.getAs[Long]("n_rows") == n)
+      // exactly ~5% clipped each side (within the ceil granularity)
+      assert(math.abs(r.getAs[Long]("n_clipped_low") - n / 20L) <= 1)
+    }
+  }
+
   test("q72_pit_join: half-open version boundaries, no leakage, one match per fact") {
     // planted SCD2 timeline for user 1 (micros): click-run from 1000,
     // view-run from 3000, click-run from 5000 -> versions
