@@ -43,8 +43,17 @@ object DocSink {
     val batchesCommitted = spark.sparkContext.longAccumulator("batchesCommitted")
     val flushNanos = spark.sparkContext.longAccumulator("flushNanos")
     val rows = df.toDF("docId", "value")
+    // job-level identity, generated ONCE on the driver and captured in the
+    // task closure: stable across task retries/speculative attempts of the
+    // SAME job (the closure serializes once), unique across jobs. Combined
+    // with (partitionId, flush ordinal) it keys each commit so stores with
+    // non-idempotent side effects (the file store's change feed) publish
+    // each logical batch at most once (DocumentStore.commitBatchKeyed).
+    val jobKey = java.util.UUID.randomUUID().toString
     rows.foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
       if (it.hasNext) {
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        var flushSeq = 0
         val store = factory.open()
         try {
           it.grouped(batchSize).foreach { group =>
@@ -52,7 +61,8 @@ object DocSink {
               r.getString(0) -> Map(fieldName -> r.getLong(1))
             }.toSeq
             val t0 = System.nanoTime()
-            store.commitBatch(collection, docs)
+            store.commitBatchKeyed(s"$jobKey/p$pid/f$flushSeq", collection, docs)
+            flushSeq += 1
             // per-flush latency — the reference logs this in ms per flush
             // (FirestoreUpdateDoFn.java:83,92-93)
             flushNanos.add(System.nanoTime() - t0)
@@ -77,12 +87,19 @@ object DocSink {
       collection: String,
       fieldName: String = "count"): Long = {
     val docsWritten = df.sparkSession.sparkContext.longAccumulator("docsWritten")
+    val jobKey = java.util.UUID.randomUUID().toString // see writeBatched
     df.toDF("docId", "value").foreachPartition {
       (it: Iterator[org.apache.spark.sql.Row]) =>
         if (it.hasNext) {
+          val pid = org.apache.spark.TaskContext.getPartitionId()
+          var i = 0L
           val store = factory.open()
+          // one blocking single-doc commit per element (= the reference's
+          // per-element `put`), keyed per element for retry-safe feeds
           try it.foreach { r =>
-            store.put(collection, r.getString(0), Map(fieldName -> r.getLong(1)))
+            store.commitBatchKeyed(s"$jobKey/p$pid/e$i", collection,
+              Seq(r.getString(0) -> Map(fieldName -> r.getLong(1))))
+            i += 1
             docsWritten.add(1)
           } finally store.close()
         }

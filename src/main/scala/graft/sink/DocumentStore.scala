@@ -29,6 +29,18 @@ import scala.jdk.CollectionConverters._
 trait DocumentStore extends AutoCloseable {
   /** Atomically upsert a batch of (docId -> fields) documents. */
   def commitBatch(collection: String, docs: Seq[(String, Map[String, Long])]): Unit
+  /** Retry-safe batch commit: `key` identifies the LOGICAL batch across
+    * Spark task retries and speculative attempts (e.g.
+    * queryId/partitionId/flush-ordinal). Document upserts are already
+    * idempotent, but a store may carry non-idempotent side effects — the
+    * file store's change feed — and those must publish AT MOST ONCE per
+    * key. Default: plain `commitBatch` (stores whose commits have no
+    * such side effects need nothing more). Spark-side sinks
+    * ([[DocSink]], the DSv2 writer) always commit through this method
+    * with a deterministic per-attempt-stable key. */
+  def commitBatchKeyed(key: String, collection: String,
+                       docs: Seq[(String, Map[String, Long])]): Unit =
+    commitBatch(collection, docs)
   /** Single-document blocking upsert (the naive path,
     * impl/NaiveImplementation.java:55-60). */
   def put(collection: String, docId: String, fields: Map[String, Long]): Unit =
@@ -77,40 +89,90 @@ object InMemoryDocumentStore {
 }
 
 /** Filesystem-backed store: one small JSON file per document at
-  * `root/collection/docId.json`, written atomically via temp-file rename.
-  * Upsert = overwrite => idempotent under retries. This is the zero-egress
-  * stand-in for the Firestore collection the reference writes
+  * `root/collection/<enc(docId)>.json`, written atomically via temp-file
+  * rename. Upsert = overwrite => idempotent under retries. This is the
+  * zero-egress stand-in for the Firestore collection the reference writes
   * (impl/BatchWriteImplementation.java:45-50).
+  *
+  * Doc ids are DATA and may contain anything (quotes, newlines, `/`,
+  * unicode): file names use a percent-encoding of the id's UTF-8 bytes
+  * (alnum, `-`, `_`, `.` pass through — so ordinary word ids keep plain
+  * readable file names) and `readAll` decodes them back. Collection
+  * names are API-level identifiers (they become directory names and
+  * DSv2 partition values) and are validated instead: letters, digits,
+  * `-`, `_`, `.`, not starting with `_` (store metadata) or `.`.
   */
+object FileDocumentStoreFactory {
+  private[sink] def encodeId(id: String): String =
+    id.getBytes(StandardCharsets.UTF_8).flatMap { b =>
+      val c = b.toInt & 0xff
+      if ((c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
+          (c >= '0' && c <= '9') || c == '-' || c == '_' || c == '.')
+        c.toChar.toString
+      else f"%%$c%02X"
+    }.mkString
+
+  private[sink] def decodeId(name: String): String = {
+    val out = new java.io.ByteArrayOutputStream(name.length)
+    var i = 0
+    while (i < name.length) {
+      if (name(i) == '%' && i + 2 < name.length) {
+        out.write(Integer.parseInt(name.substring(i + 1, i + 3), 16)); i += 3
+      } else { out.write(name(i).toInt); i += 1 }
+    }
+    new String(out.toByteArray, StandardCharsets.UTF_8)
+  }
+
+  private[sink] def requireValidCollection(c: String): Unit =
+    require(c.nonEmpty && !c.startsWith("_") && !c.startsWith(".") &&
+      c.forall(ch => ch.isLetterOrDigit || ch == '-' || ch == '_' || ch == '.'),
+      s"invalid collection name '$c': collections become directory names " +
+        "and DSv2 partition values — use letters/digits/-/_/. and do not " +
+        "start with '_' or '.'")
+}
+
 class FileDocumentStoreFactory(root: String) extends DocumentStoreFactory {
+  import FileDocumentStoreFactory._
+
   def open(): DocumentStore = new DocumentStore {
     def commitBatch(collection: String,
-                    docs: Seq[(String, Map[String, Long])]): Unit = {
+                    docs: Seq[(String, Map[String, Long])]): Unit =
+      write(collection, docs, None)
+
+    override def commitBatchKeyed(key: String, collection: String,
+                    docs: Seq[(String, Map[String, Long])]): Unit =
+      write(collection, docs, Some(key))
+
+    private def write(collection: String,
+                      docs: Seq[(String, Map[String, Long])],
+                      idempotencyKey: Option[String]): Unit = {
+      requireValidCollection(collection)
       val dir = Paths.get(root, collection)
       Files.createDirectories(dir)
       docs.foreach { case (id, fields) =>
-        // doc ids are words ([\p{L}]+ only) => safe as file names
         val json = fields.toSeq.sortBy(_._1)
           .map { case (k, v) => s""""$k": $v""" }.mkString("{", ", ", "}")
-        val tmp = Files.createTempFile(dir, s".$id", ".tmp")
+        val enc = encodeId(id)
+        val tmp = Files.createTempFile(dir, s".$enc", ".tmp")
         Files.write(tmp, json.getBytes(StandardCharsets.UTF_8))
-        Files.move(tmp, dir.resolve(s"$id.json"),
+        Files.move(tmp, dir.resolve(s"$enc.json"),
           StandardCopyOption.REPLACE_EXISTING,
           StandardCopyOption.ATOMIC_MOVE)
       }
       // publish the batch to the store's change feed AFTER the docs are
       // durable — a feed entry always refers to readable state (the
-      // Firestore-watch analogue; see DocStoreChangelog)
-      DocStoreChangelog.append(root, collection, docs)
+      // Firestore-watch analogue; see DocStoreChangelog). The key makes
+      // the append retry-safe (at most one feed entry per logical batch).
+      DocStoreChangelog.append(root, collection, docs, idempotencyKey)
     }
   }
 
   def readAll(collection: String): Map[String, Map[String, Long]] = {
     val dir = new File(root, collection)
     Option(dir.listFiles()).getOrElse(Array.empty[File])
-      .filter(_.getName.endsWith(".json"))
+      .filter(f => f.getName.endsWith(".json") && !f.getName.startsWith("."))
       .map { f =>
-        val id = f.getName.stripSuffix(".json")
+        val id = decodeId(f.getName.stripSuffix(".json"))
         val body = new String(Files.readAllBytes(f.toPath), StandardCharsets.UTF_8)
         val fields = body.stripPrefix("{").stripSuffix("}").split(",")
           .filter(_.trim.nonEmpty)

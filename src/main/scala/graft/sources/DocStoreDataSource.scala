@@ -66,26 +66,29 @@ class DocStoreTable(root: String, maxBatchSize: Int = 500)
       TableCapability.MICRO_BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new DocStoreScanBuilder(root,
-      Option(options.get("maxEntriesPerTrigger")).map(_.toLong))
+      Option(options.get("maxEntriesPerTrigger")).map(_.toLong),
+      Option(options.get("staleClaimMs")).map(_.toLong))
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     val in = info.schema()
     val expected = DocStoreDataSource.schema.map(f => f.name -> f.dataType)
     val got = in.map(f => f.name -> f.dataType)
     require(got == expected,
       s"docstore write expects schema $expected, got $got")
+    val queryId = info.queryId()
     new WriteBuilder {
       override def build(): Write = new Write {
         override def toBatch: BatchWrite =
-          new DocStoreBatchWrite(root, maxBatchSize)
+          new DocStoreBatchWrite(root, maxBatchSize, queryId)
       }
     }
   }
 }
 
-class DocStoreBatchWrite(root: String, maxBatchSize: Int) extends BatchWrite {
+class DocStoreBatchWrite(root: String, maxBatchSize: Int, queryId: String)
+    extends BatchWrite {
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DataWriterFactory =
-    DocStoreWriterFactory(root, maxBatchSize)
+    DocStoreWriterFactory(root, maxBatchSize, queryId)
   // documents are durably upserted (atomic temp-file rename) as each task
   // batch commits; upsert idempotence makes task-level retry safe without
   // a job-level commit protocol (see class doc)
@@ -93,20 +96,29 @@ class DocStoreBatchWrite(root: String, maxBatchSize: Int) extends BatchWrite {
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()
 }
 
-case class DocStoreWriterFactory(root: String, maxBatchSize: Int)
-    extends DataWriterFactory {
+case class DocStoreWriterFactory(root: String, maxBatchSize: Int,
+    queryId: String) extends DataWriterFactory {
   override def createWriter(
       partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new DataWriter[InternalRow] {
       private val store = new FileDocumentStoreFactory(root).open()
       private val buf =
         scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+      // flush ordinal within this partition: with a deterministic input
+      // (a Spark task retry re-reads the same rows in the same order)
+      // the (queryId, partitionId, flushSeq, collection) key is stable
+      // across attempts — NOT taskId, which changes per attempt — so the
+      // store can suppress duplicate change-feed entries from retries
+      // and speculative duplicates (commitBatchKeyed)
+      private var flushSeq = 0
 
       private def flush(): Unit = if (buf.nonEmpty) {
-        buf.groupBy(_._1).foreach { case (collection, rows) =>
-          store.commitBatch(collection,
+        buf.groupBy(_._1).toSeq.sortBy(_._1).foreach { case (collection, rows) =>
+          store.commitBatchKeyed(
+            s"$queryId/p$partitionId/f$flushSeq/$collection", collection,
             rows.toSeq.map { case (_, id, n) => id -> Map("count" -> n) })
         }
+        flushSeq += 1
         buf.clear()
       }
 
@@ -151,7 +163,8 @@ case class DocStoreWriteCommitted(partitionId: Int)
   * At a 100 TB store this is the difference between listing every
   * directory and touching one. */
 class DocStoreScanBuilder(root: String,
-    maxEntriesPerTrigger: Option[Long] = None) extends ScanBuilder with Scan
+    maxEntriesPerTrigger: Option[Long] = None,
+    staleClaimMs: Option[Long] = None) extends ScanBuilder with Scan
     with Batch with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns {
   import org.apache.spark.sql.sources.{EqualTo, Filter, In}
@@ -170,6 +183,17 @@ class DocStoreScanBuilder(root: String,
   }
   override def pushedFilters(): Array[Filter] = accepted
 
+  /** Collections an accepted pushed filter admits. Pushed filters are
+    * CONJUNCTS and Spark never re-applies accepted ones, so the admitted
+    * sets must be INTERSECTED — both in the batch directory prune and in
+    * the streaming allowlist (a union would leak rows a later conjunct
+    * excludes, e.g. `isin("a","b") && === "b"`). */
+  private def admitted(f: Filter): Set[String] = f match {
+    case EqualTo(_, v: String) => Set(v)
+    case In(_, vs) => vs.collect { case s: String => s }.toSet
+    case other => sys.error(s"filter was never accepted: $other")
+  }
+
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
@@ -184,13 +208,8 @@ class DocStoreScanBuilder(root: String,
       .getOrElse(Array.empty[File])
       .filter(f => f.isDirectory && !f.getName.startsWith("_"))
       .map(_.getName).sorted
-    val allowed = accepted.foldLeft(all.toSet) { (acc, f) =>
-      f match {
-        case EqualTo(_, v: String) => acc.intersect(Set(v))
-        case In(_, vs) => acc.intersect(vs.collect { case s: String => s }.toSet)
-        case _ => acc
-      }
-    }
+    val allowed = accepted.foldLeft(all.toSet)((acc, f) =>
+      acc.intersect(admitted(f)))
     all.filter(allowed)
       .map(c => DocStorePartition(root, c, required.fieldNames): InputPartition)
   }
@@ -203,21 +222,16 @@ class DocStoreScanBuilder(root: String,
     * state; the batch path above stays the state read. Accepted
     * collection filters and pruned columns apply to the feed too (the
     * reader enforces the allowlist itself, since accepted pushed
-    * filters are never re-evaluated by Spark). */
+    * filters are never re-evaluated by Spark); like the batch prune,
+    * conjuncts intersect. */
   override def toMicroBatchStream(
       checkpointLocation: String): org.apache.spark.sql.connector.read
         .streaming.MicroBatchStream = {
     val allowed: Option[Set[String]] =
       if (accepted.isEmpty) None
-      else Some(accepted.foldLeft(Set.empty[String]) { (acc, f) =>
-        f match {
-          case EqualTo(_, v: String) => acc + v
-          case In(_, vs) => acc ++ vs.collect { case s: String => s }
-          case _ => acc
-        }
-      })
+      else Some(accepted.map(admitted).reduce(_ intersect _))
     new DocStoreMicroBatchStream(root, required.fieldNames, allowed,
-      maxEntriesPerTrigger)
+      maxEntriesPerTrigger, staleClaimMs)
   }
 }
 
@@ -235,10 +249,18 @@ class DocStoreScanBuilder(root: String,
   * of a change-stream shard and `commit(end)` is where consumed entries
   * would be truncated/archived (kept here — replay is the test story). */
 class DocStoreMicroBatchStream(root: String, fields: Array[String],
-    allowed: Option[Set[String]], maxEntriesPerTrigger: Option[Long] = None)
+    allowed: Option[Set[String]], maxEntriesPerTrigger: Option[Long] = None,
+    staleClaimMs: Option[Long] = None)
   extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
   with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
   import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
+
+  // `.option("staleClaimMs", ms)` tunes the abandoned-claim reclaim
+  // window (see DocStoreChangelog.latestComplete) — how long a
+  // zero-length sequence claim may hold the feed before the source
+  // tombstones it and advances
+  private val staleMs =
+    staleClaimMs.getOrElse(graft.sink.DocStoreChangelog.DefaultStaleClaimMs)
 
   private case class SeqOffset(seq: Long) extends Offset {
     override def json(): String = seq.toString
@@ -246,7 +268,7 @@ class DocStoreMicroBatchStream(root: String, fields: Array[String],
 
   override def initialOffset(): Offset = SeqOffset(-1L)
   override def latestOffset(): Offset =
-    SeqOffset(graft.sink.DocStoreChangelog.latestComplete(root))
+    SeqOffset(graft.sink.DocStoreChangelog.latestComplete(root, staleMs))
   /** Admission control: `.option("maxEntriesPerTrigger", n)` caps each
     * micro-batch at n feed entries (= n committed store batches), so a
     * long backlog replays as a SEQUENCE of small ordered batches instead
@@ -256,12 +278,12 @@ class DocStoreMicroBatchStream(root: String, fields: Array[String],
     * entry per trigger applies them in commit order). */
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val s = start.asInstanceOf[SeqOffset].seq
-    val complete = graft.sink.DocStoreChangelog.latestComplete(root)
+    val complete = graft.sink.DocStoreChangelog.latestComplete(root, staleMs)
     SeqOffset(maxEntriesPerTrigger.fold(complete)(n => math.min(complete, s + n)))
   }
   override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
   override def reportLatestOffset(): Offset =
-    SeqOffset(graft.sink.DocStoreChangelog.latestComplete(root))
+    SeqOffset(graft.sink.DocStoreChangelog.latestComplete(root, staleMs))
   override def deserializeOffset(json: String): Offset =
     SeqOffset(json.trim.toLong)
   override def commit(end: Offset): Unit = ()

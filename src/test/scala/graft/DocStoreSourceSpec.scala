@@ -259,6 +259,53 @@ class DocStoreSourceSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming collection filters intersect like batch (conjunct semantics)") {
+    // pushed filters are CONJUNCTS and accepted ones are never
+    // re-evaluated by Spark; the streaming allowlist must intersect them
+    // exactly like the batch directory prune (a union would leak rows of
+    // collection 'a' through isin("a","b") && === "b")
+    val root = Files.createTempDirectory("graft-dsv2conj").toString
+    val store = new FileDocumentStoreFactory(root).open()
+    store.commitBatch("a", Seq("da" -> Map("count" -> 1L)))
+    store.commitBatch("b", Seq("db" -> Map("count" -> 2L)))
+    store.close()
+    def conj(df: org.apache.spark.sql.DataFrame) =
+      df.filter($"collection".isin("a", "b")).filter($"collection" === "b")
+        .select($"doc_id")
+    val q = conj(spark.readStream.format("graft.sources.DocStoreDataSource")
+        .option("path", root).load())
+      .writeStream.outputMode("append").format("memory")
+      .queryName("feedconj").start()
+    try q.processAllAvailable() finally q.stop()
+    assert(spark.table("feedconj").as[String].collect().toSeq == Seq("db"))
+    assert(conj(spark.read.format("graft.sources.DocStoreDataSource")
+      .option("path", root).load()).as[String].collect().toSeq == Seq("db"))
+  }
+
+  test("DSv2 write task retries do not duplicate change-feed entries") {
+    // drive the writer factory directly, the way Spark does on a retry /
+    // speculative duplicate: same queryId + partitionId, DIFFERENT taskId,
+    // same rows in the same order. Documents re-upsert (idempotent); the
+    // feed must carry each flush exactly once.
+    val root = Files.createTempDirectory("graft-dsv2retry").toString
+    val f = graft.sources.DocStoreWriterFactory(root, 2, "query-retry-test")
+    def attempt(taskId: Long): Unit = {
+      val w = f.createWriter(0, taskId)
+      for ((id, n) <- Seq(("a", 1L), ("b", 2L), ("c", 3L))) // 2 flushes
+        w.write(org.apache.spark.sql.catalyst.InternalRow(
+          org.apache.spark.unsafe.types.UTF8String.fromString("wc"),
+          org.apache.spark.unsafe.types.UTF8String.fromString(id), n))
+      w.commit(); w.close()
+    }
+    attempt(7)
+    attempt(8) // retry of the same partition
+    import graft.sink.DocStoreChangelog
+    val last = DocStoreChangelog.latestComplete(root)
+    assert(last == 1L, s"expected 2 feed entries (2 flushes), got ${last + 1}")
+    assert(DocStoreChangelog.entries(root, -1, last) ==
+      Seq(("wc", "a", 1L), ("wc", "b", 2L), ("wc", "c", 3L)))
+  }
+
   test("DSv2 source parallelizes by collection and supports SQL") {
     val root = Files.createTempDirectory("graft-dsv2b").toString
     val f = new FileDocumentStoreFactory(root)

@@ -473,4 +473,45 @@ class ExtensionsStatefulSpec extends SparkSpec {
     assert(pairs(s2) == pairs(spark))
     assert(pairs(s2).nonEmpty)
   }
+
+  test("optimizer rule rewrites levenshtein JOIN conditions to the banded form") {
+    import org.apache.spark.sql.functions._
+    val prev = spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s2 = try {
+      SparkSession.builder().master("local[4]")
+        .withExtensions(new GraftExtensions)
+        .config("spark.sql.optimizer.excludedRules",
+          "org.apache.spark.sql.catalyst.optimizer.ConvertToLocalRelation")
+        .config("spark.ui.enabled", "false").getOrCreate()
+    } finally {
+      SparkSession.setDefaultSession(prev)
+      SparkSession.setActiveSession(prev)
+    }
+    import s2.implicits._
+    val left = Seq("kitten", "abc", "zzzzzzzzzz").toDF("a")
+    val right = Seq("sitting", "abd", "qqq").toDF("b")
+    // an edit-distance similarity JOIN spelled with the unbounded form:
+    // the rule must rewrite the join condition (evaluated per candidate
+    // pair — exactly where the banded O(k·n) DP pays most)
+    val j = left.join(right, levenshtein($"a", $"b") <= 3)
+    val plan = j.queryExecution.optimizedPlan.toString
+    assert(plan.contains("Some(3)) >= 0"), plan.take(400))
+    assert(j.as[(String, String)].collect().toSet == Set(
+      ("kitten", "sitting"), // dist 3
+      ("abc", "abd"),        // dist 1
+      ("abc", "qqq")))       // dist 3
+    // outer joins are safe too (the two spellings agree as three-valued
+    // predicates, so non-matching rows null-pad identically)
+    val lo = left.join(right, levenshtein($"a", $"b") <= 3, "left")
+    assert(lo.queryExecution.optimizedPlan.toString.contains("Some(3)) >= 0"))
+    assert(lo.filter($"b".isNull).as[(String, String)].collect()
+      .map(_._1).toSet == Set("zzzzzzzzzz"))
+    // a join whose condition merely REFERENCES a projected distance is
+    // untouched (the caller wants the unbounded value downstream)
+    val proj = left.crossJoin(right)
+      .select($"a", $"b", levenshtein($"a", $"b").as("d"))
+    assert(!proj.queryExecution.optimizedPlan.toString.contains(">= 0"))
+  }
 }

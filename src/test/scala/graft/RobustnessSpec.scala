@@ -160,4 +160,97 @@ class RobustnessSpec extends SparkSpec {
     assert(!out.contains(1L) && !out.contains(2L) && !out.contains(4L))
     assert(out.contains(3L) && out.contains(5L) && out.contains(6L))
   }
+
+  // ---- change-feed / document-store robustness (round 10) ----
+
+  import graft.sink.{DocStoreChangelog, FileDocumentStoreFactory}
+
+  test("change feed round-trips hostile doc ids (quotes, newlines, backslashes)") {
+    // the SPI is generic: ids are DATA, not identifiers. An id containing
+    // JSON-special or filesystem-special characters must survive the
+    // store write, the feed append, and a DSv2 streaming replay intact.
+    val root = Files.createTempDirectory("graft-hostile").toString
+    val ids = Seq("plain", "has\"quote", "line\nbreak", "back\\slash",
+      "tab\tchar", "słowo-ünïcode", "path/../traversal", "{\"json\": 1}")
+    val docs = ids.zipWithIndex.map { case (id, i) =>
+      id -> Map("count" -> (i + 1).toLong)
+    }
+    val store = new FileDocumentStoreFactory(root).open()
+    store.commitBatch("c", docs)
+    store.close()
+    // store files decode back to the exact ids (percent-encoded names)
+    assert(new FileDocumentStoreFactory(root).readAll("c") == docs.toMap)
+    // the feed parses back losslessly (escaped on write, real parser)
+    assert(DocStoreChangelog.entries(root, -1,
+      DocStoreChangelog.latestComplete(root)).toSet ==
+      docs.map { case (id, f) => ("c", id, f("count")) }.toSet)
+    // and replays hash-equal through the DSv2 streaming source
+    val q = spark.readStream.format("graft.sources.DocStoreDataSource")
+      .option("path", root).load()
+      .writeStream.outputMode("append").format("memory")
+      .queryName("hostile_feed").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("hostile_feed")
+      .as[(String, String, Long)].collect().toSet
+    assert(got == docs.map { case (id, f) => ("c", id, f("count")) }.toSet)
+  }
+
+  test("empty commitBatch publishes no feed entry and never stalls the feed") {
+    val root = Files.createTempDirectory("graft-emptyb").toString
+    val store = new FileDocumentStoreFactory(root).open()
+    store.commitBatch("c", Seq.empty)
+    assert(DocStoreChangelog.latestComplete(root) == -1L)
+    // a later real commit advances normally — the empty batch left no
+    // zero-length entry to hold latestComplete back
+    store.commitBatch("c", Seq("a" -> Map("count" -> 1L)))
+    store.close()
+    assert(DocStoreChangelog.latestComplete(root) == 0L)
+    assert(DocStoreChangelog.entries(root, -1, 0) == Seq(("c", "a", 1L)))
+  }
+
+  test("keyed commits publish at most one feed entry per logical batch") {
+    val root = Files.createTempDirectory("graft-keyed").toString
+    val store = new FileDocumentStoreFactory(root).open()
+    store.commitBatchKeyed("job1/p0/f0", "c", Seq("a" -> Map("count" -> 1L)))
+    // a task retry / speculative duplicate replays the same key: the doc
+    // upsert re-applies (idempotent overwrite), the feed append is a no-op
+    store.commitBatchKeyed("job1/p0/f0", "c", Seq("a" -> Map("count" -> 1L)))
+    // the next flush of the same partition is a DIFFERENT key
+    store.commitBatchKeyed("job1/p0/f1", "c", Seq("a" -> Map("count" -> 2L)))
+    store.close()
+    assert(DocStoreChangelog.latestComplete(root) == 1L)
+    assert(DocStoreChangelog.entries(root, -1, 1) ==
+      Seq(("c", "a", 1L), ("c", "a", 2L)))
+    assert(new FileDocumentStoreFactory(root).readAll("c") ==
+      Map("a" -> Map("count" -> 2L)))
+  }
+
+  test("abandoned zero-length claim is reclaimed after staleClaimMs") {
+    val root = Files.createTempDirectory("graft-stale").toString
+    val store = new FileDocumentStoreFactory(root).open()
+    store.commitBatch("c", Seq("a" -> Map("count" -> 1L)))
+    // simulate a writer that claimed seq 1 and crashed before the rename
+    Files.createFile(DocStoreChangelog.entryPath(root, 1))
+    store.commitBatch("c", Seq("b" -> Map("count" -> 2L))) // claims seq 2
+    store.close()
+    // young claim: the feed holds at 0 (a live writer may be mid-publish)
+    assert(DocStoreChangelog.latestComplete(root, Long.MaxValue) == 0L)
+    // stale claim: reclaimed as a zero-row tombstone, the feed advances
+    assert(DocStoreChangelog.latestComplete(root, 0L) == 2L)
+    // the reclaim is durable — even an infinite timeout now sees seq 1
+    // complete (zero rows), and entries() skips the tombstone
+    assert(DocStoreChangelog.latestComplete(root, Long.MaxValue) == 2L)
+    assert(DocStoreChangelog.entries(root, -1, 2) ==
+      Seq(("c", "a", 1L), ("c", "b", 2L)))
+  }
+
+  test("invalid collection names are rejected at write time") {
+    val root = Files.createTempDirectory("graft-badcoll").toString
+    val store = new FileDocumentStoreFactory(root).open()
+    for (bad <- Seq("has/slash", "_changelog", ".hidden", "", "new\nline"))
+      intercept[IllegalArgumentException] {
+        store.commitBatch(bad, Seq("a" -> Map("count" -> 1L)))
+      }
+    store.close()
+  }
 }
