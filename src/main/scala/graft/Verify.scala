@@ -27,6 +27,11 @@ object Verify {
         errors(name) = e.getClass.getSimpleName
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // drop the query's localCheckpoint blocks between entries — same
+      // memory-isolation reasoning as Bench (accumulated checkpoint
+      // blocks squeeze execution memory for later queries at high SF)
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -289,6 +289,34 @@ object DedupQueries {
             .as("is_dup"))
     }),
 
+    // Survivor selection: dedup_clusters tells a pipeline WHICH docs are
+    // duplicates; this op decides WHICH MEMBER TO KEEP — the standard
+    // curation step after clustering. Per near-dup cluster the longest
+    // member survives (most tokens; exact-integer, so cross-engine), doc
+    // id breaking ties — the "keep the superset" heuristic that pairs
+    // with containment dedup (an excerpt loses to the document quoting
+    // it). Scale shape: the cluster labels reuse the components loop
+    // (id-only shuffles, see dedup_clusters); selection adds ONE narrow
+    // window over (cluster_id, n_tokens, doc_id) — token counts cross
+    // the wire, text never does.
+    "dedup_canonical" -> ((s, d) => {
+      val pairs = exactJaccardPairs(s, d)
+        .filter(col("jaccard") >= JaccardThreshold)
+        .select("doc_a", "doc_b")
+      val comp = connectedComponents(pairs)
+      val scored = Tables.documents(s, d)
+        .select(col("doc_id"),
+          coalesce(size(filter(split(col("text"), " "),
+            x => x =!= "")), lit(0)).cast("long").as("n_tokens"))
+        .join(comp.toDF("doc_id", "cluster"), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("cluster"), col("doc_id")).as("cluster_id"),
+          col("n_tokens"))
+      val w = Window.partitionBy(col("cluster_id"))
+        .orderBy(col("n_tokens").desc, col("doc_id"))
+      scored.withColumn("keep", row_number().over(w) === 1)
+    }),
+
     // Exact dedup: canonical = min doc_id among identical texts. Shuffles
     // on an md5 fingerprint (16 bytes), not the full text — at 100 TB the
     // shuffle payload is keys, not documents.
@@ -958,6 +986,47 @@ object DedupQueries {
         |  COALESCE(c.cluster, d.doc_id) AS cluster_id,
         |  COALESCE(c.cluster, d.doc_id) <> d.doc_id AS is_dup
         |FROM documents d LEFT JOIN comp c ON c.node = d.doc_id""".stripMargin,
+    // same component construction as dedup_clusters, then per-cluster
+    // survivor = most tokens, min doc_id on ties (exact integers only)
+    "dedup_canonical" ->
+      """WITH RECURSIVE docs AS (
+        |  SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS w
+        |  FROM documents),
+        |sht AS (
+        |  SELECT doc_id, CASE WHEN len(w) >= 3 THEN
+        |    list_distinct(list_transform(generate_series(1, len(w)-2),
+        |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+        |    ELSE [] END AS shingles
+        |  FROM docs),
+        |idx AS (SELECT doc_id, unnest(shingles) AS s FROM sht),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM idx GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+        |  FROM idx a JOIN idx b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT doc_a, doc_b FROM inter
+        |  JOIN sizes sa ON sa.doc_id = doc_a
+        |  JOIN sizes sb ON sb.doc_id = doc_b
+        |  WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8),
+        |edges AS (
+        |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |r(node, root) AS (
+        |  SELECT DISTINCT src, src FROM edges
+        |  UNION
+        |  SELECT e.dst, r.root FROM r JOIN edges e ON e.src = r.node),
+        |comp AS (SELECT node, MIN(root) AS cluster FROM r GROUP BY node),
+        |scored AS (
+        |  SELECT d.doc_id,
+        |    COALESCE(c.cluster, d.doc_id) AS cluster_id,
+        |    CAST(COALESCE(len(list_filter(string_split(d.text,' '),
+        |      x -> x <> '')), 0) AS BIGINT) AS n_tokens
+        |  FROM documents d LEFT JOIN comp c ON c.node = d.doc_id)
+        |SELECT doc_id, cluster_id, n_tokens,
+        |  ROW_NUMBER() OVER (PARTITION BY cluster_id
+        |    ORDER BY n_tokens DESC, doc_id) = 1 AS keep
+        |FROM scored""".stripMargin,
     // identical semantics by the band-containment proof above — shares the
     // brute-force oracle
     "dedup_embedding_lsh" -> dedupEmbeddingOracle,

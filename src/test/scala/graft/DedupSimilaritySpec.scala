@@ -146,6 +146,28 @@ class DedupSimilaritySpec extends SparkSpec {
       .foreach { case (id, cid) => assert(id == cid) }
   }
 
+  test("dedup_canonical: one survivor per cluster — longest member, min id on ties") {
+    val rows = DedupQueries.queries("dedup_canonical")(spark, sf001)
+      .select("doc_id", "cluster_id", "n_tokens", "keep")
+      .as[(Long, Long, Long, Boolean)].collect()
+    // cluster partition agrees with dedup_clusters exactly
+    val clusters = DedupQueries.queries("dedup_clusters")(spark, sf001)
+      .select("doc_id", "cluster_id").as[(Long, Long)].collect().toMap
+    rows.foreach { case (id, cid, _, _) => assert(clusters(id) == cid) }
+    // exactly one keeper per cluster: the longest member, min id on ties
+    val byCluster = rows.groupBy(_._2)
+    byCluster.foreach { case (cid, members) =>
+      val keepers = members.filter(_._4)
+      assert(keepers.length == 1, s"cluster $cid keepers=${keepers.length}")
+      val best = members.minBy(m => (-m._3, m._1))
+      assert(keepers.head._1 == best._1,
+        s"cluster $cid kept ${keepers.head} not $best")
+    }
+    // the fixture's planted near-dup clusters are non-trivial: some
+    // cluster must actually choose among >1 member
+    assert(byCluster.exists(_._2.length > 1))
+  }
+
   test("prefix-filtered jaccard equals the naive inverted-index path") {
     // prefix filtering is provably exact for j >= t (see
     // prefixJaccardPairs doc) — results must match row-for-row

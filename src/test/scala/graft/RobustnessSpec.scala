@@ -51,7 +51,9 @@ class RobustnessSpec extends SparkSpec {
     // round-9: null/empty text -> null prefix (no segments, no probes,
     // tiny-class fallback idles); no query terms / no bigrams at n >= 5
     "dedup_editdist_passjoin", "retrieve_bm25", "retrieve_bm25_batch",
-    "ta_collocations")
+    "ta_collocations",
+    // round-10: null/empty text -> 0 tokens, every doc its own cluster
+    "dedup_canonical")
 
   test("text/curation queries run on empty/whitespace/null/single-token docs") {
     textQueries.foreach { name =>
