@@ -89,6 +89,66 @@ object CurationQueries {
         .agg(countDistinct(col("s")).as("n_shared"))
     }),
 
+    // MinHash-banded FUZZY benchmark decontamination — the jaccard-
+    // threshold sibling of decontam_overlap/_bloom: instead of "shares
+    // ANY shingle with the benchmark" (the recall-oriented sweep), flag
+    // corpus docs that NEAR-DUPLICATE a benchmark doc (3-gram jaccard
+    // ≥ 0.8) — the criterion when contamination means a leaked
+    // rephrasing of an eval item rather than a common phrase. Shape at
+    // scale: the benchmark side is tiny forever (eval suites are KBs
+    // against a 100 TB corpus), so its band table and its shingle sets
+    // broadcast; the corpus pays one (doc_id, hash64) signature
+    // aggregate — 64 longs per doc cross the wire via MinHashAggregator's
+    // partial-min combine, never shingles — then a broadcast band join
+    // and an exact-jaccard verify restricted to candidate docs.
+    // Banding is 16 bands × 4 rows (vs the dedup family's 8×8): at the
+    // similarity decontamination hunts (j ≥ 0.8) the banding miss
+    // probability is (1-j⁴)¹⁶ ≤ 2.2e-4 (≤ 2e-12 at this fixture's
+    // j ≥ 0.95), so banded ∧ verified equals the exact-threshold answer
+    // (the oracle), while the (1/16)^(1/4) ≈ 0.5 band threshold keeps
+    // candidate noise bounded; false positives die in the verify join.
+    "decontam_minhash" -> ((s, d) => {
+      val minhash64 = udaf(graft.functions.MinHashAggregator)
+      // one co-partitioned materialization feeds both sides' signature
+      // aggregates, the verify join, and both size aggregates — the
+      // dedup_minhash_lsh index pattern (see shingleIndex's scaladoc)
+      val sh = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          explode(shingles(col("text"), 3)).as("s"))
+        .repartition(col("doc_id"))
+        .buildCheckpoint()
+      val benchSh = sh.filter(col("source") === "src0")
+        .select(col("doc_id").as("bench_id"), col("s"))
+      val corpusSh = sh.filter(col("source") =!= "src0")
+        .select(col("doc_id"), col("s"))
+      def bandsOf(side: DataFrame, idCol: String): DataFrame = side
+        .select(col(idCol), xxhash64(col("s")).as("h"))
+        .groupBy(idCol).agg(minhash64(col("h")).as("sig"))
+        .select(col(idCol), posexplode(bandHashes(col("sig"), 16, 4))
+          .as(Seq("band_idx", "band_hash")))
+      val cand = bandsOf(corpusSh, "doc_id")
+        .join(broadcast(bandsOf(benchSh, "bench_id")),
+          Seq("band_idx", "band_hash"))
+        .select("doc_id", "bench_id").distinct()
+        .buildCheckpoint() // feeds the doc semi-join, pair semi-join
+      val aSizes = corpusSh.groupBy("doc_id").agg(count(lit(1)).as("na"))
+      val bSizes = benchSh.groupBy("bench_id").agg(count(lit(1)).as("nb"))
+      val inter = corpusSh
+        .join(broadcast(cand.select("doc_id").distinct()),
+          Seq("doc_id"), "left_semi")
+        .join(broadcast(benchSh), "s")
+        .join(broadcast(cand), Seq("doc_id", "bench_id"), "left_semi")
+        .groupBy("doc_id", "bench_id").agg(count(lit(1)).as("inter"))
+      inter
+        .join(aSizes, "doc_id")
+        .join(broadcast(bSizes), "bench_id")
+        .withColumn("jaccard", col("inter").cast("double") /
+          (col("na") + col("nb") - col("inter")))
+        .filter(col("jaccard") >= 0.8)
+        .select(col("doc_id"), col("bench_id"),
+          round(col("jaccard"), 6).as("jaccard"))
+    }),
+
     // Substring-level dedup scoring (the ExactSubstr idea at 5-gram
     // granularity): per doc, the share of its distinct 5-gram shingles
     // first seen in an earlier (lower doc_id) document. A doc that is
@@ -909,6 +969,35 @@ object CurationQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    // exact cross-set jaccard (the dedup_ngram_jaccard oracle restricted
+    // to corpus×benchmark pairs): banding has no false negatives at this
+    // fixture's match levels and the verify join removes false positives,
+    // so the minhash query equals the exact answer. Same double-division
+    // + ROUND determinism as the dedup jaccard family.
+    "decontam_minhash" ->
+      """WITH docs AS (
+        |  SELECT doc_id, source,
+        |    list_filter(string_split(text,' '), x -> x <> '') AS w
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, source, CASE WHEN len(w) >= 3 THEN
+        |    list_distinct(list_transform(generate_series(1, len(w)-2),
+        |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+        |    ELSE [] END AS shingles
+        |  FROM docs),
+        |idx AS (SELECT doc_id, source, unnest(shingles) AS s FROM sh),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM idx GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS cdoc, b.doc_id AS bdoc, COUNT(*) AS i
+        |  FROM idx a JOIN idx b ON a.s = b.s
+        |  WHERE b.source = 'src0' AND a.source <> 'src0'
+        |  GROUP BY 1, 2)
+        |SELECT cdoc AS doc_id, bdoc AS bench_id,
+        |  ROUND(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) AS jaccard
+        |FROM inter
+        |JOIN sizes sa ON sa.doc_id = cdoc
+        |JOIN sizes sb ON sb.doc_id = bdoc
+        |WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8""".stripMargin,
     // add-1 bigram LM predictability: each p is an IEEE division of
     // exact integer counts (bit-identical across engines); the per-doc
     // mean uses the shortest-repr decimal cast (CAST(CAST(x AS VARCHAR)

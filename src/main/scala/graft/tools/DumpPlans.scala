@@ -50,7 +50,8 @@ object DumpPlans {
     "curate_lm_score" -> "bigram LM quality score: model build is two narrow-token-key aggregates (map-side combine), vocab scalar broadcast; scoring join shuffles (doc_id,w1,w2) on the bigram key — model is vocab-scale, NOT broadcast at 100 TB; per-doc mean partial-aggregates before its exchange",
     "curate_dsir" -> "DSIR importance resampling: hashed-feature model is ≤4096 rows at ANY corpus size → broadcast into the occurrence stream (zero model shuffles, contrast curate_lm_score); per-doc mean partial-aggregates; top-quarter cut via the quantile-bucketed global row number (no single-partition window)",
     "sim_rp_reduce" -> "JL random projection 64→16: the k×d matrix is a LITERAL folded into one whole-stage-codegen projection — no model table, no join, zero exchanges at any corpus size; runs map-side in the scan stage like sim_quantize_int8",
-    "ta_bpe_encode" -> "BPE encode with the learned merge list: ≤20-row model collected once per dataset (ivfModel precedent) and folded into a 20-deep replace cascade — encoding is a pure per-row projection, zero exchanges beyond the trainer's narrow (pair,cnt) aggregate; the encoded string never crosses a shuffle")
+    "ta_bpe_encode" -> "BPE encode with the learned merge list: ≤20-row model collected once per dataset (ivfModel precedent) and folded into a 20-deep replace cascade — encoding is a pure per-row projection, zero exchanges beyond the trainer's narrow (pair,cnt) aggregate; the encoded string never crosses a shuffle",
+    "decontam_minhash" -> "fuzzy benchmark decontamination: benchmark bands + shingle sets broadcast (eval suites stay KBs at any corpus size); corpus pays ONE signature aggregate (64 longs per doc via partial_minhashaggregator, shingles stay in the index build) and a broadcast band join; exact-jaccard verify runs only over candidate docs")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")

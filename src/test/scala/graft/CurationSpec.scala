@@ -17,6 +17,33 @@ class CurationSpec extends SparkSpec {
     assert(bloom == plain)
   }
 
+  test("decontam_minhash == brute-force cross-set jaccard (banding loses nothing)") {
+    // reference: exact jaccard for EVERY corpus×bench pair sharing a
+    // shingle — no banding, no candidate restriction. The minhash query
+    // must reproduce it exactly: banding at 16×4 has no false negatives
+    // at the fixture's match levels and the verify join kills the rest.
+    import graft.functions.TextFunctions._
+    val docs = Tables.documents(spark, sf0001)
+    val idx = docs.select(col("doc_id"), col("source"),
+      explode(shingles(col("text"), 3)).as("s"))
+    val sizes = idx.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val brute = idx.filter(col("source") =!= "src0").toDF("doc_id", "sa", "s")
+      .join(idx.filter(col("source") === "src0")
+        .select(col("doc_id").as("bench_id"), col("s")), "s")
+      .groupBy("doc_id", "bench_id").agg(count(lit(1)).as("i"))
+      .join(sizes.toDF("doc_id", "na"), "doc_id")
+      .join(sizes.toDF("bench_id", "nb"), "bench_id")
+      .withColumn("j", col("i").cast("double") /
+        (col("na") + col("nb") - col("i")))
+      .filter(col("j") >= 0.8)
+      .select(col("doc_id"), col("bench_id"), round(col("j"), 6).as("j"))
+      .as[(Long, Long, Double)].collect().toSet
+    val banded = CurationQueries.queries("decontam_minhash")(spark, sf0001)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(brute.nonEmpty) // the fixture must exercise the operator
+    assert(banded == brute)
+  }
+
   test("bloom predicate prunes: no false negatives, real rejections") {
     // evaluate the ACTUAL probe predicate (not just the fixture shape):
     // survivors must contain every true hit (no false negatives) and
