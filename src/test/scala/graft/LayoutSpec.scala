@@ -82,4 +82,57 @@ class LayoutSpec extends SparkSpec {
     assert(avg("sx") < 255 * 0.6, s"avg x span ${avg("sx")}")
     assert(avg("sy") < 255 * 0.6, s"avg y span ${avg("sy")}")
   }
+
+  test("z-ordered layout SKIPS: either-axis range predicates decode a fraction of rows; single-axis sort decodes everything on the other axis") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val grid = (0 until 65536).map(i => (i.toLong % 256, i.toLong / 256))
+      .toDF("x", "y")
+    def zkey = ExtraRelationalQueries.zOrderKey(col("x"), col("y"))
+    val zdir = java.nio.file.Files
+      .createTempDirectory("graft-zskip").toString
+    val xdir = java.nio.file.Files
+      .createTempDirectory("graft-xskip").toString
+    Layout.writeZOrdered(grid, zdir, files = 16, zkey)
+    // the SAME writer clustering on one dimension only — the layout
+    // z-ordering competes against
+    Layout.writeZOrdered(grid, xdir, files = 16, col("x"))
+    // The skipping observable: rows the parquet reader MATERIALIZES
+    // under the pushed predicate (scan-leaf numOutputRows, read after
+    // execution) — i.e. rows in row groups that survived min/max
+    // pruning. Listing and footer reads always happen; row-group decode
+    // is what layout saves at scale.
+    def rowsRead(dir: String, pred: org.apache.spark.sql.Column): Long = {
+      val df = spark.read.parquet(dir).filter(pred)
+      df.collect()
+      def leaves(p: SparkPlan): Seq[SparkPlan] = p match {
+        case a: AdaptiveSparkPlanExec => leaves(a.executedPlan)
+        case other => other.collectLeaves().flatMap {
+          case aa: AdaptiveSparkPlanExec => leaves(aa.executedPlan)
+          case l => Seq(l)
+        }
+      }
+      val scan = leaves(df.queryExecution.executedPlan)
+        .collectFirst { case f: FileSourceScanExec => f }.get
+      scan.metrics("numOutputRows").value
+    }
+    val total = 65536L
+    // 16 z-range files tile the 256×256 grid into ~4×4 blocks: a
+    // 16-wide slab on EITHER axis intersects one row/column of tiles —
+    // a quarter of the files. repartitionByRange boundaries are sampled,
+    // so straddling files can add their row groups; 40% is the bound
+    // that holds whatever the sampling does (expected ~25%).
+    assert(rowsRead(zdir, col("x") < 16) <= (total * 2) / 5)
+    assert(rowsRead(zdir, col("y") < 16) <= (total * 2) / 5)
+    // single-dimension clustering: near-perfect on its own axis...
+    assert(rowsRead(xdir, col("x") < 16) <= total / 8)
+    // ...and NO pruning on the other — every file spans all of y, so
+    // every row group is decoded. This asymmetry is what z-ordering
+    // buys: bounded read amplification on BOTH filter axes.
+    assert(rowsRead(xdir, col("y") < 16) == total)
+    // and the layouts agree on the answer
+    assert(spark.read.parquet(zdir).filter(col("y") < 16).count() ==
+      spark.read.parquet(xdir).filter(col("y") < 16).count())
+  }
 }
