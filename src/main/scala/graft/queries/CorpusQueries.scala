@@ -201,6 +201,33 @@ object CorpusQueries {
             sum(col("n_docs")).over(bySource)).cast("long"))
     }),
 
+    // LEAKAGE-SAFE train/val/test split: split_assign's failure mode is
+    // a near-duplicate pair straddling train and test — the holdout then
+    // "measures" memorization of a paraphrase the model trained on. Fix:
+    // hash the near-dup CLUSTER label, not the doc id, so every cluster
+    // lands atomically in one split (same md5→[0,1) machinery, same
+    // 90/5/5 as split_assign). Reuses the components fixpoint (id-only
+    // shuffles, see dedup_clusters); a singleton doc's cluster_id is its
+    // own id, so the non-duplicated bulk of the corpus splits exactly as
+    // a per-doc hash would. The leakage guarantee — no jaccard ≥ 0.8
+    // pair straddles splits — is by construction and pinned through the
+    // PAIR table in CorpusSpec (the property, not the mechanism).
+    "split_leakage_safe" -> ((s, d) => {
+      val pairs = DedupQueries.exactJaccardPairs(s, d)
+        .filter(col("jaccard") >= 0.8).select("doc_a", "doc_b")
+      val comp = DedupQueries.connectedComponents(pairs)
+      val labeled = Tables.documents(s, d).select(col("doc_id"))
+        .join(comp.toDF("doc_id", "cluster"), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("cluster"), col("doc_id")).as("cluster_id"))
+      val u = conv(substring(
+        md5(col("cluster_id").cast("string").cast("binary")), 1, 8),
+        16, 10).cast("double") / 4294967296.0
+      labeled.select(col("doc_id"), col("cluster_id"),
+        when(u < 0.90, "train").when(u < 0.95, "val")
+          .otherwise("test").as("split"))
+    }),
+
     // Count-min-sketch heavy hitters: build the mergeable Depth×Width
     // counter matrix distributed (map-side partial adds, one 32 KB array
     // per partition crosses the wire — bounded model state like the
@@ -339,6 +366,48 @@ object CorpusQueries {
         |  CAST(CASE WHEN len(t.w) > 0 THEN (len(t.w) - 1) // 16 + 1
         |       ELSE 0 END - COALESCE(agg.n_kept, 0) AS BIGINT) AS n_removed
         |FROM t LEFT JOIN agg ON t.doc_id = agg.doc_id""".stripMargin,
+    // dedup_clusters' recursive-CTE components + split_assign's
+    // md5→[0,1) split applied to the CLUSTER label
+    "split_leakage_safe" ->
+      """WITH RECURSIVE docs AS (
+        |  SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS w
+        |  FROM documents),
+        |sht AS (
+        |  SELECT doc_id, CASE WHEN len(w) >= 3 THEN
+        |    list_distinct(list_transform(generate_series(1, len(w)-2),
+        |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+        |    ELSE [] END AS shingles
+        |  FROM docs),
+        |idx AS (SELECT doc_id, unnest(shingles) AS s FROM sht),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM idx GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+        |  FROM idx a JOIN idx b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT doc_a, doc_b FROM inter
+        |  JOIN sizes sa ON sa.doc_id = doc_a
+        |  JOIN sizes sb ON sb.doc_id = doc_b
+        |  WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8),
+        |edges AS (
+        |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |r(node, root) AS (
+        |  SELECT DISTINCT src, src FROM edges
+        |  UNION
+        |  SELECT e.dst, r.root FROM r JOIN edges e ON e.src = r.node),
+        |comp AS (SELECT node, MIN(root) AS cluster FROM r GROUP BY node),
+        |lab AS (SELECT d.doc_id,
+        |  COALESCE(c.cluster, d.doc_id) AS cluster_id
+        |  FROM documents d LEFT JOIN comp c ON c.node = d.doc_id)
+        |SELECT doc_id, cluster_id,
+        |  CASE
+        |    WHEN CAST(('0x' || substring(md5(CAST(cluster_id AS VARCHAR)), 1, 8))
+        |      AS UBIGINT) / 4294967296.0 < 0.90 THEN 'train'
+        |    WHEN CAST(('0x' || substring(md5(CAST(cluster_id AS VARCHAR)), 1, 8))
+        |      AS UBIGINT) / 4294967296.0 < 0.95 THEN 'val'
+        |    ELSE 'test' END AS split
+        |FROM lab""".stripMargin,
     "split_assign" ->
       """WITH a AS (SELECT source,
         |  CASE

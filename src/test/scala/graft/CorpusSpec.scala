@@ -144,6 +144,42 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("split_leakage_safe: no near-dup pair straddles splits; singletons match split_assign's per-doc hash") {
+    import graft.queries.DedupQueries
+    val assign = CorpusQueries.queries("split_leakage_safe")(spark, sf001)
+      .select("doc_id", "cluster_id", "split")
+    // THE leakage property, checked through the pair table (the
+    // property, not the construction): every jaccard >= 0.8 pair lands
+    // in one split
+    val pairs = DedupQueries.exactJaccardPairs(spark, sf001)
+      .filter(col("jaccard") >= 0.8).select("doc_a", "doc_b")
+    val straddling = pairs
+      .join(assign.select(col("doc_id").as("doc_a"),
+        col("split").as("sa")), "doc_a")
+      .join(assign.select(col("doc_id").as("doc_b"),
+        col("split").as("sb")), "doc_b")
+      .filter(col("sa") =!= col("sb"))
+    assert(pairs.count() > 0)         // the fixture exercises the guard
+    assert(straddling.count() == 0L)
+    // ...which split_assign's per-doc hash does NOT guarantee: the same
+    // pairs under a doc_id hash must be shown straddling somewhere on
+    // SOME corpus for this operator to have a reason to exist; at this
+    // fixture the doc-hash assignment of cluster members differs from
+    // the cluster-hash assignment for at least one doc (else the test
+    // proves nothing)
+    val u = conv(substring(
+      md5(col("doc_id").cast("string").cast("binary")), 1, 8), 16, 10)
+      .cast("double") / 4294967296.0
+    val perDoc = assign.withColumn("doc_split",
+      when(u < 0.90, "train").when(u < 0.95, "val").otherwise("test"))
+    assert(perDoc.filter(col("cluster_id") =!= col("doc_id"))
+      .filter(col("split") =!= col("doc_split")).count() > 0 ||
+      perDoc.filter(col("cluster_id") =!= col("doc_id")).count() == 0)
+    // singletons (the corpus bulk) split exactly as split_assign would
+    assert(perDoc.filter(col("cluster_id") === col("doc_id"))
+      .filter(col("split") =!= col("doc_split")).count() == 0L)
+  }
+
   test("sketch_cms_topk: never undercounts; exact on a collision-free vocabulary") {
     // real fixture: one-sided error on every reported word
     val rows = CorpusQueries.queries("sketch_cms_topk")(spark, sf001)
