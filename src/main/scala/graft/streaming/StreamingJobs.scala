@@ -253,6 +253,71 @@ object StreamingJobs {
       k)
   }
 
+  /** CDC change compaction over the DocumentStore change feed: suppress
+    * NO-OP upserts (the stored value did not change) so downstream
+    * consumers — ordered replication, cache invalidation, reindexing —
+    * pay write amplification only for REAL changes. The feed replays
+    * every committed upsert (DocStoreSourceSpec pins that contract);
+    * a pipeline that re-writes its full output every run (the
+    * reference's batch upsert pattern, and this repo's
+    * `wordCountToStore` complete-mode sink) emits mostly-unchanged
+    * values — this operator is the difference between re-replicating
+    * the store every run and shipping the delta.
+    *
+    * Streaming form: `flatMapGroupsWithState` keyed by
+    * (collection, doc_id), state = last seen value, append mode — state
+    * is one long per live key, independent of feed length. ORDERING
+    * CONTRACT: run the feed with `maxEntriesPerTrigger=1` (the ordered
+    * replication mode), so each micro-batch carries at most one entry
+    * per key and batches arrive in commit order; within a micro-batch
+    * the group iterator's order is not defined, which is exactly why
+    * the contract is one entry per trigger.
+    *
+    * The batch twin ([[effectiveChangesBatch]]) is the declarative
+    * lag-window over a sequenced entry table — at rest, change
+    * compaction is one narrow (collection, doc_id)-keyed window, no
+    * state machinery. DocStoreSourceSpec replay-pins stream == batch
+    * per key and in order. */
+  def effectiveChangesStream(feed: DataFrame): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val session = feed.sparkSession
+    import session.implicits._
+    feed.select(col("collection"), col("doc_id"), col("count"))
+      .as[(String, String, Long)]
+      .groupByKey { case (c, id, _) => (c, id) }
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (key: (String, String), rows: Iterator[(String, String, Long)],
+         state: GroupState[Long]) => {
+          // materialize before touching state: state writes inside a
+          // lazily-consumed iterator are timing-sensitive; a strict fold
+          // is not
+          val out = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+          rows.foreach { case (_, _, v) =>
+            val isNoop = state.exists && state.get == v
+            if (!isNoop) {
+              state.update(v)
+              out += ((key._1, key._2, v))
+            }
+          }
+          out.iterator
+        })
+      .toDF("collection", "doc_id", "count")
+  }
+
+  /** Batch twin of [[effectiveChangesStream]]: the same compaction over
+    * a SEQUENCED entry table (seq, collection, doc_id, count) — one
+    * narrow per-key lag window, no state. `seq` is the feed's commit
+    * order (the changelog's durable sequence). */
+  def effectiveChangesBatch(entries: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("collection", "doc_id").orderBy("seq")
+    entries
+      .withColumn("prev", lag(col("count"), 1).over(w))
+      .filter(col("prev").isNull || col("count") =!= col("prev"))
+      .select(col("seq"), col("collection"), col("doc_id"), col("count"))
+  }
+
   /** Streaming word count into the batched document store. Each micro-batch
     * upserts the complete current counts (complete output mode), so the
     * store converges to the same state as the batch pipeline — idempotent

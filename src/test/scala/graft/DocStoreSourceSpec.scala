@@ -259,6 +259,56 @@ class DocStoreSourceSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("CDC change compaction: no-op upserts suppressed, stream == batch twin per key and in order") {
+    import graft.streaming.StreamingJobs
+    val root = Files.createTempDirectory("graft-cdc-compact").toString
+    val ckpt = Files.createTempDirectory("graft-cdc-ckpt").toString
+    val store = new FileDocumentStoreFactory(root).open()
+    // a re-run pipeline re-upserting mostly-unchanged state: doc a
+    // changes 1→1(noop)→5, doc b stays 2 throughout (all noop after the
+    // first), doc x appears late
+    val commits = Seq(
+      Seq("a" -> 1L, "b" -> 2L),
+      Seq("a" -> 1L, "b" -> 2L), // full re-write, nothing changed
+      Seq("a" -> 5L, "b" -> 2L), // only a really changed
+      Seq("x" -> 9L),
+      Seq("a" -> 1L)) // back to an OLD value — still a real change
+    commits.foreach(c => store.commitBatch("wc",
+      c.map { case (id, n) => id -> Map("count" -> n) }))
+    // stream side: ordered replay (one entry per trigger — the
+    // compaction ordering contract), batch ids give per-key order
+    val emitted = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    val q = StreamingJobs.effectiveChangesStream(
+      spark.readStream.format("graft.sources.DocStoreDataSource")
+        .option("path", root).option("maxEntriesPerTrigger", "1").load())
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        val rows = batch.as[(String, String, Long)].collect()
+        emitted.synchronized { emitted ++= rows.map(r => (id, r._1, r._2, r._3)) }
+        ()
+      }.start()
+    try q.processAllAvailable() finally q.stop()
+    // batch twin: the same entries as a sequenced table
+    val entries = commits.zipWithIndex.flatMap { case (c, i) =>
+      c.map { case (id, n) => (i.toLong, "wc", id, n) }
+    }.toDF("seq", "collection", "doc_id", "count")
+    val batchOut = StreamingJobs.effectiveChangesBatch(entries)
+      .as[(Long, String, String, Long)].collect()
+    def perKey(rows: Seq[(Long, String, String, Long)]) = rows
+      .groupBy(r => (r._2, r._3))
+      .map { case (k, v) => k -> v.sortBy(_._1).map(_._4).toList }
+    assert(perKey(emitted.toSeq) == perKey(batchOut.toSeq))
+    // and the compaction is REAL: 8 feed rows in, 5 effective changes
+    // out (a: 1,5,1; b: 2; x: 9) — the value-returning re-upsert kept,
+    // every no-op dropped
+    assert(perKey(batchOut.toSeq) == Map(
+      ("wc", "a") -> List(1L, 5L, 1L),
+      ("wc", "b") -> List(2L),
+      ("wc", "x") -> List(9L)))
+    assert(entries.count() == 8L && batchOut.length == 5)
+  }
+
   test("streaming collection filters intersect like batch (conjunct semantics)") {
     // pushed filters are CONJUNCTS and accepted ones are never
     // re-evaluated by Spark; the streaming allowlist must intersect them
