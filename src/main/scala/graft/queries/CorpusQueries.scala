@@ -213,11 +213,9 @@ object CorpusQueries {
     // pair straddles splits — is by construction and pinned through the
     // PAIR table in CorpusSpec (the property, not the mechanism).
     "split_leakage_safe" -> ((s, d) => {
-      val pairs = DedupQueries.exactJaccardPairs(s, d)
-        .filter(col("jaccard") >= 0.8).select("doc_a", "doc_b")
-      val comp = DedupQueries.connectedComponents(pairs)
+      val comp = DedupQueries.componentLabels(s, d)
       val labeled = Tables.documents(s, d).select(col("doc_id"))
-        .join(comp.toDF("doc_id", "cluster"), Seq("doc_id"), "left")
+        .join(comp, Seq("doc_id"), "left")
         .select(col("doc_id"),
           coalesce(col("cluster"), col("doc_id")).as("cluster_id"))
       val u = conv(substring(

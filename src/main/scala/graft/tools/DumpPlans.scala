@@ -22,8 +22,8 @@ object DumpPlans {
     "pack_sequences" -> "per-shard sequence packing: source-partitioned running-sum window (no global window), generator explode for spanning docs",
     "sample_stratified" -> "stratified quota sample: per-shard ranking window on md5 order, WindowGroupLimit bounds each partition's sort",
     "sample_weighted" -> "Efraimidis-Spirakis weighted sample: per-row −ln(u)/w race key then the same per-stratum ranking window shape as sample_stratified (WindowGroupLimit, narrow columns only)",
-    "dedup_clusters" -> "connected components: label table after fixpoint (iteration joins are localCheckpoint'ed RDD scans, so the final plan stays flat)",
-    "dedup_canonical" -> "survivor selection: components fixpoint (id-only shuffles) then ONE narrow window over (cluster_id, n_tokens, doc_id) picks the longest member — token counts cross the wire, text never does",
+    "dedup_clusters" -> "connected components: one narrow left join against the MEMOIZED label table (the components fixpoint runs once per dataset and persists to scratch parquet - the ivfIndex precedent; clusters/canonical/split_leakage_safe all read it)",
+    "dedup_canonical" -> "survivor selection: the memoized label table joined to per-doc token counts, then ONE narrow window over (cluster_id, n_tokens, doc_id) picks the longest member — token counts cross the wire, text never does",
     "q48_salted_agg" -> "two-stage salted aggregation: both shuffles keyed (key,salt) then key — hot keys spread across reducers",
     "decontam_bloom" -> "Bloom-prefiltered decontamination: codegen'd bit-test predicate (literal filter array) ahead of the exact broadcast verify join",
     "q55_decile_bucket" -> "scalable NTILE: deterministic quantile-boundary buckets + per-bucket local ranks + broadcast offsets (window runs over #buckets rows only; integer bucket math)",
