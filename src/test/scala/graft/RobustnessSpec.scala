@@ -52,8 +52,10 @@ class RobustnessSpec extends SparkSpec {
     // tiny-class fallback idles); no query terms / no bigrams at n >= 5
     "dedup_editdist_passjoin", "retrieve_bm25", "retrieve_bm25_batch",
     "ta_collocations",
-    // round-10: null/empty text -> 0 tokens, every doc its own cluster
-    "dedup_canonical")
+    // round-10: null/empty text -> 0 tokens, every doc its own cluster;
+    // minhash decontam with a degenerate benchmark side; cluster-hash
+    // split where every cluster is a singleton
+    "dedup_canonical", "decontam_minhash", "split_leakage_safe")
 
   test("text/curation queries run on empty/whitespace/null/single-token docs") {
     textQueries.foreach { name =>
