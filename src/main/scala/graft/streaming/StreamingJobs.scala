@@ -253,6 +253,29 @@ object StreamingJobs {
       k)
   }
 
+  /** STREAMING benchmark decontamination — the continuous-ingestion twin
+    * of batch `decontam_overlap`: as documents arrive, flag those
+    * sharing 3-gram shingles with the (small, fixed) evaluation
+    * benchmark. Completely STATELESS: the benchmark's distinct shingle
+    * set is bounded model state (eval suites are KBs against any corpus
+    * — the Bloom-filter argument from decontam_bloom) folded in as a
+    * literal array, and per-doc overlap is one codegen'd
+    * `array_intersect` projection — no watermark, no state store, no
+    * shuffle; the operator scales with ingest throughput alone. Output
+    * schema matches decontam_overlap: (doc_id, n_shared > 0 docs only);
+    * array_intersect returns DISTINCT shared shingles, so n_shared
+    * equals the batch countDistinct. StreamingSpec pins stream == batch
+    * on a full documents replay. */
+  def decontamStream(
+      docs: DataFrame, benchShingles: Seq[String]): DataFrame = {
+    import graft.functions.TextFunctions.shingles
+    docs
+      .select(col("doc_id"),
+        size(array_intersect(shingles(col("text"), 3),
+          typedlit(benchShingles))).cast("long").as("n_shared"))
+      .filter(col("n_shared") > 0)
+  }
+
   /** CDC change compaction over the DocumentStore change feed: suppress
     * NO-OP upserts (the stored value did not change) so downstream
     * consumers — ordered replication, cache invalidation, reindexing —

@@ -276,6 +276,34 @@ class StreamingSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("streaming decontamination == batch decontam_overlap on a full replay") {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    // bench side: bounded model state, same derivation as the batch op
+    import graft.functions.TextFunctions.shingles
+    val bench = Tables.documents(spark, sf0001)
+      .filter(col("source") === "src0")
+      .select(explode(shingles(col("text"), 3)).as("s"))
+      .distinct().as[String](org.apache.spark.sql.Encoders.STRING)
+      .collect().toSeq
+    val docStream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(sf0001)
+      .filter(col("source") =!= "src0")
+    val q = StreamingJobs.decontamStream(docStream, bench)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("decontam_stream").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("decontam_stream")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = graft.queries.PipelineQueries
+      .queries("decontam_overlap")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(expected.nonEmpty)
+    assert(got == expected)
+  }
+
   test("streaming session windows emit subset of batch session_window") {
     val stream = StreamingJobs.eventsStream(spark, sf0001)
     val q = StreamingJobs.sessionCounts(stream)
