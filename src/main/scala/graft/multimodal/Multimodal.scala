@@ -188,7 +188,30 @@ object Multimodal {
       extractFeatures(Tables.documents(s, d))
         .select(col("doc_id"),
           array_join(col("features").cast("array<int>"), ",")
-            .as("features"))))
+            .as("features"))),
+
+    // Perceptual-hash near-duplicate detection over MEDIA payloads — the
+    // image/video dedup step of a multimodal pipeline (a re-encoded or
+    // lightly-edited copy survives exact-byte dedup; pHash catches it).
+    // The SIGNATURE SOURCE is the deterministic fake (md5 of stride-4
+    // 8-byte payload windows, standing in for DCT block signs — a real
+    // pHash drops into the window expression without touching anything
+    // downstream); everything after it is the production shape, shared
+    // CODE with dedup_simhash: SimHashAggregator votes per bit (partial
+    // states shuffle, never payloads), 16-bit piece blocking
+    // (pigeonhole-exact for hamming ≤ 3), bit_count verify. md5-derived
+    // 60-bit window hashes keep the whole dataflow oracle-checkable,
+    // exactly like dedup_simhash_md5. Null payloads yield no windows
+    // (quarantine, not crash — RobustnessSpec).
+    "mm_phash_dedup" -> ((s, d) =>
+      graft.queries.DedupQueries.simhashPairs(
+        withPayload(Tables.documents(s, d)
+          .filter(col("text").isNotNull))
+          .select(col("doc_id"),
+            explode(expr("transform(sequence(1, greatest(length(payload)-7, 1), 4), i -> substring(payload, i, 8))")).as("win"))
+          .select(col("doc_id"),
+            conv(substring(md5(col("win")), 1, 15), 16, 10)
+              .cast("long").as("h")))))
 
   val oracles: Map[String, String] = Map(
     "mm_caption_align" ->
@@ -256,5 +279,33 @@ object Multimodal {
         |  FROM documents)
         |SELECT doc_id, CAST(frame_idx AS INTEGER) AS frame_idx,
         |  md5(CAST(doc_id AS VARCHAR) || '#' || CAST(frame_idx AS VARCHAR)) AS frame_sig
-        |FROM f""".stripMargin)
+        |FROM f""".stripMargin,
+    // the dedup_simhash_md5 vote/sign/piece pipeline with the token CTE
+    // swapped for stride-4 8-byte payload windows (ASCII fixture: char
+    // windows == byte windows; both engines hash the same bytes)
+    "mm_phash_dedup" ->
+      """WITH wins AS (
+        |  SELECT doc_id, substr(text, CAST(i AS INTEGER), 8) AS win
+        |  FROM documents,
+        |    unnest(generate_series(1, greatest(length(text) - 7, 1), 4)) t(i)
+        |  WHERE text IS NOT NULL),
+        |h AS (
+        |  SELECT doc_id,
+        |    CAST(CAST(('0x' || substr(md5(win), 1, 15)) AS UBIGINT) AS BIGINT) AS h
+        |  FROM wins),
+        |votes AS (
+        |  SELECT doc_id, j,
+        |    SUM(CASE WHEN (h >> CAST(j AS INTEGER)) & 1 = 1 THEN 1 ELSE -1 END) AS v
+        |  FROM h, range(0, 60) r(j)
+        |  GROUP BY doc_id, j),
+        |sigs AS (
+        |  SELECT doc_id,
+        |    SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << CAST(j AS INTEGER))
+        |             ELSE 0 END) AS sig
+        |  FROM votes GROUP BY doc_id)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(bit_count(xor(CAST(a.sig AS BIGINT), CAST(b.sig AS BIGINT)))
+        |       AS INTEGER) AS hamming
+        |FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(CAST(a.sig AS BIGINT), CAST(b.sig AS BIGINT))) <= 3""".stripMargin)
 }

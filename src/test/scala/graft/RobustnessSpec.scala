@@ -55,7 +55,10 @@ class RobustnessSpec extends SparkSpec {
     // round-10: null/empty text -> 0 tokens, every doc its own cluster;
     // minhash decontam with a degenerate benchmark side; cluster-hash
     // split where every cluster is a singleton
-    "dedup_canonical", "decontam_minhash", "split_leakage_safe")
+    "dedup_canonical", "decontam_minhash", "split_leakage_safe",
+    // null payload -> no windows (quarantined, not crashed); empty and
+    // whitespace payloads sign from their single short window
+    "mm_phash_dedup")
 
   test("text/curation queries run on empty/whitespace/null/single-token docs") {
     textQueries.foreach { name =>
