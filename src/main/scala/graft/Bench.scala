@@ -44,11 +44,22 @@ object Bench {
     calibIo()
     val calibStart = calib()
     val calibIoStart = calibIo()
+    val statStart = procStatCpu()
     // A thrown query must be VISIBLE in the artifact, not recorded as a
     // fast run: round 7 logged 16 analysis-broken queries as ~0.06 s
     // timings and the headline total silently claimed they executed.
     val errors = scala.collection.mutable.Map.empty[String, String]
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // SPARK_GRAFT_ONLY=a,b,c runs a subset — for solo re-mins of single
+    // queries without paying the full suite. Subset runs are for
+    // measurement notes only, never committable records (benchcheck's
+    // stale-reference scan rejects them by construction).
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only match {
+      case Some(names) => SparkEntry.queries.filter(kv => names(kv._1))
+      case None        => SparkEntry.queries
+    }
+    val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch {
         case e: Throwable =>
@@ -74,11 +85,23 @@ object Bench {
     }
     val calibEnd = calib()
     val calibIoEnd = calibIo()
+    val statEnd = procStatCpu()
+    // Fraction of the guest's CPU-time the hypervisor stole DURING the
+    // suite. The bracket probes can't see roaming host contention (two
+    // same-day sf1 runs read ~840 s with lf ≤ 1.03 and DISJOINT sets of
+    // 5-23× inflated queries — the steal window moved); /proc/stat's
+    // steal counter is cumulative, so its delta over the run is a
+    // direct, zero-cost measure of exactly that. -1 = unreadable.
+    val stealPct = (statStart, statEnd) match {
+      case (Some((s0, t0)), Some((s1, t1))) if t1 > t0 =>
+        (s1 - s0).toDouble / (t1 - t0).toDouble
+      case _ => -1.0
+    }
     val quietCalib = sys.env.get("SPARK_GRAFT_QUIET_CALIB")
       .flatMap(_.toDoubleOption).filter(_ > 0).getOrElse(0.30)
     val Seq(detailLine, totalLine) = summaryLines(results, sfDir,
       calibStart, calibEnd, calibIoStart, calibIoEnd, quietCalib,
-      errors.toMap)
+      errors.toMap, stealPct)
     println(detailLine)
     println(totalLine)
     // Stdout tail-captures have dropped the (long) per-query line before;
@@ -92,6 +115,19 @@ object Bench {
     catch { case scala.util.control.NonFatal(_) => }
     spark.stop()
   }
+
+  /** (steal, total) cumulative jiffies from /proc/stat's aggregate cpu
+    * line — fields: user nice system idle iowait irq softirq steal ….
+    * None when the file is absent/malformed (non-Linux, restricted). */
+  private def procStatCpu(): Option[(Long, Long)] =
+    try {
+      val line = scala.io.Source.fromFile("/proc/stat").getLines()
+        .find(_.startsWith("cpu "))
+      line.flatMap { l =>
+        val f = l.trim.split("\\s+").drop(1).flatMap(_.toLongOption)
+        if (f.length >= 8) Some((f(7), f.sum)) else None
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   /** The two artifact lines, as a pure function so BenchFormatSpec can
     * pin the contract that killed the round-6 record: per-query detail
@@ -122,7 +158,8 @@ object Bench {
       calibStart: Double, calibEnd: Double,
       calibIoStart: Double, calibIoEnd: Double,
       quietCalib: Double,
-      errors: Map[String, String] = Map.empty): Seq[String] = {
+      errors: Map[String, String] = Map.empty,
+      stealPct: Double = -1.0): Seq[String] = {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val errs = errors.toSeq.sorted
@@ -135,6 +172,6 @@ object Bench {
     val normalized = if (loadFactor > 1.0) total / loadFactor else total
     Seq(
       s"""{"metric":"queries","queries":$qs,"errors":$errs,"sf":"$sfDir"}""",
-      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","nqueries":${results.size},"nfailed":${errors.size},"value_normalized":$normalized,"load_factor":$loadFactor,"calib_start":$calibStart,"calib_end":$calibEnd,"calib_io_start":$calibIoStart,"calib_io_end":$calibIoEnd}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","nqueries":${results.size},"nfailed":${errors.size},"value_normalized":$normalized,"load_factor":$loadFactor,"calib_start":$calibStart,"calib_end":$calibEnd,"calib_io_start":$calibIoStart,"calib_io_end":$calibIoEnd,"steal_pct":$stealPct}""")
   }
 }

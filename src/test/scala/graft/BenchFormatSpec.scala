@@ -29,8 +29,16 @@ class BenchFormatSpec extends AnyFunSuite {
     assert(detail.startsWith("""{"metric":"queries""""))
     assert(detail.contains("\"q500\":"))
     Seq("value_normalized", "load_factor", "calib_start", "calib_end",
-      "calib_io_start", "calib_io_end", "nqueries").foreach(k =>
+      "calib_io_start", "calib_io_end", "nqueries", "steal_pct").foreach(k =>
       assert(total.contains(s"\"$k\":"), s"missing $k"))
+  }
+
+  test("steal_pct is carried through and defaults to -1 (unreadable)") {
+    val base = Map("a" -> 1.0)
+    assert(lines(base)(1).contains("\"steal_pct\":-1.0"))
+    val withSteal = Bench.summaryLines(base, "sf", 0.30, 0.31, 0.2, 0.15,
+      0.30, Map.empty, stealPct = 0.0123)(1)
+    assert(withSteal.contains("\"steal_pct\":0.0123"))
   }
 
   test("normalization only corrects when BOTH probes are inflated; failed probes leave raw") {

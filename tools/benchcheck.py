@@ -35,6 +35,13 @@ import sys
 
 LOAD_FACTOR_MAX = 1.05
 IO_END_MAX = 0.18
+# Hypervisor steal fraction over the whole run (round 10: two sf1 runs
+# read ~2.4x their quiet level with lf <= 1.03 — the host's noisy
+# neighbor roamed BETWEEN the bracket probes, inflating disjoint query
+# sets each run; /proc/stat steal delta catches exactly that). 2% of
+# machine CPU-time stolen is already several seconds of a 32-thread
+# suite minute.
+STEAL_PCT_MAX = 0.02
 INFLATION_RATIO = 1.5
 INFLATION_SLACK_SEC = 0.15
 MAX_INFLATED = 5
@@ -131,6 +138,14 @@ def main() -> int:
     if lf > LOAD_FACTOR_MAX:
         problems.append(
             f"load_factor {lf:.3f} > {LOAD_FACTOR_MAX} (CPU-contended box)")
+
+    # Absent on pre-round-10 records (they qualified on probes + the
+    # per-query scan alone); -1 = /proc/stat unreadable, advisory only.
+    steal = total.get("steal_pct")
+    if steal is not None and steal > STEAL_PCT_MAX:
+        problems.append(
+            f"steal_pct {steal:.4f} > {STEAL_PCT_MAX} (hypervisor stole "
+            f"CPU mid-run; bracket probes cannot see this)")
 
     for key in ("calib_start", "calib_end", "calib_io_start"):
         if total.get(key, -1.0) < 0:
