@@ -256,6 +256,31 @@ object DedupQueries {
     s.read.parquet(p)
   }
 
+  /** Shared verification tail of the containment family: join sizes,
+    * gate on the cheap least() test (drops the ~all pairs qualifying in
+    * neither direction before the explode), then emit both directions
+    * from ONE pass over the pair table — a union of two filtered
+    * branches would re-run the co-occurrence join per branch (measured
+    * 3× at sf1). Pure integer arithmetic throughout (inter·10 ≥ 9·n;
+    * basis points via div — zero FP, cross-engine exact). */
+  private def directedContainment(
+      inter: DataFrame, sizes: DataFrame): DataFrame =
+    inter
+      .join(sizes.toDF("doc_a", "na"), "doc_a")
+      .join(sizes.toDF("doc_b", "nb"), "doc_b")
+      .filter(col("inter") * 10 >= least(col("na"), col("nb")) * 9)
+      .select(explode(array(
+        when(col("inter") * 10 >= col("na") * 9,
+          struct(col("doc_a").as("contained"), col("doc_b").as("container"),
+            expr("(inter * 10000) div na").as("containment_bp"))),
+        when(col("inter") * 10 >= col("nb") * 9,
+          struct(col("doc_b").as("contained"), col("doc_a").as("container"),
+            expr("(inter * 10000) div nb").as("containment_bp"))))).as("r"))
+      .filter(col("r").isNotNull)
+      .select(col("r.contained").as("contained"),
+        col("r.container").as("container"),
+        col("r.containment_bp").as("containment_bp"))
+
   private def deleteRecursively(root: java.nio.file.Path): Unit = {
     import scala.jdk.CollectionConverters._
     if (java.nio.file.Files.exists(root)) {
@@ -434,25 +459,63 @@ object DedupQueries {
         .join(joinSide.toDF("doc_b", "s"), "s")
         .filter(col("doc_a") < col("doc_b"))
         .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
-      // both directions in ONE pass over the pair table (a union of two
-      // filtered branches would re-run the co-occurrence join per branch
-      // — measured 3× at sf1); the cheap least() gate drops the ~all
-      // pairs that qualify in neither direction before the explode
-      inter
-        .join(sizes.toDF("doc_a", "na"), "doc_a")
-        .join(sizes.toDF("doc_b", "nb"), "doc_b")
-        .filter(col("inter") * 10 >= least(col("na"), col("nb")) * 9)
-        .select(explode(array(
-          when(col("inter") * 10 >= col("na") * 9,
-            struct(col("doc_a").as("contained"), col("doc_b").as("container"),
-              expr("(inter * 10000) div na").as("containment_bp"))),
-          when(col("inter") * 10 >= col("nb") * 9,
-            struct(col("doc_b").as("contained"), col("doc_a").as("container"),
-              expr("(inter * 10000) div nb").as("containment_bp"))))).as("r"))
-        .filter(col("r").isNotNull)
-        .select(col("r.contained").as("contained"),
-          col("r.container").as("container"),
-          col("r.containment_bp").as("containment_bp"))
+      directedContainment(inter, sizes)
+    }),
+
+    // At-scale twin of dedup_containment (same oracle): the PPJoin
+    // prefix rule, adapted to DIRECTED containment. C(A→B) ≥ 0.9 forces
+    // |A∩B| ≥ ⌈0.9·|A|⌉, so among the first |A| − ⌈0.9·|A|⌉ + 1 of A's
+    // shingles in global rarity order at least one must appear in B —
+    // if they all missed, the intersection would fit inside A's
+    // remaining ⌈0.9·|A|⌉ − 1 positions, a contradiction. Unlike the
+    // jaccard twin the rule is ONE-SIDED: the contained side contributes
+    // its ~10% rarest shingles, the container side its FULL set (a huge
+    // container can hold a tiny excerpt, so its own prefix proves
+    // nothing). Candidate generation therefore costs Σ_s dfP(s)·df(s)
+    // instead of Σ_s df(s)² — and the prefix keeps each doc's RAREST
+    // shingles, so hot shingles enter the probe side only for docs with
+    // almost nothing else. df=1 shingles are dropped from BOTH sides
+    // unconditionally (a cross-doc match implies df ≥ 2 — exactness-
+    // preserving, not a heuristic; sizes always count full sets).
+    // Verification reruns the fused both-direction test over the
+    // candidate docs' full (df≥2) sets, as the jaccard twin does.
+    // Vocab broadcast matches prefixJaccardPairs; at 100 TB both become
+    // a persisted df-annotated index.
+    "dedup_containment_prefix" -> ((s, d) => {
+      val sh = shingleIndex(s, d).repartition(col("doc_id")).buildCheckpoint()
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val dfreq = sh.groupBy("s").agg(count(lit(1)).as("df"))
+      val wDoc = Window.partitionBy("doc_id")
+      // rank over the FULL set (positions in the pigeonhole argument are
+      // full-set positions; n from the same window), then drop df=1 —
+      // dropping only moves survivors EARLIER, so the kept first-k is a
+      // superset of the provable prefix ∩ {df≥2}: still exact
+      val prefixed = sh
+        .join(broadcast(dfreq), "s")
+        .withColumn("rk", row_number().over(wDoc.orderBy(col("df"), col("s"))))
+        .withColumn("n", count(lit(1)).over(wDoc))
+        .filter(col("rk") <= col("n") - ceil(col("n") * 0.9 - lit(1e-9)) + 1)
+        .filter(col("df") >= 2)
+        .select("doc_id", "s")
+      val df2 = dfreq.filter(col("df") >= 2).select("s")
+      val full = sh.join(df2, Seq("s"), "left_semi").select("doc_id", "s")
+        .buildCheckpoint() // candidate probe + verification both read it
+      val cand = prefixed.toDF("doc_a", "s")
+        .join(full.toDF("doc_b", "s"), "s")
+        .filter(col("doc_a") =!= col("doc_b"))
+        .select(least(col("doc_a"), col("doc_b")).as("doc_a"),
+          greatest(col("doc_a"), col("doc_b")).as("doc_b"))
+        .distinct()
+      val candDocs = cand.select(col("doc_a").as("doc_id"))
+        .union(cand.select(col("doc_b").as("doc_id"))).distinct()
+      val candSh = full
+        .join(broadcast(candDocs), Seq("doc_id"), "left_semi")
+        .select("doc_id", "s")
+      val inter = candSh.toDF("doc_a", "s")
+        .join(candSh.toDF("doc_b", "s"), "s")
+        .filter(col("doc_a") < col("doc_b"))
+        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+      directedContainment(inter, sizes)
     }),
 
     // Prefix-filtered exact jaccard (see prefixJaccardPairs): provably the
@@ -1109,34 +1172,9 @@ object DedupQueries {
         |  10000 // COUNT(*) OVER (PARTITION BY md5(text)) AS weight_bp
         |FROM documents""".stripMargin,
     "dedup_ngram_jaccard" -> dedupNgramJaccardOracle,
-    "dedup_containment" ->
-      """WITH docs AS (
-        |  SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS w
-        |  FROM documents),
-        |sh AS (
-        |  SELECT doc_id, CASE WHEN len(w) >= 3 THEN
-        |    list_distinct(list_transform(generate_series(1, len(w)-2),
-        |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
-        |    ELSE [] END AS shingles
-        |  FROM docs),
-        |idx AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
-        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM idx GROUP BY doc_id),
-        |inter AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
-        |  FROM idx a JOIN idx b ON a.s = b.s AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2),
-        |wide AS (
-        |  SELECT doc_a, doc_b, i, sa.n AS na, sb.n AS nb
-        |  FROM inter
-        |  JOIN sizes sa ON sa.doc_id = doc_a
-        |  JOIN sizes sb ON sb.doc_id = doc_b)
-        |SELECT doc_a AS contained, doc_b AS container,
-        |  (i * 10000) // na AS containment_bp
-        |FROM wide WHERE i * 10 >= na * 9
-        |UNION ALL
-        |SELECT doc_b AS contained, doc_a AS container,
-        |  (i * 10000) // nb AS containment_bp
-        |FROM wide WHERE i * 10 >= nb * 9""".stripMargin,
+    "dedup_containment" -> dedupContainmentOracle,
+    // prefix-filtered twin: provably identical output, same oracle
+    "dedup_containment_prefix" -> dedupContainmentOracle,
     "dedup_editdist_passjoin" ->
       """WITH p AS (SELECT doc_id, lower(substr(text, 1, 40)) AS pre
         |  FROM documents)
@@ -1224,6 +1262,37 @@ object DedupQueries {
         |  ROUND(list_dot_product(a.u, b.u), 6) AS cos
         |FROM u a JOIN u b ON a.vec_id < b.vec_id
         |WHERE list_dot_product(a.u, b.u) >= 0.4""".stripMargin
+
+  /** Shared by dedup_containment and its prefix-filtered twin — the
+    * twin's whole claim is output identity, so one oracle serves both. */
+  private lazy val dedupContainmentOracle: String =
+    """WITH docs AS (
+      |  SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS w
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id, CASE WHEN len(w) >= 3 THEN
+      |    list_distinct(list_transform(generate_series(1, len(w)-2),
+      |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+      |    ELSE [] END AS shingles
+      |  FROM docs),
+      |idx AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+      |sizes AS (SELECT doc_id, COUNT(*) AS n FROM idx GROUP BY doc_id),
+      |inter AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+      |  FROM idx a JOIN idx b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |wide AS (
+      |  SELECT doc_a, doc_b, i, sa.n AS na, sb.n AS nb
+      |  FROM inter
+      |  JOIN sizes sa ON sa.doc_id = doc_a
+      |  JOIN sizes sb ON sb.doc_id = doc_b)
+      |SELECT doc_a AS contained, doc_b AS container,
+      |  (i * 10000) // na AS containment_bp
+      |FROM wide WHERE i * 10 >= na * 9
+      |UNION ALL
+      |SELECT doc_b AS contained, doc_a AS container,
+      |  (i * 10000) // nb AS containment_bp
+      |FROM wide WHERE i * 10 >= nb * 9""".stripMargin
 
   private lazy val dedupNgramJaccardOracle: String =
       """WITH docs AS (

@@ -1113,11 +1113,31 @@ class DedupSimilaritySpec extends SparkSpec {
     // excerpt contained in container at exactly 100% — and ONLY that
     // direction (the container is nowhere near contained in the excerpt)
     assert(out == Set((2L, 1L, 10000L)), s"got $out")
+    // the prefix-filtered twin is output-identical by construction —
+    // including on the asymmetric case the prefix rule exists for (the
+    // excerpt's prefix probes the container's FULL set; the container's
+    // prefix proves nothing and is not relied on)
+    val pref = DedupQueries.queries("dedup_containment_prefix")(spark, dir)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(pref == out, s"prefix twin diverged: $pref vs $out")
     // jaccard is structurally blind to this pair: 4 shared shingles over
     // 18 union ⇒ far below any dedup threshold
     val jac = DedupQueries.queries("dedup_ngram_jaccard")(spark, dir)
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
     assert(!jac.contains((1L, 2L)) && !jac.contains((2L, 1L)))
+  }
+
+  test("dedup_containment_prefix == dedup_containment on the corpus fixtures") {
+    for (dir <- Seq(sf0001, sf001)) {
+      val direct = DedupQueries.queries("dedup_containment")(spark, dir)
+        .as[(Long, Long, Long)].collect().toSet
+      val pref = DedupQueries.queries("dedup_containment_prefix")(spark, dir)
+        .as[(Long, Long, Long)].collect().toSet
+      assert(pref == direct,
+        s"$dir: prefix ${pref.size} pairs vs direct ${direct.size}; " +
+          s"missing=${(direct -- pref).take(3)} extra=${(pref -- direct).take(3)}")
+      assert(direct.nonEmpty || dir == sf0001) // sf0.01 has containment pairs
+    }
   }
 
   test("sim_rerank_truncated: plain-Scala two-stage replay matches exactly") {
