@@ -234,6 +234,70 @@ object CorpusQueries {
     // that plus collision-free equality on a small planted vocabulary.
     // Rows-only for the driver: the estimates hang off xxhash64, which
     // the oracle engine doesn't implement.
+    // KMV (k-minimum-values / bottom-k) set-INTERSECTION sketch
+    // (Beyer et al. SIGMOD 2007; the theta-sketch estimator family) —
+    // the sketch HLL can't give you: HLL unions, but only a value-level
+    // sample supports intersection. Per source, the sketch is the k=256
+    // smallest 60-bit md5 hashes of its distinct 3-gram shingles; for a
+    // source pair, θ = the k-th smallest of the merged sketches and
+    // |A∩B| ≈ c·2⁶⁰/θ where c counts common values below θ (every common
+    // value below θ is provably present in BOTH sketches: θ ≤ each
+    // side's own k-th minimum). Sketches smaller than k are exhaustive,
+    // so that branch returns the EXACT common count — at sf0.001 the
+    // oracle exercises the exact branch, at sf0.01+ the estimator.
+    //
+    // 100 TB shape: a sketch is ≤ k narrow rows per source FOREVER —
+    // the only corpus-scale shuffle carries (source, 60-bit h) distinct
+    // pairs, and Spark's WindowGroupLimit turns the rank ≤ k filter
+    // into a per-partition bottom-k BEFORE the exchange (map-side
+    // partial limit), so the post-scan traffic is ~k rows per source
+    // per input partition. All pair math (190 pairs here, P²/2 in
+    // general) runs on ≤ 2k-row groups of a broadcast pair spine.
+    // Estimator determinism is cross-engine exact: c·2⁶⁰ is an exact
+    // double (c < 2⁹, 2⁶⁰ a power of two), θ casts to the same IEEE
+    // double in both engines, and floor() of the same quotient agrees.
+    "sketch_kmv_intersect" -> ((s, d) => {
+      val k = 256
+      val sh = Tables.documents(s, d)
+        .select(col("source"), explode(shingles(col("text"), 3)).as("sgl"))
+        .select(col("source"),
+          conv(substring(md5(col("sgl").cast("binary")), 1, 15), 16, 10)
+            .cast("long").as("h"))
+        .distinct()
+      val km = sh.withColumn("rn", row_number().over(
+          Window.partitionBy("source").orderBy(col("h").asc)))
+        .filter(col("rn") <= k)
+        .select(col("source"), col("h"))
+      val srcs = km.select(col("source")).distinct()
+      val pairs = broadcast(srcs.select(col("source").as("src_a"))
+        .join(srcs.select(col("source").as("src_b")),
+          col("src_a") < col("src_b")))
+      val tagged = pairs
+        .join(km.withColumnRenamed("source", "src_a"), "src_a")
+        .select(col("src_a"), col("src_b"), col("h"),
+          lit(1).as("in_a"), lit(0).as("in_b"))
+        .unionAll(pairs
+          .join(km.withColumnRenamed("source", "src_b"), "src_b")
+          .select(col("src_a"), col("src_b"), col("h"),
+            lit(0).as("in_a"), lit(1).as("in_b")))
+      val merged = tagged.groupBy("src_a", "src_b", "h")
+        .agg(max(col("in_a")).as("in_a"), max(col("in_b")).as("in_b"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("src_a", "src_b").orderBy(col("h").asc)))
+      merged.groupBy("src_a", "src_b")
+        .agg(count(lit(1)).as("m"),
+          min(when(col("rn") === k, col("h"))).as("theta"),
+          sum(when(col("in_a") === 1 && col("in_b") === 1 &&
+            col("rn") < k, 1L).otherwise(0L)).as("c_below"),
+          sum(when(col("in_a") === 1 && col("in_b") === 1, 1L)
+            .otherwise(0L)).as("n_common_sample"))
+        .select(col("src_a"), col("src_b"), col("n_common_sample"),
+          when(col("m") < k, col("n_common_sample"))
+            .otherwise(floor(col("c_below").cast("double")
+              * lit(1152921504606846976.0) / col("theta").cast("double")))
+            .cast("long").as("est_n"))
+    }),
+
     "sketch_cms_topk" -> ((s, d) => {
       val toks = Tables.documents(s, d)
         .select(explode(tokens(col("text"))).as("word"))
@@ -303,6 +367,52 @@ object CorpusQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    // Value-for-value re-simulation of the KMV sketches: same 60-bit
+    // md5 keys, same bottom-k, same θ and floor(c·2⁶⁰/θ) estimator.
+    "sketch_kmv_intersect" ->
+      """WITH docs AS (
+        |  SELECT source, list_filter(string_split(text,' '), x -> x <> '') AS w
+        |  FROM documents),
+        |sgl AS (
+        |  SELECT DISTINCT source,
+        |    CAST(CAST(('0x' || substr(md5(s), 1, 15)) AS UBIGINT) AS BIGINT) AS h
+        |  FROM (SELECT source, unnest(CASE WHEN len(w) >= 3 THEN
+        |      list_distinct(list_transform(generate_series(1, len(w)-2),
+        |        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+        |      ELSE [] END) AS s FROM docs)),
+        |km AS (SELECT source, h FROM (
+        |    SELECT source, h,
+        |      ROW_NUMBER() OVER (PARTITION BY source ORDER BY h ASC) AS rn
+        |    FROM sgl) WHERE rn <= 256),
+        |pairs AS (
+        |  SELECT a.source AS src_a, b.source AS src_b
+        |  FROM (SELECT DISTINCT source FROM km) a
+        |  JOIN (SELECT DISTINCT source FROM km) b ON a.source < b.source),
+        |tagged AS (
+        |  SELECT p.src_a, p.src_b, k.h, 1 AS in_a, 0 AS in_b
+        |  FROM pairs p JOIN km k ON k.source = p.src_a
+        |  UNION ALL
+        |  SELECT p.src_a, p.src_b, k.h, 0, 1
+        |  FROM pairs p JOIN km k ON k.source = p.src_b),
+        |merged AS (
+        |  SELECT src_a, src_b, h, MAX(in_a) AS in_a, MAX(in_b) AS in_b
+        |  FROM tagged GROUP BY 1, 2, 3),
+        |rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY src_a, src_b
+        |    ORDER BY h ASC) AS rn FROM merged),
+        |agg AS (
+        |  SELECT src_a, src_b, COUNT(*) AS m,
+        |    MIN(CASE WHEN rn = 256 THEN h END) AS theta,
+        |    CAST(SUM(CASE WHEN in_a = 1 AND in_b = 1 AND rn < 256
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS c_below,
+        |    CAST(SUM(CASE WHEN in_a = 1 AND in_b = 1
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_common_sample
+        |  FROM rk GROUP BY 1, 2)
+        |SELECT src_a, src_b, n_common_sample,
+        |  CASE WHEN m < 256 THEN n_common_sample
+        |       ELSE CAST(FLOOR(CAST(c_below AS DOUBLE) * 1152921504606846976
+        |                       / CAST(theta AS DOUBLE)) AS BIGINT)
+        |  END AS est_n
+        |FROM agg""".stripMargin,
     // Cell-for-cell re-simulation of the md5-position CMS: counter cell
     // (i,p) = Σ count(word) over words hashing there; estimate = min over
     // the Depth rows — exactly what the aggregator builds and the

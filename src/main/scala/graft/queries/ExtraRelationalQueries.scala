@@ -567,6 +567,92 @@ object ExtraRelationalQueries {
         .filter(col("rn") === 1)
         .select(col("o_custkey"), col("first_price"), col("last_price"),
           col("second_price"))
+    }),
+
+    // Peak interval concurrency via the sweep line — "max simultaneous
+    // sessions/streams/calls", the capacity-planning aggregate. Each
+    // event opens a half-open interval [start, start + dur) (duration
+    // derived deterministically from `value`, 1–30 min); the sweep turns
+    // every interval into a +1/−1 marker pair, one running sum counts
+    // live intervals, max() takes the peak. Exact and O(n log n) — the
+    // naive self-join "pairs that overlap" is O(n²) and can't even
+    // express the k-way peak.
+    //
+    // 100 TB shape: markers double the rows but carry 4 narrow columns;
+    // the only shuffle is the (event_type, day) window partition. The
+    // day key makes partitions calendar-bounded (no single per-type
+    // reducer eating years of data): peak is per (type, start-day),
+    // intervals credited to the day they START (well-defined — every
+    // group sweeps a complete, self-contained interval set; a cross-day
+    // carry would need q54's two-pass offset trick, the documented
+    // extension). Tie order (t, delta, event_id) closes intervals before
+    // opening at the same microsecond, so touching ≠ concurrent.
+    "q74_concurrency" -> ((s, d) => {
+      val minUs = 60000000L
+      val dayUs = 86400000000L
+      val iv = Tables.events(s, d)
+        .filter(col("ts").isNotNull && col("value").isNotNull)
+        .select(col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"),
+          ((abs(floor(col("value"))) % 30) + 1).as("dur_min"))
+        .withColumn("end_us", col("us") + col("dur_min") * minUs)
+        .withColumn("day", expr(s"us div $dayUs"))
+      val markers = iv.select(col("event_type"), col("day"),
+          col("us").as("t"), lit(1).as("delta"), col("event_id"))
+        .unionAll(iv.select(col("event_type"), col("day"),
+          col("end_us").as("t"), lit(-1).as("delta"), col("event_id")))
+      val w = Window.partitionBy("event_type", "day")
+        .orderBy(col("t").asc, col("delta").asc, col("event_id").asc)
+      markers
+        .withColumn("conc", sum(col("delta"))
+          .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy("event_type", "day")
+        .agg(sum(when(col("delta") === 1, 1L).otherwise(0L))
+          .as("n_intervals"),
+          max(col("conc")).cast("long").as("peak"))
+    }),
+
+    // Hierarchy closure + subtree rollup through the RECURSIVE CTE
+    // surface (SQL:1999; Spark 4's UnionLoop operator) — the BOM
+    // explosion / org-chart aggregate. The part table is read as an
+    // implicit binary hierarchy (parent(k) = k div 2, root = 1); the
+    // recursive member climbs each part's ancestor chain, producing the
+    // (part, ancestor) closure, then one aggregate per ancestor rolls up
+    // subtree size and DECIMAL-exact subtree value, plus each node's own
+    // depth. Iterations = max depth = ⌈log₂ n⌉ (~18 at sf1, 28 at 100 TB
+    // row counts) — each UnionLoop step is a narrow projection of the
+    // frontier, no join (the parent is computed, not looked up), so the
+    // loop cost is depth × one map pass; the closure is n·log n rows of
+    // three narrow columns and folds into the rollup via one
+    // map-side-combined aggregate.
+    "q75_hier_rollup" -> ((s, d) => {
+      Tables.part(s, d).createOrReplaceTempView("part")
+      // nodes are 1-based (pk1 = p_partkey + 1): parent(1) would be
+      // undefined for a 0 key, whose chain could never reach the root
+      s.sql("""
+        WITH RECURSIVE anc AS (
+          SELECT p_partkey + 1 AS pk1,
+                 CAST(p_retailprice AS DECIMAL(12,2)) AS price,
+                 p_partkey + 1 AS node
+          FROM part
+          UNION ALL
+          SELECT pk1, price, node DIV 2 AS node
+          FROM anc WHERE node > 1
+        ),
+        depth AS (
+          -- each part's closure-row count is its path length to the root
+          SELECT pk1 AS node, COUNT(*) - 1 AS depth
+          FROM anc GROUP BY pk1
+        ),
+        rollup AS (
+          SELECT node, COUNT(*) AS subtree_n,
+                 CAST(SUM(price) AS DOUBLE) AS subtree_value
+          FROM anc GROUP BY node
+        )
+        SELECT r.node, CAST(d.depth AS BIGINT) AS depth,
+               r.subtree_n, r.subtree_value
+        FROM rollup r JOIN depth d ON d.node = r.node
+      """)
     }))
 
   val oracles: Map[String, String] = Map(
@@ -828,5 +914,46 @@ object ExtraRelationalQueries {
         |               ORDER BY o_orderdate ASC, o_orderkey ASC
         |               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
         |SELECT o_custkey, first_price, last_price, second_price
-        |FROM x WHERE rn = 1""".stripMargin)
+        |FROM x WHERE rn = 1""".stripMargin,
+    "q74_concurrency" ->
+      """WITH iv AS (
+        |  SELECT event_id, event_type, epoch_us(ts) AS us,
+        |    ((abs(CAST(floor(value) AS BIGINT)) % 30) + 1) AS dur_min
+        |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+        |iv2 AS (SELECT event_id, event_type, us,
+        |    us + dur_min * 60000000 AS end_us,
+        |    us // 86400000000 AS day FROM iv),
+        |m AS (
+        |  SELECT event_type, day, us AS t, 1 AS delta, event_id FROM iv2
+        |  UNION ALL
+        |  SELECT event_type, day, end_us, -1, event_id FROM iv2),
+        |c AS (SELECT event_type, day, delta,
+        |  SUM(delta) OVER (PARTITION BY event_type, day
+        |    ORDER BY t ASC, delta ASC, event_id ASC
+        |    ROWS UNBOUNDED PRECEDING) AS conc
+        |  FROM m)
+        |SELECT event_type, day,
+        |  CAST(SUM(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_intervals,
+        |  CAST(MAX(conc) AS BIGINT) AS peak
+        |FROM c GROUP BY 1, 2""".stripMargin,
+    "q75_hier_rollup" ->
+      """WITH RECURSIVE anc AS (
+        |  SELECT p_partkey + 1 AS pk1,
+        |    CAST(p_retailprice AS DECIMAL(12,2)) AS price,
+        |    p_partkey + 1 AS node
+        |  FROM part
+        |  UNION ALL
+        |  SELECT pk1, price, node // 2 AS node
+        |  FROM anc WHERE node > 1),
+        |depth AS (
+        |  SELECT pk1 AS node, COUNT(*) - 1 AS depth
+        |  FROM anc GROUP BY pk1),
+        |roll AS (
+        |  SELECT node, COUNT(*) AS subtree_n,
+        |    CAST(SUM(price) AS DOUBLE) AS subtree_value
+        |  FROM anc GROUP BY node)
+        |SELECT r.node, CAST(d.depth AS BIGINT) AS depth,
+        |  r.subtree_n, r.subtree_value
+        |FROM roll r JOIN depth d ON d.node = r.node""".stripMargin)
 }

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.VectorFunctions._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -140,6 +140,75 @@ object SimilarityQueries {
         .filter(col("rank") <= 5)
         .select(col("qid"), col("cid"), col("rank"),
           round(col("cos_raw"), 6).as("cos"))
+    }),
+
+    // Late-interaction MaxSim retrieval (the ColBERT scoring rule,
+    // Khattab & Zaharia SIGIR 2020): each vector is treated as 4
+    // sub-vectors of 16 dims (the multi-vector layout — per-token /
+    // per-patch embeddings stored as one flat array), and
+    // score(q, c) = Σ_i max_j ⟨qᵢ, cⱼ⟩ — every query sub-vector finds
+    // its best-matching candidate sub-vector, summed. Richer than a
+    // single dot product (captures partial/term-level matches), still
+    // embarrassingly scannable.
+    //
+    // 100 TB shape: the score is ONE codegen'd projection per (q, c)
+    // pair — 16 native dot products fused by greatest()+adds, no
+    // explode (a subvector explode would 4× the corpus rows AND force a
+    // (pair, i, j)-shaped shuffle/re-aggregate; as a pure expression the
+    // corpus streams once). Queries broadcast; per-query top-5 compiles
+    // to WindowGroupLimit bounded heaps. Composes with the ANN
+    // candidate generators the way sim_rerank_truncated does: IVF/PQ
+    // prunes on the pooled vector, MaxSim reranks survivors.
+    "sim_maxsim" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      def subs(c: Column): Seq[Column] =
+        (0 until 4).map(i => slice(c, 1 + 16 * i, 16))
+      val q = broadcast(e.filter(col("vec_id") < 4)
+        .select(col("vec_id").as("qid"), col("embedding").as("q_emb")))
+      val score = subs(col("q_emb"))
+        .map(qs => greatest(subs(col("c_emb")).map(cs => dot(qs, cs)): _*))
+        .reduce(_ + _)
+      e.filter(col("vec_id") >= 4)
+        .select(col("vec_id").as("cid"), col("embedding").as("c_emb"))
+        .join(q)
+        .select(col("qid"), col("cid"), score.as("ms_raw"))
+        .withColumn("rank", row_number().over(Window.partitionBy("qid")
+          .orderBy(col("ms_raw").desc, col("cid").asc)))
+        .filter(col("rank") <= 5)
+        .select(col("qid"), col("cid"), col("rank"),
+          round(col("ms_raw"), 6).as("maxsim"))
+    }),
+
+    // Maximum-inner-product search (MIPS) — the recommender/linear-head
+    // retrieval objective where magnitude MATTERS (un-normalized ⟨x,q⟩,
+    // not cosine): top-10 per query by raw inner product, exact. The
+    // scan is one codegen'd native dot per (query, candidate) with the
+    // queries broadcast and per-query top-10 via WindowGroupLimit —
+    // identical shape to sim_topk_bruteforce but ranking a different
+    // functional.
+    //
+    // 100 TB path: MIPS reduces EXACTLY to unit-sphere NN by the
+    // augmentation of Bachrach et al. (RecSys 2014): x ↦ [x, √(M²−‖x‖²)]
+    // (M = max corpus norm), q ↦ [q, 0] — all augmented corpus vectors
+    // have norm M, so cos(aug) = ⟨x,q⟩/(M‖q‖) and the ORDER of inner
+    // products is the order of augmented cosines. Every registered
+    // cosine-ANN path (sim_ann_lsh / ivf / pq) therefore serves MIPS
+    // unchanged on the augmented column; DedupSimilaritySpec pins the
+    // reduction (rank-for-rank agreement + the norm law) on fixtures.
+    "sim_mips" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val q = broadcast(e.filter(col("vec_id") < 4)
+        .select(col("vec_id").as("qid"), col("embedding").as("q_emb")))
+      e.filter(col("vec_id") >= 4)
+        .select(col("vec_id").as("cid"), col("embedding").as("c_emb"))
+        .join(q)
+        .select(col("qid"), col("cid"),
+          dot(col("c_emb"), col("q_emb")).as("ip_raw"))
+        .withColumn("rank", row_number().over(Window.partitionBy("qid")
+          .orderBy(col("ip_raw").desc, col("cid").asc)))
+        .filter(col("rank") <= 10)
+        .select(col("qid"), col("cid"), col("rank"),
+          round(col("ip_raw"), 6).as("ip"))
     }),
 
     // The at-scale KNN-join twin of sim_nn_cross_label: both sides banded
@@ -1180,5 +1249,48 @@ object SimilarityQueries {
         |      ORDER BY cos_raw DESC, cid ASC) AS rank
         |  FROM rr)
         |SELECT qid, cid, CAST(rank AS INTEGER) AS rank, ROUND(cos_raw, 6) AS cos
-        |FROM ranked WHERE rank <= 5""".stripMargin)
+        |FROM ranked WHERE rank <= 5""".stripMargin,
+    // sum order matters for FP-exactness: the four greatest() terms add
+    // left-to-right in BOTH engines (Scala reduce(_ + _) is left-assoc,
+    // as is SQL's a + b + c + d), and each dot is the same sequential
+    // IEEE loop (graft_dot == list_dot_product)
+    "sim_maxsim" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+        |q AS (SELECT vec_id AS qid,
+        |    list_slice(v, 1, 16) AS q0, list_slice(v, 17, 32) AS q1,
+        |    list_slice(v, 33, 48) AS q2, list_slice(v, 49, 64) AS q3
+        |  FROM e WHERE vec_id < 4),
+        |c AS (SELECT vec_id AS cid,
+        |    list_slice(v, 1, 16) AS c0, list_slice(v, 17, 32) AS c1,
+        |    list_slice(v, 33, 48) AS c2, list_slice(v, 49, 64) AS c3
+        |  FROM e WHERE vec_id >= 4),
+        |s AS (SELECT qid, cid,
+        |    greatest(list_dot_product(q0, c0), list_dot_product(q0, c1),
+        |             list_dot_product(q0, c2), list_dot_product(q0, c3))
+        |  + greatest(list_dot_product(q1, c0), list_dot_product(q1, c1),
+        |             list_dot_product(q1, c2), list_dot_product(q1, c3))
+        |  + greatest(list_dot_product(q2, c0), list_dot_product(q2, c1),
+        |             list_dot_product(q2, c2), list_dot_product(q2, c3))
+        |  + greatest(list_dot_product(q3, c0), list_dot_product(q3, c1),
+        |             list_dot_product(q3, c2), list_dot_product(q3, c3)) AS ms
+        |  FROM c, q),
+        |r AS (SELECT qid, cid, ms,
+        |    ROW_NUMBER() OVER (PARTITION BY qid
+        |      ORDER BY ms DESC, cid ASC) AS rank
+        |  FROM s)
+        |SELECT qid, cid, CAST(rank AS INTEGER) AS rank,
+        |  ROUND(ms, 6) AS maxsim
+        |FROM r WHERE rank <= 5""".stripMargin,
+    "sim_mips" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+        |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 4),
+        |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id >= 4),
+        |s AS (SELECT qid, cid, list_dot_product(cv, qv) AS ip_raw FROM c, q),
+        |r AS (SELECT qid, cid, ip_raw,
+        |    ROW_NUMBER() OVER (PARTITION BY qid
+        |      ORDER BY ip_raw DESC, cid ASC) AS rank
+        |  FROM s)
+        |SELECT qid, cid, CAST(rank AS INTEGER) AS rank,
+        |  ROUND(ip_raw, 6) AS ip
+        |FROM r WHERE rank <= 10""".stripMargin)
 }

@@ -300,4 +300,95 @@ class CorpusSpec extends SparkSpec {
     // corpus (no real collocational structure), never collapses to 0
     assert(out.nonEmpty && out.forall(_._3 > 0))
   }
+
+  test("sketch_kmv_intersect: small-set branch is the exact common count") {
+    val dir = Files.createTempDirectory("graft-kmv").toString
+    // sets far below k=256: the sketch is exhaustive, est_n must be the
+    // true distinct-shingle intersection (A∩B = {a b c, b c d} -> 2)
+    Seq(
+      (1L, "a b c d e", "en", "srcA", 9L),
+      (2L, "a b c d x", "en", "srcB", 9L),
+      (3L, "p q r s t", "en", "srcC", 9L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = CorpusQueries.queries("sketch_kmv_intersect")(spark, dir)
+      .as[(String, String, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    assert(out == Map(
+      ("srcA", "srcB") -> ((2L, 2L)),   // shared "a b c", "b c d"
+      ("srcA", "srcC") -> ((0L, 0L)),
+      ("srcB", "srcC") -> ((0L, 0L))), s"got $out")
+  }
+
+  test("sketch_kmv_intersect: estimator tracks the exact intersection at sf0.01") {
+    import graft.functions.TextFunctions.shingles
+    val sh = Tables.documents(spark, sf001)
+      .select(col("source"), explode(shingles(col("text"), 3)).as("s"))
+      .distinct()
+    val a = sh.select(col("source").as("src_a"), col("s"))
+    val b = sh.select(col("source").as("src_b"), col("s"))
+    val exact = a.join(b, Seq("s")).filter(col("src_a") < col("src_b"))
+      .groupBy("src_a", "src_b").count()
+      .as[(String, String, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    val union = sh.groupBy("source").count()
+      .as[(String, Long)].collect().toMap
+    val out = CorpusQueries.queries("sketch_kmv_intersect")(spark, sf001)
+      .as[(String, String, Long, Long)].collect()
+    assert(out.length == 190) // 20 choose 2
+    out.foreach { case (sa, sb, _, est) =>
+      val ex = exact.getOrElse((sa, sb), 0L)
+      val un = union(sa) + union(sb) - ex
+      // KMV rel. std ≈ 1/√(k−1) ≈ 6.3% of the UNION size projected onto
+      // the intersection estimate; allow 5σ of union-scale noise + slack
+      val tol = math.max(0.32 * un, 16.0)
+      assert(math.abs(est - ex) <= tol,
+        s"($sa,$sb): est $est vs exact $ex (union $un, tol $tol)")
+    }
+    // and the estimator is not degenerate. The honest accuracy law for
+    // KMV intersection is UNION-scale noise (σ ≈ √(ρ(1−ρ)/k)·|A∪B|), so
+    // at low Jaccard the RELATIVE error on the small intersection is
+    // large by construction (the theta-sketch literature's documented
+    // weakness) — pin the absolute error against the union, where the
+    // law lives: mean |est−exact|/union ≪ 1σ·5
+    val unionErrs = out.map { case (sa, sb, _, est) =>
+      val ex = exact.getOrElse((sa, sb), 0L)
+      val un = union(sa) + union(sb) - ex
+      math.abs(est - ex).toDouble / un
+    }
+    assert(unionErrs.sum / unionErrs.length < 0.05,
+      s"mean union-scale err ${unionErrs.sum / unionErrs.length}")
+  }
+
+  test("sim_mips: the exact MIPS->unit-sphere reduction preserves ranking") {
+    val all = Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])]
+      .collect().map { case (id, e) => id -> e.map(_.toDouble) }
+    def dot(a: Seq[Double], b: Seq[Double]): Double =
+      a.zip(b).foldLeft(0.0) { case (s, (x, y)) => s + x * y }
+    val queries = all.filter(_._1 < 4)
+    val corpus = all.filter(_._1 >= 4)
+    val m2 = corpus.map { case (_, v) => dot(v, v) }.max
+    val mNorm = math.sqrt(m2)
+    // augmented corpus: [x, sqrt(M^2 - |x|^2)] has norm M for every x
+    val aug = corpus.map { case (id, v) =>
+      (id, v :+ math.sqrt(m2 - dot(v, v))) }
+    aug.foreach { case (id, av) =>
+      assert(math.abs(math.sqrt(dot(av, av)) - mNorm) < 1e-9, s"norm law $id")
+    }
+    queries.foreach { case (qid, qv) =>
+      val aq = qv :+ 0.0
+      val byIp = corpus.map { case (cid, cv) => (cid, dot(cv, qv)) }
+        .sortBy { case (cid, s) => (-s, cid) }.take(10).map(_._1)
+      val byAugCos = aug.map { case (cid, av) =>
+        (cid, dot(av, aq) / (math.sqrt(dot(av, av)) * math.sqrt(dot(aq, aq)))) }
+        .sortBy { case (cid, s) => (-s, cid) }.take(10).map(_._1)
+      assert(byIp.toSeq == byAugCos.toSeq, s"query $qid: reduction reordered")
+      // and the registered query returns exactly the ip ranking
+      val out = graft.queries.SimilarityQueries.queries("sim_mips")(spark, sf0001)
+        .filter(col("qid") === qid).orderBy(col("rank"))
+        .select(col("cid")).as[Long].collect().toSeq
+      assert(out == byIp.toSeq, s"query $qid: engine vs replay")
+    }
+  }
 }

@@ -1165,4 +1165,44 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(out == expected)
     assert(out.size == probes.length * 5)
   }
+
+  test("sim_maxsim: plain-Scala late-interaction replay matches exactly") {
+    val all = Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])]
+      .collect().map { case (id, e) => id -> e.map(_.toDouble) }
+    def dot(a: Seq[Double], b: Seq[Double]): Double =
+      a.zip(b).foldLeft(0.0) { case (s, (x, y)) => s + x * y }
+    def subs(v: Seq[Double]): Seq[Seq[Double]] =
+      (0 until 4).map(i => v.slice(16 * i, 16 * (i + 1)))
+    def maxsim(q: Seq[Double], c: Seq[Double]): Double = {
+      val cs = subs(c)
+      // same association order as the query expression: Σ_i max_j ⟨qᵢ,cⱼ⟩
+      subs(q).map(qi => cs.map(cj => dot(qi, cj)).max).reduce(_ + _)
+    }
+    val queries = all.filter(_._1 < 4)
+    val corpus = all.filter(_._1 >= 4)
+    val expected = queries.flatMap { case (qid, qv) =>
+      corpus.map { case (cid, cv) => (cid, maxsim(qv, cv)) }
+        .sortBy { case (cid, s) => (-s, cid) }.take(5)
+        .zipWithIndex.map { case ((cid, s), i) => (qid, cid, i + 1, s) }
+    }.toSet
+    val out = SimilarityQueries.queries("sim_maxsim")(spark, sf0001)
+      .select(col("qid"), col("cid"), col("rank"), col("maxsim"))
+      .as[(Long, Long, Int, Double)].collect()
+    assert(out.map { case (q, c, r, _) => (q, c, r) }.toSet ==
+      expected.map { case (q, c, r, _) => (q, c, r) })
+    // scores agree to the published rounding
+    val expScore = expected.map { case (q, c, _, s) => (q, c) -> s }.toMap
+    out.foreach { case (q, c, _, s) =>
+      assert(math.abs(s - expScore((q, c))) < 1e-6, s"($q,$c)")
+    }
+    assert(out.length == queries.length * 5)
+    // MaxSim dominates the pooled single-vector dot of the same pair:
+    // Σ_i max_j ⟨qᵢ,cⱼ⟩ ≥ Σ_i ⟨qᵢ,cᵢ⟩ = ⟨q,c⟩
+    queries.take(2).foreach { case (_, qv) =>
+      corpus.take(50).foreach { case (_, cv) =>
+        assert(maxsim(qv, cv) >= dot(qv, cv) - 1e-12)
+      }
+    }
+  }
 }

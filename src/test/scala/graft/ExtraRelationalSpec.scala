@@ -328,4 +328,67 @@ class ExtraRelationalSpec extends SparkSpec {
       assert(math.abs(a(2) - p99) <= 1.0, s"$flag p99: ${a(2)} vs $p99")
     }
   }
+
+  test("q74_concurrency: planted overlap pattern; touching intervals not concurrent") {
+    // all values plant dur via (|floor(v)| % 30) + 1 minutes; ts in NANOS
+    // (the long-layout branch of Tables.events). One type, one day.
+    def ev(id: Long, startMin: Long, durMin: Long, typ: String) =
+      (id, startMin * 60L * 1000000000L, 1L, typ, (durMin - 1).toDouble, "{}")
+    val dir = java.nio.file.Files.createTempDirectory("graft-conc").toString
+    Seq(
+      ev(1, 0, 10, "call"),   // [0,10)
+      ev(2, 5, 10, "call"),   // [5,15)  overlaps 1
+      ev(3, 8, 1, "call"),    // [8,9)   overlaps 1+2 -> peak 3
+      ev(4, 15, 5, "call"),   // [15,20) starts exactly when 2 ends: NOT +1
+      ev(5, 0, 1, "view"),    // separate type partition
+      ev(6, 2, 1, "view"))    // disjoint -> peak 1
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = ExtraRelationalQueries.queries("q74_concurrency")(spark, dir)
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._3, r._4))).toMap
+    assert(out == Map("call" -> ((4L, 3L)), "view" -> ((2L, 1L))), s"got $out")
+
+    // fixture-wide invariants: intervals conserved, peaks within bounds
+    val fx = ExtraRelationalQueries.queries("q74_concurrency")(spark, sf001)
+      .as[(String, Long, Long, Long)].collect()
+    val nSrc = Tables.events(spark, sf001)
+      .filter(col("ts").isNotNull && col("value").isNotNull).count()
+    assert(fx.map(_._3).sum == nSrc, "every interval counted exactly once")
+    fx.foreach { case (t, day, n, peak) =>
+      assert(peak >= 1 && peak <= n, s"($t,$day): peak $peak of $n")
+    }
+  }
+
+  test("q75_hier_rollup: planted 7-node binary tree rolls up exactly") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-hier").toString
+    // part keys 0..6 -> 1-based nodes 1..7; price = node id for easy sums
+    (0 to 6).map(k => (k.toLong, s"part$k", "b", "t", 1, (k + 1).toDouble))
+      .toDF("p_partkey", "p_name", "p_brand", "p_type", "p_size",
+        "p_retailprice")
+      .write.mode("overwrite").parquet(s"$dir/part.parquet")
+    val out = ExtraRelationalQueries.queries("q75_hier_rollup")(spark, dir)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // node -> (depth, subtree_n, subtree_value); values are the keys
+    assert(out == Map(
+      1L -> ((0L, 7L, 28.0)),           // whole tree: 1+2+...+7
+      2L -> ((1L, 3L, 11.0)),           // {2,4,5}
+      3L -> ((1L, 3L, 16.0)),           // {3,6,7}
+      4L -> ((2L, 1L, 4.0)), 5L -> ((2L, 1L, 5.0)),
+      6L -> ((2L, 1L, 6.0)), 7L -> ((2L, 1L, 7.0))), s"got $out")
+
+    // fixture invariants: root's subtree is the whole table; depth is
+    // floor(log2(node)); every subtree value within the root's
+    val fx = ExtraRelationalQueries.queries("q75_hier_rollup")(spark, sf0001)
+      .as[(Long, Long, Long, Double)].collect()
+    val n = Tables.part(spark, sf0001).count()
+    val root = fx.find(_._1 == 1L).get
+    assert(root._3 == n, s"root subtree ${root._3} != $n parts")
+    fx.foreach { case (node, depth, sn, _) =>
+      assert(depth == (63 - java.lang.Long.numberOfLeadingZeros(node)),
+        s"node $node depth $depth")
+      assert(sn >= 1 && sn <= n)
+    }
+  }
 }
