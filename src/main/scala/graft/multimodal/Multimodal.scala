@@ -203,6 +203,8 @@ object Multimodal {
     // 60-bit window hashes keep the whole dataflow oracle-checkable,
     // exactly like dedup_simhash_md5. Null payloads yield no windows
     // (quarantine, not crash — RobustnessSpec).
+    "mm_scene_cut" -> ((s, d) =>
+      sceneCuts(Tables.documents(s, d))),
     "mm_phash_dedup" -> ((s, d) =>
       graft.queries.DedupQueries.simhashPairs(
         withPayload(Tables.documents(s, d)
@@ -213,7 +215,62 @@ object Multimodal {
             conv(substring(md5(col("win")), 1, 15), 16, 10)
               .cast("long").as("h")))))
 
+  /** Scene-cut detection over the sampled frame stream — the temporal
+    * segmentation step of a video pipeline (shot boundaries gate
+    * frame-dedup, caption alignment, and clip packing). Frame FEATURE =
+    * the first 32 bits of the frame signature (stands in for a real
+    * frame histogram/embedding — a real feature drops into the `feat`
+    * expression untouched); a cut is declared where the absolute
+    * feature delta to the previous frame exceeds the threshold (2³²/3 —
+    * uniform fake features cut ~2/3 of transitions, exercising both
+    * branches densely).
+    *
+    * Shape: one (doc_id) window over the frame generator — media rows
+    * explode to frames, lag() compares neighbors, one aggregate per
+    * doc. Frames of a doc are co-partitioned by construction (explode
+    * preserves the row's partition), so at 100 TB the ONLY shuffle is
+    * the per-doc window/aggregate on (doc_id, frame_idx, 32-bit feat)
+    * rows — payloads never move. */
+  private[multimodal] def sceneCuts(docs: DataFrame): DataFrame = {
+    val thr = 1431655765L // floor(2^32 / 3)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("frame_idx").asc)
+    sampleFrames(docs)
+      .withColumn("feat",
+        conv(substring(col("frame_sig"), 1, 8), 16, 10).cast("long"))
+      .withColumn("prev", lag(col("feat"), 1).over(w))
+      .withColumn("is_cut",
+        when(col("prev").isNotNull &&
+          abs(col("feat") - col("prev")) > thr, 1L).otherwise(0L))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_frames"),
+        sum(col("is_cut")).as("n_cuts"),
+        min(when(col("is_cut") === 1, col("frame_idx")))
+          .as("first_cut_idx"))
+  }
+
   val oracles: Map[String, String] = Map(
+    "mm_scene_cut" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    unnest(generate_series(1, octet_length(encode(text)) % 10 + 1)) AS frame_idx
+        |  FROM documents),
+        |sig AS (
+        |  SELECT doc_id, CAST(frame_idx AS INTEGER) AS frame_idx,
+        |    CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#' ||
+        |      CAST(frame_idx AS VARCHAR)), 1, 8)) AS UBIGINT) AS BIGINT) AS feat
+        |  FROM f),
+        |l AS (SELECT doc_id, frame_idx, feat,
+        |    LAG(feat) OVER (PARTITION BY doc_id ORDER BY frame_idx) AS prev
+        |  FROM sig),
+        |c AS (SELECT doc_id, frame_idx,
+        |    CASE WHEN prev IS NOT NULL AND abs(feat - prev) > 1431655765
+        |         THEN 1 ELSE 0 END AS is_cut
+        |  FROM l)
+        |SELECT doc_id, COUNT(*) AS n_frames,
+        |  CAST(SUM(is_cut) AS BIGINT) AS n_cuts,
+        |  MIN(CASE WHEN is_cut = 1 THEN frame_idx END) AS first_cut_idx
+        |FROM c GROUP BY doc_id""".stripMargin,
     "mm_caption_align" ->
       """WITH t AS (SELECT doc_id, text, octet_length(encode(text)) AS nb,
         |  list_filter(string_split(text, ' '), x -> x <> '') AS w

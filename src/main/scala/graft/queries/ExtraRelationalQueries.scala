@@ -148,6 +148,33 @@ object ExtraRelationalQueries {
       .select(col("purchase_id"), col("p_user").as("user_id"),
         col("state_type"), col("island"), col("valid_from_us"), col("p_us"))
 
+  /** Shared sweep-line machinery for q74/q76: each event opens a
+    * half-open interval [us, us + dur) with dur = (|⌊value⌋| % 30) + 1
+    * minutes; both ±1 markers carry the START's (event_type, day) key so
+    * every partition sweeps a complete, self-contained interval set.
+    * Tie order (t, delta, event_id) closes before opening at the same
+    * microsecond — touching intervals are never concurrent. */
+  private def sweepMarkers(s: SparkSession, d: String): DataFrame = {
+    val minUs = 60000000L
+    val dayUs = 86400000000L
+    val iv = Tables.events(s, d)
+      .filter(col("ts").isNotNull && col("value").isNotNull)
+      .select(col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"),
+        (((abs(floor(col("value"))) % 30) + 1) * minUs).as("dur_us"))
+      .withColumn("end_us", col("us") + col("dur_us"))
+      .withColumn("day", expr(s"us div $dayUs"))
+    iv.select(col("event_type"), col("day"), col("us").as("t"),
+        lit(1).as("delta"), col("dur_us"), col("event_id"))
+      .unionAll(iv.select(col("event_type"), col("day"),
+        col("end_us").as("t"), lit(-1).as("delta"), col("dur_us"),
+        col("event_id")))
+  }
+
+  private def sweepWindow: org.apache.spark.sql.expressions.WindowSpec =
+    Window.partitionBy("event_type", "day")
+      .orderBy(col("t").asc, col("delta").asc, col("event_id").asc)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Correlated EXISTS through the SQL surface — Catalyst decorrelates
@@ -588,28 +615,38 @@ object ExtraRelationalQueries {
     // extension). Tie order (t, delta, event_id) closes intervals before
     // opening at the same microsecond, so touching ≠ concurrent.
     "q74_concurrency" -> ((s, d) => {
-      val minUs = 60000000L
-      val dayUs = 86400000000L
-      val iv = Tables.events(s, d)
-        .filter(col("ts").isNotNull && col("value").isNotNull)
-        .select(col("event_id"), col("event_type"),
-          unix_micros(col("ts")).as("us"),
-          ((abs(floor(col("value"))) % 30) + 1).as("dur_min"))
-        .withColumn("end_us", col("us") + col("dur_min") * minUs)
-        .withColumn("day", expr(s"us div $dayUs"))
-      val markers = iv.select(col("event_type"), col("day"),
-          col("us").as("t"), lit(1).as("delta"), col("event_id"))
-        .unionAll(iv.select(col("event_type"), col("day"),
-          col("end_us").as("t"), lit(-1).as("delta"), col("event_id")))
-      val w = Window.partitionBy("event_type", "day")
-        .orderBy(col("t").asc, col("delta").asc, col("event_id").asc)
-      markers
+      sweepMarkers(s, d)
         .withColumn("conc", sum(col("delta"))
-          .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+          .over(sweepWindow.rowsBetween(Window.unboundedPreceding, 0)))
         .groupBy("event_type", "day")
         .agg(sum(when(col("delta") === 1, 1L).otherwise(0L))
           .as("n_intervals"),
           max(col("conc")).cast("long").as("peak"))
+    }),
+
+    // Interval-union coverage — the same sweep line answering the OTHER
+    // capacity question: how much wall-clock was covered by ≥1 live
+    // interval (utilization / SLA uptime), vs the gross sum of interval
+    // lengths (their difference = time saved by overlap). Between two
+    // consecutive markers the live count is constant, so covered time
+    // = Σ gap lengths where the running count > 0 — exact integer
+    // micros, no pairwise overlap decomposition. Same (event_type, day)
+    // partitioning and scale shape as q74.
+    "q76_interval_coverage" -> ((s, d) => {
+      val w = sweepWindow
+      sweepMarkers(s, d)
+        .withColumn("conc", sum(col("delta"))
+          .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("next_t", lead(col("t"), 1).over(w))
+        .withColumn("covered",
+          when(col("conc") > 0 && col("next_t").isNotNull,
+            col("next_t") - col("t")).otherwise(0L))
+        .groupBy("event_type", "day")
+        .agg(sum(when(col("delta") === 1, 1L).otherwise(0L))
+          .as("n_intervals"),
+          sum(col("covered")).as("covered_us"),
+          sum(when(col("delta") === 1, col("dur_us")).otherwise(0L))
+            .as("gross_us"))
     }),
 
     // Hierarchy closure + subtree rollup through the RECURSIVE CTE
@@ -936,6 +973,33 @@ object ExtraRelationalQueries {
         |  CAST(SUM(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT)
         |    AS n_intervals,
         |  CAST(MAX(conc) AS BIGINT) AS peak
+        |FROM c GROUP BY 1, 2""".stripMargin,
+    "q76_interval_coverage" ->
+      """WITH iv AS (
+        |  SELECT event_id, event_type, epoch_us(ts) AS us,
+        |    ((abs(CAST(floor(value) AS BIGINT)) % 30) + 1) * 60000000 AS dur_us
+        |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+        |iv2 AS (SELECT event_id, event_type, us, dur_us,
+        |    us + dur_us AS end_us,
+        |    us // 86400000000 AS day FROM iv),
+        |m AS (
+        |  SELECT event_type, day, us AS t, 1 AS delta, dur_us, event_id
+        |  FROM iv2
+        |  UNION ALL
+        |  SELECT event_type, day, end_us, -1, dur_us, event_id FROM iv2),
+        |c AS (SELECT event_type, day, delta, dur_us,
+        |  SUM(delta) OVER w AS conc,
+        |  LEAD(t) OVER w - t AS gap
+        |  FROM m WINDOW w AS (PARTITION BY event_type, day
+        |    ORDER BY t ASC, delta ASC, event_id ASC
+        |    ROWS UNBOUNDED PRECEDING))
+        |SELECT event_type, day,
+        |  CAST(SUM(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_intervals,
+        |  CAST(SUM(CASE WHEN conc > 0 AND gap IS NOT NULL
+        |    THEN gap ELSE 0 END) AS BIGINT) AS covered_us,
+        |  CAST(SUM(CASE WHEN delta = 1 THEN dur_us ELSE 0 END) AS BIGINT)
+        |    AS gross_us
         |FROM c GROUP BY 1, 2""".stripMargin,
     "q75_hier_rollup" ->
       """WITH RECURSIVE anc AS (

@@ -1166,6 +1166,38 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(out.size == probes.length * 5)
   }
 
+  test("mm_scene_cut: plain-Scala frame-delta replay matches exactly") {
+    import java.security.MessageDigest
+    def md5hex(s: String): String =
+      MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val docs = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    val thr = 1431655765L
+    val expected = docs.map { case (id, text) =>
+      val n = text.getBytes("UTF-8").length % 10 + 1
+      val feats = (1 to n).map(i =>
+        java.lang.Long.parseLong(md5hex(s"$id#$i").substring(0, 8), 16))
+      val cuts = feats.zip(feats.drop(1)).zipWithIndex.collect {
+        case ((p, f), i) if math.abs(f - p) > thr => i + 2 // cut at frame i+2
+      }
+      id -> ((n.toLong, cuts.length.toLong,
+        cuts.headOption.map(_.toLong).getOrElse(-1L)))
+    }.toMap
+    val out = graft.multimodal.Multimodal.queries("mm_scene_cut")(spark, sf0001)
+      .collect().map { r =>
+        r.getAs[Long]("doc_id") -> ((r.getAs[Long]("n_frames"),
+          r.getAs[Long]("n_cuts"),
+          Option(r.getAs[Any]("first_cut_idx"))
+            .map(_.toString.toLong).getOrElse(-1L)))
+      }.toMap
+    assert(out == expected,
+      s"diff=${out.toSet.diff(expected.toSet).take(3)}")
+    // the 2/3 threshold cuts densely on uniform fake features — both
+    // branches are exercised corpus-wide
+    assert(out.values.exists(_._2 > 0) && out.values.exists(_._2 == 0))
+  }
+
   test("sim_maxsim: plain-Scala late-interaction replay matches exactly") {
     val all = Tables.embeddings(spark, sf0001)
       .select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])]

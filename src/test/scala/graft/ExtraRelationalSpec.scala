@@ -360,6 +360,42 @@ class ExtraRelationalSpec extends SparkSpec {
     }
   }
 
+  test("q76_interval_coverage: union length merges overlaps, gross does not") {
+    def ev(id: Long, startMin: Long, durMin: Long, typ: String) =
+      (id, startMin * 60L * 1000000000L, 1L, typ, (durMin - 1).toDouble, "{}")
+    val dir = java.nio.file.Files.createTempDirectory("graft-cov").toString
+    Seq(
+      ev(1, 0, 10, "call"),   // [0,10)
+      ev(2, 5, 10, "call"),   // [5,15)  overlap merges
+      ev(3, 8, 1, "call"),    // [8,9)   nested, adds nothing
+      ev(4, 15, 5, "call"),   // [15,20) touching extends the run
+      ev(5, 0, 1, "view"),
+      ev(6, 2, 1, "view"))    // disjoint: covered = gross
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val minUs = 60000000L
+    val out = ExtraRelationalQueries.queries("q76_interval_coverage")(spark, dir)
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._3, r._4, r._5))).toMap
+    assert(out == Map(
+      "call" -> ((4L, 20 * minUs, 26 * minUs)),  // union [0,20); gross 10+10+1+5
+      "view" -> ((2L, 2 * minUs, 2 * minUs))), s"got $out")
+
+    // fixture invariants vs q74 on the same sweep: covered <= gross
+    // always; covered >= gross/peak (peak-way overlap is the worst case)
+    val cov = ExtraRelationalQueries.queries("q76_interval_coverage")(spark, sf001)
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._4, r._5))).toMap
+    val peaks = ExtraRelationalQueries.queries("q74_concurrency")(spark, sf001)
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._4).toMap
+    assert(cov.keySet == peaks.keySet)
+    cov.foreach { case (k, (covered, gross)) =>
+      assert(covered <= gross, s"$k: covered $covered > gross $gross")
+      assert(covered * peaks(k) >= gross, s"$k: peak bound violated")
+    }
+  }
+
   test("q75_hier_rollup: planted 7-node binary tree rolls up exactly") {
     val dir = java.nio.file.Files.createTempDirectory("graft-hier").toString
     // part keys 0..6 -> 1-based nodes 1..7; price = node id for easy sums

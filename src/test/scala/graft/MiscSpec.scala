@@ -118,4 +118,47 @@ class MiscSpec extends SparkSpec {
     assert(out.toSet == want,
       s"diff=${out.toSet.diff(want).take(3)} / ${want.diff(out.toSet).take(3)}")
   }
+
+  test("graph_triangles: planted triangle found once; matches a brute-force Scala count") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-tri").toString
+    // order 1 buys parts {1,2,3} -> triangle; order 2 repeats edge (1,2);
+    // order 3 adds the dangling edge (3,4)
+    Seq((1L, 1L), (1L, 2L), (1L, 3L), (2L, 1L), (2L, 2L), (3L, 3L), (3L, 4L))
+      .toDF("l_orderkey", "l_partkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    (1L to 4L).map(k => (k, 1)).toDF("p_partkey", "p_size")
+      .write.mode("overwrite").parquet(s"$dir/part.parquet")
+    val planted = MiscQueries.queries("graph_triangles")(spark, dir)
+      .as[(Long, Long)].collect().toMap
+    assert(planted == Map(1L -> 1L, 2L -> 1L, 3L -> 1L), s"got $planted")
+
+    // fixture check: per-node counts equal an independent brute-force
+    // count over the same co-purchase edge set
+    val li = Tables.lineitem(spark, sf0001)
+      .select(col("l_orderkey"), col("l_partkey"))
+      .join(Tables.part(spark, sf0001).filter(col("p_size") <= 5)
+        .select(col("p_partkey")),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct().as[(Long, Long)].collect()
+    val edges = li.groupBy(_._1).values.flatMap { grp =>
+      val ps = grp.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- i + 1 until ps.length) yield (ps(i), ps(j))
+    }.toSet
+    val adj = edges.flatMap { case (u, v) => Seq(u -> v, v -> u) }
+      .groupBy(_._1).map { case (n, s) => n -> s.map(_._2) }
+    val expected = scala.collection.mutable.Map.empty[Long, Long]
+    edges.foreach { case (u, v) =>
+      (adj(u) intersect adj(v)).foreach { w =>
+        // count each triangle once per node via its (u<v<w) witness
+        if (w > v) Seq(u, v, w).foreach(n =>
+          expected(n) = expected.getOrElse(n, 0L) + 1L)
+      }
+    }
+    val out = MiscQueries.queries("graph_triangles")(spark, sf0001)
+      .as[(Long, Long)].collect().toMap
+    assert(out == expected.toMap,
+      s"diff=${out.toSet.diff(expected.toSet).take(3)} / " +
+        s"${expected.toSet.diff(out.toSet).take(3)}")
+  }
 }
