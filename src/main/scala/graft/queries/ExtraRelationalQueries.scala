@@ -664,6 +664,13 @@ object ExtraRelationalQueries {
     // map-side-combined aggregate.
     "q75_hier_rollup" -> ((s, d) => {
       Tables.part(s, d).createOrReplaceTempView("part")
+      // The closure is n·⌈log₂n⌉ rows BY DESIGN (3.4M at sf1), so the
+      // engine's 1M-row recursion safety net is the wrong guard here —
+      // the real bound is the LEVEL limit (depth ≤ ~28 even at 100 TB
+      // row counts; a runaway recursion still trips it). Found by the
+      // sf1 bench: RECURSION_ROW_LIMIT_EXCEEDED at default settings.
+      s.conf.set("spark.sql.cteRecursionRowLimit", "-1")
+      s.conf.set("spark.sql.cteRecursionLevelLimit", "64")
       // nodes are 1-based (pk1 = p_partkey + 1): parent(1) would be
       // undefined for a 0 key, whose chain could never reach the root
       s.sql("""
