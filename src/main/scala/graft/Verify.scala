@@ -20,7 +20,16 @@ object Verify {
     // had to diff against the registry to notice). errors.json maps each
     // failed query to its exception class so the dump is self-describing.
     val errors = scala.collection.mutable.Map.empty[String, String]
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // SPARK_GRAFT_ONLY=a,b,c dumps a subset — for local oracle
+    // spot-checks of new queries without replaying the full registry.
+    // The driver never sets it, so the gate always sees every query.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only match {
+      case Some(names) => SparkEntry.queries.filter(kv => names(kv._1))
+      case None        => SparkEntry.queries
+    }
+    selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

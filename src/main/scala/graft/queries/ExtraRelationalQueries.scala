@@ -596,6 +596,51 @@ object ExtraRelationalQueries {
           col("second_price"))
     }),
 
+    // CEP-lite sequence-pattern matching (the MATCH_RECOGNIZE / funnel-
+    // regex workload, SQL:2016 row pattern recognition): each session's
+    // ordered event-type sequence is folded to a compact initials
+    // string ('vcvp…'), and row patterns become plain REGEXES over it —
+    // 'did a view→click→purchase funnel complete within one session',
+    // 'did an error repeat', 'was a purchase made blind (no prior
+    // view)', single-event bounces. Spark has no MATCH_RECOGNIZE; this
+    // is the Spark-first reduction: sessionize (q60's gap logic), ONE
+    // ordered fold per session, then regex — all four patterns answered
+    // by one conditional aggregate over the session strings.
+    //
+    // 100 TB shape: one user_id shuffle total — the session window, the
+    // per-session fold, and the string build all share the user_id
+    // partition; pattern evaluation is a scan over session strings
+    // whose length is bounded by session size, never corpus size. The
+    // regex dialect is the Java/RE2 common subset (.* [^x] ^ $), so the
+    // DuckDB oracle evaluates the same patterns.
+    "q77_event_pattern" -> ((s, d) => {
+      val gapUs = 1800000000L
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("us").asc, col("event_id").asc)
+      val sess = Tables.events(s, d)
+        .filter(col("ts").isNotNull)
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("us"),
+          substring(col("event_type"), 1, 1).as("c"))
+        .withColumn("new_sess",
+          when(lag(col("us"), 1).over(w).isNull ||
+            col("us") - lag(col("us"), 1).over(w) > gapUs, 1).otherwise(0))
+        .withColumn("sess", sum(col("new_sess"))
+          .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      val strs = sess.groupBy("user_id", "sess")
+        .agg(array_join(transform(
+          array_sort(collect_list(struct(col("us"), col("event_id"),
+            col("c")))),
+          x => x.getField("c")), "").as("seq"))
+      def hits(re: String): Column =
+        sum(when(col("seq").rlike(re), 1L).otherwise(0L))
+      strs.agg(count(lit(1)).as("n_sessions"),
+        hits("v.*c.*p").as("n_funnel"),
+        hits("e.*e").as("n_error_retry"),
+        hits("^[^v]*p").as("n_blind_buy"),
+        hits("^.$").as("n_bounce"))
+    }),
+
     // Peak interval concurrency via the sweep line — "max simultaneous
     // sessions/streams/calls", the capacity-planning aggregate. Each
     // event opens a half-open interval [start, start + dur) (duration
@@ -981,6 +1026,33 @@ object ExtraRelationalQueries {
         |    AS n_intervals,
         |  CAST(MAX(conc) AS BIGINT) AS peak
         |FROM c GROUP BY 1, 2""".stripMargin,
+    "q77_event_pattern" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS us,
+        |    substr(event_type, 1, 1) AS c
+        |  FROM events WHERE ts IS NOT NULL),
+        |f AS (SELECT user_id, event_id, us, c,
+        |    CASE WHEN LAG(us) OVER w IS NULL OR us - LAG(us) OVER w > 1800000000
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM e WINDOW w AS (PARTITION BY user_id
+        |                      ORDER BY us ASC, event_id ASC)),
+        |g AS (SELECT user_id, c, us, event_id,
+        |    SUM(new_sess) OVER (PARTITION BY user_id
+        |      ORDER BY us ASC, event_id ASC ROWS UNBOUNDED PRECEDING) AS sess
+        |  FROM f),
+        |strs AS (SELECT user_id, sess,
+        |    string_agg(c, '' ORDER BY us ASC, event_id ASC) AS seq
+        |  FROM g GROUP BY 1, 2)
+        |SELECT COUNT(*) AS n_sessions,
+        |  CAST(SUM(CASE WHEN regexp_matches(seq, 'v.*c.*p') THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_funnel,
+        |  CAST(SUM(CASE WHEN regexp_matches(seq, 'e.*e') THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_error_retry,
+        |  CAST(SUM(CASE WHEN regexp_matches(seq, '^[^v]*p') THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_blind_buy,
+        |  CAST(SUM(CASE WHEN regexp_matches(seq, '^.$') THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_bounce
+        |FROM strs""".stripMargin,
     "q76_interval_coverage" ->
       """WITH iv AS (
         |  SELECT event_id, event_type, epoch_us(ts) AS us,

@@ -4,7 +4,7 @@ import graft.Tables
 import graft.functions.TopKAggregator
 import graft.operators.Checkpoint.CheckpointOps
 import graft.operators.Salting
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -109,6 +109,52 @@ object MiscQueries {
         when(col("node") % 2 === 0, "customer").otherwise("supplier")
           .as("node_type"),
         expr("node div 2").as("id"), col("r").as("pagerank"))
+    }),
+
+    // Exact covariance/correlation matrix over the lineitem numerics —
+    // the feature-statistics pass before whitening, feature selection,
+    // or drift monitoring. ONE aggregate computes every moment (n, Σx
+    // per column, Σxy per pair) as exact integer-cent sums in
+    // DECIMAL(38); the 10 matrix cells are then pure arithmetic over
+    // that single 1-row result (checkpointed — cells re-read one row,
+    // not the table). Covariance numerators n·Σxy − Σx·Σy stay exact
+    // integers (headroom: ~1e26 here, DECIMAL(38) holds to ~1e12 rows
+    // of cent-scale pairs); the only FP is the final cast + one
+    // division for corr_bp, identical IEEE ops in both engines.
+    // Built-in corr()/covar_pop() are double-accumulating (order-
+    // dependent) — this formulation is the oracle-bindable exact twin.
+    "stats_corr_matrix" -> ((s, d) => {
+      val colsMap = Seq("q" -> "l_quantity", "e" -> "l_extendedprice",
+        "d" -> "l_discount", "t" -> "l_tax")
+      def cents(c: String): Column =
+        (col(c).cast(DecimalType(12, 2)) * 100).cast("long")
+      val keys = colsMap.map(_._1)
+      val byKey = colsMap.toMap
+      val pairs = for (i <- keys.indices; j <- i until keys.length)
+        yield (keys(i), keys(j))
+      val sumCols =
+        colsMap.map { case (k, c) =>
+          sum(cents(c).cast(DecimalType(38, 0))).as(s"s_$k") } ++
+        pairs.map { case (a, b) =>
+          // per-row products fit LONG (≤1e14); only the sums need 38
+          sum((cents(byKey(a)) * cents(byKey(b)))
+            .cast(DecimalType(38, 0))).as(s"s_$a$b") }
+      val row1 = Tables.lineitem(s, d)
+        .agg(count(lit(1)).as("n"), sumCols: _*)
+        .buildCheckpoint()
+      val nD = col("n").cast(DecimalType(38, 0))
+      def covNum(a: String, b: String): Column = {
+        val key = if (keys.indexOf(a) <= keys.indexOf(b)) s"$a$b" else s"$b$a"
+        nD * col(s"s_$key") - col(s"s_$a") * col(s"s_$b")
+      }
+      pairs.map { case (a, b) =>
+        row1.select(
+          lit(byKey(a)).as("col_x"), lit(byKey(b)).as("col_y"), col("n"),
+          covNum(a, b).cast("double").as("cov_cents2"),
+          floor(lit(10000.0) * (covNum(a, b).cast("double") /
+            sqrt(covNum(a, a).cast("double") * covNum(b, b).cast("double"))))
+            .as("corr_bp"))
+      }.reduce(_ unionAll _)
     }),
 
     // Triangle counting on the small-part co-purchase graph via
@@ -460,8 +506,47 @@ object MiscQueries {
          |FROM lineitem""".stripMargin
     }.mkString("\nUNION ALL\n")
 
+  /** Moment-for-moment mirror of stats_corr_matrix: same integer-cent
+    * inputs, HUGEINT (128-bit) exact sums standing in for Spark's
+    * DECIMAL(38,0), same final-cast-then-divide FP sequence. */
+  private def corrMatrixOracle: String = {
+    val cols = Seq("q" -> "l_quantity", "e" -> "l_extendedprice",
+      "d" -> "l_discount", "t" -> "l_tax")
+    val keys = cols.map(_._1)
+    val byKey = cols.toMap
+    val pairs = for (i <- keys.indices; j <- i until keys.length)
+      yield (keys(i), keys(j))
+    val centsSel = cols.map { case (k, c) =>
+      s"CAST(CAST($c AS DECIMAL(12,2)) * 100 AS BIGINT) AS $k" }
+      .mkString(",\n    ")
+    val sums = (cols.map { case (k, _) =>
+      s"SUM(CAST($k AS HUGEINT)) AS s_$k" } ++
+      pairs.map { case (a, b) =>
+        s"SUM(CAST($a AS HUGEINT) * CAST($b AS HUGEINT)) AS s_$a$b" })
+      .mkString(",\n    ")
+    def cov(a: String, b: String): String = {
+      val key = if (keys.indexOf(a) <= keys.indexOf(b)) s"$a$b" else s"$b$a"
+      s"(n * s_$key - s_$a * s_$b)"
+    }
+    val branches = pairs.map { case (a, b) =>
+      s"""SELECT '${byKey(a)}' AS col_x, '${byKey(b)}' AS col_y, n,
+         |  CAST(${cov(a, b)} AS DOUBLE) AS cov_cents2,
+         |  CAST(FLOOR(10000 * (CAST(${cov(a, b)} AS DOUBLE) /
+         |    SQRT(CAST(${cov(a, a)} AS DOUBLE) * CAST(${cov(b, b)} AS DOUBLE))))
+         |    AS BIGINT) AS corr_bp
+         |FROM agg""".stripMargin }
+    s"""WITH c AS (SELECT
+       |    $centsSel
+       |  FROM lineitem),
+       |agg AS (SELECT COUNT(*) AS n,
+       |    $sums
+       |  FROM c)
+       |""".stripMargin + branches.mkString("\nUNION ALL\n")
+  }
+
   val oracles: Map[String, String] = Map(
     "stats_table_profile" -> tableProfileOracle,
+    "stats_corr_matrix" -> corrMatrixOracle,
     "graph_pagerank" -> pagerankOracle,
     "graph_triangles" ->
       """WITH li AS (

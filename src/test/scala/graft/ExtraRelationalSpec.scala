@@ -360,6 +360,46 @@ class ExtraRelationalSpec extends SparkSpec {
     }
   }
 
+  test("q77_event_pattern: planted sessions match the right patterns") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-cep").toString
+    val m = 60L * 1000000000L // 1 min in nanos
+    Seq(
+      // user 1, one session: view->error->click->purchase (funnel, not
+      // blind: a view precedes the purchase; single error doesn't retry)
+      (1L, 0 * m, 1L, "view", 0.0, "{}"),
+      (2L, 1 * m, 1L, "error", 0.0, "{}"),
+      (3L, 2 * m, 1L, "click", 0.0, "{}"),
+      (4L, 3 * m, 1L, "purchase", 0.0, "{}"),
+      // user 1, second session (>30 min later): bounce
+      (5L, 60 * m, 1L, "view", 0.0, "{}"),
+      // user 2: blind buy (signup then purchase, no view), plus a
+      // repeated error -> error_retry
+      (6L, 0 * m, 2L, "signup", 0.0, "{}"),
+      (7L, 1 * m, 2L, "error", 0.0, "{}"),
+      (8L, 2 * m, 2L, "error", 0.0, "{}"),
+      (9L, 3 * m, 2L, "purchase", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = ExtraRelationalQueries.queries("q77_event_pattern")(spark, dir)
+      .as[(Long, Long, Long, Long, Long)].collect().head
+    // 3 sessions: "vecp" (funnel), "v" (bounce), "seep" (blind+retry)
+    assert(out == ((3L, 1L, 1L, 1L, 1L)), s"got $out")
+
+    // fixture sanity: session count matches q60's sessionization, and
+    // every pattern count is bounded by it
+    val fx = ExtraRelationalQueries.queries("q77_event_pattern")(spark, sf001)
+      .as[(Long, Long, Long, Long, Long)].collect().head
+    val nSess = ExtraRelationalQueries.queries("q60_sessionize")(spark, sf001)
+      .count()
+    assert(fx._1 == nSess, s"sessions ${fx._1} vs q60 $nSess")
+    assert(Seq(fx._2, fx._3, fx._4, fx._5).forall(c => c >= 0 && c <= fx._1))
+    // the fixture's sessions are short (~1 event avg), so the 3-step
+    // funnel is legitimately rare-to-absent there; the planted corpus
+    // above covers it. Bounces and blind buys must fire densely.
+    assert(fx._5 > 0 && fx._4 > 0,
+      s"bounce/blind_buy degenerate: ${fx._5}/${fx._4}")
+  }
+
   test("q76_interval_coverage: union length merges overlaps, gross does not") {
     def ev(id: Long, startMin: Long, durMin: Long, typ: String) =
       (id, startMin * 60L * 1000000000L, 1L, typ, (durMin - 1).toDouble, "{}")

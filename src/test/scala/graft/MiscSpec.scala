@@ -119,6 +119,35 @@ class MiscSpec extends SparkSpec {
       s"diff=${out.toSet.diff(want).take(3)} / ${want.diff(out.toSet).take(3)}")
   }
 
+  test("stats_corr_matrix: BigInt replay agrees; self-corr is exactly 10000") {
+    val rows = Tables.lineitem(spark, sf0001)
+      .select(col("l_quantity"), col("l_extendedprice"),
+        col("l_discount"), col("l_tax"))
+      .as[(Double, Double, Double, Double)].collect()
+      .map { case (q, e, dd, t) => Seq(q, e, dd, t).map(v =>
+        BigInt(new java.math.BigDecimal(v).setScale(2,
+          java.math.RoundingMode.HALF_UP).movePointRight(2).longValueExact())) }
+    val names = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val n = BigInt(rows.length)
+    def s(i: Int) = rows.map(_(i)).sum
+    def sxy(i: Int, j: Int) = rows.map(r => r(i) * r(j)).sum
+    def cov(i: Int, j: Int) = n * sxy(i, j) - s(i) * s(j)
+    val out = MiscQueries.queries("stats_corr_matrix")(spark, sf0001)
+      .as[(String, String, Long, Double, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    assert(out.size == 10)
+    for (i <- 0 until 4; j <- i until 4) {
+      val (nn, c, bp) = out((names(i), names(j)))
+      assert(nn == rows.length)
+      assert(c == cov(i, j).toDouble, s"cov(${names(i)},${names(j)})")
+      val expBp = math.floor(10000.0 * (cov(i, j).toDouble /
+        math.sqrt(cov(i, i).toDouble * cov(j, j).toDouble))).toLong
+      assert(bp == expBp, s"corr_bp(${names(i)},${names(j)}): $bp vs $expBp")
+      assert(bp >= -10000 && bp <= 10000)
+      if (i == j) assert(bp == 10000L, s"self-corr ${names(i)}")
+    }
+  }
+
   test("graph_triangles: planted triangle found once; matches a brute-force Scala count") {
     val dir = java.nio.file.Files.createTempDirectory("graft-tri").toString
     // order 1 buys parts {1,2,3} -> triangle; order 2 repeats edge (1,2);
