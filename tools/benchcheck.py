@@ -98,6 +98,12 @@ def displacement_check(path, queries, total, ref):
     old_inf = count_inflated(head_queries, ref)
     new_lf = total.get("load_factor", 1.0)
     old_lf = head_total.get("load_factor", 1.0)
+    # Registry growth outranks the load-factor tiebreak: a fresh record
+    # covering strictly more queries at no-worse inflation count is a
+    # full-registry freshening (BENCH.md policy / round-9 advice item 1),
+    # not a displacement — lf only breaks ties at equal coverage.
+    if len(queries) > len(head_queries) and new_inf <= old_inf:
+        return None
     if (new_inf, new_lf) > (old_inf, old_lf):
         return (f"DISPLACEMENT WARNING: working-tree BENCH_LAST.json "
                 f"(inflated={new_inf}, lf={new_lf:.3f}) is worse-qualified "
