@@ -641,6 +641,55 @@ object ExtraRelationalQueries {
         hits("^.$").as("n_bounce"))
     }),
 
+    // Skyline / Pareto frontier (Börzsönyi et al., ICDE 2001): parts not
+    // dominated on (minimize retail price, maximize size) — the
+    // multi-criteria shortlist operator ("no part is both cheaper and
+    // larger"). The naive formulation is an O(n²) NOT-EXISTS self-join;
+    // the 2-D frontier is instead a SORT: after ordering by price, a
+    // part is on the frontier iff its size beats every strictly-cheaper
+    // part's max size (running max) and it tops its own price group.
+    //
+    // 100 TB shape: the q54 bucket idiom makes the global order scale —
+    // approx-quantile price buckets (a tiny single-column stats job that
+    // only shapes balance, never correctness), per-bucket RANGE windows,
+    // and a ≤nParts-row per-bucket-max table whose running max is
+    // broadcast back. No global single-partition window, no n² join;
+    // one narrow 3-column shuffle by price bucket.
+    "q78_skyline" -> ((s, d) => {
+      val nParts = 32
+      val base = Tables.part(s, d).select(col("p_partkey"),
+        (col("p_retailprice").cast(DecimalType(12, 2)) * 100)
+          .cast("long").as("price_c"),
+        col("p_size").cast("long").as("size"))
+      val probs = (1 until nParts).map(_.toDouble / nParts).toArray
+      val bounds = base.stat.approxQuantile("price_c", probs, 0.01)
+        .distinct.sorted
+      val bucket = bounds.foldLeft(lit(0)) { (acc, b) =>
+        acc + when(col("price_c") > lit(b), 1).otherwise(0) }
+      val bk = base.withColumn("__bk", bucket)
+      val byPrice = Window.partitionBy("__bk").orderBy(col("price_c"))
+      // strict predecessors inside the bucket: price is integer cents, so
+      // RANGE [unbounded, -1] is exactly "strictly cheaper"
+      val wStrict = byPrice.rangeBetween(Window.unboundedPreceding, -1)
+      // RANGE [0, 0] = the current price group (peers)
+      val wPeers = byPrice.rangeBetween(0, 0)
+      // bucket boundaries are value-based, so every row in an earlier
+      // bucket is STRICTLY cheaper: its max size folds into the strict
+      // predecessor max. ≤ nParts rows — window + broadcast are free.
+      val wB = Window.orderBy("__bk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val pre = bk.groupBy("__bk").agg(max("size").as("__bmx"))
+        .withColumn("__pre", max(col("__bmx")).over(wB))
+        .select("__bk", "__pre")
+      bk.join(broadcast(pre), "__bk")
+        .withColumn("__m1",
+          greatest(max(col("size")).over(wStrict), col("__pre")))
+        .withColumn("__m2", max(col("size")).over(wPeers))
+        .filter((col("__m1").isNull || col("size") > col("__m1")) &&
+          col("size") === col("__m2"))
+        .select(col("p_partkey"), col("price_c"), col("size"))
+    }),
+
     // Peak interval concurrency via the sweep line — "max simultaneous
     // sessions/streams/calls", the capacity-planning aggregate. Each
     // event opens a half-open interval [start, start + dur) (duration
@@ -1053,6 +1102,21 @@ object ExtraRelationalQueries {
         |  CAST(SUM(CASE WHEN regexp_matches(seq, '^.$') THEN 1 ELSE 0 END)
         |    AS BIGINT) AS n_bounce
         |FROM strs""".stripMargin,
+    "q78_skyline" ->
+      """WITH p AS (
+        |  SELECT p_partkey,
+        |    CAST(CAST(p_retailprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+        |      AS price_c,
+        |    CAST(p_size AS BIGINT) AS size
+        |  FROM part),
+        |w AS (
+        |  SELECT p_partkey, price_c, size,
+        |    MAX(size) OVER (ORDER BY price_c
+        |      RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS m1,
+        |    MAX(size) OVER (PARTITION BY price_c) AS m2
+        |  FROM p)
+        |SELECT p_partkey, price_c, size FROM w
+        |WHERE (m1 IS NULL OR size > m1) AND size = m2""".stripMargin,
     "q76_interval_coverage" ->
       """WITH iv AS (
         |  SELECT event_id, event_type, epoch_us(ts) AS us,

@@ -157,6 +157,140 @@ object MiscQueries {
       }.reduce(_ unionAll _)
     }),
 
+    // Frequent-itemset mining, Apriori (Agrawal & Srikant, VLDB 1994):
+    // baskets = orders, items = the part BRANDS they contain (the
+    // co-purchase granularity where supports are dense). Levels are the
+    // classic relational ladder — L1 from one item scan; candidate
+    // pairs ONLY over L1-surviving items; L3 candidates extend frequent
+    // pair OCCURRENCES and must pass the full Apriori prune (all three
+    // 2-subsets frequent) before support counting. Min-support is
+    // RELATIVE (0.1% of baskets, the standard formulation) so the same
+    // query is meaningful at every SF and the threshold never needs
+    // retuning.
+    //
+    // 100 TB shape: the basket table is checkpointed once (narrow:
+    // oid, item) and every self-join shuffles on oid — co-partitioned
+    // after the first. L1/L2 are VOCABULARY-sized (≤ brands, ≤ brand
+    // pairs) so every prune join broadcasts; per-basket fan-out is
+    // bounded by the Apriori guarantee that candidates shrink level
+    // over level. No driver-side loop: three fixed levels, one DAG.
+    "q79_apriori" -> ((s, d) => {
+      val b = Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d)
+          .select(col("p_partkey"), col("p_brand"))),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("l_orderkey").as("oid"), col("p_brand").as("item"))
+        .distinct()
+        .buildCheckpoint()
+      val nb = b.agg(countDistinct(col("oid")).as("nb"))
+      def freq(df: DataFrame, keys: Seq[String]): DataFrame =
+        df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("sup"))
+          .crossJoin(broadcast(nb))
+          .filter(col("sup") * 10000L >= lit(10L) * col("nb"))
+          .select(keys.map(col) :+ col("sup"): _*)
+      val l1 = freq(b, Seq("item"))
+      val bf = b.join(broadcast(l1.select("item")), Seq("item"),
+        "left_semi").buildCheckpoint()
+      val p2 = bf.as("a").join(bf.as("c"),
+        col("a.oid") === col("c.oid") && col("a.item") < col("c.item"))
+        .select(col("a.oid").as("oid"), col("a.item").as("x"),
+          col("c.item").as("y"))
+      val l2 = freq(p2, Seq("x", "y"))
+      val fp2 = p2.join(broadcast(l2.select("x", "y")), Seq("x", "y"),
+        "left_semi")
+      val tri = fp2.as("f").join(bf.as("e"),
+        col("f.oid") === col("e.oid") && col("e.item") > col("f.y"))
+        .select(col("f.oid").as("oid"), col("f.x").as("x"),
+          col("f.y").as("y"), col("e.item").as("z"))
+        .join(broadcast(l2.select(col("x"), col("y").as("z"))),
+          Seq("x", "z"), "left_semi")
+        .join(broadcast(l2.select(col("x").as("y"), col("y").as("z"))),
+          Seq("y", "z"), "left_semi")
+      val l3 = freq(tri, Seq("x", "y", "z"))
+      l1.select(lit(1).as("level"), col("item").as("itemset"), col("sup"))
+        .unionAll(l2.select(lit(2).as("level"),
+          concat_ws(",", col("x"), col("y")).as("itemset"), col("sup")))
+        .unionAll(l3.select(lit(3).as("level"),
+          concat_ws(",", col("x"), col("y"), col("z")).as("itemset"),
+          col("sup")))
+    }),
+
+    // Data-quality constraint suite (the Deequ / Great-Expectations
+    // workload): declarative checks — completeness, domain/range,
+    // accepted values, key uniqueness, referential integrity — each
+    // reported as (table, check, violations, total). Every per-table
+    // check family is ONE aggregate pass (stack() unpivots the counts);
+    // the two referential checks are left joins against the DISTINCT
+    // key column of the referenced table, counting unmatched probes.
+    //
+    // 100 TB shape: no check shuffles more than (key, 1) pairs — the
+    // aggregates are map-side-combined counts over a single scan per
+    // table, and the RI joins shuffle only the join key. Adding a check
+    // to a table adds a column to its existing pass, not a new scan.
+    "dq_constraints" -> ((s, d) => {
+      def viol(c: Column): Column = sum(when(c, 1L).otherwise(0L))
+      val li = Tables.lineitem(s, d).agg(
+        count(lit(1)).as("total"),
+        viol(col("l_discount") < 0 || col("l_discount") > 0.1)
+          .as("v_disc"),
+        viol(col("l_quantity") < 1 || col("l_quantity") > 50).as("v_qty"),
+        viol(col("l_returnflag").isNull ||
+          !col("l_returnflag").isin("A", "N", "R")).as("v_rf"),
+        viol(col("l_shipdate").isNull).as("v_sd"),
+        (count(lit(1)) - countDistinct(col("l_orderkey"),
+          col("l_linenumber"))).as("v_uni"))
+        .select(lit("lineitem").as("tbl"), expr(
+          "stack(5, 'range_discount', v_disc, 'range_quantity', v_qty, " +
+            "'accepted_returnflag', v_rf, 'completeness_shipdate', v_sd, " +
+            "'unique_line', v_uni) AS (chk, violations)"), col("total"))
+      val ord = Tables.orders(s, d).agg(
+        count(lit(1)).as("total"),
+        viol(col("o_orderpriority").isNull ||
+          !col("o_orderpriority").rlike("^[1-5]-")).as("v_pri"),
+        viol(col("o_orderdate").isNull).as("v_od"),
+        viol(col("o_orderstatus").isNull ||
+          !col("o_orderstatus").isin("O", "F", "P")).as("v_st"),
+        (count(lit(1)) - countDistinct(col("o_orderkey"))).as("v_uni"))
+        .select(lit("orders").as("tbl"), expr(
+          "stack(4, 'accepted_priority', v_pri, 'completeness_orderdate', " +
+            "v_od, 'accepted_status', v_st, 'unique_orderkey', v_uni) " +
+            "AS (chk, violations)"), col("total"))
+      val ev = Tables.events(s, d).agg(
+        count(lit(1)).as("total"),
+        viol(col("ts").isNull).as("v_ts"),
+        viol(col("value").isNull || isnan(col("value"))).as("v_val"))
+        .select(lit("events").as("tbl"), expr(
+          "stack(2, 'completeness_ts', v_ts, 'completeness_value', " +
+            "v_val) AS (chk, violations)"), col("total"))
+      val doc = Tables.documents(s, d).agg(
+        count(lit(1)).as("total"),
+        viol(col("text").isNull || col("text") === "").as("v_txt"),
+        viol(col("lang").isNull).as("v_lang"))
+        .select(lit("documents").as("tbl"), expr(
+          "stack(2, 'completeness_text', v_txt, 'completeness_lang', " +
+            "v_lang) AS (chk, violations)"), col("total"))
+      def ri(probe: DataFrame, key: String, dim: DataFrame,
+             dimKey: String, tblName: String, chkName: String): DataFrame =
+        probe.select(col(key))
+          .join(dim.select(col(dimKey)).distinct()
+            .withColumn("__hit", lit(1)),
+            col(key) === col(dimKey), "left")
+          .agg(count(lit(1)).as("total"),
+            viol(col("__hit").isNull).as("violations"))
+          .select(lit(tblName).as("tbl"), lit(chkName).as("chk"),
+            col("violations"), col("total"))
+      val ris =
+        ri(Tables.orders(s, d), "o_custkey", Tables.customer(s, d),
+          "c_custkey", "orders", "ri_custkey") unionAll
+          ri(Tables.lineitem(s, d), "l_orderkey", Tables.orders(s, d),
+            "o_orderkey", "lineitem", "ri_orderkey")
+      li.select("tbl", "chk", "violations", "total")
+        .unionAll(ord.select("tbl", "chk", "violations", "total"))
+        .unionAll(ev.select("tbl", "chk", "violations", "total"))
+        .unionAll(doc.select("tbl", "chk", "violations", "total"))
+        .unionAll(ris.select("tbl", "chk", "violations", "total"))
+    }),
+
     // Triangle counting on the small-part co-purchase graph via
     // DEGREE-ORDERED orientation (the node-iterator++ / forward
     // algorithm, Schank & Wagner 2005; the MapReduce formulation is
@@ -547,6 +681,113 @@ object MiscQueries {
   val oracles: Map[String, String] = Map(
     "stats_table_profile" -> tableProfileOracle,
     "stats_corr_matrix" -> corrMatrixOracle,
+    "q79_apriori" ->
+      """WITH b AS (
+        |  SELECT DISTINCT l_orderkey AS oid, p_brand AS item
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+        |nb AS (SELECT COUNT(DISTINCT oid) AS nb FROM b),
+        |l1 AS (SELECT item, COUNT(*) AS sup FROM b GROUP BY 1
+        |       HAVING COUNT(*) * 10000 >= 10 * (SELECT nb FROM nb)),
+        |bf AS (SELECT * FROM b WHERE item IN (SELECT item FROM l1)),
+        |p2 AS (SELECT a.oid, a.item AS x, c.item AS y
+        |       FROM bf a JOIN bf c
+        |         ON a.oid = c.oid AND a.item < c.item),
+        |l2 AS (SELECT x, y, COUNT(*) AS sup FROM p2 GROUP BY 1, 2
+        |       HAVING COUNT(*) * 10000 >= 10 * (SELECT nb FROM nb)),
+        |fp2 AS (SELECT p2.* FROM p2
+        |        WHERE EXISTS (SELECT 1 FROM l2
+        |                      WHERE l2.x = p2.x AND l2.y = p2.y)),
+        |tri AS (SELECT fp2.oid, fp2.x, fp2.y, e.item AS z
+        |        FROM fp2 JOIN bf e
+        |          ON fp2.oid = e.oid AND e.item > fp2.y),
+        |cand AS (SELECT * FROM tri
+        |         WHERE EXISTS (SELECT 1 FROM l2
+        |                       WHERE l2.x = tri.x AND l2.y = tri.z)
+        |           AND EXISTS (SELECT 1 FROM l2
+        |                       WHERE l2.x = tri.y AND l2.y = tri.z)),
+        |l3 AS (SELECT x, y, z, COUNT(*) AS sup FROM cand GROUP BY 1, 2, 3
+        |       HAVING COUNT(*) * 10000 >= 10 * (SELECT nb FROM nb))
+        |SELECT CAST(1 AS INTEGER) AS level, item AS itemset, sup FROM l1
+        |UNION ALL
+        |SELECT CAST(2 AS INTEGER), x || ',' || y, sup FROM l2
+        |UNION ALL
+        |SELECT CAST(3 AS INTEGER), x || ',' || y || ',' || z, sup
+        |FROM l3""".stripMargin,
+    "dq_constraints" ->
+      """WITH li AS (
+        |  SELECT COUNT(*) AS total,
+        |    CAST(SUM(CASE WHEN l_discount < 0 OR l_discount > 0.1
+        |        THEN 1 ELSE 0 END) AS BIGINT) AS v_disc,
+        |    CAST(SUM(CASE WHEN l_quantity < 1 OR l_quantity > 50
+        |        THEN 1 ELSE 0 END) AS BIGINT) AS v_qty,
+        |    CAST(SUM(CASE WHEN l_returnflag IS NULL
+        |             OR l_returnflag NOT IN ('A', 'N', 'R')
+        |        THEN 1 ELSE 0 END) AS BIGINT) AS v_rf,
+        |    CAST(SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v_sd,
+        |    COUNT(*) - COUNT(DISTINCT (l_orderkey, l_linenumber)) AS v_uni
+        |  FROM lineitem),
+        |o AS (
+        |  SELECT COUNT(*) AS total,
+        |    CAST(SUM(CASE WHEN o_orderpriority IS NULL
+        |             OR NOT regexp_matches(o_orderpriority, '^[1-5]-')
+        |        THEN 1 ELSE 0 END) AS BIGINT) AS v_pri,
+        |    CAST(SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v_od,
+        |    CAST(SUM(CASE WHEN o_orderstatus IS NULL
+        |             OR o_orderstatus NOT IN ('O', 'F', 'P')
+        |        THEN 1 ELSE 0 END) AS BIGINT) AS v_st,
+        |    COUNT(*) - COUNT(DISTINCT o_orderkey) AS v_uni
+        |  FROM orders),
+        |e AS (
+        |  SELECT COUNT(*) AS total,
+        |    CAST(SUM(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v_ts,
+        |    CAST(SUM(CASE WHEN value IS NULL OR isnan(value)
+        |        THEN 1 ELSE 0 END) AS BIGINT) AS v_val
+        |  FROM events),
+        |d AS (
+        |  SELECT COUNT(*) AS total,
+        |    CAST(SUM(CASE WHEN text IS NULL OR text = '' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS v_txt,
+        |    CAST(SUM(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v_lang
+        |  FROM documents),
+        |ric AS (
+        |  SELECT COUNT(*) AS total,
+        |    CAST(SUM(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS violations
+        |  FROM orders LEFT JOIN (SELECT DISTINCT c_custkey FROM customer)
+        |    ON o_custkey = c_custkey),
+        |rio AS (
+        |  SELECT COUNT(*) AS total,
+        |    CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS violations
+        |  FROM lineitem LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders)
+        |    ON l_orderkey = o_orderkey)
+        |SELECT 'lineitem' AS tbl, chk, violations, total FROM (
+        |  SELECT 'range_discount' AS chk, v_disc AS violations, total
+        |    FROM li
+        |  UNION ALL SELECT 'range_quantity', v_qty, total FROM li
+        |  UNION ALL SELECT 'accepted_returnflag', v_rf, total FROM li
+        |  UNION ALL SELECT 'completeness_shipdate', v_sd, total FROM li
+        |  UNION ALL SELECT 'unique_line', v_uni, total FROM li)
+        |UNION ALL
+        |SELECT 'orders', chk, violations, total FROM (
+        |  SELECT 'accepted_priority' AS chk, v_pri AS violations, total
+        |    FROM o
+        |  UNION ALL SELECT 'completeness_orderdate', v_od, total FROM o
+        |  UNION ALL SELECT 'accepted_status', v_st, total FROM o
+        |  UNION ALL SELECT 'unique_orderkey', v_uni, total FROM o)
+        |UNION ALL
+        |SELECT 'events', chk, violations, total FROM (
+        |  SELECT 'completeness_ts' AS chk, v_ts AS violations, total FROM e
+        |  UNION ALL SELECT 'completeness_value', v_val, total FROM e)
+        |UNION ALL
+        |SELECT 'documents', chk, violations, total FROM (
+        |  SELECT 'completeness_text' AS chk, v_txt AS violations, total
+        |    FROM d
+        |  UNION ALL SELECT 'completeness_lang', v_lang, total FROM d)
+        |UNION ALL
+        |SELECT 'orders', 'ri_custkey', violations, total FROM ric
+        |UNION ALL
+        |SELECT 'lineitem', 'ri_orderkey', violations, total FROM rio""".stripMargin,
     "graph_pagerank" -> pagerankOracle,
     "graph_triangles" ->
       """WITH li AS (

@@ -400,6 +400,38 @@ class ExtraRelationalSpec extends SparkSpec {
       s"bounce/blind_buy degenerate: ${fx._5}/${fx._4}")
   }
 
+  test("q78_skyline: planted frontier exact; fixture matches brute-force dominance") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-sky").toString
+    Seq((1L, 10.00, 5), (2L, 10.00, 5), (3L, 10.00, 4), (4L, 20.00, 7),
+      (5L, 20.00, 7), (6L, 30.00, 6), (7L, 5.00, 1))
+      .map { case (k, pr, sz) => (k, s"part$k", "B", "T", sz, pr) }
+      .toDF("p_partkey", "p_name", "p_brand", "p_type", "p_size",
+        "p_retailprice")
+      .write.mode("overwrite").parquet(s"$dir/part.parquet")
+    val planted = ExtraRelationalQueries.queries("q78_skyline")(spark, dir)
+      .as[(Long, Long, Long)].collect().toSet
+    // ties kept (1,2 and 4,5); same-price smaller (3) out; (6) dominated
+    // by the cheaper-and-larger (4); the cheapest (7) always survives
+    assert(planted == Set((7L, 500L, 1L), (1L, 1000L, 5L),
+      (2L, 1000L, 5L), (4L, 2000L, 7L), (5L, 2000L, 7L)), s"got $planted")
+
+    def centsOf(d: Double): Long =
+      new java.math.BigDecimal(d).setScale(2, java.math.RoundingMode.HALF_UP)
+        .movePointRight(2).longValueExact()
+    val pts = Tables.part(spark, sf001)
+      .select(col("p_partkey"), col("p_retailprice"),
+        col("p_size").cast("long"))
+      .as[(Long, Double, Long)].collect()
+      .map { case (k, pr, sz) => (k, centsOf(pr), sz) }
+    val brute = pts.filter { case (k, p, z) =>
+      !pts.exists { case (k2, p2, z2) =>
+        p2 <= p && z2 >= z && (p2 < p || z2 > z) } }.toSet
+    val out = ExtraRelationalQueries.queries("q78_skyline")(spark, sf001)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(out == brute,
+      s"diff=${out.diff(brute).take(3)} / ${brute.diff(out).take(3)}")
+  }
+
   test("q76_interval_coverage: union length merges overlaps, gross does not") {
     def ev(id: Long, startMin: Long, durMin: Long, typ: String) =
       (id, startMin * 60L * 1000000000L, 1L, typ, (durMin - 1).toDouble, "{}")

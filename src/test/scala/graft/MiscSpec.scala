@@ -119,6 +119,112 @@ class MiscSpec extends SparkSpec {
       s"diff=${out.toSet.diff(want).take(3)} / ${want.diff(out.toSet).take(3)}")
   }
 
+  test("q79_apriori: planted baskets mine exactly; fixture obeys downward closure") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-apriori").toString
+    // 4 baskets over 3 brands; with nb=4 the 0.1% relative threshold
+    // admits sup>=1, so the full hand-computed lattice must appear
+    Seq((1L, "Brand#A"), (2L, "Brand#B"), (3L, "Brand#C"))
+      .map { case (k, b) => (k, s"part$k", b, "T", 1, 1.0) }
+      .toDF("p_partkey", "p_name", "p_brand", "p_type", "p_size",
+        "p_retailprice")
+      .write.mode("overwrite").parquet(s"$dir/part.parquet")
+    val baskets = Seq(10L -> Seq(1L, 2L, 3L), 20L -> Seq(1L, 2L),
+      30L -> Seq(1L, 3L), 40L -> Seq(2L, 3L))
+    baskets.flatMap { case (oid, parts) => parts.zipWithIndex.map {
+      case (p, i) => (oid, p, 1L, i + 1, 1.0, 1.0, 0.0, 0.0, "N", "O",
+        0L) } }
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate")
+      .withColumn("l_shipdate", col("l_shipdate").cast("timestamp"))
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val out = MiscQueries.queries("q79_apriori")(spark, dir)
+      .as[(Int, String, Long)].collect().toSet
+    val want = Set((1, "Brand#A", 3L), (1, "Brand#B", 3L),
+      (1, "Brand#C", 3L), (2, "Brand#A,Brand#B", 2L),
+      (2, "Brand#A,Brand#C", 2L), (2, "Brand#B,Brand#C", 2L),
+      (3, "Brand#A,Brand#B,Brand#C", 1L))
+    assert(out == want, s"diff=${out.diff(want)} / ${want.diff(out)}")
+
+    // fixture: downward closure + support monotonicity
+    val fx = MiscQueries.queries("q79_apriori")(spark, sf0001)
+      .as[(Int, String, Long)].collect()
+    val sup = fx.map(r => r._2 -> r._3).toMap
+    assert(fx.exists(_._1 == 2), "no frequent pairs at sf0.001")
+    fx.filter(_._1 >= 2).foreach { case (_, itemset, s2) =>
+      val items = itemset.split(",")
+      items.combinations(items.length - 1).foreach { sub =>
+        val key = sub.mkString(",")
+        assert(sup.contains(key), s"$itemset frequent but $key missing")
+        assert(sup(key) >= s2, s"support not monotone: $key < $itemset")
+      }
+    }
+  }
+
+  test("dq_constraints: planted violations counted exactly; fixture RI holds") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-dq").toString
+    Seq((1L, "c1")).toDF("c_custkey", "c_name")
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    // custkey 9 dangles; duplicate orderkey 100; null orderdate; bad
+    // priority; bad status
+    Seq((100L, 1L, "O", 1.0, Some("2024-01-01"), "1-URGENT"),
+      (100L, 1L, "F", 1.0, Some("2024-01-02"), "9-BAD"),
+      (101L, 9L, "X", 1.0, None, "2-HIGH"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .withColumn("o_orderdate", col("o_orderdate").cast("timestamp"))
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    // orderkey 999 dangles; dup (orderkey, linenumber); discount 0.5
+    // out of range; quantity 0; returnflag X; null shipdate
+    Seq((100L, 1L, 1L, 1, 1.0, 1.0, 0.5, 0.0, "N", "O", Some("2024-01-01")),
+      (100L, 1L, 1L, 1, 0.0, 1.0, 0.0, 0.0, "X", "O", None),
+      (999L, 1L, 1L, 2, 1.0, 1.0, 0.05, 0.0, "A", "F", Some("2024-01-03")))
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate")
+      .withColumn("l_shipdate", col("l_shipdate").cast("timestamp"))
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    Seq((1L, Some(1000L), 1L, "view", 1.0, "{}"),
+      (2L, None, 1L, "view", Double.NaN, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    Seq((1L, "", Some("en"), "web", 0L), (2L, "hello", None, "web", 5L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = MiscQueries.queries("dq_constraints")(spark, dir)
+      .as[(String, String, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    assert(out(("orders", "ri_custkey")) == ((1L, 3L)))
+    assert(out(("orders", "unique_orderkey")) == ((1L, 3L)))
+    assert(out(("orders", "completeness_orderdate")) == ((1L, 3L)))
+    assert(out(("orders", "accepted_priority")) == ((1L, 3L)))
+    assert(out(("orders", "accepted_status")) == ((1L, 3L)))
+    assert(out(("lineitem", "ri_orderkey")) == ((1L, 3L)))
+    assert(out(("lineitem", "unique_line")) == ((1L, 3L)))
+    assert(out(("lineitem", "range_discount")) == ((1L, 3L)))
+    assert(out(("lineitem", "range_quantity")) == ((1L, 3L)))
+    assert(out(("lineitem", "accepted_returnflag")) == ((1L, 3L)))
+    assert(out(("lineitem", "completeness_shipdate")) == ((1L, 3L)))
+    assert(out(("events", "completeness_ts")) == ((1L, 2L)))
+    assert(out(("events", "completeness_value")) == ((1L, 2L)))
+    assert(out(("documents", "completeness_text")) == ((1L, 2L)))
+    assert(out(("documents", "completeness_lang")) == ((1L, 2L)))
+
+    // fixture: the generated data passes every constraint EXCEPT
+    // unique_line — the generator assigns l_linenumber randomly, so
+    // (l_orderkey, l_linenumber) genuinely collides (a real defect the
+    // suite surfaced on first run; pinned here as the fixture's known
+    // quality baseline)
+    val fx = MiscQueries.queries("dq_constraints")(spark, sf0001)
+      .as[(String, String, Long, Long)].collect()
+    assert(fx.length == 15)
+    assert(fx.forall(_._4 > 0L), "every total positive")
+    val (dirty, clean) = fx.partition(_._2 == "unique_line")
+    assert(dirty.head._3 > 0L, "unique_line should flag the fixture")
+    assert(clean.forall(_._3 == 0L),
+      s"fixture violations: ${clean.filter(_._3 != 0L).mkString(",")}")
+  }
+
   test("stats_corr_matrix: BigInt replay agrees; self-corr is exactly 10000") {
     val rows = Tables.lineitem(spark, sf0001)
       .select(col("l_quantity"), col("l_extendedprice"),
