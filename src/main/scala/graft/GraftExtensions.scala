@@ -101,5 +101,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectOptimizerRule(_ => graft.plans.RewriteHofDotProduct)
     // Filter(levenshtein(l,r) <= k) -> banded threshold form
     e.injectOptimizerRule(_ => graft.plans.RewriteThresholdLevenshtein)
+    // Join(... array_contains(arr, key) ...) -> explode + equi join
+    e.injectOptimizerRule(_ => graft.plans.RewriteArrayContainsJoin)
   }
 }

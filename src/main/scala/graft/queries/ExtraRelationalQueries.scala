@@ -690,6 +690,36 @@ object ExtraRelationalQueries {
         .select(col("p_partkey"), col("price_c"), col("size"))
     }),
 
+    // Array-membership join: orders whose basket (the array of distinct
+    // brands they contain) hits a watchlist — "exposure per watched
+    // brand". This is the hand-written EXPLODE + equi-join shape that
+    // graft.plans.RewriteArrayContainsJoin produces from the
+    // declarative `join(watch, array_contains($"tags", $"brand"))`
+    // spelling (registered queries run without session extensions, so
+    // the scale-correct form is spelled out; ExtensionsStatefulSpec
+    // pins that the declarative form plans to exactly this).
+    //
+    // 100 TB shape: the basket array (bounded by order size) is built
+    // by ONE l_orderkey aggregate and never crosses another wire — the
+    // explode emits narrow (l_orderkey, brand) pairs and the watchlist
+    // (≤ brand vocabulary) broadcasts. The naive array_contains join
+    // is a BroadcastNestedLoopJoin evaluating |orders|·|watch|
+    // conditions; this is O(Σ|basket|) + a broadcast hash probe.
+    "q80_tag_join" -> ((s, d) => {
+      val baskets = Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d)
+          .select(col("p_partkey"), col("p_brand"))),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("l_orderkey"))
+        .agg(collect_set(col("p_brand")).as("tags"))
+      val watch = Tables.part(s, d).filter(col("p_size") === 50)
+        .select(col("p_brand").as("brand")).distinct()
+      baskets
+        .select(col("l_orderkey"), explode(col("tags")).as("brand"))
+        .join(broadcast(watch), Seq("brand"))
+        .groupBy(col("brand")).agg(count(lit(1)).as("n_orders"))
+    }),
+
     // Peak interval concurrency via the sweep line — "max simultaneous
     // sessions/streams/calls", the capacity-planning aggregate. Each
     // event opens a half-open interval [start, start + dur) (duration
@@ -1117,6 +1147,16 @@ object ExtraRelationalQueries {
         |  FROM p)
         |SELECT p_partkey, price_c, size FROM w
         |WHERE (m1 IS NULL OR size > m1) AND size = m2""".stripMargin,
+    "q80_tag_join" ->
+      """WITH baskets AS (
+        |  SELECT l_orderkey, list_distinct(list(p_brand)) AS tags
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  GROUP BY 1),
+        |watch AS (
+        |  SELECT DISTINCT p_brand AS brand FROM part WHERE p_size = 50)
+        |SELECT w.brand, CAST(COUNT(*) AS BIGINT) AS n_orders
+        |FROM baskets b JOIN watch w ON list_contains(b.tags, w.brand)
+        |GROUP BY 1""".stripMargin,
     "q76_interval_coverage" ->
       """WITH iv AS (
         |  SELECT event_id, event_type, epoch_us(ts) AS us,

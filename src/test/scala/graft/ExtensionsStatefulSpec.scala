@@ -514,4 +514,95 @@ class ExtensionsStatefulSpec extends SparkSpec {
       .select($"a", $"b", levenshtein($"a", $"b").as("d"))
     assert(!proj.queryExecution.optimizedPlan.toString.contains(">= 0"))
   }
+
+  test("optimizer rule turns array_contains joins into explode + equi joins") {
+    import org.apache.spark.sql.functions._
+    val prev = spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s2 = try {
+      SparkSession.builder().master("local[4]")
+        .withExtensions(new GraftExtensions)
+        .config("spark.sql.optimizer.excludedRules",
+          "org.apache.spark.sql.catalyst.optimizer.ConvertToLocalRelation")
+        .config("spark.ui.enabled", "false").getOrCreate()
+    } finally {
+      SparkSession.setDefaultSession(prev)
+      SparkSession.setActiveSession(prev)
+    }
+    import s2.implicits._
+    val tagged = Seq(
+      (1L, Seq("a", "b")),
+      (2L, Seq("b", "b", "c")), // duplicate element: must match ONCE
+      (3L, Seq.empty[String]),
+      (4L, null.asInstanceOf[Seq[String]])) // null array: never matches
+      .toDF("id", "tags")
+    val kw = Seq("b", "c", "zz").toDF("kw")
+    def physical(d: org.apache.spark.sql.DataFrame) =
+      d.queryExecution.executedPlan.toString
+
+    // INNER, array on the left: hash join, exact multiplicity
+    val inner = tagged.join(kw, array_contains($"tags", $"kw"))
+    assert(!physical(inner).contains("NestedLoop"), physical(inner).take(600))
+    assert(physical(inner).contains("Generate"), physical(inner).take(600))
+    assert(inner.select($"id", $"kw").as[(Long, String)].collect().sorted
+      .toSeq == Seq((1L, "b"), (2L, "b"), (2L, "c")))
+
+    // INNER, array on the right (sides swapped): same result
+    val innerR = kw.join(tagged, array_contains($"tags", $"kw"))
+    assert(!physical(innerR).contains("NestedLoop"))
+    assert(innerR.select($"id", $"kw").as[(Long, String)].collect().sorted
+      .toSeq == Seq((1L, "b"), (2L, "b"), (2L, "c")))
+
+    // LEFT SEMI, array on the left: one row per qualifying left row,
+    // duplicates of identical left rows preserved (the tag dedup)
+    val dupLeft = tagged.unionAll(Seq((2L, Seq("b", "b", "c")))
+      .toDF("id", "tags"))
+    val semi = dupLeft.join(kw, array_contains($"tags", $"kw"), "left_semi")
+    assert(!physical(semi).contains("NestedLoop"), physical(semi).take(600))
+    assert(semi.select($"id").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 2L, 2L))
+
+    // LEFT SEMI / ANTI, array on the right: explode-only path
+    val keys = Seq("b", "zz").toDF("k")
+    val semiR = keys.join(tagged, array_contains($"tags", $"k"), "left_semi")
+    assert(!physical(semiR).contains("NestedLoop"))
+    assert(semiR.as[String].collect().toSeq == Seq("b"))
+    val antiR = keys.join(tagged, array_contains($"tags", $"k"), "left_anti")
+    assert(!physical(antiR).contains("NestedLoop"))
+    assert(antiR.as[String].collect().toSeq == Seq("zz"))
+
+    // guards: float arrays keep the nested-loop plan (NaN semantics),
+    // and ANTI with the array on the left is not expressible -> untouched
+    val fl = Seq((1L, Seq(1.0, 2.0))).toDF("id", "arr")
+    val fk = Seq(2.0).toDF("k")
+    assert(physical(fl.join(fk, array_contains($"arr", $"k")))
+      .contains("NestedLoop"))
+    assert(physical(tagged.join(kw, array_contains($"tags", $"kw"),
+      "left_anti")).contains("NestedLoop"))
+
+    // residual conjuncts survive: membership AND an inequality
+    val res = tagged.join(kw,
+      array_contains($"tags", $"kw") && $"id" =!= 2L)
+    assert(!physical(res).contains("NestedLoop"))
+    assert(res.select($"id", $"kw").as[(Long, String)].collect().toSeq ==
+      Seq((1L, "b")))
+
+    // the declarative spelling equals the no-extensions session's result
+    // on fixture-shaped data (order baskets vs a brand watchlist)
+    def exposure(s: SparkSession): Set[(String, Long)] = {
+      val li = s.read.parquet(s"$sf0001/lineitem.parquet")
+      val pt = s.read.parquet(s"$sf0001/part.parquet")
+      val baskets = li.join(pt, col("l_partkey") === col("p_partkey"))
+        .groupBy(col("l_orderkey"))
+        .agg(collect_set(col("p_brand")).as("tags"))
+      val watch = pt.filter(col("p_size") === 50)
+        .select(col("p_brand").as("brand")).distinct()
+      baskets.join(watch, array_contains(col("tags"), col("brand")))
+        .groupBy(col("brand")).agg(count(lit(1)).as("n"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    }
+    assert(exposure(s2) == exposure(spark))
+    assert(exposure(s2).nonEmpty)
+  }
 }

@@ -432,6 +432,40 @@ class ExtraRelationalSpec extends SparkSpec {
       s"diff=${out.diff(brute).take(3)} / ${brute.diff(out).take(3)}")
   }
 
+  test("q80_tag_join: planted exposure counts; plan is hash-join + explode, no BNLJ") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-tag").toString
+    // brands A (watched, size 50), B (watched), C (unwatched)
+    Seq((1L, "Brand#A", 50), (2L, "Brand#B", 50), (3L, "Brand#C", 10),
+      (4L, "Brand#A", 10)) // second A part, not size 50 — A still watched
+      .map { case (k, b, sz) => (k, s"p$k", b, "T", sz, 1.0) }
+      .toDF("p_partkey", "p_name", "p_brand", "p_type", "p_size",
+        "p_retailprice")
+      .write.mode("overwrite").parquet(s"$dir/part.parquet")
+    // order 10: {A(x2 via parts 1+4), C}; order 20: {B, C}; order 30: {C}
+    Seq((10L, 1L), (10L, 4L), (10L, 3L), (20L, 2L), (20L, 3L), (30L, 3L))
+      .map { case (o, p) => (o, p, 1L, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", 0L) }
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate")
+      .withColumn("l_shipdate", col("l_shipdate").cast("timestamp"))
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val q = ExtraRelationalQueries.queries("q80_tag_join")(spark, dir)
+    // duplicate parts of one brand in one order count ONCE (the basket
+    // is a set); unwatched C never appears
+    assert(q.as[(String, Long)].collect().toSet ==
+      Set(("Brand#A", 1L), ("Brand#B", 1L)))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop"), plan.take(600))
+    assert(plan.contains("Generate"), plan.take(600))
+
+    // fixture sanity: every watched brand's exposure is bounded by the
+    // number of orders, and at least one watched brand appears
+    val fx = ExtraRelationalQueries.queries("q80_tag_join")(spark, sf001)
+      .as[(String, Long)].collect()
+    val nOrders = Tables.orders(spark, sf001).count()
+    assert(fx.nonEmpty && fx.forall(r => r._2 > 0 && r._2 <= nOrders))
+  }
+
   test("q76_interval_coverage: union length merges overlaps, gross does not") {
     def ev(id: Long, startMin: Long, durMin: Long, typ: String) =
       (id, startMin * 60L * 1000000000L, 1L, typ, (durMin - 1).toDouble, "{}")
