@@ -627,6 +627,51 @@ object DedupQueries {
         .select(col("doc_a"), col("doc_b"), col("dist"))
     }),
 
+    // Sorted-neighborhood dedup (Hernández & Stolfo, SIGMOD 1995 — the
+    // merge/purge method): sort the corpus ONCE by a discriminating key
+    // (the normalized 40-char prefix), then compare each record only to
+    // its w=8 sort neighbors and keep pairs passing the banded
+    // edit-distance verify (same ed ≤ 3 predicate as the passjoin).
+    // The classic third blocking family next to LSH (minhash/simhash)
+    // and prefix filtering (PPJoin/PassJoin): candidates come from
+    // LOCALITY IN A SORT ORDER, trading the passjoin's provable recall
+    // for a single sort + O(w·n) candidates — the cheapest credible
+    // pass, and the standard first stage of multi-pass merge/purge
+    // (additional passes = different keys; DedupSpec pins containment
+    // in the passjoin's exact-recall set).
+    //
+    // 100 TB shape: the global sort is the q54 bucket idiom — a numeric
+    // first-8-chars base-256 key (monotone, non-strict, w.r.t. the
+    // binary string order — clamping multi-byte codepoints to 255 only
+    // COARSENS buckets, never reorders them) shapes balanced buckets,
+    // exact order restored by (key, prefix, doc_id) inside each.
+    // Neighbor pairs are ONE equi-join on rn+offset (w rows exploded per
+    // doc, prefix-width payloads); nothing quadratic, nothing wide.
+    "dedup_snm" -> ((s, d) => {
+      val w = 8; val K = 3; val Pref = 40
+      val docs = Tables.documents(s, d)
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"),
+          lower(substring(col("text"), 1, Pref)).as("pre"))
+      val skey = (0 until 8).map { i =>
+        least(ascii(substring(col("pre"), i + 1, 1)), lit(255))
+          .cast("long") * lit(1L << (8 * (7 - i))) }.reduce(_ + _)
+      val ranked = ExtraRelationalQueries.globalRowNumber(
+        docs.withColumn("__skey", skey), 32, "__skey", firstAsc = true,
+        col("__skey").asc, col("pre").asc, col("doc_id").asc)
+        .select(col("doc_id"), col("pre"), col("global_rn").as("rn"))
+      val probes = ranked
+        .withColumn("off", explode(sequence(lit(1), lit(w))))
+        .select((col("rn") + col("off")).as("rn2"),
+          col("doc_id").as("id_a"), col("pre").as("pre_a"))
+      probes
+        .join(ranked.select(col("rn").as("rn2"),
+          col("doc_id").as("id_b"), col("pre").as("pre_b")), Seq("rn2"))
+        .filter(levenshtein(col("pre_a"), col("pre_b"), K) >= 0)
+        .select(least(col("id_a"), col("id_b")).as("doc_a"),
+          greatest(col("id_a"), col("id_b")).as("doc_b"))
+    }),
+
     // MinHash(64) + LSH(8 bands × 8 rows) candidates, then exact-jaccard
     // verification of candidate docs only. Probabilistic recall (>0.99 at
     // j≥0.9); pinned against dedup_ngram_jaccard in DedupSpec.
@@ -1022,6 +1067,23 @@ object DedupQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    // SNM: the sort key prefix is monotone-encoded in Spark only for
+    // BUCKETING; the authoritative order is (pre, doc_id) — which is
+    // what the oracle sorts by directly (DuckDB's default collation is
+    // the same binary UTF-8 order Spark uses)
+    "dedup_snm" ->
+      """WITH p AS (
+        |  SELECT doc_id, lower(substr(text, 1, 40)) AS pre
+        |  FROM documents WHERE text IS NOT NULL),
+        |r AS (
+        |  SELECT doc_id, pre,
+        |    ROW_NUMBER() OVER (ORDER BY pre, doc_id) AS rn
+        |  FROM p)
+        |SELECT LEAST(a.doc_id, b.doc_id) AS doc_a,
+        |  GREATEST(a.doc_id, b.doc_id) AS doc_b
+        |FROM r a JOIN r b
+        |  ON b.rn - a.rn BETWEEN 1 AND 8
+        | AND levenshtein(a.pre, b.pre) <= 3""".stripMargin,
     // MinHash+LSH is probabilistic in general, but DedupSpec pins its
     // recall == exact n-gram Jaccard on this fixture (64 hashes, 8×8
     // bands, j ≥ 0.8 ⇒ P(miss) < 1e-6), and the final jaccard column is

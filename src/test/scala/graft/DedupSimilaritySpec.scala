@@ -1030,6 +1030,35 @@ class DedupSimilaritySpec extends SparkSpec {
       .filter(col("dist") <= 3).as[(Long, Long, Int)].collect().toSet
   }
 
+  test("dedup_snm: planted sort-adjacent near-dups; fixture pairs within passjoin's exact set") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-snm").toString
+    val base = "the quick brown fox jumps over dog"
+    Seq(
+      (1L, base),
+      (2L, base.replace("quick", "quack")), // ed 1 — sorts adjacent
+      (3L, "zzz completely elsewhere in the sort order"),
+      (4L, base),                           // exact duplicate
+      (5L, base.replace("dog", "cat")))     // ed 3; ed 4 vs doc 2
+      .toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val out = DedupQueries.queries("dedup_snm")(spark, dir)
+      .as[(Long, Long)].collect().toSet
+    assert(out == Set((1L, 2L), (1L, 4L), (1L, 5L), (2L, 4L), (4L, 5L)),
+      s"got $out")
+
+    // fixture: every SNM pair is a true ed<=3 prefix pair (the passjoin
+    // has provable exact recall for the same predicate, so SNM — a
+    // single-pass candidate heuristic — must land inside it), and the
+    // single pass already finds real pairs
+    val snm = DedupQueries.queries("dedup_snm")(spark, sf0001)
+      .as[(Long, Long)].collect().toSet
+    val exact = DedupQueries.queries("dedup_editdist_passjoin")(spark, sf0001)
+      .as[(Long, Long, Int)].collect().map(t => (t._1, t._2)).toSet
+    assert(snm.nonEmpty)
+    assert(snm.subsetOf(exact),
+      s"SNM invented pairs: ${snm.diff(exact).take(5)}")
+  }
+
   test("dedup_editdist_passjoin: planted edit types found; equals brute force") {
     val dir = java.nio.file.Files.createTempDirectory("graft-passjoin").toString
     // short enough that base and its 3-char-inserted variant BOTH fit

@@ -58,7 +58,11 @@ class RobustnessSpec extends SparkSpec {
     "dedup_canonical", "decontam_minhash", "split_leakage_safe",
     // null payload -> no windows (quarantined, not crashed); empty and
     // whitespace payloads sign from their single short window
-    "mm_phash_dedup")
+    "mm_phash_dedup",
+    // round-10b: null text filtered BEFORE the sort key (a null prefix
+    // would trip globalRowNumber's non-null key guard); empty/short
+    // docs sort to the front and pair through the same verify
+    "dedup_snm")
 
   test("text/curation queries run on empty/whitespace/null/single-token docs") {
     textQueries.foreach { name =>
