@@ -541,6 +541,46 @@ object ExtraRelationalQueries {
             .cast("double").as("sum_value"))
     }),
 
+    // LOCF gap fill (forward fill) over the hourly spine: q61's
+    // resample densifies with zeros; this twin carries the LAST
+    // OBSERVED value forward across the gaps and reports staleness
+    // (hours since the last observation) — the standard feature-
+    // engineering treatment of an irregularly-sampled signal before
+    // training, where "no reading this hour" means "unchanged", not
+    // zero. Per (user, hour) the observed value is the hour's latest
+    // event (row_number over us desc, event_id desc — total order, so
+    // deterministic); the fill is last(_, ignoreNulls) over the user's
+    // hour sequence. One user_id exchange feeds the spine aggregate,
+    // the per-hour cut, and the fill window; the spine's first hour is
+    // always observed (lo = min observed hour), so no leading nulls.
+    // The carried double is copied bit-for-bit — no FP arithmetic.
+    // 100 TB shape: windows partition on user_id (millions of keys,
+    // bounded per-user history); nothing global, nothing quadratic.
+    "q81_gap_fill" -> ((s, d) => {
+      val hrUs = 3600000000L // 1 h in micros
+      val ev = Tables.events(s, d).select(col("user_id"),
+        expr(s"unix_micros(ts) div $hrUs").as("hr"),
+        unix_micros(col("ts")).as("us"), col("event_id"), col("value"))
+      val wLast = Window.partitionBy("user_id", "hr")
+        .orderBy(col("us").desc, col("event_id").desc)
+      val perHr = ev.withColumn("rn", row_number().over(wLast))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("hr"), col("value").as("v_obs"))
+      val spine = ev.groupBy("user_id")
+        .agg(min(col("hr")).as("lo"), max(col("hr")).as("hi"))
+        .select(col("user_id"),
+          explode(sequence(col("lo"), col("hi"))).as("hr"))
+      val wFill = Window.partitionBy("user_id").orderBy("hr")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      spine.join(perHr, Seq("user_id", "hr"), "left")
+        .select(col("user_id"), col("hr"),
+          last(col("v_obs"), ignoreNulls = true).over(wFill)
+            .as("v_filled"),
+          (col("hr") - last(when(col("v_obs").isNotNull, col("hr")),
+            ignoreNulls = true).over(wFill)).as("staleness_hr"),
+          when(col("v_obs").isNotNull, 1).otherwise(0).as("is_obs"))
+    }),
+
     // Z-order (Morton) clustering key over (customer, order-date): the
     // data-layout operator for multi-dimensional scan pruning at scale —
     // sorting/partitioning 100 TB of orders by zkey co-locates rows close
@@ -949,6 +989,29 @@ object ExtraRelationalQueries {
         |  CAST(COALESCE(p.sv, 0) AS DOUBLE) AS sum_value
         |FROM s LEFT JOIN p
         |  ON s.user_id = p.user_id AND s.hr = p.hr""".stripMargin,
+    "q81_gap_fill" ->
+      """WITH e AS (SELECT user_id,
+        |    epoch_us(ts) // 3600000000 AS hr,
+        |    epoch_us(ts) AS us, event_id, value FROM events),
+        |p AS (SELECT user_id, hr, value AS v_obs FROM (
+        |    SELECT user_id, hr, value,
+        |      ROW_NUMBER() OVER (PARTITION BY user_id, hr
+        |        ORDER BY us DESC, event_id DESC) AS rn
+        |    FROM e) WHERE rn = 1),
+        |s AS (SELECT user_id, unnest(generate_series(lo, hi)) AS hr
+        |  FROM (SELECT user_id, MIN(hr) AS lo, MAX(hr) AS hi
+        |        FROM e GROUP BY user_id)),
+        |j AS (SELECT s.user_id, s.hr, p.v_obs
+        |  FROM s LEFT JOIN p
+        |    ON s.user_id = p.user_id AND s.hr = p.hr)
+        |SELECT user_id, hr,
+        |  LAST_VALUE(v_obs IGNORE NULLS) OVER w AS v_filled,
+        |  hr - LAST_VALUE(CASE WHEN v_obs IS NOT NULL THEN hr END
+        |    IGNORE NULLS) OVER w AS staleness_hr,
+        |  CASE WHEN v_obs IS NOT NULL THEN 1 ELSE 0 END AS is_obs
+        |FROM j
+        |WINDOW w AS (PARTITION BY user_id ORDER BY hr
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin,
     "q70_mad_outliers" ->
       """WITH o AS (SELECT c_mktsegment AS seg, o_orderkey, o_totalprice AS x
         |  FROM orders JOIN customer ON o_custkey = c_custkey),

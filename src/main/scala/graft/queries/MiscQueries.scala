@@ -157,6 +157,75 @@ object MiscQueries {
       }.reduce(_ unionAll _)
     }),
 
+    // Two-sample Kolmogorov–Smirnov drift statistic: each event_type's
+    // `value` distribution vs the 'view' reference — the train/serve
+    // feature-drift monitor next to stats_corr_matrix's moment pass.
+    // D = max_x |F_ref(x) − F_t(x)| computed EXACTLY: per-(type, value)
+    // counts first (the only event-volume shuffle — everything after
+    // runs on the distinct-value table), a grid that full-outer-unions
+    // each type's support with the reference's, then RUNNING counts via
+    // the q54 two-pass ranged idiom — approx-quantile literal
+    // boundaries shape ~32 value buckets, per-(type, bucket) totals
+    // turn into broadcast cumulative offsets, and the in-bucket window
+    // orders one bucket's distinct values, never a type's whole
+    // distribution on one task. d_bp = ⌊10⁴·max|rc1·n2 − rc2·n1|/
+    // (n1·n2)⌋ is pure long arithmetic (≤ 4e14 at sf1; swap the
+    // products to DECIMAL(38) beyond ~3e4 ref×cmp count products of
+    // long headroom). Values group and order by their exact double
+    // bits — no FP arithmetic anywhere, so the stat is cross-engine
+    // bit-exact.
+    "stats_ks_drift" -> ((s, d) => {
+      val refType = "view"
+      val ev = Tables.events(s, d).select(col("event_type"), col("value"))
+      val pv = ev.groupBy(col("event_type").as("t"), col("value").as("x"))
+        .agg(count(lit(1)).as("c"))
+        .buildCheckpoint() // re-read by the ref slice and the cmp slice
+      val refC = pv.filter(col("t") === refType)
+        .select(col("x"), col("c").as("c1"))
+      val cmp = pv.filter(col("t") =!= refType)
+        .select(col("t"), col("x"), col("c").as("c2"))
+      val types = cmp.select("t").distinct()
+      val grid = broadcast(types).crossJoin(refC)
+        .join(cmp, Seq("t", "x"), "full_outer")
+        .select(col("t"), col("x"),
+          coalesce(col("c1"), lit(0L)).as("c1"),
+          coalesce(col("c2"), lit(0L)).as("c2"))
+      // Boundary literals: one tiny single-column stats job, shared by
+      // every type; quality shapes balance only, never correctness.
+      val bounds = ev.stat.approxQuantile(
+        "value", (1 until 32).map(_ / 32.0).toArray, 0.01).distinct.sorted
+      val bucket = bounds.foldLeft(lit(0)) { (acc, b) =>
+        acc + when(col("x") > lit(b), 1).otherwise(0) }
+      val gb = grid.withColumn("b", bucket)
+        .buildCheckpoint() // re-read by the offsets pass and the scan
+      val wB = Window.partitionBy("t").orderBy("b")
+      val whole = wB.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+      val offs = gb.groupBy("t", "b")
+        .agg(sum(col("c1")).as("b1"), sum(col("c2")).as("b2"))
+        .select(col("t"), col("b"),
+          coalesce(sum(col("b1")).over(
+            wB.rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
+            .as("off1"),
+          coalesce(sum(col("b2")).over(
+            wB.rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
+            .as("off2"),
+          sum(col("b1")).over(whole).as("n1"),
+          sum(col("b2")).over(whole).as("n2"))
+      val wIn = Window.partitionBy("t", "b").orderBy("x")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      gb.join(broadcast(offs), Seq("t", "b"))
+        .select(col("t"), col("n1"), col("n2"),
+          (col("off1") + sum(col("c1")).over(wIn)).as("rc1"),
+          (col("off2") + sum(col("c2")).over(wIn)).as("rc2"))
+        .groupBy(col("t"))
+        .agg(max(abs(col("rc1") * col("n2") - col("rc2") * col("n1")))
+          .as("dmax"),
+          max(col("n1")).as("n_ref"), max(col("n2")).as("n_cmp"))
+        .select(col("t").as("event_type"), col("n_ref"), col("n_cmp"),
+          expr("10000L * dmax DIV (n_ref * n_cmp)").as("d_bp"))
+    }),
+
     // Frequent-itemset mining, Apriori (Agrawal & Srikant, VLDB 1994):
     // baskets = orders, items = the part BRANDS they contain (the
     // co-purchase granularity where supports are dense). Levels are the
@@ -681,6 +750,30 @@ object MiscQueries {
   val oracles: Map[String, String] = Map(
     "stats_table_profile" -> tableProfileOracle,
     "stats_corr_matrix" -> corrMatrixOracle,
+    "stats_ks_drift" ->
+      """WITH pv AS (SELECT event_type AS t, value AS v, COUNT(*) AS c
+        |            FROM events GROUP BY 1, 2),
+        |r AS (SELECT v, c AS c1 FROM pv WHERE t = 'view'),
+        |ty AS (SELECT DISTINCT t FROM pv WHERE t <> 'view'),
+        |g1 AS (SELECT ty.t, r.v, r.c1 FROM ty CROSS JOIN r),
+        |cm AS (SELECT t, v, c AS c2 FROM pv WHERE t <> 'view'),
+        |grid AS (
+        |  SELECT COALESCE(g1.t, cm.t) AS t, COALESCE(g1.v, cm.v) AS v,
+        |         COALESCE(g1.c1, 0) AS c1, COALESCE(cm.c2, 0) AS c2
+        |  FROM g1 FULL OUTER JOIN cm ON g1.t = cm.t AND g1.v = cm.v),
+        |cum AS (
+        |  SELECT t,
+        |    SUM(c1) OVER (PARTITION BY t ORDER BY v) AS rc1,
+        |    SUM(c2) OVER (PARTITION BY t ORDER BY v) AS rc2,
+        |    SUM(c1) OVER (PARTITION BY t) AS n1,
+        |    SUM(c2) OVER (PARTITION BY t) AS n2
+        |  FROM grid)
+        |SELECT t AS event_type,
+        |       CAST(MAX(n1) AS BIGINT) AS n_ref,
+        |       CAST(MAX(n2) AS BIGINT) AS n_cmp,
+        |       CAST(10000 * MAX(ABS(rc1 * n2 - rc2 * n1))
+        |         // (MAX(n1) * MAX(n2)) AS BIGINT) AS d_bp
+        |FROM cum GROUP BY t""".stripMargin,
     "q79_apriori" ->
       """WITH b AS (
         |  SELECT DISTINCT l_orderkey AS oid, p_brand AS item

@@ -400,6 +400,57 @@ class ExtraRelationalSpec extends SparkSpec {
       s"bounce/blind_buy degenerate: ${fx._5}/${fx._4}")
   }
 
+  test("q81_gap_fill: planted LOCF exact; fixture replays bit-for-bit") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-locf").toString
+    val h = 3600L * 1000000000L // 1 h in nanos
+    // user 1: two same-ts events in hour 0 (event_id tie-break picks
+    // v=2.0), a gap at hour 1, an observation at hour 2; user 2: one
+    // observation only
+    Seq((1L, 0L, 1L, "view", 1.0, "{}"), (2L, 0L, 1L, "view", 2.0, "{}"),
+      (3L, 2 * h, 1L, "click", 5.0, "{}"),
+      (4L, 5 * h, 2L, "view", 7.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val planted = ExtraRelationalQueries.queries("q81_gap_fill")(spark, dir)
+      .as[(Long, Long, Double, Long, Int)].collect().toSet
+    assert(planted == Set((1L, 0L, 2.0, 0L, 1), (1L, 1L, 2.0, 1L, 0),
+      (1L, 2L, 5.0, 0L, 1), (2L, 5L, 7.0, 0L, 1)), s"got $planted")
+
+    // fixture: same spine as q61; never-null fill; staleness 0 iff
+    // observed; and a plain-Scala LOCF replay over a user subsample
+    // agrees bit-for-bit
+    val out = ExtraRelationalQueries.queries("q81_gap_fill")(spark, sf001)
+    assert(out.count() ==
+      ExtraRelationalQueries.queries("q61_resample")(spark, sf001).count())
+    assert(out.filter(col("v_filled").isNull).count() == 0)
+    assert(out.filter((col("staleness_hr") === 0) =!= (col("is_obs") === 1))
+      .count() == 0)
+    val sub = out.filter(col("user_id") % 97 === 0)
+      .as[(Long, Long, Double, Long, Int)].collect()
+      .groupBy(_._1).values
+    val hrUs = 3600000000L
+    val obs = Tables.events(spark, sf001)
+      .filter(col("user_id") % 97 === 0)
+      .select(col("user_id"), expr(s"unix_micros(ts) div $hrUs").as("hr"),
+        unix_micros(col("ts")).as("us"), col("event_id"), col("value"))
+      .as[(Long, Long, Long, Long, Double)].collect()
+      .groupBy(r => (r._1, r._2)).map { case (k, vs) =>
+        k -> vs.maxBy(r => (r._3, r._4))._5 }
+    sub.foreach { rows =>
+      var lastV = Double.NaN; var lastHr = -1L
+      rows.sortBy(_._2).foreach { case (u, hr, vf, st, io) =>
+        obs.get((u, hr)) match {
+          case Some(v) =>
+            lastV = v; lastHr = hr
+            assert(io == 1 && st == 0L && vf == v, s"obs row ($u,$hr)")
+          case None =>
+            assert(io == 0 && vf == lastV && st == hr - lastHr,
+              s"gap row ($u,$hr): $vf/$st vs $lastV/${hr - lastHr}")
+        }
+      }
+    }
+  }
+
   test("q78_skyline: planted frontier exact; fixture matches brute-force dominance") {
     val dir = java.nio.file.Files.createTempDirectory("graft-sky").toString
     Seq((1L, 10.00, 5), (2L, 10.00, 5), (3L, 10.00, 4), (4L, 20.00, 7),

@@ -254,6 +254,48 @@ class MiscSpec extends SparkSpec {
     }
   }
 
+  test("stats_ks_drift: planted D exact; fixture matches BigInt brute force") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ks").toString
+    val m = 60L * 1000000000L // 1 min in nanos
+    // view = {1,2,3,4}; click = {3,4,5,6} -> D = 1/2; signup = view -> D = 0
+    val rows = Seq(1.0, 2.0, 3.0, 4.0).map(("view", _)) ++
+      Seq(3.0, 4.0, 5.0, 6.0).map(("click", _)) ++
+      Seq(1.0, 2.0, 3.0, 4.0).map(("signup", _))
+    rows.zipWithIndex.map { case ((t, v), i) =>
+      (i.toLong, i * m, 1L, t, v, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val planted = MiscQueries.queries("stats_ks_drift")(spark, dir)
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(planted == Map("click" -> ((4L, 4L, 5000L)),
+      "signup" -> ((4L, 4L, 0L))), s"got $planted")
+
+    // fixture: exact replay in BigInt over the collected sf0.001 values
+    val ev = Tables.events(spark, sf0001)
+      .select(col("event_type"), col("value"))
+      .as[(String, Double)].collect()
+    val byType = ev.groupBy(_._1).map { case (t, vs) =>
+      t -> vs.map(_._2).sorted }
+    val ref = byType("view")
+    def ks(cmp: Array[Double]): (Long, Long, Long) = {
+      val n1 = BigInt(ref.length); val n2 = BigInt(cmp.length)
+      val xs = (ref ++ cmp).distinct.sorted
+      val d = xs.map { x =>
+        val c1 = BigInt(ref.count(_ <= x)); val c2 = BigInt(cmp.count(_ <= x))
+        (c1 * n2 - c2 * n1).abs }.max
+      (n1.toLong, n2.toLong, (BigInt(10000) * d / (n1 * n2)).toLong)
+    }
+    val out = MiscQueries.queries("stats_ks_drift")(spark, sf0001)
+      .as[(String, Long, Long, Long)].collect()
+    assert(out.length == byType.size - 1)
+    out.foreach { case (t, n1, n2, bp) =>
+      val (en1, en2, ebp) = ks(byType(t))
+      assert((n1, n2, bp) == ((en1, en2, ebp)), s"$t: got ($n1,$n2,$bp)")
+      assert(bp >= 0 && bp <= 10000)
+    }
+  }
+
   test("graph_triangles: planted triangle found once; matches a brute-force Scala count") {
     val dir = java.nio.file.Files.createTempDirectory("graft-tri").toString
     // order 1 buys parts {1,2,3} -> triangle; order 2 repeats edge (1,2);
