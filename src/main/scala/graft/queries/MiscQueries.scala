@@ -190,10 +190,12 @@ object MiscQueries {
         .select(col("t"), col("x"),
           coalesce(col("c1"), lit(0L)).as("c1"),
           coalesce(col("c2"), lit(0L)).as("c2"))
-      // Boundary literals: one tiny single-column stats job, shared by
-      // every type; quality shapes balance only, never correctness.
-      val bounds = ev.stat.approxQuantile(
-        "value", (1 until 32).map(_ / 32.0).toArray, 0.01).distinct.sorted
+      // Boundary literals: one tiny single-column stats job over the
+      // CHECKPOINTED distinct-value table (not a second raw-events
+      // scan); unweighted distinct-value quantiles shape balance only,
+      // never correctness.
+      val bounds = pv.stat.approxQuantile(
+        "x", (1 until 32).map(_ / 32.0).toArray, 0.01).distinct.sorted
       val bucket = bounds.foldLeft(lit(0)) { (acc, b) =>
         acc + when(col("x") > lit(b), 1).otherwise(0) }
       val gb = grid.withColumn("b", bucket)
