@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.VectorFunctions._
+import graft.operators.Checkpoint.CheckpointOps
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -339,6 +340,55 @@ object SimilarityQueries {
     // Approximate (IVF probes miss cells) ⇒ rows-only; per-query recall
     // vs brute force + coverage pinned in DedupSimilaritySpec.
     "sim_ann_batch" -> ((s, d) => annBatch(s, d, nProbe = 4)),
+
+    // ANN quality evaluation — recall@10 and reciprocal rank of the
+    // batched IVF path against the exact ground truth, per query: the
+    // measurement a pipeline MUST run before trusting any approximate
+    // index (the spec-pinned recall curves sample a few probes; this is
+    // the full-query-set audit as a first-class operator). Ground truth
+    // is the brute-force top-10 ordered by ROUNDED cosine (6 dp) with
+    // id tie-breaks — the one ordering that is cross-engine stable by
+    // construction (sim_topk_bruteforce's rule), so the eval integers
+    // are hash-exact even though they compare two ranked lists.
+    // n_hits = |ANN ∩ GT| (0–10); rr_bp = ⌊10⁴/rank of GT's best hit
+    // in the ANN list⌋, 0 when missed.
+    //
+    // 100 TB shape: the ANN side is the registered serving path; the
+    // GT side is deliberately brute force — an eval runs over a query
+    // SAMPLE (here the full label-0 set, the fixture's stand-in), and
+    // its per-query cost is one broadcast of the sample against a
+    // corpus scan, the dedup_embedding-style exact pass scoped to
+    // |sample| ≪ |corpus|. Both top-10 cuts compile to
+    // WindowGroupLimit bounded heaps; only (qid, id, rank) integers
+    // ever shuffle.
+    "eval_ann_recall" -> ((s, d) => {
+      val k = 10
+      val ann = annBatch(s, d, nProbe = 4)
+      val e = rawVecs(s, d)
+      val qset = Tables.embeddings(s, d).filter(col("label") === 0)
+        .select(col("vec_id").as("qid"),
+          col("embedding").cast("array<double>").as("q_v"))
+      val wq = Window.partitionBy("qid")
+        .orderBy(col("cos_r").desc, col("vec_id").asc)
+      val gt = e.join(broadcast(qset), col("vec_id") =!= col("qid"))
+        .select(col("qid"),
+          round(cosine(col("v"), col("q_v")), 6).as("cos_r"), col("vec_id"))
+        .withColumn("grank", row_number().over(wq))
+        .filter(col("grank") <= k)
+        .select(col("qid"), col("vec_id").as("nn_id"), col("grank"))
+        .buildCheckpoint() // re-read by the hit count and the MRR probe
+      val hits = ann.join(gt, Seq("qid", "nn_id"))
+        .groupBy("qid").agg(count(lit(1)).as("h"))
+      val rr = gt.filter(col("grank") === 1)
+        .join(ann, Seq("qid", "nn_id"))
+        .select(col("qid"),
+          expr("CAST(10000 DIV rank AS BIGINT)").as("r"))
+      qset.select("qid")
+        .join(hits, Seq("qid"), "left")
+        .join(rr, Seq("qid"), "left")
+        .select(col("qid"), coalesce(col("h"), lit(0L)).as("n_hits"),
+          coalesce(col("r"), lit(0L)).as("rr_bp"))
+    }),
 
     // int8 quantization — vector preprocessing for storage/ANN at scale.
     "sim_quantize_int8" -> quantizeQuery,
@@ -977,7 +1027,9 @@ object SimilarityQueries {
     * safe because adjacent distinct candidate cosines per query are
     * pinned ≫ ULP apart (exact bitwise ties — duplicate vectors — order
     * by id identically in both engines). */
-  private def batchOracle: String =
+  /** The batched-IVF CTE chain up to the per-query top-10 (`topk`) —
+    * shared by [[batchOracle]] and the eval_ann_recall oracle. */
+  private def batchChainSql: String =
     s"""$ivfChainSql,
        |qs AS (SELECT vec_id AS qid, v AS q_v FROM e WHERE label = 0),
        |pr AS (SELECT qid, q_v, cell FROM (
@@ -994,9 +1046,36 @@ object SimilarityQueries {
        |          SELECT qid, vec_id, cos_raw,
        |            row_number() OVER (PARTITION BY qid
        |              ORDER BY cos_raw DESC, vec_id ASC) AS rn
-       |          FROM cand) WHERE rn <= 10)
+       |          FROM cand) WHERE rn <= 10)""".stripMargin
+
+  private def batchOracle: String =
+    s"""$batchChainSql
        |SELECT qs.qid, topk.rank, topk.nn_id, topk.cos
        |FROM qs LEFT JOIN topk USING (qid)""".stripMargin
+
+  /** DuckDB oracle for eval_ann_recall: the same batched-IVF chain as
+    * [[batchOracle]] plus a brute-force ground truth ordered by ROUNDED
+    * cosine / id (the cross-engine-stable rule — see the query's
+    * comment); outputs are pure integers over ID-set joins. */
+  private def evalRecallOracle: String =
+    s"""$batchChainSql,
+       |gts AS (SELECT qs.qid, e2.vec_id,
+       |          ROUND(list_dot_product(e2.v, qs.q_v) /
+       |            sqrt(list_dot_product(e2.v, e2.v) * list_dot_product(qs.q_v, qs.q_v)),
+       |            6) AS cos_r
+       |        FROM qs, e e2 WHERE e2.vec_id <> qs.qid),
+       |gt AS (SELECT qid, vec_id AS nn_id, rn AS grank FROM (
+       |        SELECT qid, vec_id, cos_r,
+       |          row_number() OVER (PARTITION BY qid
+       |            ORDER BY cos_r DESC, vec_id ASC) AS rn
+       |        FROM gts) WHERE rn <= 10),
+       |h AS (SELECT qid, COUNT(*) AS n_hits
+       |      FROM topk JOIN gt USING (qid, nn_id) GROUP BY qid),
+       |r AS (SELECT gt.qid, CAST(10000 // topk.rank AS BIGINT) AS rr_bp
+       |      FROM gt JOIN topk USING (qid, nn_id) WHERE gt.grank = 1)
+       |SELECT qs.qid, CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+       |       CAST(COALESCE(r.rr_bp, 0) AS BIGINT) AS rr_bp
+       |FROM qs LEFT JOIN h USING (qid) LEFT JOIN r USING (qid)""".stripMargin
 
   /** DuckDB oracle for sim_knn_banded — deterministic despite being
     * approximate as NN: band = floor(dot(v, w0)/W) with the unit
@@ -1190,6 +1269,7 @@ object SimilarityQueries {
     "sim_ann_ivf" -> ivfOracle,
     "sim_ann_ivf_indexed" -> ivfOracle,
     "sim_ann_batch" -> batchOracle,
+    "eval_ann_recall" -> evalRecallOracle,
     // the CASE mirrors the native expression's deliberate NULL semantics
     // (null element or all-zero vector -> NULL q8) so the oracle stays
     // exact even if a degenerate vector ever enters a fixture

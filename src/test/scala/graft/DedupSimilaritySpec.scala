@@ -290,6 +290,47 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(cells.length > 1)
   }
 
+  test("eval_ann_recall: plain-Scala replay agrees exactly; aggregate recall sane") {
+    val ann = SimilarityQueries.queries("sim_ann_batch")(spark, sf001)
+      .filter(col("nn_id").isNotNull)
+      .select("qid", "rank", "nn_id").as[(Long, Int, Long)].collect()
+      .groupBy(_._1).map { case (q, rs) =>
+        q -> rs.map(r => r._3 -> r._2).toMap } // nn_id -> rank
+    val vecs = Tables.embeddings(spark, sf001)
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("v"))
+      .as[(Long, Int, Seq[Double])].collect()
+    def cosR(a: Seq[Double], b: Seq[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      val na = math.sqrt(a.map(x => x * x).sum)
+      val nb = math.sqrt(b.map(x => x * x).sum)
+      BigDecimal(d / (na * nb))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val queries = vecs.filter(_._2 == 0)
+    val expected = queries.map { case (qid, _, qv) =>
+      val gt = vecs.filter(_._1 != qid)
+        .map { case (cid, _, cv) => (cid, cosR(cv, qv)) }
+        .sortBy { case (cid, c) => (-c, cid) }.take(10).map(_._1)
+      val ranks = ann.getOrElse(qid, Map.empty)
+      val hits = gt.count(ranks.contains)
+      val rr = ranks.get(gt.head).map(10000L / _).getOrElse(0L)
+      qid -> ((hits.toLong, rr))
+    }.toMap
+    val out = SimilarityQueries.queries("eval_ann_recall")(spark, sf001)
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out.keySet == expected.keySet)
+    out.foreach { case (q, got) =>
+      assert(got == expected(q), s"q=$q: $got vs ${expected(q)}") }
+    // aggregate sanity: 4/16 probed cells on the diffuse fixture — the
+    // same floor the single-probe ivf pin uses
+    val meanRecall = out.values.map(_._1).sum.toDouble / (10.0 * out.size)
+    assert(meanRecall >= 0.3, s"mean recall $meanRecall")
+    assert(out.values.forall { case (h, rr) =>
+      h >= 0 && h <= 10 && (rr == 0 || (rr >= 1000 && rr <= 10000)) })
+  }
+
   test("persisted ivf index: equal to in-memory ivf, only probed cell partitions scanned") {
     val mem = SimilarityQueries.queries("sim_ann_ivf")(spark, sf001)
       .as[(Long, Double)].collect().toSeq
