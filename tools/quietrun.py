@@ -1,0 +1,80 @@
+#!/usr/bin/env python3
+"""Calm-window bench launcher.
+
+The round-10 afternoon box shows sporadic multi-minute contention
+windows (ambient lf 1.1-1.25, occasionally steal > 2%) that unqualify
+otherwise-clean records. This watcher self-anchors a 1-thread CPU
+probe (min over the session = quiet floor), waits until two
+consecutive probes sit within TOL of the floor with zero hypervisor
+steal, then fires one full graft.Bench run and qualifies it with
+benchcheck. First QUALIFIED record wins and is copied to the target
+path; unqualified attempts leave the watcher looping until the
+attempt/time budget runs out.
+
+Usage: python3 tools/quietrun.py <sfDir> <outRecord> [maxMinutes]
+"""
+import json
+import os
+import subprocess
+import sys
+import time
+
+SPIN_N = 6_000_000
+TOL = 1.06
+PROBE_SLEEP = 45
+
+
+def spin() -> float:
+    t0 = time.perf_counter()
+    acc = 0
+    for i in range(SPIN_N):
+        acc = (acc * 1099511628211 + i) & ((1 << 64) - 1)
+    return time.perf_counter() - t0
+
+
+def steal_ticks() -> int:
+    with open("/proc/stat") as f:
+        return int(f.readline().split()[6])
+
+
+def main() -> int:
+    sf_dir, out_record = sys.argv[1], sys.argv[2]
+    budget_s = float(sys.argv[3]) * 60 if len(sys.argv) > 3 else 3000
+    t_start = time.time()
+    floor = min(spin() for _ in range(3))
+    calm_streak = 0
+    attempt = 0
+    while time.time() - t_start < budget_s:
+        s0 = steal_ticks()
+        p = spin()
+        stole = steal_ticks() - s0
+        floor = min(floor, p)
+        calm = p <= floor * TOL and stole == 0
+        calm_streak = calm_streak + 1 if calm else 0
+        print(f"probe {p:.3f}s floor {floor:.3f} steal {stole} "
+              f"streak {calm_streak}", flush=True)
+        if calm_streak >= 2:
+            attempt += 1
+            print(f"attempt {attempt}: launching bench", flush=True)
+            tmp = f"/tmp/quietrun_attempt{attempt}.json"
+            env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir,
+                       SPARK_GRAFT_BENCH_OUT=tmp)
+            subprocess.run(["tools/run.sh", "graft.Bench"], env=env,
+                           stdout=subprocess.DEVNULL,
+                           stderr=subprocess.DEVNULL, check=False)
+            rc = subprocess.run(
+                [sys.executable, "tools/benchcheck.py", tmp]).returncode
+            if rc == 0:
+                with open(tmp) as f, open(out_record, "w") as g:
+                    g.write(f.read())
+                print(f"QUALIFIED on attempt {attempt} -> {out_record}",
+                      flush=True)
+                return 0
+            calm_streak = 0
+        time.sleep(PROBE_SLEEP)
+    print("budget exhausted without a qualified record", flush=True)
+    return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
