@@ -415,6 +415,57 @@ object MiscQueries {
         .groupBy("node").agg(count(lit(1)).as("n_triangles"))
     }),
 
+    // Link prediction by common-neighbor / Jaccard scoring over the
+    // same co-purchase graph as graph_triangles — the feature behind
+    // "customers also bought" candidate generation and graph-based
+    // negative mining. For every NON-edge (u,v) sharing ≥ 1 neighbor:
+    // cn = |N(u) ∩ N(v)| counted through wedge centers of degree ≤ 64
+    // (the stopword-hub guard: a hub center certifies nothing about
+    // its spokes and alone contributes O(deg²) wedges — the same
+    // min-support move as q79's apriori threshold; degrees in the
+    // Jaccard stay TRUE degrees), jac_bp = ⌊10⁴·cn/(du+dv−cn)⌋ exact
+    // integer arithmetic. Top-100 by (jac_bp, cn, u, v) — a unique
+    // total order, so the LIMIT boundary is deterministic cross-engine.
+    //
+    // 100 TB shape: wedge fan-out is capped at 64²/2 per center by the
+    // hub guard (without it one celebrity node emits |corpus|² pairs);
+    // the candidate table shrinks to true co-neighbor pairs; degrees
+    // are vocabulary-sized broadcasts; the only big shuffles key on
+    // (u,v) longs.
+    "graph_linkpred" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .join(Tables.part(s, d).filter(col("p_size") <= 5)
+          .select(col("p_partkey")), col("pk") === col("p_partkey"))
+        .select("ok", "pk").distinct()
+      val e = li.as("a").join(li.as("b"),
+          expr("a.ok = b.ok AND a.pk < b.pk"))
+        .select(col("a.pk").as("pu"), col("b.pk").as("pv")).distinct()
+        .buildCheckpoint() // re-read by adjacency, anti-join
+      val adj = e.select(col("pu").as("ctr"), col("pv").as("nb"))
+        .unionAll(e.select(col("pv").as("ctr"), col("pu").as("nb")))
+      val deg = adj.groupBy("ctr").agg(count(lit(1)).as("deg"))
+        .buildCheckpoint() // ≤ |parts| rows; re-read 3×
+      val sm = adj.join(broadcast(deg.filter(col("deg") <= 64)), Seq("ctr"))
+        .select("ctr", "nb")
+      val cn = sm.as("x").join(sm.as("y"),
+          expr("x.ctr = y.ctr AND x.nb < y.nb"))
+        .select(col("x.nb").as("u"), col("y.nb").as("v"))
+        .groupBy("u", "v").agg(count(lit(1)).as("cn"))
+      cn.join(e, col("u") === col("pu") && col("v") === col("pv"),
+          "left_anti")
+        .join(broadcast(deg.select(col("ctr").as("u"),
+          col("deg").as("du"))), Seq("u"))
+        .join(broadcast(deg.select(col("ctr").as("v"),
+          col("deg").as("dv"))), Seq("v"))
+        .select(col("u"), col("v"), col("cn"),
+          expr("CAST(10000 * cn DIV (du + dv - cn) AS BIGINT)")
+            .as("jac_bp"))
+        .orderBy(col("jac_bp").desc, col("cn").desc,
+          col("u").asc, col("v").asc)
+        .limit(100)
+    }),
+
     // Banded range join: ordered event pairs of the same user within
     // 5 minutes. Spark-first shape: two equi-joins on (user, 5-min
     // bucket) and (user, bucket+1) — never an O(n²) theta join; work is
@@ -776,6 +827,29 @@ object MiscQueries {
         |       CAST(10000 * MAX(ABS(rc1 * n2 - rc2 * n1))
         |         // (MAX(n1) * MAX(n2)) AS BIGINT) AS d_bp
         |FROM cum GROUP BY t""".stripMargin,
+    "graph_linkpred" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_size <= 5),
+        |e AS (SELECT DISTINCT a.pk AS pu, b.pk AS pv
+        |      FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+        |adj AS (SELECT pu AS ctr, pv AS nb FROM e
+        |        UNION ALL SELECT pv, pu FROM e),
+        |deg AS (SELECT ctr, COUNT(*) AS deg FROM adj GROUP BY ctr),
+        |sm AS (SELECT adj.ctr, adj.nb FROM adj JOIN deg USING (ctr)
+        |       WHERE deg.deg <= 64),
+        |cn AS (SELECT x.nb AS u, y.nb AS v, COUNT(*) AS cn
+        |       FROM sm x JOIN sm y ON x.ctr = y.ctr AND x.nb < y.nb
+        |       GROUP BY 1, 2),
+        |ne AS (SELECT cn.u, cn.v, cn.cn FROM cn LEFT JOIN e
+        |       ON cn.u = e.pu AND cn.v = e.pv WHERE e.pu IS NULL)
+        |SELECT ne.u, ne.v, CAST(ne.cn AS BIGINT) AS cn,
+        |  CAST(10000 * ne.cn // (du.deg + dv.deg - ne.cn) AS BIGINT)
+        |    AS jac_bp
+        |FROM ne JOIN deg du ON ne.u = du.ctr
+        |        JOIN deg dv ON ne.v = dv.ctr
+        |ORDER BY jac_bp DESC, ne.cn DESC, ne.u ASC, ne.v ASC
+        |LIMIT 100""".stripMargin,
     "q79_apriori" ->
       """WITH b AS (
         |  SELECT DISTINCT l_orderkey AS oid, p_brand AS item

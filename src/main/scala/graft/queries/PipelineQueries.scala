@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.TextFunctions._
+import graft.operators.Checkpoint.CheckpointOps
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -168,6 +169,46 @@ object PipelineQueries {
         .withColumn("rn", row_number().over(w).cast("int"))
         .filter(col("rn") <= 5)
         .select(col("doc_id"), col("source"), col("rn"))
+    }),
+
+    // Class-balanced downsampling: every language keeps exactly
+    // n_min = |smallest class| docs — the majority-class downsample
+    // before training on skewed data. Kept docs per class are the
+    // n_min smallest md5 ranks (deterministic, replay-stable). Unlike
+    // sample_stratified's fixed tiny k (a bounded WindowGroupLimit
+    // heap), n_min is a large FRACTION of the table, so the per-class
+    // rank uses the q54 two-pass ranged idiom keyed by the hash
+    // itself: md5 is uniform by construction, so the first hex byte is
+    // a 256-way equal-mass bucketing with LITERAL boundaries — no
+    // stats job, no single-reducer class sort, no n_min-sized heap.
+    // Bucket counts give the offsets, per-class totals, AND n_min from
+    // ONE tiny aggregate (≤ 256·|langs| rows, broadcast back); the
+    // in-bucket window ranks ~n/256 rows. Hex-prefix order == hkey
+    // string order (fixed 32-char lowercase hex), so bucket-major +
+    // in-bucket rank is the true per-class hash rank.
+    "sample_balanced" -> ((s, d) => {
+      val h = md5(col("doc_id").cast("string").cast("binary"))
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), h.as("hkey"))
+        .withColumn("b",
+          conv(substring(col("hkey"), 1, 2), 16, 10).cast("int"))
+        .buildCheckpoint() // re-read by the bucket-count and rank passes
+      val bc = docs.groupBy("lang", "b").agg(count(lit(1)).as("c"))
+        .buildCheckpoint() // tiny; re-read by offsets and n_min
+      val wB = Window.partitionBy("lang").orderBy("b")
+      val offs = bc.select(col("lang"), col("b"),
+        coalesce(sum(col("c")).over(
+          wB.rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
+          .as("off"))
+      val nmin = bc.groupBy("lang").agg(sum(col("c")).as("n"))
+        .agg(min(col("n")).as("n_min"))
+      val wIn = Window.partitionBy("lang", "b")
+        .orderBy(col("hkey").asc, col("doc_id").asc)
+      docs.join(broadcast(offs), Seq("lang", "b"))
+        .withColumn("rn", col("off") + row_number().over(wIn))
+        .crossJoin(broadcast(nmin))
+        .filter(col("rn") <= col("n_min"))
+        .select(col("doc_id"), col("lang"), col("rn"))
     }),
 
     // WEIGHTED sampling without replacement, per source (Efraimidis &
@@ -344,6 +385,16 @@ object PipelineQueries {
         |       ORDER BY hkey ASC, doc_id ASC) AS INTEGER) AS rn
         |  FROM h)
         |SELECT doc_id, source, rn FROM r WHERE rn <= 5""".stripMargin,
+    "sample_balanced" ->
+      """WITH h AS (SELECT doc_id, lang,
+        |  md5(CAST(doc_id AS VARCHAR)) AS hkey FROM documents),
+        |n AS (SELECT MIN(c) AS n_min FROM
+        |  (SELECT COUNT(*) AS c FROM h GROUP BY lang)),
+        |r AS (SELECT doc_id, lang,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY lang
+        |       ORDER BY hkey ASC, doc_id ASC) AS BIGINT) AS rn
+        |  FROM h)
+        |SELECT doc_id, lang, rn FROM r, n WHERE rn <= n.n_min""".stripMargin,
     // exponential-race keys recomputed with DuckDB's ln — safe because
     // every rank decision is margin-pinned ≫ ULP wobble (PipelineSpec)
     "sample_weighted" ->

@@ -254,6 +254,61 @@ class MiscSpec extends SparkSpec {
     }
   }
 
+  test("graph_linkpred: planted scores exact; hub guard fires; fixture replays") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-lp").toString
+    // path 1-2-3 plus 1-4-3: non-edges (1,3) cn=2 via centers {2,4} and
+    // (2,4) cn=2 via {1,3}; all degrees 2 -> jac = 2/(2+2-2) = 10000.
+    // Hub: center 90 with 70 spokes (deg 70 > 64) — spoke pairs get NO
+    // common-neighbor credit through it.
+    val base = Seq((101L, 1L), (101L, 2L), (102L, 2L), (102L, 3L),
+      (103L, 1L), (103L, 4L), (104L, 4L), (104L, 3L))
+    val hub = (1 to 70).flatMap { i =>
+      Seq((200L + i, 90L), (200L + i, 1000L + i)) }
+    (base ++ hub).toDF("l_orderkey", "l_partkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    (Seq(1L, 2L, 3L, 4L, 90L) ++ (1001L to 1070L)).map(k => (k, 1))
+      .toDF("p_partkey", "p_size")
+      .write.mode("overwrite").parquet(s"$dir/part.parquet")
+    val planted = MiscQueries.queries("graph_linkpred")(spark, dir)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(planted == Set((1L, 3L, 2L, 10000L), (2L, 4L, 2L, 10000L)),
+      s"got $planted")
+
+    // fixture: exact plain-Scala replay of the full pipeline at sf0.001
+    val edges = Tables.lineitem(spark, sf0001)
+      .select(col("l_orderkey"), col("l_partkey"))
+      .join(Tables.part(spark, sf0001).filter(col("p_size") <= 5)
+        .select(col("p_partkey")), col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .as[(Long, Long)].collect().distinct
+      .groupBy(_._1).values.flatMap { g =>
+        val ps = g.map(_._2).distinct.sorted
+        for (i <- ps.indices; j <- i + 1 until ps.length)
+          yield (ps(i), ps(j))
+      }.toSet
+    val deg = edges.toSeq.flatMap { case (u, v) => Seq(u, v) }
+      .groupBy(identity).map { case (n, xs) => n -> xs.size.toLong }
+    val nbrs = edges.toSeq.flatMap { case (u, v) => Seq(u -> v, v -> u) }
+      .groupBy(_._1).map { case (n, xs) => n -> xs.map(_._2).toSet }
+    val cn = scala.collection.mutable.Map.empty[(Long, Long), Long]
+    nbrs.foreach { case (ctr, ns) =>
+      if (deg(ctr) <= 64) {
+        val sorted = ns.toSeq.sorted
+        for (i <- sorted.indices; j <- i + 1 until sorted.length) {
+          val k = (sorted(i), sorted(j))
+          if (!edges.contains(k)) cn(k) = cn.getOrElse(k, 0L) + 1
+        }
+      }
+    }
+    val expected = cn.toSeq.map { case ((u, v), c) =>
+      (u, v, c, 10000L * c / (deg(u) + deg(v) - c)) }
+      .sortBy { case (u, v, c, j) => (-j, -c, u, v) }.take(100).toSet
+    val out = MiscQueries.queries("graph_linkpred")(spark, sf0001)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(out == expected,
+      s"diff=${out.diff(expected).take(3)} / ${expected.diff(out).take(3)}")
+  }
+
   test("stats_ks_drift: planted D exact; fixture matches BigInt brute force") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ks").toString
     val m = 60L * 1000000000L // 1 min in nanos

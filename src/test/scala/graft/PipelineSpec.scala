@@ -82,6 +82,41 @@ class PipelineSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("sample_balanced: planted classes equalized to n_min by exact md5 rank") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-bal").toString
+    // A: 2 docs, B: 3, C: 5 -> n_min = 2, every class keeps exactly 2
+    val rows = (1L to 2L).map((_, "A")) ++ (3L to 5L).map((_, "B")) ++
+      (6L to 10L).map((_, "C"))
+    rows.map { case (id, l) => (id, s"text $id", l, "s", 7L) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val expected = rows.groupBy(_._2).flatMap { case (l, ds) =>
+      ds.map { case (id, _) => (id, l, md5hex(id.toString)) }
+        .sortBy { case (id, _, h) => (h, id) }.take(2).zipWithIndex
+        .map { case ((id, lg, _), i) => (id, lg, (i + 1).toLong) }
+    }.toSet
+    val planted = PipelineQueries.queries("sample_balanced")(spark, dir)
+      .as[(Long, String, Long)].collect().toSet
+    assert(planted == expected, s"got $planted vs $expected")
+
+    // fixture: every language keeps exactly n_min docs; ranks are
+    // 1..n_min per class; deterministic across invocations
+    val out = PipelineQueries.queries("sample_balanced")(spark, sf001)
+      .as[(Long, String, Long)].collect()
+    val nMin = Tables.documents(spark, sf001)
+      .groupBy("lang").count().as[(String, Long)].collect().map(_._2).min
+    out.groupBy(_._2).foreach { case (l, ds) =>
+      assert(ds.length == nMin.toInt, s"lang=$l kept ${ds.length}")
+      assert(ds.map(_._3).sorted.toSeq == (1L to nMin), s"lang=$l ranks")
+    }
+    val again = PipelineQueries.queries("sample_balanced")(spark, sf001)
+      .as[(Long, String, Long)].collect()
+    assert(out.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+  }
+
   test("weighted sample: min(5, shard) per source, weight-biased winners, " +
     "rank margins dwarf ULP wobble (cross-engine oracle safety)") {
     val docs = Tables.documents(spark, sf001)
