@@ -11,7 +11,13 @@ benchcheck. First QUALIFIED record wins and is copied to the target
 path; unqualified attempts leave the watcher looping until the
 attempt/time budget runs out.
 
-Usage: python3 tools/quietrun.py <sfDir> <outRecord> [maxMinutes]
+Usage: python3 tools/quietrun.py <sfDir> <outRecord> [maxMinutes] [mode]
+
+mode 'sf01' (default) qualifies with tools/benchcheck.py (including the
+per-query reference scan — sf0.1 floors). mode 'sf1' qualifies on the
+record's own bracket metrics only (load_factor <= 1.05, steal <= 2%,
+nfailed == 0): the per-query reference table is sf0.1-specific, and the
+sf1 gate is scalecheck + the SCALE.md exponent table, not benchcheck.
 """
 import json
 import os
@@ -37,9 +43,33 @@ def steal_ticks() -> int:
         return int(f.readline().split()[6])
 
 
+def self_qualified(path: str) -> bool:
+    """sf1-mode gate: the record's own bracket metrics, no ref scan."""
+    total = None
+    with open(path) as f:
+        for line in f:
+            try:
+                rec = json.loads(line)
+            except json.JSONDecodeError:
+                return False
+            if rec.get("metric") == "total":
+                total = rec
+    if not total:
+        return False
+    ok = (total.get("nfailed", 1) == 0
+          and 0 < total.get("load_factor", 9) <= 1.05
+          and total.get("steal_pct", 1) <= 0.02)
+    print(f"self-qualify: lf={total.get('load_factor'):.3f} "
+          f"steal={total.get('steal_pct'):.4f} "
+          f"nfailed={total.get('nfailed')} -> {'OK' if ok else 'REJECT'}",
+          flush=True)
+    return ok
+
+
 def main() -> int:
     sf_dir, out_record = sys.argv[1], sys.argv[2]
     budget_s = float(sys.argv[3]) * 60 if len(sys.argv) > 3 else 3000
+    mode = sys.argv[4] if len(sys.argv) > 4 else "sf01"
     t_start = time.time()
     floor = min(spin() for _ in range(3))
     calm_streak = 0
@@ -62,8 +92,11 @@ def main() -> int:
             subprocess.run(["tools/run.sh", "graft.Bench"], env=env,
                            stdout=subprocess.DEVNULL,
                            stderr=subprocess.DEVNULL, check=False)
-            rc = subprocess.run(
-                [sys.executable, "tools/benchcheck.py", tmp]).returncode
+            if mode == "sf1":
+                rc = 0 if self_qualified(tmp) else 1
+            else:
+                rc = subprocess.run(
+                    [sys.executable, "tools/benchcheck.py", tmp]).returncode
             if rc == 0:
                 with open(tmp) as f, open(out_record, "w") as g:
                     g.write(f.read())
