@@ -27,6 +27,7 @@ import time
 
 SPIN_N = 6_000_000
 TOL = 1.06
+BW_TOL = 1.20
 PROBE_SLEEP = 45
 
 
@@ -35,6 +36,25 @@ def spin() -> float:
     acc = 0
     for i in range(SPIN_N):
         acc = (acc * 1099511628211 + i) & ((1 << 64) - 1)
+    return time.perf_counter() - t0
+
+
+_BW_BUF = None
+
+
+def bw_probe() -> float:
+    """Memory-BANDWIDTH probe: the round-10c control experiment proved
+    the damaging co-tenant saturates the memory controllers (shingle
+    queries 4-6x, ALU-bound 1.3x, cache-resident spin ~1.3x), so a calm
+    gate on the spin probe alone admits bandwidth-poisoned windows.
+    Stream 256 MB through numpy sum — cache-defeating, ~25 ms quiet."""
+    global _BW_BUF
+    import numpy as np
+    if _BW_BUF is None:
+        _BW_BUF = np.arange(32_000_000, dtype=np.int64)
+    t0 = time.perf_counter()
+    _BW_BUF.sum()
+    _BW_BUF.sum()
     return time.perf_counter() - t0
 
 
@@ -72,17 +92,22 @@ def main() -> int:
     mode = sys.argv[4] if len(sys.argv) > 4 else "sf01"
     t_start = time.time()
     floor = min(spin() for _ in range(3))
+    bw_floor = min(bw_probe() for _ in range(3))
     calm_streak = 0
     attempt = 0
     while time.time() - t_start < budget_s:
         s0 = steal_ticks()
         p = spin()
+        bw = bw_probe()
         stole = steal_ticks() - s0
         floor = min(floor, p)
-        calm = p <= floor * TOL and stole == 0
+        bw_floor = min(bw_floor, bw)
+        calm = (p <= floor * TOL and bw <= bw_floor * BW_TOL
+                and stole == 0)
         calm_streak = calm_streak + 1 if calm else 0
-        print(f"probe {p:.3f}s floor {floor:.3f} steal {stole} "
-              f"streak {calm_streak}", flush=True)
+        print(f"probe {p:.3f}s floor {floor:.3f} "
+              f"bw {bw * 1000:.1f}ms bwfloor {bw_floor * 1000:.1f} "
+              f"steal {stole} streak {calm_streak}", flush=True)
         if calm_streak >= 2:
             attempt += 1
             print(f"attempt {attempt}: launching bench", flush=True)
