@@ -23,8 +23,17 @@ object Verify {
     // SPARK_GRAFT_ONLY=a,b,c dumps a subset — for local oracle
     // spot-checks of new queries without replaying the full registry.
     // The driver never sets it, so the gate always sees every query.
+    // A subset dump is NOT silent: unknown names fail loudly, and a
+    // subset.json marker is written so tools/check.py labels the run
+    // PARTIAL instead of letting a narrowed dump impersonate full
+    // coverage (and so a reader of the dump directory can tell).
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_ONLY names not in the registry: ${unknown.toSeq.sorted.mkString(", ")}")
+    }
     val selected = only match {
       case Some(names) => SparkEntry.queries.filter(kv => names(kv._1))
       case None        => SparkEntry.queries
@@ -73,6 +82,12 @@ object Verify {
     val errJson = errors.toSeq.sorted
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/errors.json"), errJson)
+    only.foreach { names =>
+      val sel = names.toSeq.sorted.map(q).mkString("[", ",", "]")
+      Files.writeString(Paths.get(s"$outDir/subset.json"),
+        s"{${q("subset")}: true, ${q("selected")}: $sel, " +
+          s"${q("registry_total")}: ${SparkEntry.queries.size}}")
+    }
     spark.stop()
   }
 }

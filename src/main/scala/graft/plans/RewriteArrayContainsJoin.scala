@@ -31,13 +31,16 @@ import org.apache.spark.sql.types._
   *    right-side multiplicity, so no dedup is needed; ∃(r, elem) match
   *    ⟺ ∃r match.
   *  - `LeftSemi`, array on the LEFT: tag each left row with a unique id,
-  *    explode, inner join, then group back by (tag, left columns) and
-  *    drop the tag — left multiplicity survives (two identical left rows
-  *    carry different tags), multi-element matches collapse to one.
-  *    Skipped when a left column contains a MapType (maps are not
-  *    groupable); `LeftAnti` with the array on the left is NOT
-  *    expressible this way (a row qualifies only if ALL its elements
-  *    miss) and is left untouched.
+  *    explode, inner join, then group back by the TAG ALONE (left
+  *    columns ride the buffer via first(), which is deterministic —
+  *    one tag ⟺ one left row) and drop the tag — left multiplicity
+  *    survives (two identical left rows carry different tags),
+  *    multi-element matches collapse to one, the aggregate exchange
+  *    hashes only the 8-byte tag, and float/map left columns pass
+  *    through VERBATIM (grouping on the row would -0.0/NaN-normalize
+  *    floats and reject maps). `LeftAnti` with the array on the left is
+  *    NOT expressible this way (a row qualifies only if ALL its
+  *    elements miss) and is left untouched.
   *
   * Guards, in the narrow-match house style (a session-wide rule must
   * never change a query that merely looks similar):
@@ -60,13 +63,6 @@ import org.apache.spark.sql.types._
   * hash-join plan.
   */
 object RewriteArrayContainsJoin extends Rule[LogicalPlan] {
-
-  private def containsMap(dt: DataType): Boolean = dt match {
-    case _: MapType => true
-    case StructType(fields) => fields.exists(f => containsMap(f.dataType))
-    case ArrayType(et, _) => containsMap(et)
-    case _ => false
-  }
 
   private def groupableElem(dt: DataType): Boolean = dt match {
     case StringType | BooleanType | ByteType | ShortType | IntegerType |
@@ -141,17 +137,30 @@ object RewriteArrayContainsJoin extends Rule[LogicalPlan] {
           Join(left, gen, j.joinType,
             Some(andAll(EqualTo(key, elem) +: rest)), hint)
         // array on the left, semi only: tag, explode, inner join, then
-        // collapse back to one row per tag
+        // collapse back to one row per tag. The aggregate groups on the
+        // TAG ALONE — the 8-byte id is the only hashed/compared grouping
+        // key — and the left columns ride the buffer via first() (all
+        // rows of a group share one tag, hence one left row, so first()
+        // is deterministic). Grouping on the full left row would both
+        // carry it through key comparison AND normalize float grouping
+        // keys (-0.0 → 0.0, NaN canonicalization), silently altering
+        // semi-join OUTPUT values; first() stores values verbatim, and
+        // works on map columns too (maps are un-groupable but perfectly
+        // bufferable), so no type guard is needed.
         case Some((_, _, true, _)) if j.joinType == LeftAnti => j
-        case Some((arr, key, true, rest))
-            if left.output.forall(a => !containsMap(a.dataType)) =>
+        case Some((arr, key, true, rest)) =>
           val tag = Alias(MonotonicallyIncreasingID(), "__ac_tag")()
           val tagged = Project(left.output :+ tag, left)
           val (elem, gen) = exploded(arr, tagged, distinct = true)
           val joined = Join(gen, right, Inner,
             Some(andAll(EqualTo(elem, key) +: rest)), hint)
-          val keys = tag.toAttribute +: left.output
-          Project(left.output, Aggregate(keys, keys, joined))
+          val firsts = left.output.map { a =>
+            Alias(new aggregate.First(a, ignoreNulls = false)
+              .toAggregateExpression(), a.name)(
+              exprId = a.exprId, qualifier = a.qualifier)
+          }
+          Project(left.output,
+            Aggregate(Seq(tag.toAttribute), firsts, joined))
         case _ => j
       }
   }

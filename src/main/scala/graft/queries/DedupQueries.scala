@@ -640,11 +640,15 @@ object DedupQueries {
     // (additional passes = different keys; DedupSpec pins containment
     // in the passjoin's exact-recall set).
     //
-    // 100 TB shape: the global sort is the q54 bucket idiom — a numeric
-    // first-8-chars base-256 key (monotone, non-strict, w.r.t. the
-    // binary string order — clamping multi-byte codepoints to 255 only
-    // COARSENS buckets, never reorders them) shapes balanced buckets,
-    // exact order restored by (key, prefix, doc_id) inside each.
+    // 100 TB shape: the global sort is the q54 bucket idiom — the first
+    // 7 UTF-8 BYTES of the prefix as a zero-right-padded base-256
+    // number (max 2⁵⁶−1, so it can never wrap a Long negative — a
+    // codepoint-based key would overflow at position 0 for any
+    // codepoint ≥ 128). Byte order IS Spark's UTF8String order and
+    // DuckDB's binary collation, so the key is monotone, non-strict,
+    // w.r.t. the oracle's ORDER BY pre: zero-padding only COARSENS
+    // ties, never reorders; exact order restored by (key, prefix,
+    // doc_id) inside each bucket.
     // Neighbor pairs are ONE equi-join on rn+offset (w rows exploded per
     // doc, prefix-width payloads); nothing quadratic, nothing wide.
     "dedup_snm" -> ((s, d) => {
@@ -653,9 +657,9 @@ object DedupQueries {
         .filter(col("text").isNotNull)
         .select(col("doc_id"),
           lower(substring(col("text"), 1, Pref)).as("pre"))
-      val skey = (0 until 8).map { i =>
-        least(ascii(substring(col("pre"), i + 1, 1)), lit(255))
-          .cast("long") * lit(1L << (8 * (7 - i))) }.reduce(_ + _)
+      val skey = conv(
+        rpad(hex(substring(encode(col("pre"), "UTF-8"), 1, 7)), 14, "0"),
+        16, 10).cast("long")
       val ranked = ExtraRelationalQueries.globalRowNumber(
         docs.withColumn("__skey", skey), 32, "__skey", firstAsc = true,
         col("__skey").asc, col("pre").asc, col("doc_id").asc)

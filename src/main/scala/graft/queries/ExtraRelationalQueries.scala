@@ -43,7 +43,8 @@ object ExtraRelationalQueries {
       df: DataFrame, nParts: Int, firstKey: String, firstAsc: Boolean,
       sortCols: Column*): DataFrame = {
     val working =
-      Seq("__grn_key", "__grn_bucket", "__grn_rn", "__grn_offset")
+      Seq("__grn_key", "__grn_bnds", "__grn_bucket", "__grn_rn",
+        "__grn_offset")
     require((working :+ "global_rn" :+ "total")
       .forall(!df.columns.contains(_)),
       s"globalRowNumber: input must not contain ${working.mkString(", ")}, " +
@@ -61,14 +62,20 @@ object ExtraRelationalQueries {
         s"globalRowNumber: leading key '$firstKey' must be non-null and " +
           "non-NaN")).isNull, signed))
     val probs = (1 until nParts).map(_.toDouble / nParts).toArray
-    // Tiny driver-side stats job over ONE pruned column; 1% relative
-    // error is plenty — it only shapes bucket balance.
-    val bounds = keyed.stat.approxQuantile("__grn_key", probs, 0.01)
-      .distinct.sorted
-    val bucket = bounds.foldLeft(lit(0)) { (acc, b) =>
-      acc + when(col("__grn_key") > lit(b), 1).otherwise(0)
-    }
-    val bucketed = keyed.withColumn("__grn_bucket", bucket)
+    // Bucket boundaries IN-PLAN, so callers stay fully lazy (the old
+    // `stat.approxQuantile` ran a driver stats job during query
+    // CONSTRUCTION): one percentile_approx aggregate over the pruned
+    // key column yields a ≤(nParts−1)-element boundary array,
+    // broadcast-crossed onto every row; the bucket id is the count of
+    // boundaries strictly below the key — monotone in the key, so the
+    // approximation shapes bucket balance only, never order.
+    val boundsRow = keyed.agg(array_sort(array_distinct(
+      percentile_approx(col("__grn_key"), typedLit(probs), lit(100))))
+      .as("__grn_bnds"))
+    val bucketed = keyed.crossJoin(broadcast(boundsRow))
+      .withColumn("__grn_bucket",
+        size(filter(col("__grn_bnds"), b => col("__grn_key") > b)))
+      .drop("__grn_bnds")
     val wIn = Window.partitionBy("__grn_bucket").orderBy(sortCols: _*)
     val ranked = bucketed.withColumn("__grn_rn", row_number().over(wIn))
     // per-bucket sizes -> cumulative offsets (windows here run over
@@ -690,8 +697,8 @@ object ExtraRelationalQueries {
     // part's max size (running max) and it tops its own price group.
     //
     // 100 TB shape: the q54 bucket idiom makes the global order scale —
-    // approx-quantile price buckets (a tiny single-column stats job that
-    // only shapes balance, never correctness), per-bucket RANGE windows,
+    // in-plan percentile_approx price buckets (shape balance only,
+    // never correctness), per-bucket RANGE windows,
     // and a ≤nParts-row per-bucket-max table whose running max is
     // broadcast back. No global single-partition window, no n² join;
     // one narrow 3-column shuffle by price bucket.
@@ -702,11 +709,16 @@ object ExtraRelationalQueries {
           .cast("long").as("price_c"),
         col("p_size").cast("long").as("size"))
       val probs = (1 until nParts).map(_.toDouble / nParts).toArray
-      val bounds = base.stat.approxQuantile("price_c", probs, 0.01)
-        .distinct.sorted
-      val bucket = bounds.foldLeft(lit(0)) { (acc, b) =>
-        acc + when(col("price_c") > lit(b), 1).otherwise(0) }
-      val bk = base.withColumn("__bk", bucket)
+      // boundaries in-plan (same lazy idiom as globalRowNumber): one
+      // percentile_approx aggregate, broadcast onto every row; bucket =
+      // #boundaries strictly below price — monotone, shape-only
+      val boundsRow = base.agg(array_sort(array_distinct(
+        percentile_approx(col("price_c"), typedLit(probs), lit(100))))
+        .as("__bnds"))
+      val bk = base.crossJoin(broadcast(boundsRow))
+        .withColumn("__bk",
+          size(filter(col("__bnds"), b => col("price_c") > b)))
+        .drop("__bnds")
       val byPrice = Window.partitionBy("__bk").orderBy(col("price_c"))
       // strict predecessors inside the bucket: price is integer cents, so
       // RANGE [unbounded, -1] is exactly "strictly cheaper"
@@ -827,17 +839,27 @@ object ExtraRelationalQueries {
     // three narrow columns and folds into the rollup via one
     // map-side-combined aggregate.
     "q75_hier_rollup" -> ((s, d) => {
-      Tables.part(s, d).createOrReplaceTempView("part")
       // The closure is n·⌈log₂n⌉ rows BY DESIGN (3.4M at sf1), so the
       // engine's 1M-row recursion safety net is the wrong guard here —
       // the real bound is the LEVEL limit (depth ≤ ~28 even at 100 TB
       // row counts; a runaway recursion still trips it). Found by the
       // sf1 bench: RECURSION_ROW_LIMIT_EXCEEDED at default settings.
-      s.conf.set("spark.sql.cteRecursionRowLimit", "-1")
-      s.conf.set("spark.sql.cteRecursionLevelLimit", "64")
+      //
+      // The overrides live on a CHILD session (same SparkContext and
+      // builder confs; separate SQLConf + temp-view catalog):
+      // UnionLoopExec reads both limits at doExecute time, so a
+      // set-then-restore around sql() would re-arm the 1M-row net
+      // before the lazy DataFrame ever executes — and setting them on
+      // the SHARED session would disable the engine's recursion safety
+      // net for every query that runs afterwards in the same session
+      // (bench suite, specs, Verify dumps).
+      val qs = s.newSession()
+      qs.conf.set("spark.sql.cteRecursionRowLimit", "-1")
+      qs.conf.set("spark.sql.cteRecursionLevelLimit", "64")
+      Tables.part(qs, d).createOrReplaceTempView("part")
       // nodes are 1-based (pk1 = p_partkey + 1): parent(1) would be
       // undefined for a 0 key, whose chain could never reach the root
-      s.sql("""
+      qs.sql("""
         WITH RECURSIVE anc AS (
           SELECT p_partkey + 1 AS pk1,
                  CAST(p_retailprice AS DECIMAL(12,2)) AS price,

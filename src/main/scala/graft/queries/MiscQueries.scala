@@ -151,8 +151,15 @@ object MiscQueries {
         row1.select(
           lit(byKey(a)).as("col_x"), lit(byKey(b)).as("col_y"), col("n"),
           covNum(a, b).cast("double").as("cov_cents2"),
-          floor(lit(10000.0) * (covNum(a, b).cast("double") /
-            sqrt(covNum(a, a).cast("double") * covNum(b, b).cast("double"))))
+          // a CONSTANT column (or empty/1-row table) has zero variance:
+          // correlation is UNDEFINED there, so report NULL rather than
+          // the 0/0=NaN → floor artifact (Spark's floor(NaN).toLong
+          // silently yields 0; DuckDB's BIGINT cast of NaN errors)
+          when(covNum(a, a) === 0 || covNum(b, b) === 0,
+            lit(null).cast("long"))
+            .otherwise(floor(lit(10000.0) * (covNum(a, b).cast("double") /
+              sqrt(covNum(a, a).cast("double") *
+                covNum(b, b).cast("double")))))
             .as("corr_bp"))
       }.reduce(_ unionAll _)
     }),
@@ -176,7 +183,13 @@ object MiscQueries {
     // bit-exact.
     "stats_ks_drift" -> ((s, d) => {
       val refType = "view"
-      val ev = Tables.events(s, d).select(col("event_type"), col("value"))
+      // drift over OBSERVED values: null `value` rows carry no CDF mass
+      // and would otherwise diverge cross-engine (Spark windows order
+      // NULLS FIRST, DuckDB NULLS LAST, and nulls never match the grid's
+      // full-outer equi keys) — same guard as the sweep-line queries
+      val ev = Tables.events(s, d)
+        .filter(col("value").isNotNull)
+        .select(col("event_type"), col("value"))
       val pv = ev.groupBy(col("event_type").as("t"), col("value").as("x"))
         .agg(count(lit(1)).as("c"))
         .buildCheckpoint() // re-read by the ref slice and the cmp slice
@@ -190,15 +203,20 @@ object MiscQueries {
         .select(col("t"), col("x"),
           coalesce(col("c1"), lit(0L)).as("c1"),
           coalesce(col("c2"), lit(0L)).as("c2"))
-      // Boundary literals: one tiny single-column stats job over the
-      // CHECKPOINTED distinct-value table (not a second raw-events
-      // scan); unweighted distinct-value quantiles shape balance only,
-      // never correctness.
-      val bounds = pv.stat.approxQuantile(
-        "x", (1 until 32).map(_ / 32.0).toArray, 0.01).distinct.sorted
-      val bucket = bounds.foldLeft(lit(0)) { (acc, b) =>
-        acc + when(col("x") > lit(b), 1).otherwise(0) }
-      val gb = grid.withColumn("b", bucket)
+      // Bucket boundaries IN-PLAN (the query stays fully lazy — no job
+      // runs until the returned DataFrame executes): one
+      // percentile_approx aggregate over the CHECKPOINTED distinct-value
+      // table yields a ≤31-element boundary array, broadcast-crossed
+      // onto the grid; the bucket id is the count of boundaries strictly
+      // below x — monotone in x, so any approximation (or duplicate
+      // collapse) shapes balance only, never correctness.
+      val boundsRow = pv.agg(array_sort(array_distinct(percentile_approx(
+        col("x"), typedLit((1 until 32).map(_ / 32.0).toArray),
+        lit(100)))).as("__bnds"))
+      val gb = grid.crossJoin(broadcast(boundsRow))
+        .withColumn("b",
+          size(filter(col("__bnds"), bb => col("x") > bb)))
+        .drop("__bnds")
         .buildCheckpoint() // re-read by the offsets pass and the scan
       val wB = Window.partitionBy("t").orderBy("b")
       val whole = wB.rowsBetween(
@@ -787,9 +805,10 @@ object MiscQueries {
     val branches = pairs.map { case (a, b) =>
       s"""SELECT '${byKey(a)}' AS col_x, '${byKey(b)}' AS col_y, n,
          |  CAST(${cov(a, b)} AS DOUBLE) AS cov_cents2,
-         |  CAST(FLOOR(10000 * (CAST(${cov(a, b)} AS DOUBLE) /
-         |    SQRT(CAST(${cov(a, a)} AS DOUBLE) * CAST(${cov(b, b)} AS DOUBLE))))
-         |    AS BIGINT) AS corr_bp
+         |  CAST(CASE WHEN ${cov(a, a)} = 0 OR ${cov(b, b)} = 0 THEN NULL
+         |    ELSE FLOOR(10000 * (CAST(${cov(a, b)} AS DOUBLE) /
+         |      SQRT(CAST(${cov(a, a)} AS DOUBLE) * CAST(${cov(b, b)} AS DOUBLE))))
+         |    END AS BIGINT) AS corr_bp
          |FROM agg""".stripMargin }
     s"""WITH c AS (SELECT
        |    $centsSel
@@ -805,7 +824,7 @@ object MiscQueries {
     "stats_corr_matrix" -> corrMatrixOracle,
     "stats_ks_drift" ->
       """WITH pv AS (SELECT event_type AS t, value AS v, COUNT(*) AS c
-        |            FROM events GROUP BY 1, 2),
+        |            FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
         |r AS (SELECT v, c AS c1 FROM pv WHERE t = 'view'),
         |ty AS (SELECT DISTINCT t FROM pv WHERE t <> 'view'),
         |g1 AS (SELECT ty.t, r.v, r.c1 FROM ty CROSS JOIN r),

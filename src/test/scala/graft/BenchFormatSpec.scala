@@ -62,4 +62,77 @@ class BenchFormatSpec extends AnyFunSuite {
     val failed = Bench.summaryLines(base, "sf", -1.0, 0.60, 0.2, 0.2, 0.30)(1)
     assert(normOf(failed) == 10.0)
   }
+
+  // ---- negative controls: the QUALIFICATION TOOLING itself ----
+  // benchcheck.py is the gate that keeps contended runs from becoming
+  // "records"; if a refactor defanged one of its rejection paths, the
+  // next hostile-box run would sail through silently. Crafted synthetic
+  // records pin each path (exit code AND the named reason).
+
+  private lazy val refQueries: Map[String, Double] = {
+    val text = scala.io.Source.fromFile("tools/bench_reference.json")
+      .mkString
+    val body = text.substring(text.indexOf("\"queries\""))
+    """"([^"]+)"\s*:\s*([0-9][0-9.eE+-]*)""".r.findAllMatchIn(body)
+      .map(m => m.group(1) -> m.group(2).toDouble).toMap
+  }
+
+  /** Write a synthetic record and run tools/benchcheck.py over it. */
+  private def benchcheck(recordLines: Seq[String]): (Int, String) = {
+    val f = java.nio.file.Files
+      .createTempDirectory("graft-benchcheck")
+      .resolve("BENCH_synthetic.json") // NOT BENCH_LAST: skip git paths
+    java.nio.file.Files.writeString(f,
+      recordLines.mkString("\n") + "\n")
+    val out = new StringBuilder
+    import scala.sys.process._
+    val logger = ProcessLogger(l => { out.append(l).append('\n'); () })
+    val code = Process(Seq("python3", "tools/benchcheck.py", f.toString),
+      new java.io.File(".")).!(logger)
+    (code, out.toString)
+  }
+
+  test("benchcheck: a faithful quiet full-registry record QUALIFIES") {
+    assert(refQueries.size > 100, "reference parse failed")
+    val (code, out) = benchcheck(lines(refQueries))
+    assert(code == 0 && out.contains("QUALIFIED"), out)
+  }
+
+  test("benchcheck rejects steal_pct above the hypervisor gate") {
+    val (code, out) = benchcheck(Bench.summaryLines(refQueries, "sf",
+      0.30, 0.31, 0.2, 0.15, 0.30, Map.empty, stealPct = 0.05))
+    assert(code != 0 && out.contains("steal_pct"), out)
+  }
+
+  test("benchcheck rejects a CPU-contended load factor") {
+    val (code, out) = benchcheck(Bench.summaryLines(refQueries, "sf",
+      0.45, 0.44, 0.2, 0.15, 0.30))
+    assert(code != 0 && out.contains("load_factor"), out)
+  }
+
+  test("benchcheck rejects the mid-suite contention signature (>5 inflated)") {
+    val inflated = refQueries ++ refQueries.toSeq.sortBy(-_._2).take(6)
+      .map { case (k, v) => k -> (v * 3 + 0.5) }
+    val (code, out) = benchcheck(lines(inflated))
+    assert(code != 0 && out.contains("contention signature"), out)
+  }
+
+  test("benchcheck rejects reference drift in BOTH directions") {
+    // record subset -> stale reference entries must fail the run
+    val (c1, o1) = benchcheck(lines(refQueries.drop(3)))
+    assert(c1 != 0 && o1.contains("stale reference"), o1)
+    // unknown query -> absent from reference must fail the run
+    val (c2, o2) = benchcheck(lines(refQueries + ("q_fake_new" -> 0.2)))
+    assert(c2 != 0 && o2.contains("absent from reference"), o2)
+  }
+
+  test("benchcheck rejects records with thrown queries or no total line") {
+    val (c1, o1) = benchcheck(Bench.summaryLines(refQueries, "sf",
+      0.30, 0.31, 0.2, 0.15, 0.30,
+      errors = Map("q_broken" -> "AnalysisException")))
+    assert(c1 != 0 && o1.contains("THREW"), o1)
+    val detailOnly = lines(refQueries).take(1)
+    val (c2, o2) = benchcheck(detailOnly)
+    assert(c2 != 0 && o2.contains("no metric=total"), o2)
+  }
 }

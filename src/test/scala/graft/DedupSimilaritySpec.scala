@@ -1100,6 +1100,71 @@ class DedupSimilaritySpec extends SparkSpec {
       s"SNM invented pairs: ${snm.diff(exact).take(5)}")
   }
 
+  test("dedup_snm: non-ASCII prefixes rank in exact UTF-8 byte order (key never overflows)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-snm-utf8").toString
+    // 'á' (U+00E1) leads with UTF-8 bytes C3 A1. A codepoint-based sort
+    // key would put 225 in the top byte slot (225·2⁵⁶ > Long.Max) and
+    // wrap NEGATIVE, ranking accented docs FIRST; exact byte order ranks
+    // them after all ASCII. Ten middle docs separate "zzz…"/"ázz…" by
+    // more than w=8 under the wrong order, so the planted ed-1 pair
+    // (1,2) is found only when ranks follow exact byte order. The CJK
+    // pair stresses the clamp-free multi-byte path (U+4E2D → E4 B8 AD).
+    val mid = (3L to 12L).map(i => (i, s"mmm middle padding document $i"))
+    val docs = Seq(
+      (1L, "zzz abcdefgh shared tail"),
+      (2L, "ázz abcdefgh shared tail"), // ed 1 vs doc 1
+      (13L, "中文前缀 cjk document one"),
+      (14L, "中文前缀 cjk document two")) ++ mid // ed 3 within the pair
+    docs.toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val out = DedupQueries.queries("dedup_snm")(spark, dir)
+      .as[(Long, Long)].collect().toSet
+
+    // plain-Scala replay of the oracle: rank by (UTF-8 bytes of the
+    // lowered 40-char prefix, doc_id) — the same binary collation DuckDB
+    // and Spark's UTF8String use — window w=8, codepoint ed ≤ 3
+    def cmpBytes(a: String, b: String): Int = {
+      val x = a.getBytes("UTF-8"); val y = b.getBytes("UTF-8")
+      var i = 0
+      while (i < x.length && i < y.length) {
+        val c = (x(i) & 0xff) - (y(i) & 0xff)
+        if (c != 0) return c
+        i += 1
+      }
+      x.length - y.length
+    }
+    def lev(a: String, b: String): Int = {
+      val x = a.codePoints.toArray; val y = b.codePoints.toArray
+      val dp = Array.tabulate(y.length + 1)(identity)
+      for (xi <- 1 to x.length) {
+        var diag = dp(0); dp(0) = xi
+        for (yj <- 1 to y.length) {
+          val t = dp(yj)
+          dp(yj) = math.min(math.min(dp(yj) + 1, dp(yj - 1) + 1),
+            diag + (if (x(xi - 1) == y(yj - 1)) 0 else 1))
+          diag = t
+        }
+      }
+      dp(y.length)
+    }
+    val pres = docs.map { case (id, t) => (id, t.toLowerCase.take(40)) }
+    val ranked = pres.sortWith { case ((ia, pa), (ib, pb)) =>
+      val c = cmpBytes(pa, pb); if (c != 0) c < 0 else ia < ib }
+    val expected = (for {
+      i <- ranked.indices; o <- 1 to 8 if i + o < ranked.size
+      if lev(ranked(i)._2, ranked(i + o)._2) <= 3
+    } yield {
+      val (x, y) = (ranked(i)._1, ranked(i + o)._1)
+      (math.min(x, y), math.max(x, y))
+    }).toSet
+    assert(expected.contains((1L, 2L)),
+      "fixture must plant the ASCII/accented adjacent pair")
+    assert(expected.contains((13L, 14L)),
+      "fixture must plant the CJK adjacent pair")
+    assert(out == expected,
+      s"missing=${expected.diff(out)} invented=${out.diff(expected)}")
+  }
+
   test("dedup_editdist_passjoin: planted edit types found; equals brute force") {
     val dir = java.nio.file.Files.createTempDirectory("graft-passjoin").toString
     // short enough that base and its 3-char-inserted variant BOTH fit

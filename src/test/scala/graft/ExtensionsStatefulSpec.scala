@@ -605,4 +605,50 @@ class ExtensionsStatefulSpec extends SparkSpec {
     assert(exposure(s2) == exposure(spark))
     assert(exposure(s2).nonEmpty)
   }
+
+  test("semi-left membership rewrite: tag-only collapse keeps float/map columns verbatim") {
+    import org.apache.spark.sql.functions._
+    val prev = spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s2 = try {
+      SparkSession.builder().master("local[4]")
+        .withExtensions(new GraftExtensions)
+        .config("spark.sql.optimizer.excludedRules",
+          "org.apache.spark.sql.catalyst.optimizer.ConvertToLocalRelation")
+        .config("spark.ui.enabled", "false").getOrCreate()
+    } finally {
+      SparkSession.setDefaultSession(prev)
+      SparkSession.setActiveSession(prev)
+    }
+    import s2.implicits._
+    val left = Seq(
+      (1L, Seq("a", "b"), -0.0, Map("w" -> 1.0)),
+      (2L, Seq("b", "c"), Double.NaN, Map("w" -> 2.0)),
+      (3L, Seq("zz"), 3.5, Map("w" -> 3.0)))
+      .toDF("id", "tags", "score", "meta")
+    val kw = Seq("b").toDF("kw")
+    val semi = left.join(kw, array_contains($"tags", $"kw"), "left_semi")
+    val phys = semi.queryExecution.executedPlan.toString
+    assert(!phys.contains("NestedLoop"), phys.take(600))
+    // the collapse groups on the 8-byte tag ALONE; left columns ride
+    // first() buffers. A full-row grouping would both reject the map
+    // column (maps are un-groupable) and -0.0/NaN-NORMALIZE the double
+    // — a session-wide rule silently altering semi-join output values.
+    val opt = semi.queryExecution.optimizedPlan.toString
+    val aggLine = opt.linesIterator.find(_.trim.startsWith("Aggregate"))
+      .getOrElse(fail(s"no Aggregate in plan: ${opt.take(600)}"))
+    val grouping =
+      aggLine.substring(aggLine.indexOf("[") + 1, aggLine.indexOf("]"))
+    assert(grouping.contains("__ac_tag") && !grouping.contains(","),
+      s"grouping keys must be the tag alone: $aggLine")
+    val rows = semi.orderBy("id").collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    assert(java.lang.Double.doubleToRawLongBits(rows(0).getDouble(2)) ==
+      java.lang.Double.doubleToRawLongBits(-0.0),
+      s"-0.0 must survive the collapse verbatim, got ${rows(0).getDouble(2)}")
+    assert(rows(1).getDouble(2).isNaN)
+    assert(rows.map(_.getMap[String, Double](3)("w")).toSeq ==
+      Seq(1.0, 2.0))
+  }
 }

@@ -584,4 +584,17 @@ class ExtraRelationalSpec extends SparkSpec {
       assert(sn >= 1 && sn <= n)
     }
   }
+
+  test("q75_hier_rollup: recursion-limit overrides never touch the shared session") {
+    // the overrides live on a child session — the SHARED session's 1M-row
+    // recursion safety net must stay armed for every later query
+    val rowBefore = spark.conf.get("spark.sql.cteRecursionRowLimit")
+    val lvlBefore = spark.conf.get("spark.sql.cteRecursionLevelLimit")
+    val out = ExtraRelationalQueries.queries("q75_hier_rollup")(spark, sf0001)
+    assert(out.count() > 0) // construction AND execution both complete
+    assert(spark.conf.get("spark.sql.cteRecursionRowLimit") == rowBefore)
+    assert(spark.conf.get("spark.sql.cteRecursionLevelLimit") == lvlBefore)
+    assert(spark.conf.get("spark.sql.cteRecursionRowLimit") != "-1",
+      "the shared session's recursion row safety net was disarmed")
+  }
 }

@@ -351,6 +351,67 @@ class MiscSpec extends SparkSpec {
     }
   }
 
+  test("stats_ks_drift: construction is lazy; null values carry no CDF mass") {
+    // nulls: same planted distributions as the exact test plus null
+    // `value` rows on both types — D must be unchanged (drift is over
+    // OBSERVED values; unfiltered nulls would diverge cross-engine:
+    // Spark windows order NULLS FIRST, DuckDB NULLS LAST, and nulls
+    // never match the grid's full-outer equi keys)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ksnull").toString
+    val m = 60L * 1000000000L
+    val rows: Seq[(String, Option[Double])] =
+      Seq(1.0, 2.0, 3.0, 4.0).map(v => ("view", Option(v))) ++
+        Seq(3.0, 4.0, 5.0, 6.0).map(v => ("click", Option(v))) ++
+        Seq(("view", None), ("click", None), ("click", None))
+    rows.zipWithIndex.map { case ((t, v), i) =>
+      (i.toLong, i * m, 1L, t, v, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val planted = MiscQueries.queries("stats_ks_drift")(spark, dir)
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(planted == Map("click" -> ((4L, 4L, 5000L))), s"got $planted")
+
+    // laziness: with the checkpoint seam inlined, CONSTRUCTING the query
+    // must run no job beyond the parquet schema-footer read every scan
+    // pays — pins the fix for the approxQuantile-at-construction defect
+    // (boundaries are now derived in-plan). A job-group-tagged sentinel
+    // bounds the wait: the listener bus is FIFO, so once the sentinel's
+    // start is visible, any construction-time job start has been seen.
+    val preSentinel = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val sentinelSeen = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        if (j.properties != null &&
+            "ks-lazy-sentinel" == j.properties.getProperty("spark.jobGroup.id"))
+          sentinelSeen.set(true)
+        else if (!sentinelSeen.get())
+          preSentinel.add(j.stageInfos.map(_.name).mkString(" | "))
+        ()
+      }
+    }
+    graft.operators.Checkpoint.inlineForAudit = true
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      MiscQueries.queries("stats_ks_drift")(spark, sf0001) // construct only
+      spark.sparkContext.setJobGroup("ks-lazy-sentinel", "bus flush")
+      spark.range(1).count() // sentinel
+      val deadline = System.currentTimeMillis() + 30000
+      while (!sentinelSeen.get() && System.currentTimeMillis() < deadline)
+        Thread.sleep(10)
+      assert(sentinelSeen.get(), "sentinel job never surfaced on the bus")
+      import scala.jdk.CollectionConverters._
+      val unexpected = preSentinel.asScala.filterNot(_.contains("parquet at"))
+      assert(unexpected.isEmpty,
+        s"construction ran data job(s): ${unexpected.mkString("; ")}")
+    } finally {
+      spark.sparkContext.clearJobGroup()
+      spark.sparkContext.removeSparkListener(listener)
+      graft.operators.Checkpoint.inlineForAudit = false
+    }
+  }
+
   test("graph_triangles: planted triangle found once; matches a brute-force Scala count") {
     val dir = java.nio.file.Files.createTempDirectory("graft-tri").toString
     // order 1 buys parts {1,2,3} -> triangle; order 2 repeats edge (1,2);

@@ -264,4 +264,97 @@ class RobustnessSpec extends SparkSpec {
       }
     store.close()
   }
+
+  // ---- round-10c operators on degenerate DISTRIBUTIONS (round 11) ----
+  // The empty-corpus net covers zero rows; these fixtures cover the
+  // other degenerate shapes: constant columns (zero variance), a single
+  // event type (no comparison slice), baskets with no co-occurring
+  // items (empty Apriori L2), identical timestamps (zero-length sweep
+  // intervals), and all-dominated / all-identical skyline inputs.
+
+  private lazy val degenDir: String = {
+    val dir = Files.createTempDirectory("graft-degen").toString
+    val m = 60L * 1000000000L // minutes in nanos
+    // events: every value identical (KS zero variance -> D = 0); every
+    // ts identical within a type (sweep intervals all zero-length ties)
+    (0 until 8).map { i =>
+      (i.toLong, 10L * m, (i % 2 + 1).toLong,
+        if (i % 2 == 0) "view" else "click", 7.5, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    // lineitem: l_discount and l_tax CONSTANT (zero variance); one
+    // distinct brand per order (Apriori L2 has zero candidate pairs)
+    (0 until 6).map { i =>
+      (i.toLong / 2, i.toLong, (i / 2 % 3).toLong, (i + 1).toDouble,
+        100.0 * (i + 1), 0.05, 0.01, "N", "O",
+        java.sql.Date.valueOf("2026-01-01"))
+    }.toDF("l_orderkey", "l_linenumber", "l_partkey", "l_quantity",
+      "l_extendedprice", "l_discount", "l_tax", "l_returnflag",
+      "l_linestatus", "l_shipdate")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    // part: ALL IDENTICAL on (price, size) -> nobody strictly dominates,
+    // the whole table is the skyline; one brand per key pairs with the
+    // lineitem above so each basket holds exactly one distinct item
+    (0 until 3).map(k =>
+      (k.toLong, s"part$k", s"Brand#$k", "t", 10, 50.0))
+      .toDF("p_partkey", "p_name", "p_brand", "p_type", "p_size",
+        "p_retailprice")
+      .write.mode("overwrite").parquet(s"$dir/part.parquet")
+    dir
+  }
+
+  test("stats_ks_drift: zero variance -> D = 0; no comparison slice -> empty") {
+    val out = SparkEntry.queries("stats_ks_drift")(spark, degenDir)
+      .as[(String, Long, Long, Long)].collect()
+    assert(out.toSeq == Seq(("click", 4L, 4L, 0L)), s"got ${out.toSeq}")
+    // reference type only: the grid has nothing to compare against
+    val dir = Files.createTempDirectory("graft-ks1t").toString
+    val m = 60L * 1000000000L
+    (0 until 4).map(i => (i.toLong, i * m, 1L, "view", i.toDouble, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    assert(SparkEntry.queries("stats_ks_drift")(spark, dir).count() == 0)
+  }
+
+  test("stats_corr_matrix: constant columns report NULL corr, never NaN/0 artifacts") {
+    val out = SparkEntry.queries("stats_corr_matrix")(spark, degenDir)
+      .select("col_x", "col_y", "corr_bp")
+      .as[(String, String, Option[Long])].collect()
+      .map { case (x, y, c) => (x, y) -> c }.toMap
+    val const = Set("l_discount", "l_tax")
+    out.foreach { case ((x, y), c) =>
+      if (const(x) || const(y))
+        assert(c.isEmpty, s"($x,$y): undefined corr must be NULL, got $c")
+      else assert(c.nonEmpty, s"($x,$y): real corr must be defined")
+    }
+    // quantity and price are perfectly correlated in the fixture
+    assert(out(("l_quantity", "l_extendedprice")).contains(10000L))
+  }
+
+  test("q78_skyline: all-identical points all survive; one dominator leaves one row") {
+    assert(SparkEntry.queries("q78_skyline")(spark, degenDir).count() == 3)
+    val dir = Files.createTempDirectory("graft-skydom").toString
+    // part 0 is strictly cheaper AND larger than every other part
+    ((0L, "p0", "b", "t", 100, 1.0) +: (1 to 5).map(k =>
+      (k.toLong, s"p$k", "b", "t", k, 100.0 + k)))
+      .toDF("p_partkey", "p_name", "p_brand", "p_type", "p_size",
+        "p_retailprice")
+      .write.mode("overwrite").parquet(s"$dir/part.parquet")
+    val rows = SparkEntry.queries("q78_skyline")(spark, dir)
+      .select("p_partkey").as[Long].collect().toSeq
+    assert(rows == Seq(0L), s"got $rows")
+  }
+
+  test("q79_apriori: no co-occurring items -> L1 only, no L2/L3 rows") {
+    val out = SparkEntry.queries("q79_apriori")(spark, degenDir)
+      .select("level").as[Int].collect()
+    assert(out.nonEmpty && out.forall(_ == 1), s"levels ${out.toSeq}")
+  }
+
+  test("sweep-line and pattern queries survive identical timestamps") {
+    for (name <- Seq("q74_concurrency", "q76_interval_coverage",
+        "q77_event_pattern", "q81_gap_fill"))
+      assert(SparkEntry.queries(name)(spark, degenDir).collect() != null,
+        name)
+  }
 }

@@ -50,6 +50,25 @@ def main(sf_dir, out_dir):
     results = {}
     names = sorted(d for d in os.listdir(out_dir)
                    if os.path.isdir(os.path.join(out_dir, d)))
+    # The dump is self-describing: errors.json lists queries that threw
+    # (no parquet dir), query_modes.json lists the FULL registry, and
+    # subset.json marks a deliberate SPARK_GRAFT_ONLY narrowing. A dump
+    # smaller than the registry must never silently qualify as full
+    # coverage — it is either PARTIAL (declared subset) or MISSING.
+    def load(p, default):
+        try:
+            return json.load(open(os.path.join(out_dir, p)))
+        except Exception:
+            return default
+    verify_errors = load("errors.json", {})
+    subset = load("subset.json", None)
+    registry = sorted(load("query_modes.json", oracles).keys())
+    for n, exc in verify_errors.items():
+        results[n] = f"VERIFY_ERROR: {exc}"
+    declared = set(subset["selected"]) if subset else set(registry)
+    for n in registry:
+        if n in declared and n not in names and n not in verify_errors:
+            results[n] = "MISSING_FROM_DUMP"
     for name in names:
         files = glob.glob(f"{out_dir}/{name}/*.parquet")
         if not files:
@@ -109,7 +128,13 @@ def main(sf_dir, out_dir):
     n_ok = sum(1 for v in results.values() if v.startswith(("OK", "ROWS_ONLY")))
     for n in sorted(results):
         print(f"{n:<{width}}  {results[n]}")
-    print(f"\n{n_ok}/{len(results)} clean")
+    partial = len(declared) < len(registry)
+    label = "PARTIAL (declared subset via SPARK_GRAFT_ONLY)" if partial \
+        else "FULL registry"
+    print(f"\n{n_ok}/{len(results)} clean — {label}: "
+          f"{len(declared)}/{len(registry)} queries")
+    # a clean subset run exits 0 but is LABELED partial; a dump that is
+    # smaller than it declared (or than the registry, undeclared) fails
     return 0 if n_ok == len(results) else 1
 
 
