@@ -205,6 +205,26 @@ object Multimodal {
     // (quarantine, not crash — RobustnessSpec).
     "mm_scene_cut" -> ((s, d) =>
       sceneCuts(Tables.documents(s, d))),
+
+    // REAL perceptual hash (round 11): the DCT is no longer a seam —
+    // [[graft.functions.PHash64]] computes an actual 32×32 → 8×8
+    // DCT-II low-frequency signature in Q14 integer arithmetic (see its
+    // scaladoc for why integers: cross-JVM bit-reproducibility, which a
+    // re-runnable distributed dedup needs, plus an EXACT DuckDB oracle
+    // with the cosine table embedded as literals — no md5 twin needed).
+    // Only the decode step remains the documented stub (payload bytes
+    // tiled row-major into the luma plane). Shape: the signature is ONE
+    // codegen'd scalar computed at the scan, so payloads never cross a
+    // wire; only (doc_id, sig) enters the shared piece-blocked pair
+    // machinery (pigeonhole-exact for hamming ≤ 3). Empty payloads are
+    // rejected up front (a 0-byte image is not decodable).
+    "mm_phash_dct" -> ((s, d) =>
+      graft.queries.DedupQueries.signaturePairs(
+        withPayload(Tables.documents(s, d)
+          .filter(col("text").isNotNull && length(col("text")) > 0))
+          .select(col("doc_id"),
+            graft.functions.PHash64.phash(col("payload")).as("sig")))),
+
     "mm_phash_dedup" -> ((s, d) =>
       graft.queries.DedupQueries.simhashPairs(
         withPayload(Tables.documents(s, d)
@@ -249,7 +269,61 @@ object Multimodal {
           .as("first_cut_idx"))
   }
 
+  /** Exact DuckDB replay of the integer DCT pHash: the Q14 cosine table
+    * is embedded as 256 literals STRAIGHT FROM PHash64.cosQ14 (libm cos
+    * differs across engines in the last ulp — frozen integers cannot),
+    * and every step after it is integer-exact: tiled pixels, separable
+    * row/column DCT passes as two aggregate joins, lower-median (32nd
+    * smallest of the 63 AC coefficients) threshold, bit pack, and the
+    * brute-force O(n²) hamming ≤ 3 self-join that the piece-blocked
+    * Spark plan provably equals (pigeonhole). */
+  private def phashDctOracle: String = {
+    val tbl = (for { u <- 0 until 8; x <- 0 until 32 }
+      yield s"($u,$x,${graft.functions.PHash64.cosQ14(u)(x)})").mkString(",")
+    s"""WITH cos_t(u, x, c) AS (SELECT * FROM (VALUES $tbl)),
+       |docs AS (
+       |  -- DuckDB's substr has no BLOB overload: hex the payload ONCE,
+       |  -- then byte p is the 2-char slice at p*2+1 of the hex string
+       |  SELECT doc_id, hex(encode(text)) AS hx,
+       |         octet_length(encode(text)) AS len
+       |  FROM documents
+       |  WHERE text IS NOT NULL AND octet_length(encode(text)) > 0),
+       |pix AS (
+       |  SELECT doc_id, s.p,
+       |    CAST(('0x' || substr(hx, (s.p % len) * 2 + 1, 2)) AS INT) AS v
+       |  FROM docs, (SELECT unnest(generate_series(0, 1023)) AS p) s),
+       |g AS (
+       |  SELECT pix.doc_id, ct.u, pix.p // 32 AS y,
+       |         SUM(pix.v * ct.c) AS gv
+       |  FROM pix JOIN cos_t ct ON ct.x = pix.p % 32
+       |  GROUP BY 1, 2, 3),
+       |f AS (
+       |  SELECT g.doc_id, g.u, ct.u AS v,
+       |         CAST(SUM(g.gv * ct.c) AS BIGINT) AS fv
+       |  FROM g JOIN cos_t ct ON ct.x = g.y
+       |  GROUP BY 1, 2, 3),
+       |ac AS (
+       |  SELECT doc_id, u * 8 + v - 1 AS bit, fv
+       |  FROM f WHERE NOT (u = 0 AND v = 0)),
+       |med AS (
+       |  SELECT doc_id, MIN(fv) AS thr FROM (
+       |    SELECT doc_id, fv,
+       |      ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY fv) AS rn
+       |    FROM ac) WHERE rn = 32 GROUP BY doc_id),
+       |sig AS (
+       |  SELECT ac.doc_id,
+       |    CAST(SUM(CASE WHEN ac.fv > med.thr
+       |        THEN (CAST(1 AS BIGINT) << CAST(ac.bit AS INTEGER))
+       |        ELSE 0 END) AS BIGINT) AS sig
+       |  FROM ac JOIN med USING (doc_id) GROUP BY 1)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS hamming
+       |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.sig, b.sig)) <= 3""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "mm_phash_dct" -> phashDctOracle,
     "mm_scene_cut" ->
       """WITH f AS (
         |  SELECT doc_id,

@@ -1052,9 +1052,18 @@ object DedupQueries {
     * differently. */
   private[graft] def simhashPairs(hashed: DataFrame): DataFrame = {
     val simhashAgg = udaf(graft.functions.SimHashAggregator)
-    val sigs = hashed
-      .groupBy("doc_id").agg(simhashAgg(col("h")).as("sig"))
-      .buildCheckpoint() // both sides of the piece-blocked self-join
+    signaturePairs(hashed
+      .groupBy("doc_id").agg(simhashAgg(col("h")).as("sig")))
+  }
+
+  /** Candidate pairs from per-doc ≤64-bit signatures (doc_id, sig):
+    * 16-bit piece blocking (pigeonhole-exact for hamming ≤ 3), exact
+    * bit_count verify. Factored from [[simhashPairs]] so signature
+    * families that are COMPUTED per row rather than voted per token —
+    * the DCT pHash — share the identical pair machinery. */
+  private[graft] def signaturePairs(sigsIn: DataFrame): DataFrame = {
+    val sigs =
+      sigsIn.buildCheckpoint() // both sides of the piece-blocked self-join
     val pieces = sigs.select(col("doc_id"), col("sig"),
       posexplode(transform(sequence(lit(0), lit(3)), p =>
         call_function("shiftright", col("sig"), (p * 16).cast("int"))

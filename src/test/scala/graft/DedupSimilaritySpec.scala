@@ -1046,6 +1046,85 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(out.exists(_._3) && out.exists(!_._3), "degenerate screen")
   }
 
+  test("mm_phash_dct: real integer DCT pHash — small edits survive, distinct images far, query equals brute force") {
+    import graft.functions.PHash64
+    // spectrum-rich smooth synthetic "images": 32×32 printable-ASCII
+    // planes built from a few low-frequency cosines with distinct
+    // amplitudes (a degenerate plane — e.g. a pure linear gradient —
+    // leaves most AC coefficients in a tie at ~0, where the median
+    // threshold is meaninglessly sensitive; natural images are
+    // spectrum-rich, so the fixture must be too)
+    def img(a1: Double, a2: Double, a3: Double, ph: Double): String = {
+      val sb = new StringBuilder
+      for (r <- 0 until 32; c <- 0 until 32) {
+        val v = 79 + a1 * math.cos((r + 0.5) * math.Pi * 2 / 32 + ph) +
+          a2 * math.cos((c + 0.5) * math.Pi * 3 / 32) +
+          a3 * math.cos((r + c + 1) * math.Pi * 5 / 64 + ph)
+        sb.append(math.min(126, math.max(32, math.round(v).toInt)).toChar)
+      }
+      sb.toString
+    }
+    val base = img(23, 11, 7, 0.0)
+    val edited = {
+      val a = base.toCharArray
+      for (k <- 0 until 3)
+        a(100 + 137 * k) = (a(100 + 137 * k) + 1).toChar
+      new String(a)
+    }
+    val other = img(-17, 13, 9, 0.7)
+    val phase = img(23, 11, 7, 1.3)
+    def bytesOf(s2: String) = s2.getBytes("UTF-8")
+
+    // 1. independent replay: the DIRECT (non-separable) DCT formula in
+    // BigInt — exact integer arithmetic makes summation order
+    // irrelevant, so this shares no code shape with the separable
+    // two-pass impl yet must agree bit-for-bit
+    def replay(payload: Array[Byte]): Long = {
+      val pix = Array.tabulate(1024)(i =>
+        BigInt(payload(i % payload.length) & 0xff))
+      val cq = PHash64.cosQ14
+      val f = for { u <- 0 until 8; v <- 0 until 8 } yield
+        (for { y <- 0 until 32; x <- 0 until 32 }
+          yield pix(y * 32 + x) * cq(u)(x) * cq(v)(y)).sum
+      val ac = f.drop(1)
+      val thr = ac.sorted.apply(31)
+      ac.zipWithIndex.filter(_._1 > thr)
+        .map(t => 1L << t._2).foldLeft(0L)(_ | _)
+    }
+    for (s2 <- Seq(base, edited, other, phase)) {
+      assert(PHash64.hash(bytesOf(s2)) == replay(bytesOf(s2)))
+      assert(PHash64.hash(bytesOf(s2)) >= 0, "63-bit: sign bit clear")
+    }
+
+    // 2. the pHash property: re-encode-scale perturbations (3 bytes ±1)
+    // stay within the pairing radius; distinct images land far outside
+    def ham(a: String, b: String): Int = java.lang.Long.bitCount(
+      PHash64.hash(bytesOf(a)) ^ PHash64.hash(bytesOf(b)))
+    assert(ham(base, edited) <= 3, s"edit hamming ${ham(base, edited)}")
+    assert(ham(base, other) > 3 && ham(base, phase) > 3 &&
+      ham(other, phase) > 3, "distinct images must not pair")
+
+    // 3. the registered piece-blocked query equals brute force over the
+    // planted corpus (pigeonhole exactness), including the exact-dup
+    // pair at hamming 0 and the edited pair
+    val dir = java.nio.file.Files.createTempDirectory("graft-phashdct")
+      .toString
+    val docs = Seq((1L, base), (2L, edited), (3L, other), (4L, phase),
+      (5L, base))
+    docs.toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val out = graft.multimodal.Multimodal.queries("mm_phash_dct")(spark, dir)
+      .as[(Long, Long, Int)].collect().toSet
+    val sigs = docs.map { case (id, t) => id -> PHash64.hash(bytesOf(t)) }
+    val brute = (for {
+      (a, sa) <- sigs; (b, sb) <- sigs if a < b
+      h = java.lang.Long.bitCount(sa ^ sb) if h <= 3
+    } yield (a, b, h)).toSet
+    assert(brute.contains((1L, 5L, 0)), "exact dup must pair at 0")
+    assert(brute.exists(t => t._1 == 1L && t._2 == 2L), "edit pair")
+    assert(out == brute, s"query=$out brute=$brute")
+  }
+
   test("multimodal decode meta matches spark-side recomputation") {
     val meta = graft.multimodal.Multimodal
       .decodeMeta(spark, Tables.documents(spark, sf0001))

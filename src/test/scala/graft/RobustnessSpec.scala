@@ -59,6 +59,9 @@ class RobustnessSpec extends SparkSpec {
     // null payload -> no windows (quarantined, not crashed); empty and
     // whitespace payloads sign from their single short window
     "mm_phash_dedup",
+    // round-11: null/empty payloads rejected before the DCT (a 0-byte
+    // image is not decodable); short payloads tile the plane
+    "mm_phash_dct",
     // round-10b: null text filtered BEFORE the sort key (a null prefix
     // would trip globalRowNumber's non-null key guard); empty/short
     // docs sort to the front and pair through the same verify
