@@ -252,8 +252,21 @@ class DocStoreMicroBatchStream(root: String, fields: Array[String],
     allowed: Option[Set[String]], maxEntriesPerTrigger: Option[Long] = None,
     staleClaimMs: Option[Long] = None)
   extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
-  with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
+  with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
+  with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
   import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
+
+  // Trigger.AvailableNow contract: snapshot the feed's end AT START and
+  // drain up to exactly there in per-trigger-sized batches. Without this
+  // interface Spark degrades AvailableNow to Trigger.Once semantics —
+  // ONE micro-batch — which under maxEntriesPerTrigger=1 admission
+  // control silently replicated a single feed entry and terminated
+  // (found by the sf1-volume FeedReplicate spec: the destination store
+  // froze at the first commit's values).
+  @volatile private var availableNowCap: Option[Long] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap =
+      Some(graft.sink.DocStoreChangelog.latestComplete(root, staleMs))
 
   // `.option("staleClaimMs", ms)` tunes the abandoned-claim reclaim
   // window (see DocStoreChangelog.latestComplete) — how long a
@@ -278,7 +291,10 @@ class DocStoreMicroBatchStream(root: String, fields: Array[String],
     * entry per trigger applies them in commit order). */
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val s = start.asInstanceOf[SeqOffset].seq
-    val complete = graft.sink.DocStoreChangelog.latestComplete(root, staleMs)
+    val live = graft.sink.DocStoreChangelog.latestComplete(root, staleMs)
+    // under AvailableNow, never admit past the at-start snapshot (new
+    // commits racing the drain belong to the next run)
+    val complete = availableNowCap.fold(live)(math.min(live, _))
     SeqOffset(maxEntriesPerTrigger.fold(complete)(n => math.min(complete, s + n)))
   }
   override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()

@@ -22,6 +22,41 @@ import org.apache.spark.sql.streaming.Trigger
   * Usage: FeedReplicate <srcStoreRoot> <dstStoreRoot> [maxEntriesPerTrigger=1]
   */
 object FeedReplicate {
+
+  /** The replication job itself (shared by [[main]] and the sf1-volume
+    * spec in StreamingScaleSpec, which drives THIS code): tail `src`'s
+    * change feed in commit order and upsert each micro-batch into
+    * `dst`; AvailableNow drains the current backlog and returns. Named
+    * `name` so a StreamingQueryListener can sample its progress. */
+  def replicate(spark: SparkSession, src: String, dst: String,
+      perTrigger: Long = 1L, name: String = "feed_replicate"): Unit = {
+    val q = spark.readStream.format("graft.sources.DocStoreDataSource")
+      .option("path", src)
+      .option("maxEntriesPerTrigger", perTrigger.toString)
+      .load()
+      .writeStream
+      .queryName(name)
+      .option("checkpointLocation", s"$dst/_replication_ckpt")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.format("graft.sources.DocStoreDataSource")
+          .option("path", dst).mode("append").save()
+      }
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Per-collection (docs, sum(count)) of a store — the convergence
+    * fingerprint both sides must agree on. */
+  def summary(spark: SparkSession, root: String): Map[String, (Long, Long)] =
+    spark.read.format("graft.sources.DocStoreDataSource")
+      .option("path", root).load()
+      .groupBy("collection").agg(
+        org.apache.spark.sql.functions.count("*").as("docs"),
+        org.apache.spark.sql.functions.sum("count").as("total"))
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+
   def main(args: Array[String]): Unit = {
     require(args.length >= 2,
       "usage: FeedReplicate <srcStoreRoot> <dstStoreRoot> [maxEntriesPerTrigger]")
@@ -35,30 +70,9 @@ object FeedReplicate {
       .appName("graft-feedreplicate").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     try {
-      val q = spark.readStream.format("graft.sources.DocStoreDataSource")
-        .option("path", src)
-        .option("maxEntriesPerTrigger", perTrigger.toString)
-        .load()
-        .writeStream
-        .option("checkpointLocation", s"$dst/_replication_ckpt")
-        .trigger(Trigger.AvailableNow())
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          batch.write.format("graft.sources.DocStoreDataSource")
-            .option("path", dst).mode("append").save()
-        }
-        .start()
-      q.awaitTermination()
+      replicate(spark, src, dst, perTrigger)
 
-      def summary(root: String): Map[String, (Long, Long)] =
-        spark.read.format("graft.sources.DocStoreDataSource")
-          .option("path", root).load()
-          .groupBy("collection").agg(
-            org.apache.spark.sql.functions.count("*").as("docs"),
-            org.apache.spark.sql.functions.sum("count").as("total"))
-          .collect()
-          .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
-
-      val (s, d) = (summary(src), summary(dst))
+      val (s, d) = (summary(spark, src), summary(spark, dst))
       def fmt(m: Map[String, (Long, Long)]): String =
         m.toSeq.sortBy(_._1).map { case (c, (n, t)) =>
           s""""$c": {"docs": $n, "sum": $t}"""
