@@ -107,9 +107,17 @@ object Bench {
     // Stdout tail-captures have dropped the (long) per-query line before;
     // persist the full run locally so per-query timings always survive.
     // Path defaults to the invoking directory — never a hard-coded tree.
+    // SUBSET runs (SPARK_GRAFT_ONLY) persist to BENCH_SUBSET.json: they
+    // are measurement notes by definition (benchcheck's stale-reference
+    // scan rejects them), and letting them scribble the committed
+    // BENCH_LAST.json record left the working tree dirty after every
+    // solo re-min — a recurring hygiene leak the displacement guard had
+    // to keep catching downstream instead of it never happening.
+    val defaultOut =
+      if (only.isDefined) "BENCH_SUBSET.json" else "BENCH_LAST.json"
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get(
-        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LAST.json")),
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", defaultOut)),
       detailLine + "\n" + totalLine + "\n")
     // a read-only tree must not fail the run; fatal errors still propagate
     catch { case scala.util.control.NonFatal(_) => }
