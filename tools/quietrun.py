@@ -86,31 +86,55 @@ def self_qualified(path: str) -> bool:
     return ok
 
 
+FLOOR_WINDOW = 20  # probes; ~15 min of history
+BLIND_EVERY = 18   # non-calm probes between probe-blind attempts
+
+
 def main() -> int:
     sf_dir, out_record = sys.argv[1], sys.argv[2]
     budget_s = float(sys.argv[3]) * 60 if len(sys.argv) > 3 else 3000
     mode = sys.argv[4] if len(sys.argv) > 4 else "sf01"
     t_start = time.time()
-    floor = min(spin() for _ in range(3))
-    bw_floor = min(bw_probe() for _ in range(3))
+    # ROLLING floors (min over the last FLOOR_WINDOW probes), not
+    # session mins: one outlier-fast probe during a brief idle moment
+    # otherwise poisons the TOL gate for the rest of a hostile session
+    # (observed round 11: floor 0.441 from a single reading, ambient
+    # 0.52-0.66 forever after -> zero attempts in 50 minutes).
+    import collections
+    hist = collections.deque([min(spin() for _ in range(3))],
+                             maxlen=FLOOR_WINDOW)
+    bw_hist = collections.deque([min(bw_probe() for _ in range(3))],
+                                maxlen=FLOOR_WINDOW)
     calm_streak = 0
+    stale = 0  # non-calm probes since the last attempt
     attempt = 0
     while time.time() - t_start < budget_s:
         s0 = steal_ticks()
         p = spin()
         bw = bw_probe()
         stole = steal_ticks() - s0
-        floor = min(floor, p)
-        bw_floor = min(bw_floor, bw)
+        hist.append(p)
+        bw_hist.append(bw)
+        floor = min(hist)
+        bw_floor = min(bw_hist)
         calm = (p <= floor * TOL and bw <= bw_floor * BW_TOL
                 and stole == 0)
         calm_streak = calm_streak + 1 if calm else 0
+        stale = 0 if calm else stale + 1
         print(f"probe {p:.3f}s floor {floor:.3f} "
               f"bw {bw * 1000:.1f}ms bwfloor {bw_floor * 1000:.1f} "
               f"steal {stole} streak {calm_streak}", flush=True)
-        if calm_streak >= 2:
+        # Probe-blind fallback: on a day with no probe-calm window, an
+        # attempt every ~BLIND_EVERY probes costs a few box-minutes and
+        # lets benchcheck (the real gate: parallel calib brackets +
+        # steal delta + per-query reference scan) judge windows the
+        # 1-thread probes misread. A rejected attempt changes nothing.
+        blind = stale >= BLIND_EVERY
+        if calm_streak >= 2 or blind:
             attempt += 1
-            print(f"attempt {attempt}: launching bench", flush=True)
+            stale = 0
+            print(f"attempt {attempt}: launching bench"
+                  + (" (probe-blind)" if blind else ""), flush=True)
             tmp = f"/tmp/quietrun_attempt{attempt}.json"
             env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir,
                        SPARK_GRAFT_BENCH_OUT=tmp)
