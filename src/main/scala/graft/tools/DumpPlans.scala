@@ -51,7 +51,9 @@ object DumpPlans {
     "curate_dsir" -> "DSIR importance resampling: hashed-feature model is ≤4096 rows at ANY corpus size → broadcast into the occurrence stream (zero model shuffles, contrast curate_lm_score); per-doc mean partial-aggregates; top-quarter cut via the quantile-bucketed global row number (no single-partition window)",
     "sim_rp_reduce" -> "JL random projection 64→16: the k×d matrix is a LITERAL folded into one whole-stage-codegen projection — no model table, no join, zero exchanges at any corpus size; runs map-side in the scan stage like sim_quantize_int8",
     "ta_bpe_encode" -> "BPE encode with the learned merge list: ≤20-row model collected once per dataset (ivfModel precedent) and folded into a 20-deep replace cascade — encoding is a pure per-row projection, zero exchanges beyond the trainer's narrow (pair,cnt) aggregate; the encoded string never crosses a shuffle",
-    "decontam_minhash" -> "fuzzy benchmark decontamination: benchmark bands + shingle sets broadcast (eval suites stay KBs at any corpus size); corpus pays ONE signature aggregate (64 longs per doc via partial_minhashaggregator, shingles stay in the index build) and a broadcast band join; exact-jaccard verify runs only over candidate docs")
+    "decontam_minhash" -> "fuzzy benchmark decontamination: benchmark bands + shingle sets broadcast (eval suites stay KBs at any corpus size); corpus pays ONE signature aggregate (64 longs per doc via partial_minhashaggregator, shingles stay in the index build) and a broadcast band join; exact-jaccard verify runs only over candidate docs",
+    "mm_phash_dct" -> "real integer-DCT pHash: graft_phash is ONE codegen'd scalar above the scan (payloads never shuffle; only (doc_id, sig) enters the checkpointed piece-blocked self-join); contrast mm_phash_dedup's explode+vote pipeline",
+    "stats_ks_drift" -> "exact KS drift, fully lazy: percentile_approx boundary array broadcast-crossed onto the distinct-value grid (no driver stats job at construction); running CDFs via broadcast bucket offsets + in-bucket windows")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")
@@ -68,7 +70,18 @@ object DumpPlans {
       sb.append(df.queryExecution.executedPlan.toString.take(4000))
       sb.append("\n```\n")
     }
-    Files.writeString(Paths.get("/root/repo/PLANS.md"), sb.toString)
+    // Preserve the hand-annotated plan sketches (everything at and
+    // after the marker) — they are condensed QueryDebug commentary, not
+    // regenerable dumps.
+    val marker = "<!-- HAND-ANNOTATED BELOW: preserved by DumpPlans -->"
+    val path = Paths.get("/root/repo/PLANS.md")
+    val tail =
+      if (Files.exists(path)) {
+        val cur = Files.readString(path)
+        val i = cur.indexOf(marker)
+        if (i >= 0) "\n" + cur.substring(i) else ""
+      } else ""
+    Files.writeString(path, sb.toString + tail)
     println("wrote PLANS.md")
     spark.stop()
   }
