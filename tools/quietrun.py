@@ -63,25 +63,60 @@ def steal_ticks() -> int:
         return int(f.readline().split()[6])
 
 
+def _parse(text):
+    total, queries = None, {}
+    for line in text.splitlines():
+        line = line.strip()
+        if not line:
+            continue
+        try:
+            rec = json.loads(line)
+        except json.JSONDecodeError:
+            return None, {}
+        if rec.get("metric") == "total":
+            total = rec
+        if isinstance(rec.get("queries"), dict):
+            queries.update(rec["queries"])
+    return total, queries
+
+
 def self_qualified(path: str) -> bool:
-    """sf1-mode gate: the record's own bracket metrics, no ref scan."""
-    total = None
+    """sf1-mode gate: bracket metrics PLUS a per-query regression scan
+    against the committed sf1 record. The brackets alone are blind to a
+    bandwidth co-tenant that roams mid-run (round 11: an attempt read
+    lf 1.014 while the shingle-dedup family ran 3.5-5.1x its committed
+    sf1 level — the round-10 signature, invisible to CPU probes). Any
+    query already covered by HEAD's BENCH_sf1.json must not read >2x
+    its committed value (+0.3 s slack); more than 5 such regressions
+    rejects the attempt."""
     with open(path) as f:
-        for line in f:
-            try:
-                rec = json.loads(line)
-            except json.JSONDecodeError:
-                return False
-            if rec.get("metric") == "total":
-                total = rec
+        total, queries = _parse(f.read())
     if not total:
         return False
     ok = (total.get("nfailed", 1) == 0
           and 0 < total.get("load_factor", 9) <= 1.05
           and total.get("steal_pct", 1) <= 0.02)
+    regress = []
+    try:
+        head = subprocess.run(
+            ["git", "show", "HEAD:BENCH_sf1.json"],
+            capture_output=True, text=True, timeout=10)
+        if head.returncode == 0:
+            _, old = _parse(head.stdout)
+            regress = [(k, queries[k], old[k]) for k in queries
+                       if k in old and queries[k] > old[k] * 2 + 0.3]
+    except (OSError, subprocess.SubprocessError):
+        pass
+    if len(regress) > 5:
+        ok = False
+        worst = sorted(regress, key=lambda t: t[1] / t[2], reverse=True)
+        print("  regressions vs committed sf1 record: "
+              + ", ".join(f"{k} {v:.1f}s/{o:.1f}s" for k, v, o in worst[:6]),
+              flush=True)
     print(f"self-qualify: lf={total.get('load_factor'):.3f} "
           f"steal={total.get('steal_pct'):.4f} "
-          f"nfailed={total.get('nfailed')} -> {'OK' if ok else 'REJECT'}",
+          f"nfailed={total.get('nfailed')} "
+          f"regressed={len(regress)} -> {'OK' if ok else 'REJECT'}",
           flush=True)
     return ok
 
