@@ -55,6 +55,13 @@ object Bench {
     // stale-reference scan rejects them by construction).
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // mirror Verify's loud guard: a typo'd solo re-min must not run zero
+    // queries and write a plausible-looking BENCH_SUBSET.json
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_ONLY names not in the registry: ${unknown.toSeq.sorted.mkString(", ")}")
+    }
     val selected = only match {
       case Some(names) => SparkEntry.queries.filter(kv => names(kv._1))
       case None        => SparkEntry.queries
@@ -109,12 +116,15 @@ object Bench {
     // Path defaults to the invoking directory — never a hard-coded tree.
     // SUBSET runs (SPARK_GRAFT_ONLY) persist to BENCH_SUBSET.json: they
     // are measurement notes by definition (benchcheck's stale-reference
-    // scan rejects them), and letting them scribble the committed
-    // BENCH_LAST.json record left the working tree dirty after every
-    // solo re-min — a recurring hygiene leak the displacement guard had
-    // to keep catching downstream instead of it never happening.
+    // scan rejects them). FULL runs persist to BENCH_LAST_ATTEMPT.json
+    // (both gitignored): BENCH_LAST.json is the COMMITTED QUALIFIED
+    // record and only quietrun's benchcheck-qualified copy path (or a
+    // deliberate SPARK_GRAFT_BENCH_OUT) may write it — every unqualified
+    // driver full run used to land there and dirty the working tree
+    // (round-9/10/11 recurring hygiene leak; the displacement guard
+    // caught it downstream instead of it never happening).
     val defaultOut =
-      if (only.isDefined) "BENCH_SUBSET.json" else "BENCH_LAST.json"
+      if (only.isDefined) "BENCH_SUBSET.json" else "BENCH_LAST_ATTEMPT.json"
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get(
         sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", defaultOut)),

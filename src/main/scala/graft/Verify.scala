@@ -15,6 +15,20 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Stale artifacts in a REUSED outDir can lie (review-caught): a
+    // leftover subset.json makes a later FULL dump read as PARTIAL with
+    // the wrong declared set, and a failed query's surviving parquet
+    // dir from a prior run would grade as current output. Delete the
+    // marker files up front; failed queries additionally delete their
+    // own stale dir below.
+    Seq("subset.json", "errors.json", "query_modes.json", "oracle_sql.json")
+      .foreach(f => Files.deleteIfExists(Paths.get(s"$outDir/$f")))
+    def deleteDir(p: java.nio.file.Path): Unit =
+      if (Files.exists(p)) {
+        import scala.jdk.CollectionConverters._
+        Files.walk(p).iterator().asScala.toSeq.reverse.foreach(q =>
+          Files.deleteIfExists(q))
+      }
     // A thrown query must leave a visible record (round 7: 16 broken
     // queries were simply ABSENT from the correctness artifact; a reader
     // had to diff against the registry to notice). errors.json maps each
@@ -44,6 +58,10 @@ object Verify {
       catch { case e: Throwable =>
         errors(name) = e.getClass.getSimpleName
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // a failed query must not leave a prior run's dump behind — the
+        // checker would grade the stale data as this run's output
+        try deleteDir(Paths.get(s"$outDir/$name"))
+        catch { case scala.util.control.NonFatal(_) => }
       }
       // drop the query's localCheckpoint blocks between entries — same
       // memory-isolation reasoning as Bench (accumulated checkpoint

@@ -11,12 +11,27 @@ import org.apache.spark.sql.types.{BinaryType, DataType, LongType}
   * "Implementation and Benchmarking of Perceptual Image Hash Functions",
   * 2010, and the classic pHash.org scheme):
   *
-  *   1. DECODE SEAM (stub): a real image decoder would emit the 32×32
-  *      grayscale luma plane here; absent codecs in this container, the
-  *      plane tiles the payload bytes row-major (`pix(p) = payload(p mod
-  *      len)`), so byte-level edits perturb few pixels and the hash
-  *      demonstrably survives them (spec-pinned). A real decoder drops
+  *   1. DECODE: payloads that are well-formed binary NetPBM images —
+  *      P5 (grayscale) or P6 (RGB), maxval 255, exact payload length —
+  *      are actually PARSED: pixels decode per the format, RGB collapses
+  *      to integer luma ((299R+587G+114B) div 1000, the ITU-R 601
+  *      weights in exact fixed-point), and the image is nearest-neighbor
+  *      resampled to the 32×32 plane (integer index math — the classic
+  *      pHash "resize small" step). Everything is pure integer
+  *      arithmetic, so the bit-reproducibility guarantee is unchanged.
+  *      Any other payload falls back to TILING the bytes row-major
+  *      (`pix(p) = payload(p mod len)`) — the documented stand-in for
+  *      codecs this container lacks (JPEG etc.), kept so arbitrary
+  *      binary media still hashes deterministically; byte-level edits
+  *      perturb few pixels and the hash demonstrably survives them
+  *      (spec-pinned). A production decoder for compressed formats drops
   *      into [[PHash64.plane]] without touching anything downstream.
+  *      The conformance test is strict (magic, whitespace grammar,
+  *      1..4096 dims, maxval 255, EXACT length) so no natural text or
+  *      fixture payload can parse accidentally — which is also why the
+  *      DuckDB oracle's tiled-plane model stays exact on the fixtures;
+  *      the PNM path is pinned by a hand-built fixture in
+  *      DedupSimilaritySpec instead.
   *   2. 2-D DCT-II of the plane, SEPARABLE and truncated: only the 8
   *      lowest frequencies per axis are computed (8·32·32 + 8·8·32
   *      multiplies, not 32⁴).
@@ -68,20 +83,90 @@ object PHash64 {
   private val K = 8 // low-frequency block edge
 
   /** Q14 cosine table: cosQ14(u)(x) = round(2¹⁴ · cos((2x+1)uπ/64)),
-    * u < 8, x < 32. Built once per JVM from libm cos, then FROZEN into
-    * integers — all downstream arithmetic is exact, and the oracle
-    * generator embeds these very values as SQL literals. */
+    * u < 8, x < 32. Built once per JVM from StrictMath.cos — fdlibm,
+    * bit-identical on every JVM and platform, so the frozen-integer
+    * guarantee is STRUCTURAL rather than resting on java.lang.Math's
+    * 1-ulp licence happening to land on the same rounding side
+    * (review-caught). All downstream arithmetic is exact, and the
+    * oracle generator embeds these very values as SQL literals. */
   val cosQ14: Array[Array[Long]] = Array.tabulate(K, N)((u, x) =>
-    math.round(math.cos(((2 * x + 1) * u * math.Pi) / (2.0 * N)) * 16384.0))
+    math.round(StrictMath.cos(((2 * x + 1) * u * math.Pi) / (2.0 * N)) * 16384.0))
 
-  /** Decode seam: payload bytes → 32×32 luma plane (row-major). */
+  /** Decode seam: payload bytes → 32×32 luma plane (row-major). A
+    * strictly-conforming binary PGM/PPM payload is decoded and
+    * nearest-neighbor resampled; everything else tiles (see scaladoc). */
   private def plane(payload: Array[Byte], f: Array[Int]): Unit = {
+    if (decodePnm(payload, f)) return
     val len = payload.length
     var i = 0
     while (i < N * N) {
       f(i) = payload(i % len) & 0xff
       i += 1
     }
+  }
+
+  /** Strict binary-NetPBM parse + integer nearest-neighbor resample into
+    * `f`. Returns false (leaving `f` untouched) unless the payload is a
+    * byte-exact P5/P6 image: magic, whitespace-separated decimal header
+    * fields (with `#` comments, per the published format), dims in
+    * [1, 4096], maxval exactly 255, ONE whitespace byte after maxval,
+    * and total length exactly header + w·h·channels. The exact-length
+    * rule keeps accidental conformance of natural payloads impossible
+    * in practice and the decode a pure function of the bytes. */
+  private[functions] def decodePnm(p: Array[Byte], f: Array[Int]): Boolean = {
+    if (p.length < 7 || p(0) != 'P') return false
+    val channels = p(1) match {
+      case '5' => 1
+      case '6' => 3
+      case _   => return false
+    }
+    var i = 2
+    def isWs(b: Byte): Boolean =
+      b == ' ' || b == '\t' || b == '\n' || b == '\r' || b == 11 || b == 12
+    // read one decimal field, skipping whitespace and '#' comments first;
+    // -1 = malformed
+    def field(): Int = {
+      var guard = true
+      while (guard) {
+        if (i >= p.length) return -1
+        if (isWs(p(i))) i += 1
+        else if (p(i) == '#') { while (i < p.length && p(i) != '\n') i += 1 }
+        else guard = false
+      }
+      var v = 0
+      var any = false
+      while (i < p.length && p(i) >= '0' && p(i) <= '9') {
+        v = v * 10 + (p(i) - '0')
+        if (v > (1 << 24)) return -1 // overflow guard
+        i += 1
+        any = true
+      }
+      if (any) v else -1
+    }
+    if (i >= p.length || !isWs(p(i))) return false // magic must end at ws
+    val w = field(); val h = field(); val maxv = field()
+    if (w < 1 || w > 4096 || h < 1 || h > 4096 || maxv != 255) return false
+    if (i >= p.length || !isWs(p(i))) return false // exactly one ws byte
+    i += 1
+    val need = w.toLong * h * channels
+    if (p.length.toLong - i != need) return false
+    // nearest-neighbor resample to 32×32; P6 → ITU-R 601 integer luma
+    var y = 0
+    while (y < N) {
+      val sy = y * h / N
+      var x = 0
+      while (x < N) {
+        val sx = x * w / N
+        val o = i + (sy.toLong * w + sx).toInt * channels
+        f(y * N + x) =
+          if (channels == 1) p(o) & 0xff
+          else ((p(o) & 0xff) * 299 + (p(o + 1) & 0xff) * 587 +
+            (p(o + 2) & 0xff) * 114) / 1000
+        x += 1
+      }
+      y += 1
+    }
+    true
   }
 
   def hash(payload: Array[Byte]): Long = {

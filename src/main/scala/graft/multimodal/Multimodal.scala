@@ -1,15 +1,21 @@
 package graft.multimodal
 
 import graft.Tables
+import graft.operators.Checkpoint.CheckpointOps
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing: media payloads ride as opaque `binary`
   * columns with typed metadata extracted executor-side in batches.
   *
-  * The container has no image/audio codecs, so `decodeStub` is a
-  * DETERMINISTIC FAKE decode (clearly marked) — but everything around it
-  * is the real production shape:
+  * The container has no compressed-image/audio codecs, so
+  * [[MediaDecoder.decode]] is a DETERMINISTIC FAKE decode (clearly
+  * marked). The pHash path is more real: [[graft.functions.PHash64]]
+  * genuinely PARSES strictly-conforming binary PGM/PPM payloads
+  * (round 12) — integer luma + nearest-neighbor resample — and tiles
+  * only non-conforming bytes; a compressed-format codec drops into its
+  * `plane` seam untouched. Everything around the seams is the real
+  * production shape:
   *  - binary column in the DataFrame (here derived from `documents.text`
   *    bytes, standing in for image/audio payloads);
   *  - typed metadata schema via a case class Encoder;
@@ -58,6 +64,55 @@ object Multimodal {
   /** documents.text → binary payload column (the multimodal stand-in). */
   def withPayload(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), col("text").cast("binary").as("payload"))
+
+  /** Variant doc_id offsets for [[augmentedDocs]] — far above any fixture
+    * doc_id (GenData sf1 tops out ~10⁵; these are 10¹⁰/2·10¹⁰) so
+    * original and rendition ids can never collide. */
+  private[graft] val ReencodeOffset = 10000000000L
+  private[graft] val PerturbOffset = 20000000000L
+
+  /** The media corpus plus DETERMINISTIC re-encoded renditions — the
+    * near-duplicate population a perceptual-hash dedup exists to catch
+    * (a re-encoded or lightly-edited copy survives exact-byte dedup).
+    * The driver fixtures are read-only and their text-derived payloads
+    * contain no DCT-near media pairs, so the rendition planting lives
+    * in the QUERY, replayed verbatim by the DuckDB oracle — which is
+    * what makes the oracle row check real pairs instead of passing on
+    * an empty result (round-11 verdict item). Two rendition families:
+    *
+    *  - every 16th doc gets a DOUBLED payload (id + ReencodeOffset).
+    *    Under the tiled decode, pix(p) = payload((p mod 2len) mod len)
+    *    = payload(p mod len) — the identical 32×32 plane, hence
+    *    hamming 0: a guaranteed planted pair per doc, the "same pixels,
+    *    different container bytes" re-encode.
+    *  - every 16th doc (offset by 7) gets its FIRST BYTE bumped one
+    *    code (id + PerturbOffset; applied only when that byte is
+    *    printable ASCII 32..125 so Spark's char() and DuckDB's chr()
+    *    agree byte-for-byte) — a one-pixel-level luma perturbation, the
+    *    "lightly edited" case. Its hamming is whatever the DCT says;
+    *    both engines replay it exactly, so pairs appear iff genuinely
+    *    within the radius.
+    *
+    * On a production corpus the near-dup population is organic and this
+    * helper is not applied; it is the fixture-scale oracle harness.
+    * Shape: three column-pruned scans of (doc_id, text) unioned
+    * map-side — no shuffle, and signatures are still computed at the
+    * scan. */
+  private[multimodal] def augmentedDocs(docs: DataFrame): DataFrame = {
+    val base = docs
+      .filter(col("text").isNotNull && length(col("text")) > 0)
+      .select(col("doc_id"), col("text"))
+    val doubled = base.filter(col("doc_id") % 16 === 0)
+      .select((col("doc_id") + ReencodeOffset).as("doc_id"),
+        concat(col("text"), col("text")).as("text"))
+    val perturbed = base
+      .filter(col("doc_id") % 16 === 7 &&
+        ascii(substring(col("text"), 1, 1)).between(32, 125))
+      .select((col("doc_id") + PerturbOffset).as("doc_id"),
+        concat(expr("char(ascii(substring(text, 1, 1)) + 1)"),
+          expr("substring(text, 2)")).as("text"))
+    base.unionAll(doubled).unionAll(perturbed)
+  }
 
   /** Batch metadata extraction over the binary column. */
   def decodeMeta(spark: SparkSession, docs: DataFrame): Dataset[MediaMeta] = {
@@ -212,18 +267,76 @@ object Multimodal {
     // scaladoc for why integers: cross-JVM bit-reproducibility, which a
     // re-runnable distributed dedup needs, plus an EXACT DuckDB oracle
     // with the cosine table embedded as literals — no md5 twin needed).
-    // Only the decode step remains the documented stub (payload bytes
-    // tiled row-major into the luma plane). Shape: the signature is ONE
+    // The decode step (round 12) genuinely parses strict binary PGM/PPM
+    // payloads into the luma plane and tiles only non-conforming bytes
+    // (fixture text never conforms, so the oracle's tiled model stays
+    // exact; the PNM path is spec-pinned). Shape: the signature is ONE
     // codegen'd scalar computed at the scan, so payloads never cross a
     // wire; only (doc_id, sig) enters the shared piece-blocked pair
     // machinery (pigeonhole-exact for hamming ≤ 3). Empty payloads are
-    // rejected up front (a 0-byte image is not decodable).
+    // rejected up front (a 0-byte image is not decodable). The corpus is
+    // [[augmentedDocs]] — fixture docs plus deterministic re-encoded
+    // renditions — so the oracle row verifies real pairs (the doubled
+    // renditions pair at hamming 0 by the tiling identity) instead of
+    // passing vacuously on an empty result.
     "mm_phash_dct" -> ((s, d) =>
       graft.queries.DedupQueries.signaturePairs(
-        withPayload(Tables.documents(s, d)
-          .filter(col("text").isNotNull && length(col("text")) > 0))
+        augmentedDocs(Tables.documents(s, d))
           .select(col("doc_id"),
-            graft.functions.PHash64.phash(col("payload")).as("sig")))),
+            graft.functions.PHash64.phash(col("text").cast("binary"))
+              .as("sig")))),
+
+    // The composed multimodal pipeline — the stages a media-curation
+    // dataflow actually chains, as ONE query (the mm counterpart of
+    // pipeline_e2e / curate_d4): (1) media gate over the decoded
+    // metadata (minimum size, ≥2 frames — the fake decode's n_bytes
+    // arithmetic stands in for real codec metadata); (2) caption
+    // alignment screen (the CLIP-score shape, captionAlign) over the
+    // gate's passers; (3) perceptual-hash near-dup removal over the
+    // aligned survivors — a doc is a dup iff a SMALLER-id rendition
+    // pairs with it within hamming ≤ 3 (pair domination, deliberately
+    // not transitive closure, which keeps the oracle free of recursive
+    // CTEs; the clustered variant is dedup_clusters' machinery); (4)
+    // scene-cut statistics computed ONLY for final survivors. Each
+    // stage's input shrinks before the next — the expensive pair join
+    // sees only gated+aligned docs, the frame explode only survivors.
+    // One row per corpus doc (originals + planted renditions) with its
+    // per-stage flags and the final verdict.
+    "mm_pipeline_e2e" -> ((s, d) => {
+      val aug = augmentedDocs(Tables.documents(s, d))
+      val meta = aug
+        .withColumn("nb", octet_length(col("text").cast("binary")))
+        .withColumn("passed_media", col("nb") >= 64 && col("nb") % 10 >= 1)
+        .buildCheckpoint() // every stage derives map-side from this seam
+      val gated = meta.filter(col("passed_media"))
+      // pipeline_e2e's narrow-exchange discipline: payloads NEVER enter a
+      // join — each stage derives its narrow rows (sig / frame rows)
+      // MAP-SIDE off the checkpoint, and only those join the previous
+      // stage's id sets (linear re-derivation beats shuffling payloads;
+      // the wide-shuffle audit caught the payload-carrying first draft)
+      val aligned = captionAlign(gated)
+        .select(col("doc_id"), col("keep"))
+      val keepIds = aligned.filter(col("keep")).select("doc_id")
+      val sigs = gated.select(col("doc_id"),
+        graft.functions.PHash64.phash(col("text").cast("binary"))
+          .as("sig"))
+        .join(keepIds, Seq("doc_id"), "left_semi")
+      val pairs = graft.queries.DedupQueries.signaturePairs(sigs)
+      val dupIds = pairs.select(col("doc_b").as("doc_id")).distinct()
+      val survFrames = sampleFrames(gated)
+        .join(keepIds, Seq("doc_id"), "left_semi")
+        .join(dupIds, Seq("doc_id"), "left_anti")
+      val scene = sceneCutsFromFrames(survFrames)
+      meta.select(col("doc_id"), col("passed_media"))
+        .join(aligned.withColumnRenamed("keep", "al"), Seq("doc_id"), "left")
+        .join(dupIds.withColumn("dup", lit(true)), Seq("doc_id"), "left")
+        .select(col("doc_id"), col("passed_media"),
+          coalesce(col("al"), lit(false)).as("aligned"),
+          coalesce(col("dup"), lit(false)).as("phash_dup"))
+        .withColumn("survives",
+          col("passed_media") && col("aligned") && !col("phash_dup"))
+        .join(scene.select(col("doc_id"), col("n_cuts")), Seq("doc_id"), "left")
+    }),
 
     "mm_phash_dedup" -> ((s, d) =>
       graft.queries.DedupQueries.simhashPairs(
@@ -251,11 +364,18 @@ object Multimodal {
     * preserves the row's partition), so at 100 TB the ONLY shuffle is
     * the per-doc window/aggregate on (doc_id, frame_idx, 32-bit feat)
     * rows — payloads never move. */
-  private[multimodal] def sceneCuts(docs: DataFrame): DataFrame = {
+  private[multimodal] def sceneCuts(docs: DataFrame): DataFrame =
+    sceneCutsFromFrames(sampleFrames(docs))
+
+  /** The window+aggregate half of [[sceneCuts]], over an existing frame
+    * stream (doc_id, frame_idx, frame_sig) — so a pipeline can derive
+    * frames map-side and filter them by narrow id joins BEFORE the
+    * per-doc exchange (mm_pipeline_e2e). */
+  private[multimodal] def sceneCutsFromFrames(frames: DataFrame): DataFrame = {
     val thr = 1431655765L // floor(2^32 / 3)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy(col("frame_idx").asc)
-    sampleFrames(docs)
+    frames
       .withColumn("feat",
         conv(substring(col("frame_sig"), 1, 8), 16, 10).cast("long"))
       .withColumn("prev", lag(col("feat"), 1).over(w))
@@ -277,17 +397,41 @@ object Multimodal {
     * smallest of the 63 AC coefficients) threshold, bit pack, and the
     * brute-force O(n²) hamming ≤ 3 self-join that the piece-blocked
     * Spark plan provably equals (pigeonhole). */
-  private def phashDctOracle: String = {
+  /** The [[augmentedDocs]] corpus as CTEs `docs0` (non-empty fixture
+    * docs) and `aug` (originals + planted renditions) — the SQL replay
+    * of the query-side planting, shared by both phash oracles. */
+  private def augCtes: String =
+    """docs0 AS (
+      |  SELECT doc_id, text FROM documents
+      |  WHERE text IS NOT NULL AND octet_length(encode(text)) > 0),
+      |aug AS (
+      |  SELECT doc_id, text FROM docs0
+      |  UNION ALL
+      |  SELECT doc_id + 10000000000, text || text
+      |  FROM docs0 WHERE doc_id % 16 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 20000000000,
+      |         chr(ascii(substr(text, 1, 1)) + 1) || substr(text, 2)
+      |  FROM docs0 WHERE doc_id % 16 = 7
+      |    AND ascii(substr(text, 1, 1)) BETWEEN 32 AND 125)""".stripMargin
+
+  /** The integer-DCT signature pipeline as CTEs, from a preceding CTE
+    * holding (doc_id, text) to `sig(doc_id, sig)`. Exact DuckDB replay
+    * of PHash64 (cosine table embedded as frozen Q14 literals; see the
+    * registered-query comment). The tiled-plane model is exact for every
+    * payload these oracles see: the strict-PNM decode path cannot
+    * trigger on fixture text (the conformance test demands a byte-exact
+    * P5/P6 image) and is spec-pinned instead. */
+  private def sigCtes(from: String): String = {
     val tbl = (for { u <- 0 until 8; x <- 0 until 32 }
       yield s"($u,$x,${graft.functions.PHash64.cosQ14(u)(x)})").mkString(",")
-    s"""WITH cos_t(u, x, c) AS (SELECT * FROM (VALUES $tbl)),
+    s"""cos_t(u, x, c) AS (SELECT * FROM (VALUES $tbl)),
        |docs AS (
        |  -- DuckDB's substr has no BLOB overload: hex the payload ONCE,
        |  -- then byte p is the 2-char slice at p*2+1 of the hex string
        |  SELECT doc_id, hex(encode(text)) AS hx,
        |         octet_length(encode(text)) AS len
-       |  FROM documents
-       |  WHERE text IS NOT NULL AND octet_length(encode(text)) > 0),
+       |  FROM $from),
        |pix AS (
        |  SELECT doc_id, s.p,
        |    CAST(('0x' || substr(hx, (s.p % len) * 2 + 1, 2)) AS INT) AS v
@@ -315,15 +459,91 @@ object Multimodal {
        |    CAST(SUM(CASE WHEN ac.fv > med.thr
        |        THEN (CAST(1 AS BIGINT) << CAST(ac.bit AS INTEGER))
        |        ELSE 0 END) AS BIGINT) AS sig
-       |  FROM ac JOIN med USING (doc_id) GROUP BY 1)
+       |  FROM ac JOIN med USING (doc_id) GROUP BY 1)""".stripMargin
+  }
+
+  private def phashDctOracle: String =
+    s"""WITH $augCtes,
+       |${sigCtes("aug")}
        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        |  CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS hamming
        |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
        |WHERE bit_count(xor(a.sig, b.sig)) <= 3""".stripMargin
-  }
+
+  /** mm_pipeline_e2e replay: media gate → caption-align screen (the
+    * mm_caption_align body over the gated set) → pHash pair domination
+    * (smaller-id rendition within hamming ≤ 3) → scene-cut stats for
+    * survivors only. No recursion anywhere. */
+  private def pipelineE2eOracle: String =
+    s"""WITH $augCtes,
+       |meta AS (
+       |  SELECT doc_id, text, octet_length(encode(text)) AS nb,
+       |    (octet_length(encode(text)) >= 64
+       |     AND octet_length(encode(text)) % 10 >= 1) AS passed_media
+       |  FROM aug),
+       |gated AS (SELECT doc_id, text, nb FROM meta WHERE passed_media),
+       |tk AS (SELECT doc_id, text, nb,
+       |  list_filter(string_split(text, ' '), x -> x <> '') AS w
+       |  FROM gated),
+       |fv8 AS (SELECT doc_id,
+       |  CAST(nb AS BIGINT) AS m1, CAST(nb % 251 AS BIGINT) AS m2,
+       |  CAST(nb % 63 AS BIGINT) AS m3, CAST(nb % 17 AS BIGINT) AS m4,
+       |  CAST(len(w) AS BIGINT) AS c1,
+       |  CAST(len(list_distinct(w)) AS BIGINT) AS c2,
+       |  CAST(COALESCE(list_max(list_transform(w, x -> len(x))), 0)
+       |    AS BIGINT) AS c3,
+       |  CAST(length(text) % 97 AS BIGINT) AS c4
+       |  FROM tk),
+       |dots AS (SELECT doc_id,
+       |  m1*c1 + m2*c2 + m3*c3 + m4*c4 AS mc,
+       |  m1*m1 + m2*m2 + m3*m3 + m4*m4 AS mm,
+       |  c1*c1 + c2*c2 + c3*c3 + c4*c4 AS cc FROM fv8),
+       |al AS (SELECT doc_id,
+       |  COALESCE(CASE WHEN mm > 0 AND cc > 0 THEN
+       |    ROUND(CAST(mc AS DOUBLE) / sqrt(CAST(mm * cc AS DOUBLE)), 6)
+       |  END >= CAST('0.9' AS DOUBLE), FALSE) AS keep FROM dots),
+       |pass2 AS (
+       |  SELECT g.doc_id, g.text FROM gated g
+       |  JOIN al ON al.doc_id = g.doc_id AND al.keep),
+       |${sigCtes("pass2")},
+       |dup AS (
+       |  SELECT DISTINCT b.doc_id
+       |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+       |  WHERE bit_count(xor(a.sig, b.sig)) <= 3),
+       |surv AS (
+       |  SELECT p.doc_id, p.text FROM pass2 p
+       |  WHERE p.doc_id NOT IN (SELECT doc_id FROM dup)),
+       |fr AS (SELECT doc_id,
+       |  unnest(generate_series(1, octet_length(encode(text)) % 10 + 1))
+       |    AS frame_idx
+       |  FROM surv),
+       |fsig AS (SELECT doc_id, CAST(frame_idx AS INTEGER) AS frame_idx,
+       |  CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#' ||
+       |    CAST(frame_idx AS VARCHAR)), 1, 8)) AS UBIGINT) AS BIGINT) AS feat
+       |  FROM fr),
+       |lagd AS (SELECT doc_id, feat,
+       |    LAG(feat) OVER (PARTITION BY doc_id ORDER BY frame_idx) AS prev
+       |  FROM fsig),
+       |cuts AS (SELECT doc_id,
+       |    CASE WHEN prev IS NOT NULL AND abs(feat - prev) > 1431655765
+       |         THEN 1 ELSE 0 END AS is_cut
+       |  FROM lagd),
+       |sc AS (SELECT doc_id, CAST(SUM(is_cut) AS BIGINT) AS n_cuts
+       |  FROM cuts GROUP BY doc_id)
+       |SELECT m.doc_id, m.passed_media,
+       |  COALESCE(al.keep, FALSE) AS aligned,
+       |  (dup.doc_id IS NOT NULL) AS phash_dup,
+       |  (m.passed_media AND COALESCE(al.keep, FALSE)
+       |   AND dup.doc_id IS NULL) AS survives,
+       |  sc.n_cuts
+       |FROM meta m
+       |LEFT JOIN al USING (doc_id)
+       |LEFT JOIN dup USING (doc_id)
+       |LEFT JOIN sc USING (doc_id)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "mm_phash_dct" -> phashDctOracle,
+    "mm_pipeline_e2e" -> pipelineE2eOracle,
     "mm_scene_cut" ->
       """WITH f AS (
         |  SELECT doc_id,

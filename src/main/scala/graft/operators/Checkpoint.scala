@@ -31,9 +31,22 @@ object Checkpoint {
   def apply(df: DataFrame): DataFrame =
     if (inlineForAudit) df else df.localCheckpoint()
 
+  /** LAZY variant for tiny derived state (boundary arrays, model rows):
+    * no job at query construction (the laziness contract), but the
+    * first execution materializes the handful of rows once and every
+    * later evaluation of the same frame — the offsets side of a ranked
+    * pipeline, a consumer re-executing the frame — reuses them instead
+    * of re-running the stats aggregate over the data (round-11 verdict:
+    * the in-plan q54 boundaries cost one key-column pass PER
+    * evaluation). Audit mode inlines it like the eager form so build
+    * exchanges stay visible to the wide-shuffle audit. */
+  def lazily(df: DataFrame): DataFrame =
+    if (inlineForAudit) df else df.localCheckpoint(eager = false)
+
   /** Postfix form so call sites keep the `.localCheckpoint()` shape. */
   implicit class CheckpointOps(private val df: DataFrame) extends AnyVal {
     def buildCheckpoint(): DataFrame = Checkpoint(df)
+    def lazyCheckpoint(): DataFrame = Checkpoint.lazily(df)
   }
 
   /** Poison a column of an audit-only plan: planning and plan-walking

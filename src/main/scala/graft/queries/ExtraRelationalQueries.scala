@@ -68,10 +68,16 @@ object ExtraRelationalQueries {
     // key column yields a ≤(nParts−1)-element boundary array,
     // broadcast-crossed onto every row; the bucket id is the count of
     // boundaries strictly below the key — monotone in the key, so the
-    // approximation shapes bucket balance only, never order.
-    val boundsRow = keyed.agg(array_sort(array_distinct(
-      percentile_approx(col("__grn_key"), typedLit(probs), lit(100))))
-      .as("__grn_bnds"))
+    // approximation shapes bucket balance only, never order. The 1-row
+    // result is LAZILY checkpointed: still zero construction jobs, but
+    // the key-column stats pass runs once per execution and is reused
+    // by the ranked side, the offsets side, and any consumer that
+    // re-executes the frame (round-11: it re-ran per evaluation,
+    // q54 0.56→0.77 s).
+    val boundsRow = graft.operators.Checkpoint.lazily(
+      keyed.agg(array_sort(array_distinct(
+        percentile_approx(col("__grn_key"), typedLit(probs), lit(100))))
+        .as("__grn_bnds")))
     val bucketed = keyed.crossJoin(broadcast(boundsRow))
       .withColumn("__grn_bucket",
         size(filter(col("__grn_bnds"), b => col("__grn_key") > b)))

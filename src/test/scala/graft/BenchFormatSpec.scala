@@ -69,6 +69,21 @@ class BenchFormatSpec extends AnyFunSuite {
   // next hostile-box run would sail through silently. Crafted synthetic
   // records pin each path (exit code AND the named reason).
 
+  // These controls shell out to python3 (and, inside the tools, to git
+  // from the repo root). On a box without the tooling the suite should
+  // DEGRADE to canceled tests, not fail — hence the assume() guard.
+  private lazy val python3Available: Boolean =
+    try {
+      import scala.sys.process._
+      Process(Seq("python3", "--version")).!(ProcessLogger(_ => ())) == 0
+    } catch { case scala.util.control.NonFatal(_) => false }
+
+  // POLICY COUPLING, deliberate: the 'faithful record QUALIFIES' test
+  // reads tools/bench_reference.json, so a commit that adds/renames a
+  // registry query without updating the reference table IN THE SAME
+  // COMMIT fails here — that is benchcheck's update-in-same-commit rule
+  // (its docstring) enforced at unit-test time rather than discovered at
+  // record-qualification time.
   private lazy val refQueries: Map[String, Double] = {
     val text = scala.io.Source.fromFile("tools/bench_reference.json")
       .mkString
@@ -79,6 +94,7 @@ class BenchFormatSpec extends AnyFunSuite {
 
   /** Write a synthetic record and run tools/benchcheck.py over it. */
   private def benchcheck(recordLines: Seq[String]): (Int, String) = {
+    assume(python3Available, "python3 not on PATH")
     val f = java.nio.file.Files
       .createTempDirectory("graft-benchcheck")
       .resolve("BENCH_synthetic.json") // NOT BENCH_LAST: skip git paths
@@ -134,5 +150,81 @@ class BenchFormatSpec extends AnyFunSuite {
     val detailOnly = lines(refQueries).take(1)
     val (c2, o2) = benchcheck(detailOnly)
     assert(c2 != 0 && o2.contains("no metric=total"), o2)
+  }
+
+  // ---- negative controls for the sf1 self-qualification gate ----
+  // (quietrun.py check-sf1): the sf1 record qualifies on bracket metrics
+  // PLUS a per-query regression scan against the COMMITTED BENCH_sf1.json
+  // — the scan is what catches the roaming bandwidth co-tenant the
+  // bracket probes are blind to (round 11: lf 1.014 with the dedup
+  // family at 3.5-5.1x). Each rejection path gets a crafted record.
+
+  /** HEAD's committed sf1 per-query map (the scan's baseline). */
+  private lazy val sf1Committed: Map[String, Double] = {
+    import scala.sys.process._
+    val out = new StringBuilder
+    Process(Seq("git", "show", "HEAD:BENCH_sf1.json"),
+      new java.io.File("."))
+      .!(ProcessLogger(l => { out.append(l).append('\n'); () }))
+    """"([^"]+)"\s*:\s*([0-9][0-9.eE+-]*)""".r
+      .findAllMatchIn(out.toString.linesIterator
+        .find(_.contains("\"metric\":\"queries\"")).getOrElse(""))
+      .map(m => m.group(1) -> m.group(2).toDouble)
+      .filter(_._2 > 0).toMap
+  }
+
+  private def checkSf1(recordLines: Seq[String]): (Int, String) = {
+    assume(python3Available, "python3 not on PATH")
+    val f = java.nio.file.Files
+      .createTempDirectory("graft-sf1check")
+      .resolve("BENCH_sf1_synthetic.json")
+    java.nio.file.Files.writeString(f, recordLines.mkString("\n") + "\n")
+    val out = new StringBuilder
+    import scala.sys.process._
+    val logger = ProcessLogger(l => { out.append(l).append('\n'); () })
+    val code = Process(
+      Seq("python3", "tools/quietrun.py", "check-sf1", f.toString),
+      new java.io.File(".")).!(logger)
+    (code, out.toString)
+  }
+
+  private def sf1Lines(qs: Map[String, Double],
+      lf: Double = 1.0, steal: Double = 0.0,
+      errors: Map[String, String] = Map.empty): Seq[String] =
+    Bench.summaryLines(qs, "/tmp/sf1",
+      calibStart = 0.30 * lf, calibEnd = 0.30 * lf,
+      calibIoStart = 0.2, calibIoEnd = 0.15, quietCalib = 0.30,
+      errors = errors, stealPct = steal)
+
+  test("sf1 gate: a faithful clone of the committed record QUALIFIES") {
+    assume(sf1Committed.size > 100, "no committed BENCH_sf1.json to scan")
+    val (code, out) = checkSf1(sf1Lines(sf1Committed))
+    assert(code == 0 && out.contains("OK"), out)
+  }
+
+  test("sf1 gate rejects >5 per-query regressions even with quiet brackets") {
+    assume(sf1Committed.size > 100, "no committed BENCH_sf1.json to scan")
+    // the round-11 co-tenant signature: lf reads quiet, but 6 queries
+    // run >2x their committed level (+0.3s slack cleared via *4)
+    val poisoned = sf1Committed ++ sf1Committed.toSeq.sortBy(-_._2).take(6)
+      .map { case (k, v) => k -> (v * 4 + 1.0) }
+    val (code, out) = checkSf1(sf1Lines(poisoned))
+    assert(code != 0 && out.contains("regressions vs committed"), out)
+    // exactly 5 regressions is within allowance — must still qualify
+    val borderline = sf1Committed ++ sf1Committed.toSeq.sortBy(-_._2)
+      .take(5).map { case (k, v) => k -> (v * 4 + 1.0) }
+    val (c2, o2) = checkSf1(sf1Lines(borderline))
+    assert(c2 == 0, o2)
+  }
+
+  test("sf1 gate rejects contended brackets and thrown queries") {
+    assume(sf1Committed.size > 100, "no committed BENCH_sf1.json to scan")
+    val (c1, o1) = checkSf1(sf1Lines(sf1Committed, lf = 1.2))
+    assert(c1 != 0 && o1.contains("REJECT"), o1)
+    val (c2, o2) = checkSf1(sf1Lines(sf1Committed, steal = 0.05))
+    assert(c2 != 0 && o2.contains("REJECT"), o2)
+    val (c3, o3) = checkSf1(sf1Lines(sf1Committed,
+      errors = Map("q_broken" -> "AnalysisException")))
+    assert(c3 != 0 && o3.contains("REJECT"), o3)
   }
 }

@@ -1106,23 +1106,131 @@ class DedupSimilaritySpec extends SparkSpec {
 
     // 3. the registered piece-blocked query equals brute force over the
     // planted corpus (pigeonhole exactness), including the exact-dup
-    // pair at hamming 0 and the edited pair
+    // pair at hamming 0, the edited pair, and the query's own planted
+    // renditions (ids 16 and 23 trigger the %16 doubling / perturbation
+    // families — the brute force below replays the augmentation rules
+    // independently, so the in-query planting is pinned too)
     val dir = java.nio.file.Files.createTempDirectory("graft-phashdct")
       .toString
     val docs = Seq((1L, base), (2L, edited), (3L, other), (4L, phase),
-      (5L, base))
+      (5L, base), (16L, other), (23L, phase))
     docs.toDF("doc_id", "text").write.mode("overwrite")
       .parquet(s"$dir/documents.parquet")
     val out = graft.multimodal.Multimodal.queries("mm_phash_dct")(spark, dir)
       .as[(Long, Long, Int)].collect().toSet
-    val sigs = docs.map { case (id, t) => id -> PHash64.hash(bytesOf(t)) }
+    // independent replay of augmentedDocs' rendition rules
+    val augmented = docs ++
+      docs.collect { case (id, t) if id % 16 == 0 =>
+        (id + 10000000000L, t + t) } ++
+      docs.collect { case (id, t)
+        if id % 16 == 7 && t.head >= 32 && t.head <= 125 =>
+        (id + 20000000000L, (t.head + 1).toChar + t.tail) }
+    val sigs = augmented.map { case (id, t) => id -> PHash64.hash(bytesOf(t)) }
     val brute = (for {
       (a, sa) <- sigs; (b, sb) <- sigs if a < b
       h = java.lang.Long.bitCount(sa ^ sb) if h <= 3
     } yield (a, b, h)).toSet
     assert(brute.contains((1L, 5L, 0)), "exact dup must pair at 0")
     assert(brute.exists(t => t._1 == 1L && t._2 == 2L), "edit pair")
+    assert(brute.contains((16L, 10000000016L, 0)),
+      "doubled rendition must pair at hamming 0 (tiling identity)")
+    assert(augmented.exists(_._1 == 20000000023L),
+      "perturbed rendition must be planted for id 23")
     assert(out == brute, s"query=$out brute=$brute")
+  }
+
+  test("PHash64: strict binary PGM/PPM payloads decode as real images; everything else tiles") {
+    import graft.functions.PHash64
+    // a 64×32 grayscale raster with genuine 2-D structure
+    val w = 64; val h = 32
+    val raster = Array.tabulate(h * w) { i =>
+      val x = i % w; val y = i / w
+      ((x * 3 + y * 5 + (x * y) % 7) % 256).toByte
+    }
+    def pgm(hdr: String): Array[Byte] =
+      hdr.getBytes("ISO-8859-1") ++ raster
+    val good = pgm(s"P5 $w $h 255\n")
+    // independently-computed expected plane: nearest-neighbor resample —
+    // emitted as a bare 1024-byte payload, whose TILED plane is itself
+    // (p mod 1024 = p), so hash equality proves the decode produced
+    // exactly this plane through a disjoint code path
+    val expectedPlane = Array.tabulate(1024) { i =>
+      val y = i / 32; val x = i % 32
+      raster((y * h / 32) * w + (x * w / 32))
+    }
+    assert(PHash64.hash(good) == PHash64.hash(expectedPlane),
+      "P5 decode+resample must equal the independently computed plane")
+    // the decoded hash differs from what TILING the same bytes yields —
+    // i.e. the PNM path demonstrably engaged (pin via a one-byte magic
+    // corruption, which forces the tiling fallback on identical bytes)
+    val corrupted = good.clone(); corrupted(1) = '7'.toByte
+    assert(PHash64.hash(good) != PHash64.hash(corrupted),
+      "corrupt magic must fall back to tiling (different plane)")
+    // header grammar: comments + arbitrary whitespace parse identically
+    val commented = pgm(s"P5\n# a comment\n$w\t$h\n# more\n255\n")
+    assert(PHash64.hash(commented) == PHash64.hash(good))
+    // P6 RGB: collapse to ITU-R 601 integer luma, then same plane rule
+    val rgb = new Array[Byte](h * w * 3)
+    for (i <- 0 until h * w) {
+      rgb(3 * i) = raster(i)
+      rgb(3 * i + 1) = ((raster(i) & 0xff) / 2).toByte
+      rgb(3 * i + 2) = 17
+    }
+    val p6 = s"P6 $w $h 255\n".getBytes("ISO-8859-1") ++ rgb
+    val expectedLuma = Array.tabulate(1024) { i =>
+      val y = i / 32; val x = i % 32
+      val v = raster((y * h / 32) * w + (x * w / 32)) & 0xff
+      ((v * 299 + (v / 2) * 587 + 17 * 114) / 1000).toByte
+    }
+    assert(PHash64.hash(p6) == PHash64.hash(expectedLuma),
+      "P6 luma decode must equal the independently computed plane")
+    // strictness: any violation tiles instead of decoding — maxval ≠ 255,
+    // trailing junk, truncation, oversize dims
+    val strict = Seq(
+      pgm(s"P5 $w $h 254\n"),
+      good ++ Array(0.toByte),
+      good.dropRight(1),
+      pgm(s"P5 $w $h 255\n  "), // 2 ws bytes after maxval -> length off
+      (s"P5 5000 1 255\n".getBytes("ISO-8859-1") ++ raster))
+    strict.foreach { payload =>
+      assert(PHash64.hash(payload) != PHash64.hash(good),
+        "non-conforming payload must not decode as the image")
+    }
+    // determinism across calls (no shared-state surprises)
+    assert(PHash64.hash(good) == PHash64.hash(good.clone()))
+  }
+
+  test("mm_pipeline_e2e: stage flags consistent, renditions deduped, scene stats only for survivors") {
+    val out = graft.multimodal.Multimodal
+      .queries("mm_pipeline_e2e")(spark, sf0001)
+      .collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), r.getBoolean(2),
+        r.getBoolean(3), r.getBoolean(4),
+        if (r.isNullAt(5)) None else Some(r.getLong(5))))
+    // corpus = 500 fixture docs + planted renditions (only non-empty
+    // docs augment; all sf0.001 docs are non-empty)
+    assert(out.length > 500, s"renditions missing: ${out.length}")
+    val byId = out.map(t => t._1 -> t).toMap
+    out.foreach { case (id, media, aligned, dup, survives, cuts) =>
+      assert(survives == (media && aligned && !dup), s"doc $id verdict")
+      assert(cuts.isDefined == survives, s"doc $id scene stats gating")
+      assert(!aligned || media, s"doc $id aligned without passing gate")
+      assert(!dup || (media && aligned), s"doc $id dup outside stage 3")
+    }
+    // every doubled rendition whose original also reached stage 3 must be
+    // flagged as the dominated (larger-id) side of a hamming-0 pair
+    val reencoded = out.filter(t => t._1 >= 10000000000L &&
+      t._1 < 20000000000L)
+    assert(reencoded.nonEmpty, "doubled renditions absent")
+    reencoded.foreach { case (id, media, aligned, dup, _, _) =>
+      val orig = byId.get(id - 10000000000L)
+      // media gate depends on byte length, which doubling changes; only
+      // when BOTH sides reached the dedup stage is domination guaranteed
+      if (media && aligned &&
+          orig.exists(o => o._2 && o._3))
+        assert(dup, s"rendition $id must be deduped against its original")
+    }
+    assert(out.exists(_._4), "no phash_dup rows — dedup stage vacuous")
   }
 
   test("multimodal decode meta matches spark-side recomputation") {

@@ -62,6 +62,10 @@ class RobustnessSpec extends SparkSpec {
     // round-11: null/empty payloads rejected before the DCT (a 0-byte
     // image is not decodable); short payloads tile the plane
     "mm_phash_dct",
+    // round-12: the composed mm pipeline on a degenerate corpus (null
+    // text dropped at augmentation; tiny docs fail the >=64-byte media
+    // gate -> empty dedup and scene stages)
+    "mm_pipeline_e2e",
     // round-10b: null text filtered BEFORE the sort key (a null prefix
     // would trip globalRowNumber's non-null key guard); empty/short
     // docs sort to the front and pair through the same verify

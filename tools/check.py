@@ -70,6 +70,12 @@ def main(sf_dir, out_dir):
         if n in declared and n not in names and n not in verify_errors:
             results[n] = "MISSING_FROM_DUMP"
     for name in names:
+        if name in verify_errors:
+            # the query THREW this run; any parquet dir under its name is
+            # a stale survivor from a prior dump (Verify now deletes it,
+            # but belt-and-braces: never let stale data overwrite the
+            # VERIFY_ERROR verdict)
+            continue
         files = glob.glob(f"{out_dir}/{name}/*.parquet")
         if not files:
             results[name] = "NO_SPARK_OUTPUT"

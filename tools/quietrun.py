@@ -12,12 +12,19 @@ path; unqualified attempts leave the watcher looping until the
 attempt/time budget runs out.
 
 Usage: python3 tools/quietrun.py <sfDir> <outRecord> [maxMinutes] [mode]
+       python3 tools/quietrun.py check-sf1 <record>
 
 mode 'sf01' (default) qualifies with tools/benchcheck.py (including the
 per-query reference scan — sf0.1 floors). mode 'sf1' qualifies on the
-record's own bracket metrics only (load_factor <= 1.05, steal <= 2%,
-nfailed == 0): the per-query reference table is sf0.1-specific, and the
-sf1 gate is scalecheck + the SCALE.md exponent table, not benchcheck.
+record's own bracket metrics PLUS the per-query regression scan against
+the committed BENCH_sf1.json (the per-query reference table is
+sf0.1-specific; the sf1 exponent gate is scalecheck + SCALE.md).
+
+`check-sf1 <record>` runs ONLY the sf1 self-qualification gate over an
+existing record file and exits 0/1 — the hook BenchFormatSpec's negative
+controls drive, so a refactor that defangs one of the gate's rejection
+paths (lf, steal, nfailed, the >5-regressions scan) fails the unit suite
+instead of silently admitting the next bandwidth-poisoned run.
 """
 import json
 import os
@@ -126,6 +133,8 @@ BLIND_EVERY = 18   # non-calm probes between probe-blind attempts
 
 
 def main() -> int:
+    if sys.argv[1] == "check-sf1":
+        return 0 if self_qualified(sys.argv[2]) else 1
     sf_dir, out_record = sys.argv[1], sys.argv[2]
     budget_s = float(sys.argv[3]) * 60 if len(sys.argv) > 3 else 3000
     mode = sys.argv[4] if len(sys.argv) > 4 else "sf01"
