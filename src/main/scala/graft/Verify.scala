@@ -26,8 +26,14 @@ object Verify {
     def deleteDir(p: java.nio.file.Path): Unit =
       if (Files.exists(p)) {
         import scala.jdk.CollectionConverters._
-        Files.walk(p).iterator().asScala.toSeq.reverse.foreach(q =>
-          Files.deleteIfExists(q))
+        // Files.walk holds an open directory stream until closed — an
+        // unclosed walk per failed query leaks a handle for the
+        // driver's lifetime (advisor-caught)
+        val walk = Files.walk(p)
+        val paths =
+          try walk.iterator().asScala.toSeq.reverse
+          finally walk.close()
+        paths.foreach(q => Files.deleteIfExists(q))
       }
     // A thrown query must leave a visible record (round 7: 16 broken
     // queries were simply ABSENT from the correctness artifact; a reader
@@ -51,6 +57,25 @@ object Verify {
     val selected = only match {
       case Some(names) => SparkEntry.queries.filter(kv => names(kv._1))
       case None        => SparkEntry.queries
+    }
+    // The tiled-plane phash oracles (mm_phash_dct / mm_pipeline_e2e) are
+    // exact ONLY while no corpus payload conforms to strict PNM: a
+    // conforming payload really decodes in Spark while the DuckDB replay
+    // always models tiling — a silent signature divergence. That used to
+    // be an unchecked assumption (advisor-caught); scan the corpus and
+    // abort loudly instead of dumping a divergent result.
+    if (selected.contains("mm_phash_dct") ||
+        selected.contains("mm_pipeline_e2e")) {
+      import spark.implicits._
+      val conforming = graft.multimodal.Multimodal
+        .phashOracleCorpus(spark, sfDir)
+        .select("payload").as[Array[Byte]]
+        .filter(b => graft.functions.PHash64.conforms(b))
+        .count()
+      require(conforming == 0L,
+        s"phash oracle invariant violated: $conforming corpus payload(s) " +
+          "conform to strict PNM — the tiled-model DuckDB oracles for " +
+          "mm_phash_dct/mm_pipeline_e2e would silently diverge")
     }
     selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

@@ -31,7 +31,9 @@ import org.apache.spark.sql.types.{BinaryType, DataType, LongType}
   *      fixture payload can parse accidentally — which is also why the
   *      DuckDB oracle's tiled-plane model stays exact on the fixtures;
   *      the PNM path is pinned by a hand-built fixture in
-  *      DedupSimilaritySpec instead.
+  *      DedupSimilaritySpec, and Verify CHECKS the no-conforming-payload
+  *      invariant over the phash corpora per run (round 13) instead of
+  *      assuming it.
   *   2. 2-D DCT-II of the plane, SEPARABLE and truncated: only the 8
   *      lowest frequencies per axis are computed (8·32·32 + 8·8·32
   *      multiplies, not 32⁴).
@@ -105,20 +107,27 @@ object PHash64 {
     }
   }
 
-  /** Strict binary-NetPBM parse + integer nearest-neighbor resample into
-    * `f`. Returns false (leaving `f` untouched) unless the payload is a
-    * byte-exact P5/P6 image: magic, whitespace-separated decimal header
-    * fields (with `#` comments, per the published format), dims in
-    * [1, 4096], maxval exactly 255, ONE whitespace byte after maxval,
-    * and total length exactly header + w·h·channels. The exact-length
-    * rule keeps accidental conformance of natural payloads impossible
-    * in practice and the decode a pure function of the bytes. */
-  private[functions] def decodePnm(p: Array[Byte], f: Array[Int]): Boolean = {
-    if (p.length < 7 || p(0) != 'P') return false
+  /** Parsed strict-PNM header: image dims, channel count (1 = P5
+    * grayscale, 3 = P6 RGB), and the offset of the first pixel byte. */
+  private[graft] final case class PnmHeader(
+      width: Int, height: Int, channels: Int, pixelOffset: Int)
+
+  /** Strict binary-NetPBM header parse — the shared conformance test
+    * behind both the pHash decode and [[graft.multimodal.Multimodal]]'s
+    * metadata decoder. Returns null unless the payload is a byte-exact
+    * P5/P6 image: magic, whitespace-separated decimal header fields
+    * (with `#` comments, per the published format), dims in [1, 4096],
+    * maxval exactly 255, ONE whitespace byte after maxval, and total
+    * length exactly header + w·h·channels. The exact-length rule keeps
+    * accidental conformance of natural payloads impossible in practice
+    * and the decode a pure function of the bytes. (Null rather than
+    * Option: this sits under the per-payload hash hot path.) */
+  private[graft] def parsePnm(p: Array[Byte]): PnmHeader = {
+    if (p == null || p.length < 7 || p(0) != 'P') return null
     val channels = p(1) match {
       case '5' => 1
       case '6' => 3
-      case _   => return false
+      case _   => return null
     }
     var i = 2
     def isWs(b: Byte): Boolean =
@@ -143,14 +152,31 @@ object PHash64 {
       }
       if (any) v else -1
     }
-    if (i >= p.length || !isWs(p(i))) return false // magic must end at ws
+    if (i >= p.length || !isWs(p(i))) return null // magic must end at ws
     val w = field(); val h = field(); val maxv = field()
-    if (w < 1 || w > 4096 || h < 1 || h > 4096 || maxv != 255) return false
-    if (i >= p.length || !isWs(p(i))) return false // exactly one ws byte
+    if (w < 1 || w > 4096 || h < 1 || h > 4096 || maxv != 255) return null
+    if (i >= p.length || !isWs(p(i))) return null // exactly one ws byte
     i += 1
     val need = w.toLong * h * channels
-    if (p.length.toLong - i != need) return false
-    // nearest-neighbor resample to 32×32; P6 → ITU-R 601 integer luma
+    if (p.length.toLong - i != need) return null
+    PnmHeader(w, h, channels, i)
+  }
+
+  /** True iff the payload passes the strict PNM conformance test —
+    * i.e. [[hash]] would genuinely decode it rather than tile it.
+    * Verify's corpus invariant uses this to keep the tiled-model phash
+    * oracles honest (advisor-caught: the tiling assumption was
+    * unchecked). */
+  def conforms(p: Array[Byte]): Boolean = parsePnm(p) != null
+
+  /** Decode a conforming payload + integer nearest-neighbor resample
+    * into `f`. Returns false (leaving `f` untouched) on non-conforming
+    * payloads; P6 collapses to ITU-R 601 integer luma. */
+  private[functions] def decodePnm(p: Array[Byte], f: Array[Int]): Boolean = {
+    val hdr = parsePnm(p)
+    if (hdr == null) return false
+    val w = hdr.width; val h = hdr.height
+    val channels = hdr.channels; val i = hdr.pixelOffset
     var y = 0
     while (y < N) {
       val sy = y * h / N

@@ -773,6 +773,17 @@ object CurationQueries {
         .select(col("doc_id"), col("source"),
           pmod(conv(substring(md5(col("f").cast("binary")), 1, 8), 16, 10)
             .cast("long"), lit(DsirBuckets.toLong)).as("b"))
+        // featurize ONCE: both the bucket-stats aggregate and the scoring
+        // join consume this stream, and without the checkpoint each
+        // consumer re-runs the tokenize→bigram-explode→md5 subtree — the
+        // round-12 adjudication found that doubled hashing pass to be the
+        // query's bandwidth-bound constant factor (the 4–5× inflation
+        // under the memory co-tenant, 2.16× even in the qualified
+        // record). The materialized stream is 3 narrow columns per
+        // occurrence — linear state, the same discipline as the dedup
+        // index builds; at 100 TB the featurize-once shape is what DSIR
+        // implementations do anyway.
+        .buildCheckpoint()
       val stats = feats.groupBy("b").agg(
         count(lit(1)).as("r"),
         sum(when(col("source") === "src0", 1L).otherwise(0L)).as("t"))

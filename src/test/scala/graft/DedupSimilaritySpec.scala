@@ -1245,6 +1245,106 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("MediaDecoder: strict PNM decodes real dims/format/frames; others keep the fake arithmetic") {
+    import graft.multimodal.Multimodal.MediaDecoder
+    // P5 filmstrip: h = 3·w ⇒ 3 stacked frames by the filmstrip rule
+    val w = 8; val h = 24
+    val strip = s"P5 $w $h 255\n".getBytes("ISO-8859-1") ++
+      Array.tabulate(w * h)(i => (i % 251).toByte)
+    val m = MediaDecoder.decode(7L, strip)
+    assert(m.width == w && m.height == h && m.n_frames == 3 &&
+      m.format == "pnm/p5", s"filmstrip decode: $m")
+    assert(m.n_bytes == strip.length)
+    assert(m.header_hex == strip.take(8).map(b => f"$b%02X").mkString)
+    // P6 still (square): 1 frame, RGB format tag
+    val sq = s"P6 4 4 255\n".getBytes("ISO-8859-1") ++ new Array[Byte](48)
+    val m6 = MediaDecoder.decode(8L, sq)
+    assert(m6.width == 4 && m6.height == 4 && m6.n_frames == 1 &&
+      m6.format == "pnm/p6", s"P6 still decode: $m6")
+    // non-multiple height: a still, not a strip
+    val odd = s"P5 4 7 255\n".getBytes("ISO-8859-1") ++ new Array[Byte](28)
+    assert(MediaDecoder.decode(9L, odd).n_frames == 1)
+    // corrupt magic falls back to the documented fake arithmetic
+    val bad = strip.clone(); bad(1) = '9'.toByte
+    val mf = MediaDecoder.decode(10L, bad)
+    val n = bad.length
+    assert(mf.format == "fake/raw" && mf.width == n % 640 + 1 &&
+      mf.height == (n * 31) % 480 + 1 && mf.n_frames == n % 10 + 1)
+  }
+
+  test("pnmAugmentedPayloads: planted renditions conform and parse back to the planted dims") {
+    import graft.functions.PHash64
+    import graft.multimodal.Multimodal
+    val aug = Multimodal.queries("mm_decode_meta")(spark, sf0001)
+    val planted = aug.filter(col("doc_id") >= Multimodal.PnmOffset)
+      .collect()
+    assert(planted.nonEmpty, "no planted PNM renditions at sf0.001")
+    planted.foreach { r =>
+      val origId = r.getLong(0) - Multimodal.PnmOffset
+      val w = (origId % 13 + 4).toInt
+      val k = (origId % 3 + 1).toInt
+      assert(r.getInt(2) == w, s"width ${r.getInt(2)} != planted $w")
+      assert(r.getInt(3) == w * k, "height != planted w*k")
+      assert(r.getInt(4) == k, s"n_frames ${r.getInt(4)} != planted $k")
+      assert(r.getString(5) == "pnm/p5")
+    }
+    // meanwhile the TEXT-rendition corpus the tiled phash oracles read
+    // must stay PNM-free (Verify checks this per dump; pin it here too)
+    val raw = graft.multimodal.Multimodal
+      .phashOracleCorpus(spark, sf0001)
+      .select("payload").as[Array[Byte]].collect()
+    assert(raw.forall(b => !PHash64.conforms(b)),
+      "phash oracle corpus must stay PNM-free (tiled-model invariant)")
+    // originals in the decode corpus keep the fake path: same row count
+    // as the raw table plus one rendition per non-empty %16==3 doc
+    val docs = Tables.documents(spark, sf0001)
+    val nDocs = docs.count()
+    val nExpectedPlanted = docs
+      .filter(col("doc_id") % 16 === 3 &&
+        col("text").isNotNull && length(col("text")) > 0).count()
+    assert(aug.count() == nDocs + nExpectedPlanted)
+    assert(planted.length.toLong == nExpectedPlanted)
+  }
+
+  test("mm_frame_sample and mm_scene_cut: planted filmstrips contribute their REAL frame counts") {
+    import graft.multimodal.Multimodal
+    val frames = Multimodal.queries("mm_frame_sample")(spark, sf0001)
+      .filter(col("doc_id") >= Multimodal.PnmOffset)
+      .groupBy("doc_id").count().as[(Long, Long)].collect()
+    assert(frames.nonEmpty)
+    frames.foreach { case (id, n) =>
+      val k = (id - Multimodal.PnmOffset) % 3 + 1
+      assert(n == k, s"doc $id sampled $n frames, planted $k")
+    }
+    val cuts = Multimodal.queries("mm_scene_cut")(spark, sf0001)
+      .filter(col("doc_id") >= Multimodal.PnmOffset)
+      .select(col("doc_id"), col("n_frames")).as[(Long, Long)].collect()
+    assert(cuts.nonEmpty)
+    cuts.foreach { case (id, n) =>
+      assert(n == (id - Multimodal.PnmOffset) % 3 + 1,
+        s"scene-cut frame count for $id")
+    }
+  }
+
+  test("augmentedDocs: perturbed-rendition population is non-empty on the fixtures (generator property, not a pinned id)") {
+    import graft.multimodal.Multimodal
+    // the one-byte perturbation only plants when the leading byte is
+    // printable ASCII; this pins that the REAL fixtures (and thus the
+    // lightly-edited pair population the phash oracle row exercises)
+    // can't silently lose the family to a regenerated corpus
+    Seq(sf0001, sf001).foreach { dir =>
+      val aug = Multimodal.phashOracleCorpus(spark, dir)
+      val nPerturbed = aug
+        .filter(col("doc_id") >= Multimodal.PerturbOffset &&
+          col("doc_id") < Multimodal.PnmOffset).count()
+      assert(nPerturbed > 0, s"no perturbed renditions planted at $dir")
+      val nDoubled = aug
+        .filter(col("doc_id") >= Multimodal.ReencodeOffset &&
+          col("doc_id") < Multimodal.PerturbOffset).count()
+      assert(nDoubled > 0, s"no doubled renditions planted at $dir")
+    }
+  }
+
   /** All (doc_a<doc_b, dist≤3) pairs over 40-char lower prefixes, the slow
     * way — the recall yardstick for the PassJoin candidate scheme. (No
     * |Δlen| pre-filter needed: levenshtein ≥ |Δlen| already implies it.) */
@@ -1496,8 +1596,14 @@ class DedupSimilaritySpec extends SparkSpec {
     val docs = Tables.documents(spark, sf0001)
       .select(col("doc_id"), col("text")).as[(Long, String)].collect()
     val thr = 1431655765L
-    val expected = docs.map { case (id, text) =>
-      val n = text.getBytes("UTF-8").length % 10 + 1
+    // independent replay of the corpus: fixture docs (fake n_frames) plus
+    // the planted PNM filmstrips (REAL n_frames = k from the planted dims)
+    val corpus = docs.map { case (id, text) =>
+      (id, text.getBytes("UTF-8").length % 10 + 1)
+    } ++ docs.collect { case (id, text) if id % 16 == 3 && text.nonEmpty =>
+      (id + graft.multimodal.Multimodal.PnmOffset, (id % 3 + 1).toInt)
+    }
+    val expected = corpus.map { case (id, n) =>
       val feats = (1 to n).map(i =>
         java.lang.Long.parseLong(md5hex(s"$id#$i").substring(0, 8), 16))
       val cuts = feats.zip(feats.drop(1)).zipWithIndex.collect {

@@ -13,6 +13,7 @@ attempt/time budget runs out.
 
 Usage: python3 tools/quietrun.py <sfDir> <outRecord> [maxMinutes] [mode]
        python3 tools/quietrun.py check-sf1 <record>
+       python3 tools/quietrun.py merge-sf1 <sfDir> <outRecord> [maxMinutes]
 
 mode 'sf01' (default) qualifies with tools/benchcheck.py (including the
 per-query reference scan — sf0.1 floors). mode 'sf1' qualifies on the
@@ -25,6 +26,22 @@ existing record file and exits 0/1 — the hook BenchFormatSpec's negative
 controls drive, so a refactor that defangs one of the gate's rejection
 paths (lf, steal, nfailed, the >5-regressions scan) fails the unit suite
 instead of silently admitting the next bandwidth-poisoned run.
+
+`merge-sf1` closes a coverage gap WITHOUT a full-suite window (round-12
+verdict: seven full-suite sf1 attempts all refused by the gate on the
+same roaming memory-bandwidth co-tenant; waiting for a globally quiet
+6-minute window failed for four rounds). It keeps every committed
+BENCH_sf1.json level untouched and admits ONLY the registry queries the
+committed record lacks, each from probe-gated calm MICRO-windows:
+batches of <=6 run via SPARK_GRAFT_ONLY, a run is accepted only if its
+own brackets are clean (lf <= 1.05, steal <= 0.02, nfailed 0) AND the
+bandwidth probe is calm immediately after the run (the co-tenant
+catcher the brackets are blind to), and each query needs MIN_RUNS
+accepted runs (min taken). Per-query provenance (window probe readings,
+every accepted timing) lands in <outRecord>_provenance.json. Solo
+levels are cold-context (each batch pays JVM+codegen start) — an
+honest UPPER bound of the suite level; the next qualified full-suite
+record supersedes them.
 """
 import json
 import os
@@ -131,10 +148,163 @@ def self_qualified(path: str) -> bool:
 FLOOR_WINDOW = 20  # probes; ~15 min of history
 BLIND_EVERY = 18   # non-calm probes between probe-blind attempts
 
+MERGE_BATCH = 6      # queries per SPARK_GRAFT_ONLY solo invocation
+MERGE_MIN_RUNS = 3   # accepted runs per query before its min is admitted
+MERGE_PROBE_SLEEP = 15  # micro-window cadence (s) — windows are short
+
+
+def _git_head(path):
+    """Parse a committed two-line bench record from HEAD; ({}, {}) when
+    absent (first merge into a repo with no sf1 record yet)."""
+    try:
+        r = subprocess.run(["git", "show", f"HEAD:{path}"],
+                           capture_output=True, text=True, timeout=10)
+        if r.returncode != 0:
+            return None, {}
+        return _parse(r.stdout)
+    except (OSError, subprocess.SubprocessError):
+        return None, {}
+
+
+def merge_sf1(sf_dir: str, out_record: str, budget_s: float) -> int:
+    import collections
+    total_sf1, committed = _git_head("BENCH_sf1.json")
+    _, registry = _git_head("BENCH_LAST.json")
+    if not registry:
+        print("merge-sf1: no committed BENCH_LAST.json to read the "
+              "registry from", flush=True)
+        return 1
+    missing = sorted(set(registry) - set(committed))
+    if not missing:
+        print("merge-sf1: committed BENCH_sf1.json already covers the "
+              "registry — nothing to merge", flush=True)
+        return 0
+    print(f"merge-sf1: {len(committed)} committed, {len(missing)} to "
+          f"admit: {', '.join(missing)}", flush=True)
+    batches = [missing[i:i + MERGE_BATCH]
+               for i in range(0, len(missing), MERGE_BATCH)]
+    accepted = {q: [] for q in missing}
+    prov = {q: [] for q in missing}
+    t_start = time.time()
+    hist = collections.deque([min(spin() for _ in range(3))],
+                             maxlen=FLOOR_WINDOW)
+    bw_hist = collections.deque([min(bw_probe() for _ in range(3))],
+                                maxlen=FLOOR_WINDOW)
+    attempt = 0
+    while time.time() - t_start < budget_s:
+        todo = [b for b in batches
+                if any(len(accepted[q]) < MERGE_MIN_RUNS for q in b)]
+        if not todo:
+            break
+        # calm micro-window: ONE calm probe reading is enough (windows
+        # between co-tenant bursts are short; the run's own brackets +
+        # the post-run probe do the real gating)
+        s0 = steal_ticks()
+        p = spin()
+        bw = bw_probe()
+        stole = steal_ticks() - s0
+        hist.append(p)
+        bw_hist.append(bw)
+        floor, bw_floor = min(hist), min(bw_hist)
+        calm = p <= floor * TOL and bw <= bw_floor * BW_TOL and stole == 0
+        print(f"probe {p:.3f}s floor {floor:.3f} bw {bw * 1000:.1f}ms "
+              f"bwfloor {bw_floor * 1000:.1f} steal {stole} "
+              f"{'CALM' if calm else 'busy'}", flush=True)
+        if not calm:
+            time.sleep(MERGE_PROBE_SLEEP)
+            continue
+        batch = todo[0]
+        attempt += 1
+        print(f"attempt {attempt}: batch {','.join(batch)}", flush=True)
+        tmp = f"/tmp/mergesf1_attempt{attempt}.json"
+        env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir,
+                   SPARK_GRAFT_ONLY=",".join(batch),
+                   SPARK_GRAFT_BENCH_OUT=tmp)
+        run_s0 = steal_ticks()
+        subprocess.run(["tools/run.sh", "graft.Bench"], env=env,
+                       stdout=subprocess.DEVNULL,
+                       stderr=subprocess.DEVNULL, check=False)
+        run_steal = steal_ticks() - run_s0
+        post_bw = bw_probe()
+        post_p = spin()
+        try:
+            with open(tmp) as f:
+                tot, qs = _parse(f.read())
+        except OSError:
+            tot, qs = None, {}
+        ok = (tot is not None and tot.get("nfailed", 1) == 0
+              and 0 < tot.get("load_factor", 9) <= 1.05
+              and tot.get("steal_pct", 1) <= 0.02
+              and post_bw <= bw_floor * BW_TOL
+              and post_p <= min(hist) * TOL)
+        print(f"  lf={tot.get('load_factor', -1):.3f} "
+              f"steal={tot.get('steal_pct', -1):.4f} "
+              f"post_bw {post_bw * 1000:.1f}ms post_spin {post_p:.3f}s "
+              f"-> {'ACCEPT' if ok else 'REJECT'}", flush=True)
+        if ok:
+            for q in batch:
+                if q in qs:
+                    accepted[q].append(qs[q])
+                    prov[q].append({
+                        "t": qs[q],
+                        "lf": tot.get("load_factor"),
+                        "steal_pct": tot.get("steal_pct"),
+                        "calib_start": tot.get("calib_start"),
+                        "calib_end": tot.get("calib_end"),
+                        "pre_spin_s": p, "pre_bw_ms": bw * 1000,
+                        "post_spin_s": post_p,
+                        "post_bw_ms": post_bw * 1000,
+                        "run_steal_ticks": run_steal,
+                        "wall": time.strftime("%Y-%m-%dT%H:%M:%S")})
+        time.sleep(2)
+    short = {q: len(v) for q, v in accepted.items()
+             if len(v) < MERGE_MIN_RUNS}
+    if short:
+        print(f"merge-sf1: budget exhausted with under-measured queries: "
+              f"{short}", flush=True)
+        return 1
+    merged = dict(committed)
+    for q in missing:
+        merged[q] = min(accepted[q])
+    detail = {"metric": "queries", "queries": merged, "errors": {},
+              "sf": sf_dir, "merged": True}
+    base = {k: v for k, v in (total_sf1 or {}).items()
+            if k not in ("queries",)}
+    total = {"metric": "total", "value": sum(merged.values()),
+             "unit": "sec", "sf": sf_dir, "nqueries": len(merged),
+             "nfailed": 0, "merged": True,
+             "merged_base_nqueries": len(committed),
+             "merged_added": len(missing),
+             "merged_base_load_factor": base.get("load_factor"),
+             "provenance": os.path.basename(out_record)
+             + "_provenance.json"}
+    with open(out_record, "w") as g:
+        g.write(json.dumps(detail) + "\n" + json.dumps(total) + "\n")
+    with open(out_record + "_provenance.json", "w") as g:
+        json.dump({"note": "merge-sf1 solo admissions: cold-context "
+                   "min-of-%d from probe-gated calm micro-windows; "
+                   "committed full-suite levels untouched"
+                   % MERGE_MIN_RUNS,
+                   "queries": prov}, g, indent=1)
+    print(f"merge-sf1: MERGED {len(missing)} queries -> {out_record} "
+          f"({len(merged)} total)", flush=True)
+    return 0
+
 
 def main() -> int:
+    # arity guard (advisor-caught): a missing arg should print usage,
+    # not die with a bare IndexError
+    if len(sys.argv) < 3:
+        print(__doc__)
+        return 2
     if sys.argv[1] == "check-sf1":
         return 0 if self_qualified(sys.argv[2]) else 1
+    if sys.argv[1] == "merge-sf1":
+        if len(sys.argv) < 4:
+            print(__doc__)
+            return 2
+        budget = float(sys.argv[4]) * 60 if len(sys.argv) > 4 else 7200
+        return merge_sf1(sys.argv[2], sys.argv[3], budget)
     sf_dir, out_record = sys.argv[1], sys.argv[2]
     budget_s = float(sys.argv[3]) * 60 if len(sys.argv) > 3 else 3000
     mode = sys.argv[4] if len(sys.argv) > 4 else "sf01"
