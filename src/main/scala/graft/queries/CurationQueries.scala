@@ -773,15 +773,12 @@ object CurationQueries {
         .select(col("doc_id"), col("source"),
           pmod(conv(substring(md5(col("f").cast("binary")), 1, 8), 16, 10)
             .cast("long"), lit(DsirBuckets.toLong)).as("b"))
-        // featurize ONCE: both the bucket-stats aggregate and the scoring
-        // join consume this stream, and without the checkpoint each
-        // consumer re-runs the tokenize→bigram-explode→md5 subtree — the
-        // round-12 adjudication found that doubled hashing pass to be the
-        // query's bandwidth-bound constant factor (the 4–5× inflation
-        // under the memory co-tenant, 2.16× even in the qualified
-        // record). The materialized stream is 3 narrow columns per
-        // occurrence — linear state, the same discipline as the dedup
-        // index builds; at 100 TB the featurize-once shape is what DSIR
+        // featurize ONCE: the bucket-stats aggregate and the scoring join
+        // both consume this stream, and without the checkpoint each
+        // consumer re-runs the tokenize→bigram-explode→md5 subtree. The
+        // materialized stream is 3 narrow columns per occurrence —
+        // linear state, the same discipline as the dedup index builds;
+        // at 100 TB the featurize-once shape is what DSIR
         // implementations do anyway.
         .buildCheckpoint()
       val stats = feats.groupBy("b").agg(
@@ -802,6 +799,15 @@ object CurationQueries {
         .agg(count(lit(1)).as("n_feat"),
           (sum(col("ratio").cast("decimal(38,28)")).cast("double") /
             count(lit(1))).as("dsir_score"))
+        // one row per doc — tiny. globalRowNumber evaluates its input
+        // three times (bounds aggregate, ranked side, offsets side) and
+        // each evaluation would otherwise rebuild the stats broadcast
+        // and re-join the occurrence stream — the round-12 adjudication
+        // traced curate_dsir's recurring above-floor readings to exactly
+        // this pile of fixed-cost re-evaluation jobs (the corpus is far
+        // too small for the hashing itself to matter), which contention
+        // multiplies. Score once, rank the checkpoint.
+        .buildCheckpoint()
       val ranked = ExtraRelationalQueries.globalRowNumber(
           scored, 32, "dsir_score", firstAsc = false,
           col("dsir_score").desc, col("doc_id").asc)
