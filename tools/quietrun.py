@@ -35,9 +35,11 @@ BENCH_sf1.json level untouched and admits ONLY the registry queries the
 committed record lacks, each from probe-gated calm MICRO-windows:
 batches of <=6 run via SPARK_GRAFT_ONLY, a run is accepted only if its
 own brackets are clean (lf <= 1.05, steal <= 0.02, nfailed 0) AND the
-bandwidth probe is calm immediately after the run (the co-tenant
-catcher the brackets are blind to), and each query needs MIN_RUNS
-accepted runs (min taken). Per-query provenance (window probe readings,
+bandwidth probe is calm immediately after the run — floor-relative AND
+under the ABSOLUTE 40 ms cap, since a session that starts while the
+co-tenant is resident would otherwise seed a polluted floor and admit
+poisoned levels (the co-tenant catcher the brackets are blind to) —
+and each query needs MIN_RUNS accepted runs (min taken). Per-query provenance (window probe readings,
 every accepted timing) lands in <outRecord>_provenance.json. Solo
 levels are cold-context (each batch pays JVM+codegen start) — an
 honest UPPER bound of the suite level; the next qualified full-suite
@@ -151,6 +153,15 @@ BLIND_EVERY = 18   # non-calm probes between probe-blind attempts
 MERGE_BATCH = 6      # queries per SPARK_GRAFT_ONLY solo invocation
 MERGE_MIN_RUNS = 3   # accepted runs per query before its min is admitted
 MERGE_PROBE_SLEEP = 15  # micro-window cadence (s) — windows are short
+# ABSOLUTE bandwidth cap (s) for merge acceptance, on top of the
+# floor-relative test: the floor-relative gate self-anchors, so a
+# session started while the co-tenant is resident seeds a polluted
+# floor (observed 73 ms) and would then admit bandwidth-poisoned solo
+# levels with quiet CPU brackets. Quiet-box reference for the 256 MB
+# stream probe is ~25 ms (BENCH.md round-12 measurements; co-tenant
+# present reads 45-1013 ms) — 40 ms is comfortably above quiet jitter
+# and below every co-tenant reading on record.
+MERGE_BW_ABS = 0.040
 
 
 def _git_head(path):
@@ -206,7 +217,8 @@ def merge_sf1(sf_dir: str, out_record: str, budget_s: float) -> int:
         hist.append(p)
         bw_hist.append(bw)
         floor, bw_floor = min(hist), min(bw_hist)
-        calm = p <= floor * TOL and bw <= bw_floor * BW_TOL and stole == 0
+        calm = (p <= floor * TOL and bw <= bw_floor * BW_TOL
+                and bw <= MERGE_BW_ABS and stole == 0)
         print(f"probe {p:.3f}s floor {floor:.3f} bw {bw * 1000:.1f}ms "
               f"bwfloor {bw_floor * 1000:.1f} steal {stole} "
               f"{'CALM' if calm else 'busy'}", flush=True)
@@ -236,6 +248,7 @@ def merge_sf1(sf_dir: str, out_record: str, budget_s: float) -> int:
               and 0 < tot.get("load_factor", 9) <= 1.05
               and tot.get("steal_pct", 1) <= 0.02
               and post_bw <= bw_floor * BW_TOL
+              and post_bw <= MERGE_BW_ABS
               and post_p <= min(hist) * TOL)
         print(f"  lf={tot.get('load_factor', -1):.3f} "
               f"steal={tot.get('steal_pct', -1):.4f} "
