@@ -1056,11 +1056,33 @@ object DedupQueries {
       .groupBy("doc_id").agg(simhashAgg(col("h")).as("sig")))
   }
 
+  /** Hot-piece threshold for [[signaturePairs]]' skew guard. A piece
+    * bucket of size c contributes c·(c−1)/2 candidate pairs landing on
+    * ONE reducer of the piece self-join — harmless at fixture scale but
+    * a straggler (or OOM) key at 100 TB when a degenerate signature
+    * family dominates (all-identical payloads, sig 0 from constant
+    * planes). Buckets past the threshold go through the salted A×B
+    * path instead: the left side salts by hash(doc_id) into
+    * [[SaltBuckets]] subkeys, the right side replicates to every salt,
+    * so the bucket's quadratic work spreads over SaltBuckets reducers
+    * while the pair set stays EXACTLY the plain join's
+    * (RobustnessSpec pins set equality on an all-identical corpus).
+    * Overridable per session for specs/measurement
+    * (`graft.signaturePairs.hotPieceThreshold`); 10k default keeps the
+    * guard inert on every fixture (largest observed bucket ≪ 1k) while
+    * capping any reducer at ~10k²/16 candidate pairs. */
+  private val HotPieceThreshold = 10000L
+  private val SaltBuckets = 16
+
   /** Candidate pairs from per-doc ≤64-bit signatures (doc_id, sig):
     * 16-bit piece blocking (pigeonhole-exact for hamming ≤ 3), exact
     * bit_count verify. Factored from [[simhashPairs]] so signature
     * families that are COMPUTED per row rather than voted per token —
-    * the DCT pHash — share the identical pair machinery. */
+    * the DCT pHash — share the identical pair machinery. A driver-side
+    * hot-piece probe (ONE Long off a tiny aggregate over the
+    * checkpointed signatures — bounded state, like the IVF centroid
+    * collects) picks between the plain self-join and the
+    * skew-guarded plan; see [[HotPieceThreshold]]. */
   private[graft] def signaturePairs(sigsIn: DataFrame): DataFrame = {
     val sigs =
       sigsIn.buildCheckpoint() // both sides of the piece-blocked self-join
@@ -1069,12 +1091,52 @@ object DedupQueries {
         call_function("shiftright", col("sig"), (p * 16).cast("int"))
           .bitwiseAND(lit(0xFFFFL))))
         .as(Seq("piece_idx", "piece")))
-    pieces.toDF("doc_a", "sig_a", "piece_idx", "piece")
-      .join(pieces.toDF("doc_b", "sig_b", "piece_idx", "piece"),
-        Seq("piece_idx", "piece"))
+    val thr = sigs.sparkSession.conf
+      .getOption("graft.signaturePairs.hotPieceThreshold")
+      .flatMap(_.toLongOption).getOrElse(HotPieceThreshold)
+    val hot = pieces.groupBy("piece_idx", "piece")
+      .agg(count(lit(1)).as("n")).filter(col("n") > thr)
+      .select("piece_idx", "piece")
+    val nHot = hot.limit(1).count() // 0 = every bucket under threshold
+    // explicit renames, NOT positional toDF: a usingColumns semi/anti
+    // join reorders its output (join keys first), so a positional rename
+    // downstream would scramble doc_id into piece_idx (review-caught on
+    // the first draft of the salted path)
+    def side(df: DataFrame, doc: String, sig: String): DataFrame =
+      df.select(col("doc_id").as(doc), col("sig").as(sig),
+        col("piece_idx"), col("piece"))
+    def verified(joined: DataFrame): DataFrame = joined
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"),
         bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
+    val pairs =
+      if (nHot == 0L)
+        verified(side(pieces, "doc_a", "sig_a")
+          .join(side(pieces, "doc_b", "sig_b"), Seq("piece_idx", "piece")))
+      else {
+        // cold buckets: the plain join, restricted to rows outside the
+        // hot bucket set (the hot list is ≤ |pieces|/thr rows — broadcast)
+        val hotB = broadcast(hot.buildCheckpoint())
+        val cold = pieces.join(hotB, Seq("piece_idx", "piece"), "left_anti")
+        val coldPairs = verified(side(cold, "doc_a", "sig_a")
+          .join(side(cold, "doc_b", "sig_b"), Seq("piece_idx", "piece")))
+        // hot buckets: A×B salting — left salts by doc hash, right
+        // replicates to every salt, so each pair meets exactly once per
+        // bucket and each reducer sees ~1/SaltBuckets of the bucket's
+        // quadratic work
+        val hotRows = pieces.join(hotB, Seq("piece_idx", "piece"),
+          "left_semi")
+        val aSide = side(hotRows, "doc_a", "sig_a")
+          .withColumn("salt",
+            pmod(xxhash64(col("doc_a")), lit(SaltBuckets.toLong)))
+        val bSide = side(hotRows, "doc_b", "sig_b")
+          .withColumn("salt",
+            explode(sequence(lit(0L), lit(SaltBuckets - 1L))))
+        val hotPairs = verified(
+          aSide.join(bSide, Seq("piece_idx", "piece", "salt")))
+        coldPairs.unionAll(hotPairs)
+      }
+    pairs
       .distinct()
       .filter(col("hamming") <= 3)
   }

@@ -364,4 +364,35 @@ class RobustnessSpec extends SparkSpec {
       assert(SparkEntry.queries(name)(spark, degenDir).collect() != null,
         name)
   }
+
+  test("signaturePairs: salted hot-piece path equals the plain join on an all-identical corpus") {
+    // the 100 TB failure mode: a degenerate signature family (every
+    // payload identical ⇒ every piece bucket = the whole corpus) turns
+    // the piece self-join's buckets quadratic on ONE reducer. Past the
+    // threshold the guard salts the hot buckets; the pair SET must be
+    // exactly the plain join's. 120 identical + 6 near/far signatures.
+    import graft.queries.DedupQueries
+    val sigs = ((1 to 120).map(i => (i.toLong, 0x0F0FL)) ++ Seq(
+      (201L, 0x0F0EL), // hamming 1 from the hot signature
+      (202L, 0xF0F0L), // far
+      (203L, 0x0000L), (204L, 0x0001L), // a second near pair
+      (205L, 0x0F0FL << 32), (206L, 0xFFFFL))).toDF("doc_id", "sig")
+    def run(thr: String): Set[(Long, Long, Int)] = {
+      spark.conf.set("graft.signaturePairs.hotPieceThreshold", thr)
+      try DedupQueries.signaturePairs(sigs)
+        .as[(Long, Long, Int)].collect().toSet
+      finally spark.conf.unset("graft.signaturePairs.hotPieceThreshold")
+    }
+    val guarded = run("50")     // 120-row buckets >> 50 ⇒ salted path
+    val plain = run("1000000")  // guard inert ⇒ the historical plan
+    assert(guarded == plain,
+      s"salted path diverged: only-guarded=${guarded.diff(plain).take(3)} " +
+        s"only-plain=${plain.diff(guarded).take(3)}")
+    // the identical family pairs completely at hamming 0...
+    assert(guarded.count(p => p._3 == 0) == 120 * 119 / 2)
+    // ...near pairs survive, far docs pair with nothing
+    assert(guarded.exists(p => p._2 == 201L && p._3 == 1))
+    assert(guarded.exists(p => p._1 == 203L && p._2 == 204L && p._3 == 1))
+    assert(!guarded.exists(p => p._1 == 202L || p._2 == 202L))
+  }
 }
