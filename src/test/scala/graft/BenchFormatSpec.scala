@@ -227,4 +227,56 @@ class BenchFormatSpec extends AnyFunSuite {
       errors = Map("q_broken" -> "AnalysisException")))
     assert(c3 != 0 && o3.contains("REJECT"), o3)
   }
+
+  // ---- negative controls for the merge-sf1 per-run acceptance gate ----
+  // (quietrun.py check-merge-accept): a solo-batch run is admitted into
+  // the merged sf1 record only if its own brackets are clean AND the
+  // post-run probes are calm — floor-relative and under the ABSOLUTE
+  // 40 ms bandwidth cap (a polluted session floor must not launder a
+  // bandwidth-poisoned level into the committed record).
+
+  private def checkMergeAccept(recordLines: Seq[String],
+      postBwMs: Double, bwFloorMs: Double,
+      postSpin: Double, spinFloor: Double): (Int, String) = {
+    assume(python3Available, "python3 not on PATH")
+    val f = java.nio.file.Files
+      .createTempDirectory("graft-mergecheck")
+      .resolve("subset.json")
+    java.nio.file.Files.writeString(f, recordLines.mkString("\n") + "\n")
+    val out = new StringBuilder
+    import scala.sys.process._
+    val logger = ProcessLogger(l => { out.append(l).append('\n'); () })
+    val code = Process(
+      Seq("python3", "tools/quietrun.py", "check-merge-accept",
+        f.toString, postBwMs.toString, bwFloorMs.toString,
+        postSpin.toString, spinFloor.toString),
+      new java.io.File(".")).!(logger)
+    (code, out.toString)
+  }
+
+  test("merge gate: clean run + calm probes ACCEPT; each rejection path refuses") {
+    val clean = sf1Lines(Map("q_a" -> 1.0, "q_b" -> 2.0))
+    // calm: bw 26 ms on a 25 ms floor, spin at floor
+    val (c0, o0) = checkMergeAccept(clean, 26, 25, 0.70, 0.70)
+    assert(c0 == 0 && o0.contains("ACCEPT"), o0)
+    // post-run bandwidth over the ABSOLUTE cap, even with a floor that
+    // would make it relatively calm (the polluted-floor laundering path)
+    val (c1, o1) = checkMergeAccept(clean, 55, 50, 0.70, 0.70)
+    assert(c1 != 0 && o1.contains("REJECT"), o1)
+    // floor-relative violation under the absolute cap
+    val (c2, o2) = checkMergeAccept(clean, 39, 25, 0.70, 0.70)
+    assert(c2 != 0 && o2.contains("REJECT"), o2)
+    // contended CPU brackets in the run itself
+    val (c3, o3) = checkMergeAccept(
+      sf1Lines(Map("q_a" -> 1.0), lf = 1.2), 26, 25, 0.70, 0.70)
+    assert(c3 != 0 && o3.contains("REJECT"), o3)
+    // a thrown query can never pose as a fast one
+    val (c4, o4) = checkMergeAccept(
+      sf1Lines(Map("q_a" -> 1.0),
+        errors = Map("q_b" -> "AnalysisException")), 26, 25, 0.70, 0.70)
+    assert(c4 != 0 && o4.contains("REJECT"), o4)
+    // post-run spin probe off its floor (CPU co-tenant arrived mid-run)
+    val (c5, o5) = checkMergeAccept(clean, 26, 25, 0.90, 0.70)
+    assert(c5 != 0 && o5.contains("REJECT"), o5)
+  }
 }

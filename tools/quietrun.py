@@ -14,6 +14,8 @@ attempt/time budget runs out.
 Usage: python3 tools/quietrun.py <sfDir> <outRecord> [maxMinutes] [mode]
        python3 tools/quietrun.py check-sf1 <record>
        python3 tools/quietrun.py merge-sf1 <sfDir> <outRecord> [maxMinutes]
+       python3 tools/quietrun.py check-merge-accept <record> <post_bw_ms>
+           <bw_floor_ms> <post_spin_s> <spin_floor_s>
 
 mode 'sf01' (default) qualifies with tools/benchcheck.py (including the
 per-query reference scan — sf0.1 floors). mode 'sf1' qualifies on the
@@ -177,6 +179,31 @@ def _git_head(path):
         return None, {}
 
 
+def merge_accept(tot, post_bw, post_p, bw_floor, spin_floor):
+    """The merge-sf1 per-run acceptance gate, as a pure function so
+    BenchFormatSpec's negative controls can drive every rejection path
+    (same hardening discipline as check-sf1): the run's own brackets
+    must be clean AND the post-run probes calm — floor-relative and
+    under the absolute bandwidth cap."""
+    return (tot is not None and tot.get("nfailed", 1) == 0
+            and 0 < tot.get("load_factor", 9) <= 1.05
+            and tot.get("steal_pct", 1) <= 0.02
+            and post_bw <= bw_floor * BW_TOL
+            and post_bw <= MERGE_BW_ABS
+            and post_p <= spin_floor * TOL)
+
+
+def check_merge_accept(argv):
+    """CLI: check-merge-accept <record> <post_bw_ms> <bw_floor_ms>
+    <post_spin_s> <spin_floor_s> — exit 0 iff the gate accepts."""
+    with open(argv[0]) as f:
+        tot, _ = _parse(f.read())
+    ok = merge_accept(tot, float(argv[1]) / 1000, float(argv[3]),
+                      float(argv[2]) / 1000, float(argv[4]))
+    print(f"merge-accept: {'ACCEPT' if ok else 'REJECT'}", flush=True)
+    return 0 if ok else 1
+
+
 def merge_sf1(sf_dir: str, out_record: str, budget_s: float) -> int:
     import collections
     total_sf1, committed = _git_head("BENCH_sf1.json")
@@ -244,14 +271,10 @@ def merge_sf1(sf_dir: str, out_record: str, budget_s: float) -> int:
                 tot, qs = _parse(f.read())
         except OSError:
             tot, qs = None, {}
-        ok = (tot is not None and tot.get("nfailed", 1) == 0
-              and 0 < tot.get("load_factor", 9) <= 1.05
-              and tot.get("steal_pct", 1) <= 0.02
-              and post_bw <= bw_floor * BW_TOL
-              and post_bw <= MERGE_BW_ABS
-              and post_p <= min(hist) * TOL)
-        print(f"  lf={tot.get('load_factor', -1):.3f} "
-              f"steal={tot.get('steal_pct', -1):.4f} "
+        ok = merge_accept(tot, post_bw, post_p, bw_floor, min(hist))
+        t = tot or {}
+        print(f"  lf={t.get('load_factor', -1):.3f} "
+              f"steal={t.get('steal_pct', -1):.4f} "
               f"post_bw {post_bw * 1000:.1f}ms post_spin {post_p:.3f}s "
               f"-> {'ACCEPT' if ok else 'REJECT'}", flush=True)
         if ok:
@@ -312,6 +335,11 @@ def main() -> int:
         return 2
     if sys.argv[1] == "check-sf1":
         return 0 if self_qualified(sys.argv[2]) else 1
+    if sys.argv[1] == "check-merge-accept":
+        if len(sys.argv) < 7:
+            print(__doc__)
+            return 2
+        return check_merge_accept(sys.argv[2:7])
     if sys.argv[1] == "merge-sf1":
         if len(sys.argv) < 4:
             print(__doc__)
