@@ -195,22 +195,56 @@ object Multimodal {
   def decodeMeta(spark: SparkSession, docs: DataFrame): Dataset[MediaMeta] =
     decodeMetaFromPayloads(spark, withPayload(docs))
 
-  /** Frame sampling over an existing (doc_id, payload) frame: one row per
-    * sampled frame with a deterministic frame signature (md5 of doc id +
-    * frame index — the documented stand-in for a real frame grab +
-    * perceptual hash). The frame COUNT comes from [[MediaDecoder]], so a
-    * conforming PNM filmstrip samples its REAL h/w frame count (round 13)
-    * while opaque payloads keep the fake len%10+1. Null payloads yield no
-    * frames (quarantine, matching the pre-decode SQL semantics). */
+  /** Frame sampling over an existing (doc_id, payload) frame: one row
+    * per sampled frame. Conforming PNM payloads sample for REAL (round
+    * 13): the frame count is the decoded filmstrip's h/w (1 for a
+    * still), and the frame SIGNATURE is a genuine content hash — md5
+    * over the lowercase hex of the frame's own pixel bytes (hex-mediated
+    * because the DuckDB oracle's md5 is VARCHAR-only; hex is a bijection,
+    * so it is still a pure function of the pixels — a real perceptual
+    * frame hash drops in here). Opaque payloads keep the documented
+    * fake: len%10+1 frames, md5(doc_id#idx) signature. Null payloads
+    * yield no frames (quarantine, matching the pre-decode SQL
+    * semantics). Per-partition batch iteration, same seam as
+    * [[decodeMetaFromPayloads]]. */
   def sampleFramesFromPayloads(payloads: DataFrame): DataFrame = {
     val spark = payloads.sparkSession
-    decodeMetaFromPayloads(spark, payloads.filter(col("payload").isNotNull))
-      .toDF()
-      .select(col("doc_id"),
-        explode(sequence(lit(1), col("n_frames"))).as("frame_idx"))
-      .withColumn("frame_sig",
-        md5(concat(col("doc_id").cast("string"), lit("#"),
-          col("frame_idx").cast("string")).cast("binary")))
+    import spark.implicits._
+    payloads
+      .filter(col("payload").isNotNull)
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        def md5hex(s: String): String = {
+          md.reset()
+          md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        }
+        it.flatMap { case (id, bytes) =>
+          val hdr = graft.functions.PHash64.parsePnm(bytes)
+          if (hdr != null) {
+            // real path: k = filmstrip frames (or 1), frame i = its own
+            // band of pixel rows; signature = md5 of the band's hex
+            val k =
+              if (hdr.height % hdr.width == 0) hdr.height / hdr.width
+              else 1
+            val fb = hdr.width * (hdr.height / k) * hdr.channels
+            (1 to k).iterator.map { i =>
+              val from = hdr.pixelOffset + (i - 1) * fb
+              val hex = new StringBuilder(fb * 2)
+              var p = from
+              while (p < from + fb) {
+                hex.append("%02x".format(bytes(p) & 0xff)); p += 1
+              }
+              (id, i, md5hex(hex.toString))
+            }
+          } else {
+            val k = bytes.length % 10 + 1
+            (1 to k).iterator.map(i => (id, i, md5hex(s"$id#$i")))
+          }
+        }
+      }
+      .toDF("doc_id", "frame_idx", "frame_sig")
   }
 
   /** Frame sampling over the documents table's payload stand-in. */
@@ -632,16 +666,20 @@ object Multimodal {
        |LEFT JOIN sc USING (doc_id)""".stripMargin
 
   /** The [[pnmAugmentedPayloads]] planting as a CTE `pnm(doc_id, w, h,
-    * k, blob)` — the DuckDB replay builds the SAME conforming P5
-    * filmstrip blob byte-for-byte (header string + unhex'd repeated md5
-    * pixels) and carries the planted dims alongside, so the oracle rows
-    * for planted ids verify the REAL header-parse outputs. */
+    * k, pixhex, blob)` — the DuckDB replay builds the SAME conforming
+    * P5 filmstrip blob byte-for-byte (header string + unhex'd repeated
+    * md5 pixels) and carries the planted dims plus the pixel hex
+    * alongside, so the oracle rows for planted ids verify the REAL
+    * header-parse outputs and per-frame content signatures. */
   private def pnmCte: String =
     """pnm AS (
       |  SELECT doc_id + 30000000000 AS doc_id,
       |    CAST(doc_id % 13 + 4 AS INTEGER) AS w,
       |    CAST((doc_id % 13 + 4) * (doc_id % 3 + 1) AS INTEGER) AS h,
       |    CAST(doc_id % 3 + 1 AS INTEGER) AS k,
+      |    substr(repeat(md5(text), 48), 1,
+      |      CAST((doc_id % 13 + 4) * (doc_id % 13 + 4) *
+      |        (doc_id % 3 + 1) * 2 AS INTEGER)) AS pixhex,
       |    encode('P5' || chr(10) || CAST(doc_id % 13 + 4 AS VARCHAR) ||
       |      ' ' || CAST((doc_id % 13 + 4) * (doc_id % 3 + 1) AS VARCHAR) ||
       |      chr(10) || '255' || chr(10)) ||
@@ -658,16 +696,23 @@ object Multimodal {
     "mm_scene_cut" ->
       s"""WITH $pnmCte,
         |f AS (
-        |  SELECT doc_id,
-        |    unnest(generate_series(1, octet_length(encode(text)) % 10 + 1)) AS frame_idx
-        |  FROM documents
-        |  UNION ALL
-        |  SELECT doc_id, unnest(generate_series(1, k)) AS frame_idx
-        |  FROM pnm),
-        |sig AS (
         |  SELECT doc_id, CAST(frame_idx AS INTEGER) AS frame_idx,
-        |    CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#' ||
-        |      CAST(frame_idx AS VARCHAR)), 1, 8)) AS UBIGINT) AS BIGINT) AS feat
+        |    md5(CAST(doc_id AS VARCHAR) || '#' ||
+        |      CAST(frame_idx AS VARCHAR)) AS fsig
+        |  FROM (
+        |    SELECT doc_id,
+        |      unnest(generate_series(1, octet_length(encode(text)) % 10 + 1)) AS frame_idx
+        |    FROM documents)
+        |  UNION ALL
+        |  SELECT doc_id, CAST(frame_idx AS INTEGER) AS frame_idx,
+        |    md5(substr(pixhex, (frame_idx - 1) * w * w * 2 + 1, w * w * 2)) AS fsig
+        |  FROM (
+        |    SELECT doc_id, w, pixhex,
+        |      unnest(generate_series(1, k)) AS frame_idx
+        |    FROM pnm)),
+        |sig AS (
+        |  SELECT doc_id, frame_idx,
+        |    CAST(CAST(('0x' || substr(fsig, 1, 8)) AS UBIGINT) AS BIGINT) AS feat
         |  FROM f),
         |l AS (SELECT doc_id, frame_idx, feat,
         |    LAG(feat) OVER (PARTITION BY doc_id ORDER BY frame_idx) AS prev
@@ -748,17 +793,20 @@ object Multimodal {
         |  CAST(octet_length(encode(text)) % 17 AS VARCHAR) AS features
         |FROM documents""".stripMargin,
     "mm_frame_sample" ->
-      s"""WITH $pnmCte,
-        |f AS (
-        |  SELECT doc_id,
-        |    unnest(generate_series(1, octet_length(encode(text)) % 10 + 1)) AS frame_idx
-        |  FROM documents
-        |  UNION ALL
-        |  SELECT doc_id, unnest(generate_series(1, k)) AS frame_idx
-        |  FROM pnm)
+      s"""WITH $pnmCte
         |SELECT doc_id, CAST(frame_idx AS INTEGER) AS frame_idx,
         |  md5(CAST(doc_id AS VARCHAR) || '#' || CAST(frame_idx AS VARCHAR)) AS frame_sig
-        |FROM f""".stripMargin,
+        |FROM (
+        |  SELECT doc_id,
+        |    unnest(generate_series(1, octet_length(encode(text)) % 10 + 1)) AS frame_idx
+        |  FROM documents)
+        |UNION ALL
+        |SELECT doc_id, CAST(frame_idx AS INTEGER) AS frame_idx,
+        |  md5(substr(pixhex, (frame_idx - 1) * w * w * 2 + 1, w * w * 2)) AS frame_sig
+        |FROM (
+        |  SELECT doc_id, w, pixhex,
+        |    unnest(generate_series(1, k)) AS frame_idx
+        |  FROM pnm)""".stripMargin,
     // the dedup_simhash_md5 vote/sign/piece pipeline with the token CTE
     // swapped for stride-4 8-byte payload windows (ASCII fixture: char
     // windows == byte windows; both engines hash the same bytes)

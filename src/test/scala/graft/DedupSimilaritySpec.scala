@@ -1596,20 +1596,30 @@ class DedupSimilaritySpec extends SparkSpec {
     val docs = Tables.documents(spark, sf0001)
       .select(col("doc_id"), col("text")).as[(Long, String)].collect()
     val thr = 1431655765L
-    // independent replay of the corpus: fixture docs (fake n_frames) plus
-    // the planted PNM filmstrips (REAL n_frames = k from the planted dims)
-    val corpus = docs.map { case (id, text) =>
-      (id, text.getBytes("UTF-8").length % 10 + 1)
-    } ++ docs.collect { case (id, text) if id % 16 == 3 && text.nonEmpty =>
-      (id + graft.multimodal.Multimodal.PnmOffset, (id % 3 + 1).toInt)
+    // independent replay of the corpus: fixture docs (fake n_frames +
+    // md5(id#i) sigs) plus the planted PNM filmstrips, whose REAL path
+    // yields k frames and CONTENT signatures — md5 over each frame
+    // band's lowercase pixel hex (round 13)
+    val corpus: Seq[(Long, Seq[String])] = docs.map { case (id, text) =>
+      val n = text.getBytes("UTF-8").length % 10 + 1
+      (id, (1 to n).map(i => md5hex(s"$id#$i")))
+    }.toSeq ++ docs.collect {
+      case (id, text) if id % 16 == 3 && text.nonEmpty =>
+        val w = (id % 13 + 4).toInt
+        val k = (id % 3 + 1).toInt
+        val npix = w * w * k
+        val pixhex = (md5hex(text) * 48).substring(0, npix * 2)
+        val sigs = (1 to k).map(i =>
+          md5hex(pixhex.substring((i - 1) * w * w * 2, i * w * w * 2)))
+        (id + graft.multimodal.Multimodal.PnmOffset, sigs)
     }
-    val expected = corpus.map { case (id, n) =>
-      val feats = (1 to n).map(i =>
-        java.lang.Long.parseLong(md5hex(s"$id#$i").substring(0, 8), 16))
+    val expected = corpus.map { case (id, sigs) =>
+      val feats = sigs.map(s =>
+        java.lang.Long.parseLong(s.substring(0, 8), 16))
       val cuts = feats.zip(feats.drop(1)).zipWithIndex.collect {
         case ((p, f), i) if math.abs(f - p) > thr => i + 2 // cut at frame i+2
       }
-      id -> ((n.toLong, cuts.length.toLong,
+      id -> ((sigs.length.toLong, cuts.length.toLong,
         cuts.headOption.map(_.toLong).getOrElse(-1L)))
     }.toMap
     val out = graft.multimodal.Multimodal.queries("mm_scene_cut")(spark, sf0001)
