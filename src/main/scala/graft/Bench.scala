@@ -40,10 +40,33 @@ object Bench {
       catch { case _: Throwable => return -1.0 }
       (System.nanoTime() - t0) / 1e9
     }
+    // Memory-BANDWIDTH probe: stream a cache-defeating 256 MB array
+    // twice. The roaming co-tenant saturates the memory controllers
+    // while the CPU and IO probes read calm (round-13: a full sf1 run
+    // read lf 0.92 with 39 queries 2-19x inflated; quietrun's python
+    // twin of this probe was the only bracket that saw it — ~25 ms
+    // quiet, 45-1000+ ms co-tenant at 1 GB/s-scale theft). Recording
+    // it in the artifact lets a reader attribute inflated per-query
+    // levels to bandwidth theft without a side-channel log.
+    val bwBuf = new Array[Long](32 * 1024 * 1024)
+    def calibBw(): Double = {
+      val t0 = System.nanoTime()
+      var acc = 0L
+      var r = 0
+      while (r < 2) {
+        var i = 0
+        while (i < bwBuf.length) { acc += bwBuf(i); i += 1 }
+        r += 1
+      }
+      if (acc == 42L) println("") // defeat dead-code elimination
+      (System.nanoTime() - t0) / 1e9
+    }
     calib() // untimed: absorb the probe's own codegen so start/end compare
     calibIo()
+    calibBw() // untimed: first touch pages the buffer in
     val calibStart = calib()
     val calibIoStart = calibIo()
+    val calibBwStart = calibBw()
     val statStart = procStatCpu()
     // A thrown query must be VISIBLE in the artifact, not recorded as a
     // fast run: round 7 logged 16 analysis-broken queries as ~0.06 s
@@ -92,6 +115,7 @@ object Bench {
     }
     val calibEnd = calib()
     val calibIoEnd = calibIo()
+    val calibBwEnd = calibBw()
     val statEnd = procStatCpu()
     // Fraction of the guest's CPU-time the hypervisor stole DURING the
     // suite. The bracket probes can't see roaming host contention (two
@@ -108,7 +132,7 @@ object Bench {
       .flatMap(_.toDoubleOption).filter(_ > 0).getOrElse(0.30)
     val Seq(detailLine, totalLine) = summaryLines(results, sfDir,
       calibStart, calibEnd, calibIoStart, calibIoEnd, quietCalib,
-      errors.toMap, stealPct)
+      errors.toMap, stealPct, calibBwStart, calibBwEnd)
     println(detailLine)
     println(totalLine)
     // Stdout tail-captures have dropped the (long) per-query line before;
@@ -177,7 +201,9 @@ object Bench {
       calibIoStart: Double, calibIoEnd: Double,
       quietCalib: Double,
       errors: Map[String, String] = Map.empty,
-      stealPct: Double = -1.0): Seq[String] = {
+      stealPct: Double = -1.0,
+      calibBwStart: Double = -1.0,
+      calibBwEnd: Double = -1.0): Seq[String] = {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val errs = errors.toSeq.sorted
@@ -190,6 +216,6 @@ object Bench {
     val normalized = if (loadFactor > 1.0) total / loadFactor else total
     Seq(
       s"""{"metric":"queries","queries":$qs,"errors":$errs,"sf":"$sfDir"}""",
-      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","nqueries":${results.size},"nfailed":${errors.size},"value_normalized":$normalized,"load_factor":$loadFactor,"calib_start":$calibStart,"calib_end":$calibEnd,"calib_io_start":$calibIoStart,"calib_io_end":$calibIoEnd,"steal_pct":$stealPct}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","nqueries":${results.size},"nfailed":${errors.size},"value_normalized":$normalized,"load_factor":$loadFactor,"calib_start":$calibStart,"calib_end":$calibEnd,"calib_io_start":$calibIoStart,"calib_io_end":$calibIoEnd,"steal_pct":$stealPct,"calib_bw_start":$calibBwStart,"calib_bw_end":$calibBwEnd}""")
   }
 }
