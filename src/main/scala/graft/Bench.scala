@@ -48,10 +48,18 @@ object Bench {
     // quiet, 45-1000+ ms co-tenant at 1 GB/s-scale theft). Recording
     // it in the artifact lets a reader attribute inflated per-query
     // levels to bandwidth theft without a side-channel log.
-    val bwBuf = new Array[Long](32 * 1024 * 1024)
+    // The buffer is allocated per probe and dropped right after: a
+    // permanently-resident 256 MB array would add old-gen pressure to
+    // the same JVM being measured, and all pre-round-13 floors were
+    // settled without it. Allocation + the untimed first-touch pass
+    // happen inside the call, outside the timed section.
     def calibBw(): Double = {
+      val bwBuf = new Array[Long](32 * 1024 * 1024)
+      var warm = 0L
+      var j = 0
+      while (j < bwBuf.length) { warm += bwBuf(j); j += 1 } // page-in, untimed
       val t0 = System.nanoTime()
-      var acc = 0L
+      var acc = warm
       var r = 0
       while (r < 2) {
         var i = 0
@@ -63,7 +71,7 @@ object Bench {
     }
     calib() // untimed: absorb the probe's own codegen so start/end compare
     calibIo()
-    calibBw() // untimed: first touch pages the buffer in
+    calibBw() // untimed: absorb the probe's own codegen
     val calibStart = calib()
     val calibIoStart = calibIo()
     val calibBwStart = calibBw()

@@ -190,11 +190,13 @@ class BenchFormatSpec extends AnyFunSuite {
 
   private def sf1Lines(qs: Map[String, Double],
       lf: Double = 1.0, steal: Double = 0.0,
-      errors: Map[String, String] = Map.empty): Seq[String] =
+      errors: Map[String, String] = Map.empty,
+      bwStart: Double = 0.025, bwEnd: Double = 0.025): Seq[String] =
     Bench.summaryLines(qs, "/tmp/sf1",
       calibStart = 0.30 * lf, calibEnd = 0.30 * lf,
       calibIoStart = 0.2, calibIoEnd = 0.15, quietCalib = 0.30,
-      errors = errors, stealPct = steal)
+      errors = errors, stealPct = steal,
+      calibBwStart = bwStart, calibBwEnd = bwEnd)
 
   test("sf1 gate: a faithful clone of the committed record QUALIFIES") {
     assume(sf1Committed.size > 100, "no committed BENCH_sf1.json to scan")
@@ -278,5 +280,21 @@ class BenchFormatSpec extends AnyFunSuite {
     // post-run spin probe off its floor (CPU co-tenant arrived mid-run)
     val (c5, o5) = checkMergeAccept(clean, 26, 25, 0.90, 0.70)
     assert(c5 != 0 && o5.contains("REJECT"), o5)
+    // the record's OWN in-run bandwidth bracket over the absolute cap:
+    // a co-tenant that arrives mid-run and leaves before the post
+    // probe is visible only in calib_bw_end (advisor round-13)
+    val (c6, o6) = checkMergeAccept(
+      sf1Lines(Map("q_a" -> 1.0), bwEnd = 0.062), 26, 25, 0.70, 0.70)
+    assert(c6 != 0 && o6.contains("REJECT"), o6)
+    // ...or only in calib_bw_start (left before the run's own queries)
+    val (c7, o7) = checkMergeAccept(
+      sf1Lines(Map("q_a" -> 1.0), bwStart = 0.055), 26, 25, 0.70, 0.70)
+    assert(c7 != 0 && o7.contains("REJECT"), o7)
+    // a record with no bandwidth bracket at all (failed probe, -1) is
+    // refused — an admission needs its own bandwidth evidence
+    val (c8, o8) = checkMergeAccept(
+      sf1Lines(Map("q_a" -> 1.0), bwStart = -1.0, bwEnd = -1.0),
+      26, 25, 0.70, 0.70)
+    assert(c8 != 0 && o8.contains("REJECT"), o8)
   }
 }

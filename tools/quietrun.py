@@ -184,10 +184,19 @@ def merge_accept(tot, post_bw, post_p, bw_floor, spin_floor):
     BenchFormatSpec's negative controls can drive every rejection path
     (same hardening discipline as check-sf1): the run's own brackets
     must be clean AND the post-run probes calm — floor-relative and
-    under the absolute bandwidth cap."""
+    under the absolute bandwidth cap. The record's OWN in-run bandwidth
+    bracket (calib_bw_start/calib_bw_end, the 256 MB stream inside the
+    bench JVM) must ALSO sit under the absolute cap: a co-tenant that
+    arrives mid-run and leaves before the post probe is visible only
+    there (advisor round-13 — the bracket the Bench change added now
+    participates in the gate it motivated). A record missing the
+    bracket (pre-round-13 Bench, or a failed probe reading -1) is
+    refused — an admission needs its own bandwidth evidence."""
     return (tot is not None and tot.get("nfailed", 1) == 0
             and 0 < tot.get("load_factor", 9) <= 1.05
             and tot.get("steal_pct", 1) <= 0.02
+            and 0 < tot.get("calib_bw_start", -1) <= MERGE_BW_ABS
+            and 0 < tot.get("calib_bw_end", -1) <= MERGE_BW_ABS
             and post_bw <= bw_floor * BW_TOL
             and post_bw <= MERGE_BW_ABS
             and post_p <= spin_floor * TOL)
@@ -271,6 +280,11 @@ def merge_sf1(sf_dir: str, out_record: str, budget_s: float) -> int:
                 tot, qs = _parse(f.read())
         except OSError:
             tot, qs = None, {}
+        # post-run probes join the floor history (advisor round-13):
+        # they are real readings of the box; dropping them starves the
+        # rolling floor during long accept streaks
+        hist.append(post_p)
+        bw_hist.append(post_bw)
         ok = merge_accept(tot, post_bw, post_p, bw_floor, min(hist))
         t = tot or {}
         print(f"  lf={t.get('load_factor', -1):.3f} "
