@@ -175,15 +175,24 @@ object PHash64 {
   private[functions] def decodePnm(p: Array[Byte], f: Array[Int]): Boolean = {
     val hdr = parsePnm(p)
     if (hdr == null) return false
-    val w = hdr.width; val h = hdr.height
-    val channels = hdr.channels; val i = hdr.pixelOffset
+    fillPlane(p, hdr.pixelOffset, hdr.width, hdr.height, hdr.channels, f)
+    true
+  }
+
+  /** Integer nearest-neighbor resample of a raw interleaved pixel block
+    * (`w`×`h`, `channels` bytes per pixel, starting at `off`) into the
+    * 32×32 luma plane `f` — the shared "resize small" step (round 14:
+    * factored out so a filmstrip FRAME band hashes with the same
+    * arithmetic as a whole image, [[hashBand]]). */
+  private def fillPlane(p: Array[Byte], off: Int, w: Int, h: Int,
+      channels: Int, f: Array[Int]): Unit = {
     var y = 0
     while (y < N) {
       val sy = y * h / N
       var x = 0
       while (x < N) {
         val sx = x * w / N
-        val o = i + (sy.toLong * w + sx).toInt * channels
+        val o = off + (sy.toLong * w + sx).toInt * channels
         f(y * N + x) =
           if (channels == 1) p(o) & 0xff
           else ((p(o) & 0xff) * 299 + (p(o + 1) & 0xff) * 587 +
@@ -192,13 +201,35 @@ object PHash64 {
       }
       y += 1
     }
-    true
+  }
+
+  /** 63-bit pHash of ONE raw pixel band inside a payload — the
+    * per-frame variant for decoded filmstrips (round 14): `w`×`h`
+    * pixels, `channels` interleaved bytes each, starting at byte `off`.
+    * Identical arithmetic to [[hash]]'s decoded path (nearest-neighbor
+    * resample to 32×32, Q14 integer DCT, lower-median sign bits), so a
+    * frame's signature is a genuine PERCEPTUAL hash: near-identical
+    * frames land within a few bits, a content change flips many —
+    * which is what makes a scene-cut threshold on the hamming distance
+    * measure visual change instead of hash inequality. */
+  def hashBand(p: Array[Byte], off: Int, w: Int, h: Int,
+      channels: Int): Long = {
+    val f = new Array[Int](N * N)
+    fillPlane(p, off, w, h, channels, f)
+    dctSig(f)
   }
 
   def hash(payload: Array[Byte]): Long = {
     if (payload.length == 0) return 0L // callers filter; defensive only
     val f = new Array[Int](N * N)
     plane(payload, f)
+    dctSig(f)
+  }
+
+  /** Q14 separable truncated DCT-II + lower-median sign pack of a
+    * 32×32 plane — steps 2–3 of the scaladoc, shared by [[hash]] and
+    * [[hashBand]]. */
+  private def dctSig(f: Array[Int]): Long = {
     // row pass: g(u, y) = Σ_x f(y·32 + x) · C(u, x), u < 8
     val g = new Array[Long](K * N)
     var y = 0

@@ -1286,8 +1286,13 @@ class DedupSimilaritySpec extends SparkSpec {
       assert(r.getInt(2) == w, s"width ${r.getInt(2)} != planted $w")
       assert(r.getInt(3) == w * k, "height != planted w*k")
       assert(r.getInt(4) == k, s"n_frames ${r.getInt(4)} != planted $k")
-      assert(r.getString(5) == "pnm/p5")
+      // two planted families (round 14): P5 at %16==3, P6 at %16==11
+      assert(r.getString(5) ==
+        (if (origId % 16 == 3) "pnm/p5" else "pnm/p6"),
+        s"format ${r.getString(5)} for orig id $origId")
     }
+    assert(planted.exists(_.getString(5) == "pnm/p6"),
+      "no planted P6 renditions — the 3-channel decode path is unchecked")
     // meanwhile the TEXT-rendition corpus the tiled phash oracles read
     // must stay PNM-free (Verify checks this per dump; pin it here too)
     val raw = graft.multimodal.Multimodal
@@ -1296,11 +1301,12 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(raw.forall(b => !PHash64.conforms(b)),
       "phash oracle corpus must stay PNM-free (tiled-model invariant)")
     // originals in the decode corpus keep the fake path: same row count
-    // as the raw table plus one rendition per non-empty %16==3 doc
+    // as the raw table plus one rendition per non-empty %16==3 (P5)
+    // and %16==11 (P6) doc
     val docs = Tables.documents(spark, sf0001)
     val nDocs = docs.count()
     val nExpectedPlanted = docs
-      .filter(col("doc_id") % 16 === 3 &&
+      .filter((col("doc_id") % 16 === 3 || col("doc_id") % 16 === 11) &&
         col("text").isNotNull && length(col("text")) > 0).count()
     assert(aug.count() == nDocs + nExpectedPlanted)
     assert(planted.length.toLong == nExpectedPlanted)
@@ -1324,6 +1330,94 @@ class DedupSimilaritySpec extends SparkSpec {
       assert(n == (id - Multimodal.PnmOffset) % 3 + 1,
         s"scene-cut frame count for $id")
     }
+  }
+
+  test("hashBand: a filmstrip frame hashes exactly as the standalone image; P6 gray collapses to the P5 hash") {
+    import graft.functions.PHash64
+    val w = 16
+    def frame(seed: Int) = Array.tabulate(w * w) { i =>
+      val x = i % w; val y = i / w
+      ((x * 7 + y * 11 + seed * (x * y + 3)) % 256).toByte
+    }
+    val f1 = frame(1); val f2 = frame(5)
+    val strip = s"P5 $w ${2 * w} 255\n".getBytes("ISO-8859-1") ++ f1 ++ f2
+    val off = strip.length - 2 * w * w
+    // band hash == the same pixels hashed as a standalone conforming
+    // image — the per-frame path shares the whole-image arithmetic
+    val img1 = s"P5 $w $w 255\n".getBytes("ISO-8859-1") ++ f1
+    val img2 = s"P5 $w $w 255\n".getBytes("ISO-8859-1") ++ f2
+    assert(PHash64.hashBand(strip, off, w, w, 1) == PHash64.hash(img1))
+    assert(PHash64.hashBand(strip, off + w * w, w, w, 1) ==
+      PHash64.hash(img2))
+    // P6 with R=G=B=v: ITU-R 601 integer luma (299+587+114 = 1000)
+    // reproduces v exactly, so the 3-channel band equals the P5 hash
+    val rgb = f1.flatMap(b => Array(b, b, b))
+    val p6 = s"P6 $w $w 255\n".getBytes("ISO-8859-1") ++ rgb
+    assert(PHash64.hashBand(p6, p6.length - 3 * w * w, w, w, 3) ==
+      PHash64.hash(img1))
+  }
+
+  test("scene cut on perceptual frame hashes: near-identical frames are no cut, a content change is exactly one") {
+    import graft.functions.PHash64
+    import graft.multimodal.Multimodal
+    val w = 16
+    // textured gradient; `invert` flips the content (a genuine scene
+    // change: every AC coefficient negates, flipping ~half the sign
+    // bits); `tweak` nudges ONE pixel by one code (a near-identical
+    // frame: the perceptual hash must stay within the 10-bit radius)
+    def grad(invert: Boolean, tweak: Boolean) = Array.tabulate(w * w) { i =>
+      val x = i % w; val y = i / w
+      val v0 = (x * 16 + y * 3) % 256
+      val v = if (invert) 255 - v0 else v0
+      (if (tweak && i == 0) { if (v == 255) 254 else v + 1 } else v).toByte
+    }
+    val strip = s"P5 $w ${4 * w} 255\n".getBytes("ISO-8859-1") ++
+      grad(false, false) ++ grad(false, true) ++
+      grad(true, false) ++ grad(true, true)
+    val payloads = Seq((1L, strip)).toDF("doc_id", "payload")
+    val frames = Multimodal.sampleFramesFromPayloads(payloads)
+    val sigs = frames.orderBy("frame_idx")
+      .select("frame_sig").as[String].collect()
+    assert(sigs.length == 4)
+    assert(sigs.forall(_.length == 16), "perceptual sigs are hex16")
+    // the sigs really are hashBand's integers
+    assert(sigs(0) ==
+      f"${PHash64.hashBand(strip, strip.length - 4 * w * w, w, w, 1)}%016x")
+    val cuts = Multimodal.sceneCutsFromFrames(frames)
+      .select("n_frames", "n_cuts", "first_cut_idx")
+      .as[(Long, Long, Long)].collect()
+    assert(cuts.toSeq == Seq((4L, 1L, 3L)),
+      s"expected exactly one cut at frame 3 (the inversion), got ${cuts.toSeq} — sigs $sigs")
+  }
+
+  test("mm_resize: conforming payloads emit the REAL resampled pixels' signature; opaque keeps the stand-in") {
+    import graft.multimodal.Multimodal
+    // 2×2 P5 resampled into the 64×64 box fit = four 32×32 quadrants
+    val px = Array[Byte](10, 20, 30, 40)
+    val img = "P5 2 2 255\n".getBytes("ISO-8859-1") ++ px
+    val opaque = "just some text".getBytes("ISO-8859-1")
+    val payloads = Seq((1L, img), (2L, opaque)).toDF("doc_id", "payload")
+    val out = Multimodal.resizeToBoxFromPayloads(spark, payloads)
+      .collect().map(r => r.doc_id -> r).toMap
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    // independently-computed expected output bytes (nearest neighbor)
+    val expectedHex = (0 until 64).flatMap { y =>
+      (0 until 64).map { x =>
+        f"${px((y * 2 / 64) * 2 + (x * 2 / 64)) & 0xff}%02x"
+      }
+    }.mkString
+    assert(out(1L).out_w == 64 && out(1L).out_h == 64)
+    assert(out(1L).resized_sig == md5hex(expectedHex),
+      "conforming payload must sign the genuinely resampled pixels")
+    // opaque: fake-dims box fit + the documented md5(id:box) stand-in
+    val n = opaque.length
+    val w0 = n % 640 + 1; val h0 = (n * 31) % 480 + 1
+    val (ow, oh) =
+      if (w0 >= h0) (64, math.max(1, h0 * 64 / w0))
+      else (math.max(1, w0 * 64 / h0), 64)
+    assert(out(2L).out_w == ow && out(2L).out_h == oh)
+    assert(out(2L).resized_sig == md5hex(s"2:$ow:$oh"))
   }
 
   test("augmentedDocs: perturbed-rendition population is non-empty on the fixtures (generator property, not a pinned id)") {
