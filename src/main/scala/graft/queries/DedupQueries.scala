@@ -1070,9 +1070,41 @@ object DedupQueries {
     * Overridable per session for specs/measurement
     * (`graft.signaturePairs.hotPieceThreshold`); 10k default keeps the
     * guard inert on every fixture (largest observed bucket ≪ 1k) while
-    * capping any reducer at ~10k²/16 candidate pairs. */
+    * capping any reducer at ~10k²/salts candidate pairs. */
   private val HotPieceThreshold = 10000L
   private val SaltBuckets = 16
+  /** Salt ceiling: right-side replication costs |hot rows|·salts, so the
+    * adaptive count (SaltBuckets · maxBucket/threshold, advisor round-13
+    * — a constant 16 leaves ~c²/16 on one reducer for a very large
+    * degenerate family) is capped where replication would start to
+    * dominate the win. */
+  private val MaxSaltBuckets = 256
+  /** Hot-bucket lists beyond this row count are joined by shuffle
+    * instead of broadcast (advisor round-13: the ≤ |pieces|/threshold
+    * bound can reach hundreds of millions of rows at 100 TB if many
+    * buckets sit just over threshold — an uncapped broadcast there is a
+    * driver OOM). 100k rows of (int, long) is comfortably under every
+    * broadcast default. */
+  private val HotListBroadcastCap = 100000L
+
+  /** Session-scoped memo of the hot-piece probe, keyed by (semantic
+    * hash of the UN-checkpointed signature plan, threshold) → (nHot,
+    * maxBucket). A registry query re-invoked in one session (Verify
+    * then Bench; a pipeline reusing the family) re-derives the same
+    * analyzed plan, so the probe job runs once instead of per call
+    * (advisor round-13: every signature-family query paid a fixed-cost
+    * eager job even when the caller never executed the result). Probe
+    * results only PICK A PLAN — both paths produce the identical pair
+    * set (RobustnessSpec pins set equality) — so a stale entry after
+    * underlying data changed can cost performance, never correctness.
+    * Bounded at 64 entries (access-order LRU); driver state stays O(1). */
+  private val probeMemo =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[(Int, Long), (Long, Long)](16, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[(Int, Long), (Long, Long)]): Boolean =
+          size > 64
+      })
 
   /** Candidate pairs from per-doc ≤64-bit signatures (doc_id, sig):
     * 16-bit piece blocking (pigeonhole-exact for hamming ≤ 3), exact
@@ -1094,10 +1126,22 @@ object DedupQueries {
     val thr = sigs.sparkSession.conf
       .getOption("graft.signaturePairs.hotPieceThreshold")
       .flatMap(_.toLongOption).getOrElse(HotPieceThreshold)
-    val hot = pieces.groupBy("piece_idx", "piece")
+    val hotAgg = pieces.groupBy("piece_idx", "piece")
       .agg(count(lit(1)).as("n")).filter(col("n") > thr)
-      .select("piece_idx", "piece")
-    val nHot = hot.limit(1).count() // 0 = every bucket under threshold
+    val hot = hotAgg.select("piece_idx", "piece")
+    // ONE probe job yields both decisions — whether any bucket is hot
+    // AND how hot the worst one is (drives the adaptive salt count);
+    // memoized per (plan, threshold), see probeMemo
+    val memoKey =
+      (sigsIn.queryExecution.analyzed.semanticHash(), thr)
+    val (nHot, maxBucket) = Option(probeMemo.get(memoKey)).getOrElse {
+      val r = hotAgg
+        .agg(count(lit(1)).as("c"), coalesce(max("n"), lit(0L)).as("m"))
+        .head()
+      val v = (r.getLong(0), r.getLong(1))
+      probeMemo.put(memoKey, v)
+      v
+    }
     // explicit renames, NOT positional toDF: a usingColumns semi/anti
     // join reorders its output (join keys first), so a positional rename
     // downstream would scramble doc_id into piece_idx (review-caught on
@@ -1115,23 +1159,34 @@ object DedupQueries {
           .join(side(pieces, "doc_b", "sig_b"), Seq("piece_idx", "piece")))
       else {
         // cold buckets: the plain join, restricted to rows outside the
-        // hot bucket set (the hot list is ≤ |pieces|/thr rows — broadcast)
-        val hotB = broadcast(hot.buildCheckpoint())
+        // hot bucket set. The hot list is ≤ |pieces|/thr rows — usually
+        // tiny, but NOT bounded (a 100 TB corpus where many buckets sit
+        // just over threshold), so broadcast only under the cap and let
+        // a shuffle semi/anti join carry the pathological case
+        val hotCk = hot.buildCheckpoint()
+        val hotB =
+          if (nHot <= HotListBroadcastCap) broadcast(hotCk) else hotCk
         val cold = pieces.join(hotB, Seq("piece_idx", "piece"), "left_anti")
         val coldPairs = verified(side(cold, "doc_a", "sig_a")
           .join(side(cold, "doc_b", "sig_b"), Seq("piece_idx", "piece")))
         // hot buckets: A×B salting — left salts by doc hash, right
         // replicates to every salt, so each pair meets exactly once per
-        // bucket and each reducer sees ~1/SaltBuckets of the bucket's
-        // quadratic work
+        // bucket and each reducer sees ~1/salts of the bucket's
+        // quadratic work. The salt count scales with the worst observed
+        // bucket (c²/16 on one reducer is still a straggler when
+        // c ≫ thr) and is capped where right-side replication
+        // (|hot rows|·salts) would dominate.
+        val salts = math.min(MaxSaltBuckets.toLong,
+          math.max(SaltBuckets.toLong,
+            maxBucket / math.max(thr, 1L) * SaltBuckets))
         val hotRows = pieces.join(hotB, Seq("piece_idx", "piece"),
           "left_semi")
         val aSide = side(hotRows, "doc_a", "sig_a")
           .withColumn("salt",
-            pmod(xxhash64(col("doc_a")), lit(SaltBuckets.toLong)))
+            pmod(xxhash64(col("doc_a")), lit(salts)))
         val bSide = side(hotRows, "doc_b", "sig_b")
           .withColumn("salt",
-            explode(sequence(lit(0L), lit(SaltBuckets - 1L))))
+            explode(sequence(lit(0L), lit(salts - 1L))))
         val hotPairs = verified(
           aSide.join(bSide, Seq("piece_idx", "piece", "salt")))
         coldPairs.unionAll(hotPairs)
