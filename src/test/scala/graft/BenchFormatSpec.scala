@@ -13,10 +13,12 @@ class BenchFormatSpec extends AnyFunSuite {
   private val manyQueries =
     (1 to 500).map(i => s"q$i" -> i * 0.01).toMap
 
-  private def lines(results: Map[String, Double]) =
+  private def lines(results: Map[String, Double],
+      bwStart: Double = 0.025, bwEnd: Double = 0.025) =
     Bench.summaryLines(results, "/data/sf0.1",
       calibStart = 0.30, calibEnd = 0.31,
-      calibIoStart = 0.20, calibIoEnd = 0.15, quietCalib = 0.30)
+      calibIoStart = 0.20, calibIoEnd = 0.15, quietCalib = 0.30,
+      calibBwStart = bwStart, calibBwEnd = bwEnd)
 
   test("final line is the total, compact, and bounded regardless of query count") {
     val Seq(detail, total) = lines(manyQueries)
@@ -124,6 +126,19 @@ class BenchFormatSpec extends AnyFunSuite {
     val (code, out) = benchcheck(Bench.summaryLines(refQueries, "sf",
       0.45, 0.44, 0.2, 0.15, 0.30))
     assert(code != 0 && out.contains("load_factor"), out)
+  }
+
+  test("benchcheck rejects a bandwidth-poisoned or bracket-less record") {
+    // co-tenant resident at either bracket (round-13 driver run read
+    // calib_bw 62-64 ms against the 40 ms cap with lf 1.048 "quiet")
+    val (c1, o1) = benchcheck(lines(refQueries, bwEnd = 0.062))
+    assert(c1 != 0 && o1.contains("calib_bw_end"), o1)
+    val (c2, o2) = benchcheck(lines(refQueries, bwStart = 0.055))
+    assert(c2 != 0 && o2.contains("calib_bw_start"), o2)
+    // a record with no bracket at all cannot qualify — it must carry
+    // its own bandwidth evidence
+    val (c3, o3) = benchcheck(lines(refQueries, bwStart = -1, bwEnd = -1))
+    assert(c3 != 0 && o3.contains("bandwidth bracket"), o3)
   }
 
   test("benchcheck rejects the mid-suite contention signature (>5 inflated)") {

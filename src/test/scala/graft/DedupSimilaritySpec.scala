@@ -1691,28 +1691,46 @@ class DedupSimilaritySpec extends SparkSpec {
       .select(col("doc_id"), col("text")).as[(Long, String)].collect()
     val thr = 1431655765L
     // independent replay of the corpus: fixture docs (fake n_frames +
-    // md5(id#i) sigs) plus the planted PNM filmstrips, whose REAL path
-    // yields k frames and CONTENT signatures — md5 over each frame
-    // band's lowercase pixel hex (round 13)
+    // md5(id#i) sigs, abs-delta metric) plus BOTH planted PNM filmstrip
+    // families (P5 %16==3, P6 %16==11 — round 14), whose REAL path
+    // yields k frames, per-frame PERCEPTUAL hashes (hex16), and the
+    // hamming > 10 cut metric. Band bytes are rebuilt from the planting
+    // formula independently; hashBand itself is pinned by its own spec
+    // and the DuckDB oracle replay.
     val corpus: Seq[(Long, Seq[String])] = docs.map { case (id, text) =>
       val n = text.getBytes("UTF-8").length % 10 + 1
       (id, (1 to n).map(i => md5hex(s"$id#$i")))
     }.toSeq ++ docs.collect {
-      case (id, text) if id % 16 == 3 && text.nonEmpty =>
+      case (id, text) if (id % 16 == 3 || id % 16 == 11) && text.nonEmpty =>
+        val ch = if (id % 16 == 3) 1 else 3
+        val rep = if (ch == 1) 48 else 144
         val w = (id % 13 + 4).toInt
         val k = (id % 3 + 1).toInt
-        val npix = w * w * k
-        val pixhex = (md5hex(text) * 48).substring(0, npix * 2)
-        val sigs = (1 to k).map(i =>
-          md5hex(pixhex.substring((i - 1) * w * w * 2, i * w * w * 2)))
+        val nbytes = w * w * k * ch
+        val pixhex = (md5hex(text) * rep).substring(0, nbytes * 2)
+        val pix = pixhex.grouped(2)
+          .map(Integer.parseInt(_, 16).toByte).toArray
+        val fb = w * w * ch
+        val sigs = (1 to k).map { i =>
+          f"${graft.functions.PHash64.hashBand(pix, (i - 1) * fb, w, w, ch)}%016x"
+        }
         (id + graft.multimodal.Multimodal.PnmOffset, sigs)
     }
     val expected = corpus.map { case (id, sigs) =>
-      val feats = sigs.map(s =>
-        java.lang.Long.parseLong(s.substring(0, 8), 16))
-      val cuts = feats.zip(feats.drop(1)).zipWithIndex.collect {
-        case ((p, f), i) if math.abs(f - p) > thr => i + 2 // cut at frame i+2
-      }
+      val cuts =
+        if (sigs.head.length == 16) {
+          // perceptual path: hamming distance between consecutive hashes
+          val hs = sigs.map(java.lang.Long.parseLong(_, 16))
+          hs.zip(hs.drop(1)).zipWithIndex.collect {
+            case ((p, f), i) if java.lang.Long.bitCount(p ^ f) > 10 => i + 2
+          }
+        } else {
+          val feats = sigs.map(s =>
+            java.lang.Long.parseLong(s.substring(0, 8), 16))
+          feats.zip(feats.drop(1)).zipWithIndex.collect {
+            case ((p, f), i) if math.abs(f - p) > thr => i + 2
+          }
+        }
       id -> ((sigs.length.toLong, cuts.length.toLong,
         cuts.headOption.map(_.toLong).getOrElse(-1L)))
     }.toMap

@@ -42,6 +42,16 @@ IO_END_MAX = 0.18
 # machine CPU-time stolen is already several seconds of a 32-thread
 # suite minute.
 STEAL_PCT_MAX = 0.02
+# Memory-bandwidth bracket (round 14): the roaming co-tenant saturates
+# the memory controllers while CPU/IO probes read calm (round 13: a
+# full run read lf 0.92 with 39 queries 2-19x inflated; the 256 MB
+# stream probe was the only bracket that saw it — ~25 ms quiet,
+# 45-1000+ ms co-tenant). Bench records the in-JVM bracket as
+# calib_bw_start/calib_bw_end; a qualified record needs BOTH under the
+# same absolute cap the merge-sf1 gate uses. Missing bracket (legacy
+# record or failed probe) refuses: a record must carry its own
+# bandwidth evidence.
+BW_MAX = 0.040
 INFLATION_RATIO = 1.5
 INFLATION_SLACK_SEC = 0.15
 MAX_INFLATED = 5
@@ -156,6 +166,14 @@ def main() -> int:
     for key in ("calib_start", "calib_end", "calib_io_start"):
         if total.get(key, -1.0) < 0:
             problems.append(f"{key} failed ({total.get(key)})")
+    for key in ("calib_bw_start", "calib_bw_end"):
+        bw = total.get(key, -1.0)
+        if bw is None or bw <= 0:
+            problems.append(f"{key} missing/failed ({bw}) — a qualified "
+                            f"record needs its own bandwidth bracket")
+        elif bw > BW_MAX:
+            problems.append(f"{key} {bw * 1000:.1f}ms > {BW_MAX * 1000:.0f}ms "
+                            f"(memory-bandwidth co-tenant resident)")
     io_end = total.get("calib_io_end", -1.0)
     if io_end < 0:
         problems.append(f"calib_io_end failed ({io_end})")
