@@ -386,8 +386,13 @@ def main() -> int:
         bw_hist.append(bw)
         floor = min(hist)
         bw_floor = min(bw_hist)
+        # The ABSOLUTE bandwidth cap applies here too (round 14): the
+        # floor-relative test self-anchors, so a session started while
+        # the co-tenant is resident seeds a 50-70 ms floor and then
+        # fires doomed attempts into exactly the state benchcheck (and
+        # now the record's own bracket gate) must refuse.
         calm = (p <= floor * TOL and bw <= bw_floor * BW_TOL
-                and stole == 0)
+                and bw <= MERGE_BW_ABS and stole == 0)
         calm_streak = calm_streak + 1 if calm else 0
         stale = 0 if calm else stale + 1
         print(f"probe {p:.3f}s floor {floor:.3f} "
@@ -397,8 +402,12 @@ def main() -> int:
         # attempt every ~BLIND_EVERY probes costs a few box-minutes and
         # lets benchcheck (the real gate: parallel calib brackets +
         # steal delta + per-query reference scan) judge windows the
-        # 1-thread probes misread. A rejected attempt changes nothing.
-        blind = stale >= BLIND_EVERY
+        # 1-thread SPIN probe misreads. It bypasses only the CPU floor
+        # logic, NOT the absolute bandwidth cap — the stream probe is a
+        # direct measurement of the one state every blind attempt on
+        # record was refused for (round 13: 946 probes, zero calm,
+        # every attempt rejected), so firing into it just burns the box.
+        blind = stale >= BLIND_EVERY and bw <= MERGE_BW_ABS
         if calm_streak >= 2 or blind:
             attempt += 1
             stale = 0
