@@ -35,12 +35,27 @@ import org.apache.spark.sql.functions._
   * measures the JOIN's reducer distribution, not output volume.
   *
   * Usage: PieceSkewAB [nHot=20000] [nCold=200000]
+  *        PieceSkewAB <sfDir> [nHot=8000]   — sf-volume mode (round-14
+  *          stretch): the cold side is the REAL corpus — the mm_phash_dct
+  *          signature family over the fixture's text renditions at
+  *          `sfDir` (organic piece buckets, organic pair population) —
+  *          plus a planted degenerate family of nHot identical
+  *          signatures at ids far above the fixture range. Pins the
+  *          probe-threshold interaction at scale on real data instead
+  *          of hash-random synthetics.
   */
 object PieceSkewAB {
 
   def main(args: Array[String]): Unit = {
-    val nHot = if (args.length > 0) args(0).toInt else 20000
-    val nCold = if (args.length > 1) args(1).toInt else 200000
+    val sfDir = args.headOption.filter(_.startsWith("/"))
+    val nHot =
+      if (sfDir.isDefined)
+        (if (args.length > 1) args(1).toInt else 8000)
+      else if (args.length > 0) args(0).toInt else 20000
+    val nCold =
+      if (sfDir.isDefined) -1 // cold side = the real corpus
+      else if (args.length > 1) args(1).toInt
+      else 200000
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -51,13 +66,29 @@ object PieceSkewAB {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // hot family: identical signature; cold docs: 63-bit hash-random
-    // (collision buckets stay tiny). Deterministic, no driver state.
-    val sigs = spark.range(nHot.toLong + nCold)
-      .select(col("id").as("doc_id"),
-        when(col("id") < nHot, lit(0x0F0F0F0FL))
-          .otherwise(abs(xxhash64(col("id"))) % lit(Long.MaxValue))
-          .as("sig"))
+    // hot family: identical signature; cold side: either hash-random
+    // synthetics (63-bit, collision buckets stay tiny) or — sf-volume
+    // mode — the real mm_phash_dct family over the fixture corpus.
+    // Deterministic, no driver state.
+    val sigs = sfDir match {
+      case Some(dir) =>
+        val real = graft.multimodal.Multimodal
+          .phashOracleCorpus(spark, dir)
+          .filter(octet_length(col("payload")) > 0)
+          .select(col("doc_id"),
+            graft.functions.PHash64.phash(col("payload")).as("sig"))
+        // planted ids start far above every rendition offset family
+        val planted = spark.range(nHot.toLong)
+          .select((col("id") + 50000000000L).as("doc_id"),
+            lit(0x0F0F0F0FL).as("sig"))
+        real.unionAll(planted)
+      case None =>
+        spark.range(nHot.toLong + nCold)
+          .select(col("id").as("doc_id"),
+            when(col("id") < nHot, lit(0x0F0F0F0FL))
+              .otherwise(abs(xxhash64(col("id"))) % lit(Long.MaxValue))
+              .as("sig"))
+    }
 
     def run(thr: String, confs: Map[String, String]): (Double, Long) = {
       val saved = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
@@ -98,7 +129,7 @@ object PieceSkewAB {
     val (tGuard2, nGuard2) = run("1000", plainConf)
 
     println(
-      s"""{"metric":"piece_skew_ab","n_hot":$nHot,"n_cold":$nCold,""" +
+      s"""{"metric":"piece_skew_ab","mode":"${sfDir.getOrElse("synthetic")}","n_hot":$nHot,"n_cold":$nCold,""" +
         s""""plain_sec":${f"$tPlain%.2f"},"aqe_sec":${f"$tAqe%.2f"},""" +
         s""""guarded_sec":${f"$tGuard%.2f"},""" +
         s""""guarded2_sec":${f"$tGuard2%.2f"},""" +
