@@ -1163,9 +1163,12 @@ object DedupQueries {
         // tiny, but NOT bounded (a 100 TB corpus where many buckets sit
         // just over threshold), so broadcast only under the cap and let
         // a shuffle semi/anti join carry the pathological case
+        val hotCap = sigs.sparkSession.conf
+          .getOption("graft.signaturePairs.hotListBroadcastCap")
+          .flatMap(_.toLongOption).getOrElse(HotListBroadcastCap)
         val hotCk = hot.buildCheckpoint()
         val hotB =
-          if (nHot <= HotListBroadcastCap) broadcast(hotCk) else hotCk
+          if (nHot <= hotCap) broadcast(hotCk) else hotCk
         val cold = pieces.join(hotB, Seq("piece_idx", "piece"), "left_anti")
         val coldPairs = verified(side(cold, "doc_a", "sig_a")
           .join(side(cold, "doc_b", "sig_b"), Seq("piece_idx", "piece")))

@@ -388,6 +388,14 @@ class RobustnessSpec extends SparkSpec {
     assert(guarded == plain,
       s"salted path diverged: only-guarded=${guarded.diff(plain).take(3)} " +
         s"only-plain=${plain.diff(guarded).take(3)}")
+    // third plan variant (round 14): hot list PAST the broadcast cap —
+    // the shuffle semi/anti-join fallback must produce the same set
+    spark.conf.set("graft.signaturePairs.hotListBroadcastCap", "0")
+    val shuffled =
+      try run("50")
+      finally spark.conf.unset("graft.signaturePairs.hotListBroadcastCap")
+    assert(shuffled == plain,
+      s"shuffle hot-list path diverged: ${shuffled.diff(plain).take(3)}")
     // the identical family pairs completely at hamming 0...
     assert(guarded.count(p => p._3 == 0) == 120 * 119 / 2)
     // ...near pairs survive, far docs pair with nothing
