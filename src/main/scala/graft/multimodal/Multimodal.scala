@@ -378,6 +378,52 @@ object Multimodal {
           (octet_length(col("payload")) % 17).cast("float"))
           .as("features"))
 
+  /** [[extractFeatures]] over an existing (doc_id, payload) frame with a
+    * REAL path (round 14): conforming PNM payloads emit genuinely
+    * decoded image statistics — [width, height, n_frames, mean luma]
+    * (mean = Σ per-pixel ITU-R 601 integer luma ÷ pixel count, integer
+    * division, so the float is exact and both engines replay it
+    * bit-for-bit). Opaque payloads keep the documented byte-statistics
+    * fake. All values are small integers riding a float column — the
+    * embedding-model contract — and every one is driver-checked via
+    * [[pnmAugmentedPayloads]]. Same mapPartitions decoder seam as
+    * [[decodeMetaFromPayloads]]; null payloads yield no features
+    * (quarantine). */
+  def extractFeaturesFromPayloads(payloads: DataFrame): DataFrame = {
+    val spark = payloads.sparkSession
+    import spark.implicits._
+    payloads
+      .filter(col("payload").isNotNull)
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val hdr = graft.functions.PHash64.parsePnm(bytes)
+          if (hdr != null) {
+            val w = hdr.width; val h = hdr.height; val ch = hdr.channels
+            val k = if (h % w == 0) h / w else 1
+            var sum = 0L
+            var p = hdr.pixelOffset
+            val end = hdr.pixelOffset + w * h * ch
+            while (p < end) {
+              sum +=
+                (if (ch == 1) bytes(p) & 0xff
+                 else ((bytes(p) & 0xff) * 299 + (bytes(p + 1) & 0xff) * 587 +
+                   (bytes(p + 2) & 0xff) * 114) / 1000)
+              p += ch
+            }
+            (id, Array(w.toFloat, h.toFloat, k.toFloat,
+              (sum / (w.toLong * h)).toFloat))
+          } else {
+            val n = bytes.length
+            (id, Array(n.toFloat, (n % 251).toFloat, (n % 63).toFloat,
+              (n % 17).toFloat))
+          }
+        }
+      }
+      .toDF("doc_id", "features")
+  }
+
   /** Media–caption alignment filtering — the LAION/DataComp shape: score
     * every (media payload, caption) pair by the cosine of a media-side
     * feature vector against a caption-side embedding and keep only
@@ -435,9 +481,12 @@ object Multimodal {
       resizeToBoxFromPayloads(s,
         pnmAugmentedPayloads(Tables.documents(s, d))).toDF()),
     // features stringified for the driver compare (array cells don't
-    // sort in pandas); real consumers read the array column directly
+    // sort in pandas); real consumers read the array column directly.
+    // Corpus = pnmAugmentedPayloads (round 14), so the REAL decoded-
+    // statistics path is driver-checked alongside the byte-stat fake
     "mm_features" -> ((s, d) =>
-      extractFeatures(Tables.documents(s, d))
+      extractFeaturesFromPayloads(
+        pnmAugmentedPayloads(Tables.documents(s, d)))
         .select(col("doc_id"),
           array_join(col("features").cast("array<int>"), ",")
             .as("features"))),
@@ -978,13 +1027,36 @@ object Multimodal {
         |SELECT r.doc_id, CAST(r.out_w AS INTEGER) AS out_w,
         |  CAST(r.out_h AS INTEGER) AS out_h, s.sig AS resized_sig
         |FROM rp r JOIN rsig s USING (doc_id)""".stripMargin,
+    // opaque docs: byte-stat fake; planted filmstrips: real decoded
+    // statistics [w, h, k, mean per-pixel integer luma] (round 14)
     "mm_features" ->
-      """SELECT doc_id,
+      s"""WITH $pnmCte,
+        |fpx AS (
+        |  SELECT doc_id, w, h, ch,
+        |    unnest(generate_series(0, w * h - 1)) AS pi
+        |  FROM pnm),
+        |flum AS (
+        |  SELECT f.doc_id,
+        |    CASE WHEN f.ch = 1
+        |      THEN CAST(('0x' || substr(n.pixhex, f.pi * 2 + 1, 2)) AS INT)
+        |      ELSE (299 * CAST(('0x' || substr(n.pixhex, f.pi * 6 + 1, 2)) AS INT)
+        |          + 587 * CAST(('0x' || substr(n.pixhex, f.pi * 6 + 3, 2)) AS INT)
+        |          + 114 * CAST(('0x' || substr(n.pixhex, f.pi * 6 + 5, 2)) AS INT)) // 1000
+        |    END AS v
+        |  FROM fpx f JOIN pnm n USING (doc_id)),
+        |fmean AS (SELECT doc_id, SUM(v) AS s FROM flum GROUP BY doc_id)
+        |SELECT doc_id,
         |  CAST(octet_length(encode(text)) AS VARCHAR) || ',' ||
         |  CAST(octet_length(encode(text)) % 251 AS VARCHAR) || ',' ||
         |  CAST(octet_length(encode(text)) % 63 AS VARCHAR) || ',' ||
         |  CAST(octet_length(encode(text)) % 17 AS VARCHAR) AS features
-        |FROM documents""".stripMargin,
+        |FROM documents
+        |UNION ALL
+        |SELECT p.doc_id,
+        |  CAST(p.w AS VARCHAR) || ',' || CAST(p.h AS VARCHAR) || ',' ||
+        |  CAST(p.k AS VARCHAR) || ',' ||
+        |  CAST(m.s // (p.w * p.h) AS VARCHAR) AS features
+        |FROM pnm p JOIN fmean m USING (doc_id)""".stripMargin,
     // opaque docs: md5(id#idx) stand-in; planted filmstrips: the
     // per-frame 63-bit perceptual hash as 16 lowercase hex chars
     // (frameSigCtes replays PHash64.hashBand's integers exactly)

@@ -1420,6 +1420,26 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(out(2L).resized_sig == md5hex(s"2:$ow:$oh"))
   }
 
+  test("mm_features: conforming payloads emit real decoded statistics; opaque keeps byte stats") {
+    import graft.multimodal.Multimodal
+    val w = 4
+    val pix = Array.tabulate(w * w * 2)(i => (i * 7 % 256).toByte)
+    val strip = s"P5 $w ${2 * w} 255\n".getBytes("ISO-8859-1") ++ pix
+    // single-pixel P6: per-pixel integer luma floor (299·10+587·20+114·30)//1000
+    val p6 = "P6 1 1 255\n".getBytes("ISO-8859-1") ++ Array[Byte](10, 20, 30)
+    val opaque = "hello world!!".getBytes("ISO-8859-1")
+    val out = Multimodal.extractFeaturesFromPayloads(
+      Seq((1L, strip), (2L, opaque), (3L, p6)).toDF("doc_id", "payload"))
+      .as[(Long, Seq[Float])].collect().toMap
+    val meanLuma = pix.map(_ & 0xff).sum / (w * 2 * w)
+    assert(out(1L) == Seq(4f, 8f, 2f, meanLuma.toFloat),
+      s"real stats for the filmstrip: ${out(1L)}")
+    assert(out(3L) == Seq(1f, 1f, 1f, 18f), s"P6 luma floor: ${out(3L)}")
+    val n = opaque.length
+    assert(out(2L) == Seq(n.toFloat, (n % 251).toFloat,
+      (n % 63).toFloat, (n % 17).toFloat))
+  }
+
   test("augmentedDocs: perturbed-rendition population is non-empty on the fixtures (generator property, not a pinned id)") {
     import graft.multimodal.Multimodal
     // the one-byte perturbation only plants when the leading byte is
