@@ -342,6 +342,17 @@ def merge_sf1(sf_dir: str, out_record: str, budget_s: float) -> int:
 
 
 def main() -> int:
+    # Stray-watcher registry (round 14): `nohup setsid` survives a kill
+    # of the launcher pid, and a forgotten pre-fix watcher fired 12
+    # doomed attempts over ~4 h before being found. Every invocation
+    # appends its real pid + argv here so the next session can audit
+    # and kill leftovers with one read.
+    try:
+        with open("/tmp/quietrun.pids", "a") as f:
+            f.write(f"{os.getpid()} {time.strftime('%FT%T')} "
+                    f"{' '.join(sys.argv[1:])}\n")
+    except OSError:
+        pass
     # arity guard (advisor-caught): a missing arg should print usage,
     # not die with a bare IndexError
     if len(sys.argv) < 3:
