@@ -54,20 +54,25 @@ object Bench {
     // settled without it. Allocation + the untimed first-touch pass
     // happen inside the call, outside the timed section.
     def calibBw(): Double = {
-      val bwBuf = new Array[Long](32 * 1024 * 1024)
-      var warm = 0L
-      var j = 0
-      while (j < bwBuf.length) { warm += bwBuf(j); j += 1 } // page-in, untimed
-      val t0 = System.nanoTime()
-      var acc = warm
-      var r = 0
-      while (r < 2) {
-        var i = 0
-        while (i < bwBuf.length) { acc += bwBuf(i); i += 1 }
-        r += 1
-      }
-      if (acc == 42L) println("") // defeat dead-code elimination
-      (System.nanoTime() - t0) / 1e9
+      // same failure discipline as calib()/calibIo(): a 256 MB
+      // allocation failing in the END bracket (heap-pressured, after
+      // the suite) must record -1, not throw away the run's artifact
+      try {
+        val bwBuf = new Array[Long](32 * 1024 * 1024)
+        var warm = 0L
+        var j = 0
+        while (j < bwBuf.length) { warm += bwBuf(j); j += 1 } // page-in, untimed
+        val t0 = System.nanoTime()
+        var acc = warm
+        var r = 0
+        while (r < 2) {
+          var i = 0
+          while (i < bwBuf.length) { acc += bwBuf(i); i += 1 }
+          r += 1
+        }
+        if (acc == 42L) println("") // defeat dead-code elimination
+        (System.nanoTime() - t0) / 1e9
+      } catch { case _: Throwable => -1.0 }
     }
     calib() // untimed: absorb the probe's own codegen so start/end compare
     calibIo()

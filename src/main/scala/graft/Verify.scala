@@ -58,12 +58,17 @@ object Verify {
       case Some(names) => SparkEntry.queries.filter(kv => names(kv._1))
       case None        => SparkEntry.queries
     }
-    // The tiled-plane phash oracles (mm_phash_dct / mm_pipeline_e2e) are
-    // exact ONLY while no corpus payload conforms to strict PNM: a
-    // conforming payload really decodes in Spark while the DuckDB replay
-    // always models tiling — a silent signature divergence. That used to
-    // be an unchecked assumption (advisor-caught); scan the corpus and
-    // abort loudly instead of dumping a divergent result.
+    // The tiled-plane phash replays are exact ONLY while no ORGANIC
+    // corpus payload conforms to strict PNM: a conforming payload really
+    // decodes in Spark while the tiled DuckDB replay models tiling — a
+    // silent signature divergence. That used to be an unchecked
+    // assumption (advisor-caught); scan the corpus and abort loudly
+    // instead of dumping a divergent result. mm_phash_dct's corpus is
+    // exactly this scan; mm_pipeline_e2e (round 15) additionally plants
+    // DELIBERATE conformers whose signatures the oracle replays via the
+    // REAL resample+DCT path — those are constructed conforming (the
+    // pnm CTE rebuilds them byte-exactly), so the invariant that matters
+    // is still that the organic rows scanned here never conform.
     if (selected.contains("mm_phash_dct") ||
         selected.contains("mm_pipeline_e2e")) {
       import spark.implicits._

@@ -122,14 +122,22 @@ object PieceSkewAB {
       "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8m",
       "spark.sql.adaptive.coalescePartitions.enabled" -> "false")
 
+    // actual cold-side row count for the artifact (advisor round-14: a
+    // hardcoded n_cold:-1 in sf-volume mode reads as a count downstream);
+    // one count over sigs — the warmup run re-derives the same plan
+    val nColdActual =
+      if (sfDir.isDefined) sigs.count() - nHot else nCold.toLong
+
     run("1000", plainConf) // warmup: codegen + checkpoints (not timed)
     val (tGuard, nGuard) = run("1000", plainConf)
     val (tPlain, nPlain) = run(Long.MaxValue.toString, plainConf)
     val (tAqe, nAqe) = run(Long.MaxValue.toString, aqeConf)
     val (tGuard2, nGuard2) = run("1000", plainConf)
 
+    val modeStr = if (sfDir.isDefined) "sf-volume" else "synthetic"
+    val dirField = sfDir.map(d => s""""dir":"$d",""").getOrElse("")
     println(
-      s"""{"metric":"piece_skew_ab","mode":"${sfDir.getOrElse("synthetic")}","n_hot":$nHot,"n_cold":$nCold,""" +
+      s"""{"metric":"piece_skew_ab","mode":"$modeStr",$dirField"n_hot":$nHot,"n_cold":$nColdActual,""" +
         s""""plain_sec":${f"$tPlain%.2f"},"aqe_sec":${f"$tAqe%.2f"},""" +
         s""""guarded_sec":${f"$tGuard%.2f"},""" +
         s""""guarded2_sec":${f"$tGuard2%.2f"},""" +

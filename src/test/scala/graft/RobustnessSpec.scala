@@ -403,4 +403,53 @@ class RobustnessSpec extends SparkSpec {
     assert(guarded.exists(p => p._1 == 203L && p._2 == 204L && p._3 == 1))
     assert(!guarded.exists(p => p._1 == 202L || p._2 == 202L))
   }
+
+  test("signaturePairs probe memo: hit keeps the stale plan choice, conf bypass re-probes, pair set identical throughout") {
+    // The memo's documented contract (round 14): staleness affects PLAN
+    // CHOICE only, never the pair set. Pin both halves plus the round-15
+    // bypass conf: rewrite the data under the SAME analyzed plan (same
+    // parquet path, same schema ⇒ same semanticHash ⇒ memo key
+    // collision by design), then observe which physical shape each mode
+    // picks via the salted path's marker column.
+    import graft.queries.DedupQueries
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-memo").toString
+    def write(rows: Seq[(Long, Long)]): Unit =
+      rows.toDF("doc_id", "sig").repartition(2)
+        .write.mode("overwrite").parquet(dir)
+    def sigs = spark.read.parquet(dir)
+    def planOf(df: org.apache.spark.sql.DataFrame): String =
+      df.queryExecution.optimizedPlan.toString
+    // cold corpus: no bucket anywhere near the threshold
+    write((1L to 30L).map(i => (i, i * 0x9E3779B97F4A7C15L)))
+    spark.conf.set("graft.signaturePairs.hotPieceThreshold", "50")
+    try {
+      DedupQueries.probeMemo.clear()
+      val cold = DedupQueries.signaturePairs(sigs)
+      assert(!planOf(cold).contains("salt"),
+        "cold corpus must take the plain join")
+      assert(DedupQueries.probeMemo.size == 1, "probe result memoized")
+      // rewrite: degenerate 120-doc family — every piece bucket hot
+      write((1L to 120L).map(i => (i, 0x0F0FL)) :+ (200L, 0x0F0EL))
+      // memo ON (default): the stale nHot=0 keeps the PLAIN plan —
+      // perf-only staleness, but the pair set must still be exact
+      val stale = DedupQueries.signaturePairs(sigs)
+      assert(!planOf(stale).contains("salt"),
+        "memo hit must reuse the stale plan choice")
+      val staleSet = stale.as[(Long, Long, Int)].collect().toSet
+      assert(staleSet.count(_._3 == 0) == 120 * 119 / 2)
+      // bypass: a fresh probe sees the hot family and salts
+      spark.conf.set("graft.signaturePairs.probeMemo", "off")
+      val fresh =
+        try DedupQueries.signaturePairs(sigs)
+        finally spark.conf.unset("graft.signaturePairs.probeMemo")
+      assert(planOf(fresh).contains("salt"),
+        "probeMemo=off must re-probe and pick the salted path")
+      assert(fresh.as[(Long, Long, Int)].collect().toSet == staleSet,
+        "plan choice changed the pair set")
+    } finally {
+      spark.conf.unset("graft.signaturePairs.hotPieceThreshold")
+      DedupQueries.probeMemo.clear()
+    }
+  }
 }
