@@ -1231,6 +1231,51 @@ class DedupSimilaritySpec extends SparkSpec {
         assert(dup, s"rendition $id must be deduped against its original")
     }
     assert(out.exists(_._4), "no phash_dup rows — dedup stage vacuous")
+
+    // round 15: the e2e corpus includes the planted strict-PNM
+    // filmstrips (both families), and a surviving plant's scene stats
+    // must come from the REAL per-frame perceptual hashes. Rebuild each
+    // planted survivor's payload from the fixture text and recompute
+    // its cuts INDEPENDENTLY via PHash64.hashBand (not via the frame
+    // stage under test): reverting the frame path to the md5 fakes
+    // fails this, because fake 32-hex features cut on abs-delta, not
+    // hamming over the band hashes.
+    val plants = out.filter(_._1 >= 30000000000L)
+    assert(plants.nonEmpty, "planted conformers missing from the corpus")
+    val textOf = Tables.documents(spark, sf0001)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def md5hex(b: Array[Byte]): String =
+      md.digest(b).map(x => f"$x%02x").mkString
+    def unhex(s: String): Array[Byte] =
+      s.grouped(2).map(h => Integer.parseInt(h, 16).toByte).toArray
+    var checked = 0
+    plants.filter(_._5).foreach { case (pid, _, _, _, _, cutsOpt) =>
+      val src = pid - 30000000000L
+      val (ch, rep) = if (src % 16 == 3) (1, 48) else (3, 144)
+      val w = (src % 13 + 4).toInt
+      val k = (src % 3 + 1).toInt
+      val h = w * k
+      val hex = (md5hex(textOf(src).getBytes("UTF-8")) * rep)
+        .take(w * w * k * ch * 2)
+      val bytes = s"P5\n$w $h\n255\n"
+        .replace("P5", if (ch == 1) "P5" else "P6")
+        .getBytes("US-ASCII") ++ unhex(hex)
+      val hdr = graft.functions.PHash64.parsePnm(bytes)
+      assert(hdr != null, s"plant $pid rebuild does not conform")
+      val sigs = (0 until k).map(i =>
+        graft.functions.PHash64.hashBand(bytes,
+          hdr.pixelOffset + i * w * w * ch, w, w, ch))
+      val expectedCuts = sigs.sliding(2).count {
+        case Seq(a, b) => java.lang.Long.bitCount(a ^ b) > 10
+        case _         => false
+      }
+      assert(cutsOpt.contains(expectedCuts.toLong),
+        s"plant $pid: n_cuts ${cutsOpt} != hashBand-derived $expectedCuts")
+      checked += 1
+    }
+    assert(checked > 0, "no planted survivor reached the scene-cut stage")
   }
 
   test("multimodal decode meta matches spark-side recomputation") {
