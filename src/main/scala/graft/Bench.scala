@@ -77,6 +77,46 @@ object Bench {
     calib() // untimed: absorb the probe's own codegen so start/end compare
     calibIo()
     calibBw() // untimed: absorb the probe's own codegen
+    // In-JVM calm wait (round 15): SPARK_GRAFT_WAIT_CALM=<cap_ms> parks
+    // the fully-warmed JVM on the bandwidth probe until two consecutive
+    // readings sit under the cap, so the calm window a qualified
+    // measurement needs shrinks from (JVM start + warmup + suite) to
+    // just the suite — the only window size this box ever offers
+    // (946 + 527 watcher probes across rounds 13-14 found no
+    // multi-minute calm, while the co-tenant's gaps are ~15 s). On
+    // SPARK_GRAFT_WAIT_TIMEOUT (s, default 600) expiry the run ABORTS
+    // with a sentinel artifact (nfailed:-1 — every gate refuses it)
+    // instead of burning a hot measurement. The wait sits BEFORE the
+    // START brackets and statStart, so lf/steal/brackets measure only
+    // the suite itself.
+    val calmWaitOk = sys.env.get("SPARK_GRAFT_WAIT_CALM")
+      .flatMap(_.toDoubleOption) match {
+      case None => true
+      case Some(capMs) =>
+        val timeoutS = sys.env.get("SPARK_GRAFT_WAIT_TIMEOUT")
+          .flatMap(_.toDoubleOption).getOrElse(600.0)
+        val deadline = System.nanoTime() + (timeoutS * 1e9).toLong
+        var streak = 0
+        var last = -1.0
+        while (streak < 2 && System.nanoTime() < deadline) {
+          last = calibBw()
+          if (last > 0 && last * 1000 <= capMs) streak += 1
+          else { streak = 0; Thread.sleep(15000) }
+        }
+        if (streak < 2) {
+          val sentinel =
+            s"""{"metric":"total","calm_wait":"timeout","wait_cap_ms":$capMs,""" +
+              s""""last_bw_ms":${f"${last * 1000}%.1f"},"nfailed":-1}"""
+          println(sentinel)
+          try java.nio.file.Files.writeString(
+            java.nio.file.Paths.get(sys.env.getOrElse(
+              "SPARK_GRAFT_BENCH_OUT", "BENCH_SUBSET.json")),
+            sentinel + "\n")
+          catch { case scala.util.control.NonFatal(_) => }
+        }
+        streak >= 2
+    }
+    if (!calmWaitOk) { spark.stop(); return }
     val calibStart = calib()
     val calibIoStart = calibIo()
     val calibBwStart = calibBw()

@@ -255,9 +255,10 @@ def merge_sf1(sf_dir: str, out_record: str, budget_s: float) -> int:
                 if any(len(accepted[q]) < MERGE_MIN_RUNS for q in b)]
         if not todo:
             break
-        # calm micro-window: ONE calm probe reading is enough (windows
-        # between co-tenant bursts are short; the run's own brackets +
-        # the post-run probe do the real gating)
+        # Launch policy (round 15): no pre-probe calm gate — the batch
+        # JVM parks itself on the in-JVM bandwidth probe and only
+        # measures inside a window that clears the absolute cap (see
+        # merge_sf01). The probe here just maintains the floors.
         s0 = steal_ticks()
         p = spin()
         bw = bw_probe()
@@ -265,21 +266,17 @@ def merge_sf1(sf_dir: str, out_record: str, budget_s: float) -> int:
         hist.append(p)
         bw_hist.append(bw)
         floor, bw_floor = min(hist), min(bw_hist)
-        calm = (p <= floor * TOL and bw <= bw_floor * BW_TOL
-                and bw <= MERGE_BW_ABS and stole == 0)
-        print(f"probe {p:.3f}s floor {floor:.3f} bw {bw * 1000:.1f}ms "
-              f"bwfloor {bw_floor * 1000:.1f} steal {stole} "
-              f"{'CALM' if calm else 'busy'}", flush=True)
-        if not calm:
-            time.sleep(MERGE_PROBE_SLEEP)
-            continue
         batch = todo[0]
         attempt += 1
-        print(f"attempt {attempt}: batch {','.join(batch)}", flush=True)
+        print(f"attempt {attempt} (launch bw {bw * 1000:.1f}ms, floor "
+              f"{bw_floor * 1000:.1f}): batch {','.join(batch)} — "
+              f"in-JVM calm wait armed", flush=True)
         tmp = f"/tmp/mergesf1_attempt{attempt}.json"
         env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir,
                    SPARK_GRAFT_ONLY=",".join(batch),
-                   SPARK_GRAFT_BENCH_OUT=tmp)
+                   SPARK_GRAFT_BENCH_OUT=tmp,
+                   SPARK_GRAFT_WAIT_CALM=str(MERGE_BW_ABS * 1000),
+                   SPARK_GRAFT_WAIT_TIMEOUT="900")
         run_s0 = steal_ticks()
         subprocess.run(["tools/run.sh", "graft.Bench"], env=env,
                        stdout=subprocess.DEVNULL,
@@ -292,6 +289,14 @@ def merge_sf1(sf_dir: str, out_record: str, budget_s: float) -> int:
                 tot, qs = _parse(f.read())
         except OSError:
             tot, qs = None, {}
+        if tot is not None and tot.get("calm_wait") == "timeout":
+            print(f"  in-JVM wait timed out (last bw "
+                  f"{tot.get('last_bw_ms')}ms) — nothing measured",
+                  flush=True)
+            hist.append(post_p)
+            bw_hist.append(post_bw)
+            time.sleep(2)
+            continue
         # gate FIRST against the pre-append floors (advisor round-14:
         # appending post_p before min(hist) let a new session-minimum
         # reading anchor its own spin floor, and was asymmetric with
@@ -460,21 +465,25 @@ def merge_sf01(sf_dir: str, out_record: str, budget_s: float) -> int:
         hist.append(p)
         bw_hist.append(bw)
         floor, bw_floor = min(hist), min(bw_hist)
-        calm = (p <= floor * TOL and bw <= bw_floor * BW_TOL
-                and bw <= MERGE_BW_ABS and stole == 0)
-        print(f"probe {p:.3f}s floor {floor:.3f} bw {bw * 1000:.1f}ms "
-              f"bwfloor {bw_floor * 1000:.1f} steal {stole} "
-              f"todo {len(todo)} {'CALM' if calm else 'busy'}", flush=True)
-        if not calm:
-            time.sleep(MERGE_PROBE_SLEEP)
-            continue
+        # Launch policy (round 15): no pre-probe calm gate — the batch
+        # JVM parks ITSELF on the in-JVM bandwidth probe
+        # (SPARK_GRAFT_WAIT_CALM) after its warmup and only measures
+        # once two consecutive readings clear the absolute cap, so the
+        # window a measurement needs no longer has to span JVM startup.
+        # A wait timeout aborts with a sentinel artifact (no hot
+        # measurement burned). Acceptance is UNCHANGED: merge_accept on
+        # the run's own brackets + the post-run probes.
         batch = todo[:MERGE_BATCH]
         attempt += 1
-        print(f"attempt {attempt}: batch {','.join(batch)}", flush=True)
+        print(f"attempt {attempt} (launch bw {bw * 1000:.1f}ms, floor "
+              f"{bw_floor * 1000:.1f}): batch {','.join(batch)} — "
+              f"in-JVM calm wait armed", flush=True)
         tmp = f"/tmp/mergesf01_attempt{attempt}.json"
         env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir,
                    SPARK_GRAFT_ONLY=",".join(batch),
-                   SPARK_GRAFT_BENCH_OUT=tmp)
+                   SPARK_GRAFT_BENCH_OUT=tmp,
+                   SPARK_GRAFT_WAIT_CALM=str(MERGE_BW_ABS * 1000),
+                   SPARK_GRAFT_WAIT_TIMEOUT="900")
         run_s0 = steal_ticks()
         subprocess.run(["tools/run.sh", "graft.Bench"], env=env,
                        stdout=subprocess.DEVNULL,
@@ -487,6 +496,14 @@ def merge_sf01(sf_dir: str, out_record: str, budget_s: float) -> int:
                 tot, qs = _parse(f.read())
         except OSError:
             tot, qs = None, {}
+        if tot is not None and tot.get("calm_wait") == "timeout":
+            print(f"  in-JVM wait timed out (last bw "
+                  f"{tot.get('last_bw_ms')}ms) — nothing measured",
+                  flush=True)
+            hist.append(post_p)
+            bw_hist.append(post_bw)
+            time.sleep(2)
+            continue
         # gate against pre-append floors, then append (same discipline
         # as merge-sf1 after the round-14 advisor fix)
         ok = merge_accept(tot, post_bw, post_p, bw_floor, floor)
@@ -621,8 +638,15 @@ def main() -> int:
             print(f"attempt {attempt}: launching bench"
                   + (" (probe-blind)" if blind else ""), flush=True)
             tmp = f"/tmp/quietrun_attempt{attempt}.json"
+            # in-JVM calm wait (round 15): even a probe-blind attempt
+            # only STARTS its measurement inside a bracket-calm window;
+            # a wait timeout aborts with a sentinel the qualifier
+            # refuses (nfailed:-1), so blind attempts stop burning
+            # 4-minute hot suites.
             env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir,
-                       SPARK_GRAFT_BENCH_OUT=tmp)
+                       SPARK_GRAFT_BENCH_OUT=tmp,
+                       SPARK_GRAFT_WAIT_CALM=str(MERGE_BW_ABS * 1000),
+                       SPARK_GRAFT_WAIT_TIMEOUT="900")
             subprocess.run(["tools/run.sh", "graft.Bench"], env=env,
                            stdout=subprocess.DEVNULL,
                            stderr=subprocess.DEVNULL, check=False)
