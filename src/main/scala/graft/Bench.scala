@@ -89,7 +89,29 @@ object Bench {
     // instead of burning a hot measurement. The wait sits BEFORE the
     // START brackets and statStart, so lf/steal/brackets measure only
     // the suite itself.
-    val calmWaitOk = sys.env.get("SPARK_GRAFT_WAIT_CALM")
+    // SPARK_GRAFT_ONLY=a,b,c runs a subset — for solo re-mins of single
+    // queries without paying the full suite. Subset runs are for
+    // measurement notes only, never committable records (benchcheck's
+    // stale-reference scan rejects them by construction).
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // mirror Verify's loud guard: a typo'd solo re-min must not run zero
+    // queries and write a plausible-looking BENCH_SUBSET.json
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_ONLY names not in the registry: ${unknown.toSeq.sorted.mkString(", ")}")
+    }
+    // loud parse (review round-15): a malformed cap value silently
+    // skipping the wait would fire a hot measurement while the operator
+    // believes the gate is armed — same discipline as the
+    // SPARK_GRAFT_ONLY require below
+    val calmWaitRaw = sys.env.get("SPARK_GRAFT_WAIT_CALM")
+    calmWaitRaw.foreach { v =>
+      require(v.toDoubleOption.exists(_ > 0),
+        s"SPARK_GRAFT_WAIT_CALM must be a positive cap in ms, got '$v'")
+    }
+    val calmWaitOk = calmWaitRaw
       .flatMap(_.toDoubleOption) match {
       case None => true
       case Some(capMs) =>
@@ -108,9 +130,16 @@ object Bench {
             s"""{"metric":"total","calm_wait":"timeout","wait_cap_ms":$capMs,""" +
               s""""last_bw_ms":${f"${last * 1000}%.1f"},"nfailed":-1}"""
           println(sentinel)
+          // same default as the normal artifact path (review
+          // round-15: a FULL run's timeout sentinel landing in
+          // BENCH_SUBSET.json left a stale BENCH_LAST_ATTEMPT.json
+          // looking current)
+          val sentinelDefault =
+            if (only.isDefined) "BENCH_SUBSET.json"
+            else "BENCH_LAST_ATTEMPT.json"
           try java.nio.file.Files.writeString(
             java.nio.file.Paths.get(sys.env.getOrElse(
-              "SPARK_GRAFT_BENCH_OUT", "BENCH_SUBSET.json")),
+              "SPARK_GRAFT_BENCH_OUT", sentinelDefault)),
             sentinel + "\n")
           catch { case scala.util.control.NonFatal(_) => }
         }
@@ -125,19 +154,6 @@ object Bench {
     // fast run: round 7 logged 16 analysis-broken queries as ~0.06 s
     // timings and the headline total silently claimed they executed.
     val errors = scala.collection.mutable.Map.empty[String, String]
-    // SPARK_GRAFT_ONLY=a,b,c runs a subset — for solo re-mins of single
-    // queries without paying the full suite. Subset runs are for
-    // measurement notes only, never committable records (benchcheck's
-    // stale-reference scan rejects them by construction).
-    val only = sys.env.get("SPARK_GRAFT_ONLY")
-      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    // mirror Verify's loud guard: a typo'd solo re-min must not run zero
-    // queries and write a plausible-looking BENCH_SUBSET.json
-    only.foreach { names =>
-      val unknown = names -- SparkEntry.queries.keySet
-      require(unknown.isEmpty,
-        s"SPARK_GRAFT_ONLY names not in the registry: ${unknown.toSeq.sorted.mkString(", ")}")
-    }
     val selected = only match {
       case Some(names) => SparkEntry.queries.filter(kv => names(kv._1))
       case None        => SparkEntry.queries

@@ -286,10 +286,6 @@ object Multimodal {
       .toDF("doc_id", "frame_idx", "frame_sig")
   }
 
-  /** Frame sampling over the documents table's payload stand-in. */
-  def sampleFrames(docs: DataFrame): DataFrame =
-    sampleFramesFromPayloads(withPayload(docs))
-
   /** Typed result of the resize: target box + a content signature of
     * the output. For conforming PNM payloads the signature is REAL
     * (round 14): md5 over the hex of the actually-resampled output

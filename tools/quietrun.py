@@ -129,6 +129,12 @@ def self_qualified(path: str) -> bool:
         total, queries = _parse(f.read())
     if not total:
         return False
+    if total.get("calm_wait") == "timeout":
+        # in-JVM wait sentinel (round 15): nothing was measured — the
+        # lf/steal fields are absent, so bail before formatting them
+        print(f"self-qualify: calm-wait timeout (last bw "
+              f"{total.get('last_bw_ms')}ms) -> REJECT", flush=True)
+        return False
     ok = (total.get("nfailed", 1) == 0
           and 0 < total.get("load_factor", 9) <= 1.05
           and total.get("steal_pct", 1) <= 0.02)
@@ -149,8 +155,8 @@ def self_qualified(path: str) -> bool:
         print("  regressions vs committed sf1 record: "
               + ", ".join(f"{k} {v:.1f}s/{o:.1f}s" for k, v, o in worst[:6]),
               flush=True)
-    print(f"self-qualify: lf={total.get('load_factor'):.3f} "
-          f"steal={total.get('steal_pct'):.4f} "
+    print(f"self-qualify: lf={total.get('load_factor', -1.0):.3f} "
+          f"steal={total.get('steal_pct', -1.0):.4f} "
           f"nfailed={total.get('nfailed')} "
           f"regressed={len(regress)} -> {'OK' if ok else 'REJECT'}",
           flush=True)
@@ -221,6 +227,106 @@ def check_merge_accept(argv):
     return 0 if ok else 1
 
 
+def _classes_fingerprint() -> str:
+    """Content hash of the compiled classes a measurement runs against.
+    merge-sf01 state admissions bind to it (review round-15): an sf0.1
+    level is a property of a BINARY, not of a repo — resuming a state
+    file across a plan-changing recompile must drop the stale
+    admissions, while doc-only commits (same classes) keep them."""
+    import hashlib
+    h = hashlib.md5()
+    root = "target/scala-2.13/classes"
+    for dirpath, dirnames, filenames in os.walk(root):
+        dirnames.sort()
+        for fn in sorted(filenames):
+            if fn.endswith(".class"):
+                fp = os.path.join(dirpath, fn)
+                h.update(fp.encode())
+                try:
+                    with open(fp, "rb") as f:
+                        h.update(f.read())
+                except OSError:
+                    pass
+    return h.hexdigest()[:12]
+
+
+def _attempt(attempt, sf_dir, batch, hist, bw_hist, tmp_prefix):
+    """One launch-with-in-JVM-wait measurement cycle, shared by both
+    merge loops (review round-15: the cycle was duplicated and the
+    round-14 floor-ordering fix had to land twice). Probes once for
+    floor bookkeeping, launches Bench on the batch with the calm wait
+    armed, parses the artifact, gates via merge_accept against the
+    PRE-append floors (round-14 advisor), then appends the post-run
+    probes. Returns (status, qs, prov_base): status in {'accept',
+    'reject', 'timeout', 'noartifact'}."""
+    s0 = steal_ticks()
+    p = spin()
+    bw = bw_probe()
+    stole = steal_ticks() - s0
+    hist.append(p)
+    bw_hist.append(bw)
+    floor, bw_floor = min(hist), min(bw_hist)
+    print(f"attempt {attempt} (launch bw {bw * 1000:.1f}ms, floor "
+          f"{bw_floor * 1000:.1f}, steal {stole}): batch "
+          f"{','.join(batch)} — in-JVM calm wait armed", flush=True)
+    tmp = f"{tmp_prefix}{attempt}.json"
+    # stale-artifact guard (review round-15): attempt counters restart
+    # every invocation, so a leftover file from a prior session must
+    # never be parsed as THIS attempt's output when the Bench JVM dies
+    # before writing — that would re-admit old timings with fabricated
+    # probe provenance
+    try:
+        os.unlink(tmp)
+    except OSError:
+        pass
+    env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir,
+               SPARK_GRAFT_ONLY=",".join(batch),
+               SPARK_GRAFT_BENCH_OUT=tmp,
+               SPARK_GRAFT_WAIT_CALM=str(MERGE_BW_ABS * 1000),
+               SPARK_GRAFT_WAIT_TIMEOUT="900")
+    run_s0 = steal_ticks()
+    subprocess.run(["tools/run.sh", "graft.Bench"], env=env,
+                   stdout=subprocess.DEVNULL,
+                   stderr=subprocess.DEVNULL, check=False)
+    run_steal = steal_ticks() - run_s0
+    post_bw = bw_probe()
+    post_p = spin()
+    try:
+        with open(tmp) as f:
+            tot, qs = _parse(f.read())
+    except OSError:
+        tot, qs = None, {}
+    if tot is not None and tot.get("calm_wait") == "timeout":
+        print(f"  in-JVM wait timed out (last bw "
+              f"{tot.get('last_bw_ms')}ms) — nothing measured",
+              flush=True)
+        hist.append(post_p)
+        bw_hist.append(post_bw)
+        return "timeout", {}, {}
+    ok = merge_accept(tot, post_bw, post_p, bw_floor, floor)
+    hist.append(post_p)
+    bw_hist.append(post_bw)
+    if tot is None:
+        print("  no artifact written (Bench crashed or never launched) "
+              "-> REJECT", flush=True)
+        return "noartifact", {}, {}
+    print(f"  lf={tot.get('load_factor', -1):.3f} "
+          f"steal={tot.get('steal_pct', -1):.4f} "
+          f"post_bw {post_bw * 1000:.1f}ms post_spin {post_p:.3f}s "
+          f"-> {'ACCEPT' if ok else 'REJECT'}", flush=True)
+    prov_base = {"lf": tot.get("load_factor"),
+                 "steal_pct": tot.get("steal_pct"),
+                 "calib_start": tot.get("calib_start"),
+                 "calib_end": tot.get("calib_end"),
+                 "calib_bw_start": tot.get("calib_bw_start"),
+                 "calib_bw_end": tot.get("calib_bw_end"),
+                 "pre_spin_s": p, "pre_bw_ms": bw * 1000,
+                 "post_spin_s": post_p, "post_bw_ms": post_bw * 1000,
+                 "run_steal_ticks": run_steal,
+                 "wall": time.strftime("%Y-%m-%dT%H:%M:%S")}
+    return ("accept" if ok else "reject"), qs, prov_base
+
+
 def merge_sf1(sf_dir: str, out_record: str, budget_s: float) -> int:
     import collections
     total_sf1, committed = _git_head("BENCH_sf1.json")
@@ -244,6 +350,7 @@ def merge_sf1(sf_dir: str, out_record: str, budget_s: float) -> int:
                for i in range(0, len(missing), MERGE_BATCH)]
     accepted = {q: [] for q in missing}
     prov = {q: [] for q in missing}
+    noart = {}  # batch-key -> consecutive no-artifact failures
     t_start = time.time()
     hist = collections.deque([min(spin() for _ in range(3))],
                              maxlen=FLOOR_WINDOW)
@@ -252,81 +359,31 @@ def merge_sf1(sf_dir: str, out_record: str, budget_s: float) -> int:
     attempt = 0
     while time.time() - t_start < budget_s:
         todo = [b for b in batches
-                if any(len(accepted[q]) < MERGE_MIN_RUNS for q in b)]
+                if any(len(accepted[q]) < MERGE_MIN_RUNS for q in b)
+                and noart.get(",".join(b), 0) < 2]
         if not todo:
             break
-        # Launch policy (round 15): no pre-probe calm gate — the batch
-        # JVM parks itself on the in-JVM bandwidth probe and only
-        # measures inside a window that clears the absolute cap (see
-        # merge_sf01). The probe here just maintains the floors.
-        s0 = steal_ticks()
-        p = spin()
-        bw = bw_probe()
-        stole = steal_ticks() - s0
-        hist.append(p)
-        bw_hist.append(bw)
-        floor, bw_floor = min(hist), min(bw_hist)
         batch = todo[0]
         attempt += 1
-        print(f"attempt {attempt} (launch bw {bw * 1000:.1f}ms, floor "
-              f"{bw_floor * 1000:.1f}): batch {','.join(batch)} — "
-              f"in-JVM calm wait armed", flush=True)
-        tmp = f"/tmp/mergesf1_attempt{attempt}.json"
-        env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir,
-                   SPARK_GRAFT_ONLY=",".join(batch),
-                   SPARK_GRAFT_BENCH_OUT=tmp,
-                   SPARK_GRAFT_WAIT_CALM=str(MERGE_BW_ABS * 1000),
-                   SPARK_GRAFT_WAIT_TIMEOUT="900")
-        run_s0 = steal_ticks()
-        subprocess.run(["tools/run.sh", "graft.Bench"], env=env,
-                       stdout=subprocess.DEVNULL,
-                       stderr=subprocess.DEVNULL, check=False)
-        run_steal = steal_ticks() - run_s0
-        post_bw = bw_probe()
-        post_p = spin()
-        try:
-            with open(tmp) as f:
-                tot, qs = _parse(f.read())
-        except OSError:
-            tot, qs = None, {}
-        if tot is not None and tot.get("calm_wait") == "timeout":
-            print(f"  in-JVM wait timed out (last bw "
-                  f"{tot.get('last_bw_ms')}ms) — nothing measured",
-                  flush=True)
-            hist.append(post_p)
-            bw_hist.append(post_bw)
-            time.sleep(2)
-            continue
-        # gate FIRST against the pre-append floors (advisor round-14:
-        # appending post_p before min(hist) let a new session-minimum
-        # reading anchor its own spin floor, and was asymmetric with
-        # post_bw which was checked against the pre-append bw_floor);
-        # THEN append — post-run probes are real readings of the box
-        # and dropping them starves the rolling floor during long
-        # accept streaks (advisor round-13)
-        ok = merge_accept(tot, post_bw, post_p, bw_floor, floor)
-        hist.append(post_p)
-        bw_hist.append(post_bw)
-        t = tot or {}
-        print(f"  lf={t.get('load_factor', -1):.3f} "
-              f"steal={t.get('steal_pct', -1):.4f} "
-              f"post_bw {post_bw * 1000:.1f}ms post_spin {post_p:.3f}s "
-              f"-> {'ACCEPT' if ok else 'REJECT'}", flush=True)
-        if ok:
+        status, qs, prov_base = _attempt(
+            attempt, sf_dir, batch, hist, bw_hist,
+            "/tmp/mergesf1_attempt")
+        key = ",".join(batch)
+        if status == "noartifact":
+            # registry-drift guard (review round-15): a query renamed
+            # away from SparkEntry makes Bench throw on SPARK_GRAFT_ONLY
+            # before writing anything — retrying the same batch forever
+            # would burn the whole budget
+            noart[key] = noart.get(key, 0) + 1
+            if noart[key] >= 2:
+                print(f"  batch {key} failed twice with no artifact — "
+                      f"dropping it (stale registry entry?)", flush=True)
+        elif status == "accept":
+            noart[key] = 0
             for q in batch:
                 if q in qs:
                     accepted[q].append(qs[q])
-                    prov[q].append({
-                        "t": qs[q],
-                        "lf": tot.get("load_factor"),
-                        "steal_pct": tot.get("steal_pct"),
-                        "calib_start": tot.get("calib_start"),
-                        "calib_end": tot.get("calib_end"),
-                        "pre_spin_s": p, "pre_bw_ms": bw * 1000,
-                        "post_spin_s": post_p,
-                        "post_bw_ms": post_bw * 1000,
-                        "run_steal_ticks": run_steal,
-                        "wall": time.strftime("%Y-%m-%dT%H:%M:%S")})
+                    prov[q].append(dict(prov_base, t=qs[q]))
         time.sleep(2)
     short = {q: len(v) for q, v in accepted.items()
              if len(v) < MERGE_MIN_RUNS}
@@ -381,11 +438,17 @@ def merge_sf01(sf_dir: str, out_record: str, budget_s: float) -> int:
     on CURRENT code batch-by-batch under the identical acceptance gate
     (run's own brackets clean incl. the 40 ms bandwidth bracket, calm
     post-run probes, min-of-%d) and assemble a composite record with
-    per-admission provenance. Unlike merge-sf1, admissions PERSIST
-    across invocations (<outRecord>.state.jsonl): 180 queries need ~90
-    accepted batch runs, more calm seconds than any one session has
-    offered — sessions accumulate. Changed-plan queries run first;
-    within each class shortest-first (maximum admissions per window).
+    per-admission provenance. The registry is the committed
+    BENCH_LAST.json's query set (a query added to SparkEntry since that
+    record enters via the next full-suite record; one renamed away is
+    dropped after two no-artifact attempts rather than wedging the
+    loop). Unlike merge-sf1, admissions PERSIST across invocations
+    (<outRecord>.state.jsonl), each bound to the compiled-classes
+    fingerprint it measured — a recompile that changes any class drops
+    the stale admissions on resume. 180 queries need ~90 accepted batch
+    runs, more calm seconds than any one session has offered — sessions
+    accumulate. Changed-plan queries run first; within each class
+    shortest-first (maximum admissions per window).
     The composite is written incrementally after every accepted batch:
     queries still lacking %d admissions carry the committed round-12
     level, marked `carried` in the record and provenance. A classic
@@ -397,14 +460,20 @@ def merge_sf01(sf_dir: str, out_record: str, budget_s: float) -> int:
         print("merge-sf01: no committed BENCH_LAST.json registry",
               flush=True)
         return 1
-    prio = [q for q in CHANGED_PLAN_QUERIES if q in committed]
-    rest = sorted((q for q in committed if q not in prio),
-                  key=lambda q: committed[q])
+    # shortest-first WITHIN each class too (review round-15: the
+    # hardcoded list order put the slowest changed-plan query first,
+    # so every early window had to fit it before admitting anything)
+    prio = sorted((q for q in CHANGED_PLAN_QUERIES if q in committed),
+                  key=lambda q: (committed[q], q))
+    rest = sorted((q for q in committed if q not in set(prio)),
+                  key=lambda q: (committed[q], q))
     order = prio + rest
     state_path = out_record + ".state.jsonl"
     accepted = {q: [] for q in order}
     prov = {q: [] for q in order}
+    fp = _classes_fingerprint()
     if os.path.exists(state_path):
+        dropped = 0
         with open(state_path) as f:
             for line in f:
                 try:
@@ -412,13 +481,24 @@ def merge_sf01(sf_dir: str, out_record: str, budget_s: float) -> int:
                 except json.JSONDecodeError:
                     continue
                 q = rec.get("q")
-                if q in accepted:
-                    accepted[q].append(rec["t"])
-                    prov[q].append(rec.get("prov", {}))
+                if q not in accepted:
+                    continue
+                # binary binding (review round-15): an admission is a
+                # measurement of a particular compiled-classes state;
+                # resuming across a recompile that changed any class
+                # drops stale admissions instead of reporting old-plan
+                # levels as fresh current-code ones
+                if rec.get("fp") != fp:
+                    dropped += 1
+                    continue
+                accepted[q].append(rec["t"])
+                prov[q].append(rec.get("prov", {}))
         done0 = sum(1 for q in order
                     if len(accepted[q]) >= MERGE_MIN_RUNS)
         print(f"merge-sf01: resumed state — {done0}/{len(order)} queries "
-              f"already admitted", flush=True)
+              f"already admitted"
+              + (f"; {dropped} stale admissions dropped (classes "
+                 f"fingerprint changed)" if dropped else ""), flush=True)
 
     def write_composite():
         fresh = {q for q in order if len(accepted[q]) >= MERGE_MIN_RUNS}
@@ -431,7 +511,7 @@ def merge_sf01(sf_dir: str, out_record: str, budget_s: float) -> int:
                  "unit": "sec", "sf": sf_dir, "nqueries": len(merged),
                  "nfailed": 0, "merged": True, "merged_mode": "sf01",
                  "merged_fresh": len(fresh), "merged_carried": len(carried),
-                 "carried_queries": carried,
+                 "carried_queries": carried, "classes_fp": fp,
                  "provenance": os.path.basename(out_record)
                  + "_provenance.json"}
         with open(out_record, "w") as g:
@@ -454,17 +534,13 @@ def merge_sf01(sf_dir: str, out_record: str, budget_s: float) -> int:
     bw_hist = collections.deque([min(bw_probe() for _ in range(3))],
                                 maxlen=FLOOR_WINDOW)
     attempt = 0
+    dead = set()  # registry-drift guard: queries Bench cannot run
+    noart = {}
     while time.time() - t_start < budget_s:
-        todo = [q for q in order if len(accepted[q]) < MERGE_MIN_RUNS]
+        todo = [q for q in order
+                if len(accepted[q]) < MERGE_MIN_RUNS and q not in dead]
         if not todo:
             break
-        s0 = steal_ticks()
-        p = spin()
-        bw = bw_probe()
-        stole = steal_ticks() - s0
-        hist.append(p)
-        bw_hist.append(bw)
-        floor, bw_floor = min(hist), min(bw_hist)
         # Launch policy (round 15): no pre-probe calm gate — the batch
         # JVM parks ITSELF on the in-JVM bandwidth probe
         # (SPARK_GRAFT_WAIT_CALM) after its warmup and only measures
@@ -475,75 +551,48 @@ def merge_sf01(sf_dir: str, out_record: str, budget_s: float) -> int:
         # the run's own brackets + the post-run probes.
         batch = todo[:MERGE_BATCH]
         attempt += 1
-        print(f"attempt {attempt} (launch bw {bw * 1000:.1f}ms, floor "
-              f"{bw_floor * 1000:.1f}): batch {','.join(batch)} — "
-              f"in-JVM calm wait armed", flush=True)
-        tmp = f"/tmp/mergesf01_attempt{attempt}.json"
-        env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir,
-                   SPARK_GRAFT_ONLY=",".join(batch),
-                   SPARK_GRAFT_BENCH_OUT=tmp,
-                   SPARK_GRAFT_WAIT_CALM=str(MERGE_BW_ABS * 1000),
-                   SPARK_GRAFT_WAIT_TIMEOUT="900")
-        run_s0 = steal_ticks()
-        subprocess.run(["tools/run.sh", "graft.Bench"], env=env,
-                       stdout=subprocess.DEVNULL,
-                       stderr=subprocess.DEVNULL, check=False)
-        run_steal = steal_ticks() - run_s0
-        post_bw = bw_probe()
-        post_p = spin()
-        try:
-            with open(tmp) as f:
-                tot, qs = _parse(f.read())
-        except OSError:
-            tot, qs = None, {}
-        if tot is not None and tot.get("calm_wait") == "timeout":
-            print(f"  in-JVM wait timed out (last bw "
-                  f"{tot.get('last_bw_ms')}ms) — nothing measured",
-                  flush=True)
-            hist.append(post_p)
-            bw_hist.append(post_bw)
-            time.sleep(2)
-            continue
-        # gate against pre-append floors, then append (same discipline
-        # as merge-sf1 after the round-14 advisor fix)
-        ok = merge_accept(tot, post_bw, post_p, bw_floor, floor)
-        hist.append(post_p)
-        bw_hist.append(post_bw)
-        t = tot or {}
-        print(f"  lf={t.get('load_factor', -1):.3f} "
-              f"steal={t.get('steal_pct', -1):.4f} "
-              f"post_bw {post_bw * 1000:.1f}ms post_spin {post_p:.3f}s "
-              f"-> {'ACCEPT' if ok else 'REJECT'}", flush=True)
-        if ok:
+        status, qs, prov_base = _attempt(
+            attempt, sf_dir, batch, hist, bw_hist,
+            "/tmp/mergesf01_attempt")
+        key = ",".join(batch)
+        if status == "noartifact":
+            # registry-drift guard (review round-15): a committed-record
+            # query since renamed in SparkEntry makes Bench throw on the
+            # SPARK_GRAFT_ONLY require before writing anything; after
+            # two consecutive no-artifact failures drop the batch's
+            # queries so the loop cannot wedge on them forever
+            noart[key] = noart.get(key, 0) + 1
+            if noart[key] >= 2:
+                dead.update(batch)
+                print(f"  batch {key} failed twice with no artifact — "
+                      f"dropping its queries (stale registry entries?)",
+                      flush=True)
+        elif status == "accept":
+            noart.pop(key, None)
             with open(state_path, "a") as sf:
                 for q in batch:
                     if q in qs:
-                        pr = {"t": qs[q],
-                              "lf": tot.get("load_factor"),
-                              "steal_pct": tot.get("steal_pct"),
-                              "calib_start": tot.get("calib_start"),
-                              "calib_end": tot.get("calib_end"),
-                              "calib_bw_start": tot.get("calib_bw_start"),
-                              "calib_bw_end": tot.get("calib_bw_end"),
-                              "pre_spin_s": p, "pre_bw_ms": bw * 1000,
-                              "post_spin_s": post_p,
-                              "post_bw_ms": post_bw * 1000,
-                              "run_steal_ticks": run_steal,
-                              "wall": time.strftime("%Y-%m-%dT%H:%M:%S")}
+                        pr = dict(prov_base, t=qs[q])
                         accepted[q].append(qs[q])
                         prov[q].append(pr)
                         sf.write(json.dumps({"q": q, "t": qs[q],
+                                             "fp": fp,
                                              "prov": pr}) + "\n")
             nf, nc = write_composite()
             print(f"  composite: {nf} fresh / {nc} carried -> "
                   f"{out_record}", flush=True)
         time.sleep(2)
     nf, nc = write_composite()
+    if dead:
+        print(f"merge-sf01: {len(dead)} committed-registry queries could "
+              f"not run on current code: {sorted(dead)}", flush=True)
     if nc:
         print(f"merge-sf01: budget exhausted — {nf} fresh, {nc} still "
               f"carried (state persists in {state_path})", flush=True)
         return 1
-    print(f"merge-sf01: COMPLETE — all {nf} queries fresh -> {out_record}",
+    print(f"merge-sf01: COMPLETE — all {nf} committed-registry queries "
+          f"fresh -> {out_record} (a query added to SparkEntry since the "
+          f"committed record enters via the next full-suite record)",
           flush=True)
     return 0
 
