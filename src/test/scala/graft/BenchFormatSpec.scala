@@ -35,6 +35,48 @@ class BenchFormatSpec extends AnyFunSuite {
       assert(total.contains(s"\"$k\":"), s"missing $k"))
   }
 
+  test("per-query brackets land in the DETAIL line; total stays bounded") {
+    val brs = manyQueries.map { case (k, _) => k -> (25.0, 26.0, 0L) }
+    val Seq(detail, total) = Bench.summaryLines(manyQueries, "sf",
+      0.30, 0.31, 0.2, 0.15, 0.30, brackets = brs)
+    assert(detail.contains("\"bw_brackets\":"))
+    assert(detail.contains("\"q500\":[25.0,26.0,0]"))
+    assert(!total.contains("bw_brackets"),
+      "per-query brackets must never grow the tail-captured final line")
+    assert(total.length < 512, s"final line ${total.length}B")
+  }
+
+  test("wait-each expiry marks unmeasured queries; zero-unmeasured omits the fields") {
+    val Seq(detail, total) = Bench.summaryLines(Map("a" -> 1.0), "sf",
+      0.30, 0.31, 0.2, 0.15, 0.30, unmeasured = Seq("q_z", "q_y"))
+    assert(total.contains("\"wait_expired\":true"))
+    assert(total.contains("\"unmeasured_n\":2"))
+    assert(detail.contains("\"unmeasured\":[\"q_y\",\"q_z\"]"))
+    val Seq(d2, t2) = lines(Map("a" -> 1.0))
+    assert(!t2.contains("wait_expired") && d2.contains("\"unmeasured\":[]"))
+  }
+
+  test("self_qualified mirrors the bracket gates: true only when every gate passes") {
+    def sq(s: String): Boolean =
+      """"self_qualified":(true|false)""".r
+        .findFirstMatchIn(s).get.group(1).toBoolean
+    val base = Map("a" -> 1.0)
+    assert(sq(lines(base)(1)), "clean run must self-qualify")
+    assert(!sq(lines(base, bwEnd = 0.062)(1)), "hot bw bracket")
+    assert(!sq(lines(base, bwStart = -1.0)(1)), "missing bracket")
+    assert(!sq(Bench.summaryLines(base, "sf", 0.45, 0.44, 0.2, 0.15,
+      0.30, calibBwStart = 0.025, calibBwEnd = 0.025)(1)), "hot lf")
+    assert(!sq(Bench.summaryLines(base, "sf", 0.30, 0.31, 0.2, 0.15,
+      0.30, stealPct = 0.05, calibBwStart = 0.025,
+      calibBwEnd = 0.025)(1)), "hypervisor steal")
+    assert(!sq(Bench.summaryLines(base, "sf", 0.30, 0.31, 0.2, 0.15,
+      0.30, errors = Map("b" -> "X"), calibBwStart = 0.025,
+      calibBwEnd = 0.025)(1)), "thrown query")
+    assert(!sq(Bench.summaryLines(base, "sf", 0.30, 0.31, 0.2, 0.15,
+      0.30, calibBwStart = 0.025, calibBwEnd = 0.025,
+      unmeasured = Seq("c"))(1)), "unmeasured queries")
+  }
+
   test("steal_pct is carried through and defaults to -1 (unreadable)") {
     val base = Map("a" -> 1.0)
     assert(lines(base)(1).contains("\"steal_pct\":-1.0"))
@@ -311,5 +353,93 @@ class BenchFormatSpec extends AnyFunSuite {
       sf1Lines(Map("q_a" -> 1.0), bwStart = -1.0, bwEnd = -1.0),
       26, 25, 0.70, 0.70)
     assert(c8 != 0 && o8.contains("REJECT"), o8)
+  }
+
+  // ---- negative controls for the PER-QUERY admission gate ----
+  // (quietrun.py check-merge-accept-query, round-16): a refused batch
+  // still admits the queries whose OWN boundary brackets are calm —
+  // both bandwidth probes under the absolute cap, zero steal, query
+  // didn't throw. Each rejection path gets a crafted record.
+
+  private def checkMergeAcceptQuery(recordLines: Seq[String],
+      query: String): (Int, String) = {
+    assume(python3Available, "python3 not on PATH")
+    val f = java.nio.file.Files
+      .createTempDirectory("graft-mergeqcheck")
+      .resolve("subset.json")
+    java.nio.file.Files.writeString(f, recordLines.mkString("\n") + "\n")
+    val out = new StringBuilder
+    import scala.sys.process._
+    val logger = ProcessLogger(l => { out.append(l).append('\n'); () })
+    val code = Process(
+      Seq("python3", "tools/quietrun.py", "check-merge-accept-query",
+        f.toString, query),
+      new java.io.File(".")).!(logger)
+    (code, out.toString)
+  }
+
+  test("per-query gate: calm bracket ACCEPTs even in a batch-refused record; each rejection path refuses") {
+    // the record as a whole is bandwidth-poisoned (end bracket 62 ms)
+    // but q_calm's own boundary brackets are clean — the round-16
+    // micro-window case: a ~15 s calm gap mid-run covered q_calm only
+    val rec = Bench.summaryLines(
+      Map("q_calm" -> 1.0, "q_hot" -> 2.0, "q_stolen" -> 1.5,
+        "q_nopre" -> 0.5),
+      "sf", 0.30, 0.31, 0.2, 0.15, 0.30,
+      errors = Map("q_thrown" -> "AnalysisException"),
+      calibBwStart = 0.025, calibBwEnd = 0.062,
+      brackets = Map(
+        "q_calm" -> (26.0, 31.0, 0L),    // both under 40 ms, no steal
+        "q_hot" -> (26.0, 57.0, 0L),     // co-tenant arrived mid-query
+        "q_stolen" -> (26.0, 27.0, 3L),  // hypervisor stole mid-query
+        "q_nopre" -> (-1.0, 26.0, 0L),   // failed pre-probe
+        "q_thrown" -> (26.0, 27.0, 0L))) // calm but THREW
+    val (c0, o0) = checkMergeAcceptQuery(rec, "q_calm")
+    assert(c0 == 0 && o0.contains("ACCEPT"), o0)
+    for (q <- Seq("q_hot", "q_stolen", "q_nopre", "q_thrown")) {
+      val (c, o) = checkMergeAcceptQuery(rec, q)
+      assert(c != 0 && o.contains("REJECT"), s"$q: $o")
+    }
+    // a record predating per-query brackets has no bracket at all —
+    // refused: an admission needs its own bandwidth evidence
+    val legacy = sf1Lines(Map("q_a" -> 1.0))
+      .map(_.replaceAll(""""bw_brackets":\{[^}]*\},""", ""))
+    val (c9, o9) = checkMergeAcceptQuery(legacy, "q_a")
+    assert(c9 != 0 && o9.contains("REJECT"), o9)
+  }
+
+  // ---- benchcheck verdict stamping (round-16 verdict #5) ----
+
+  test("benchcheck stamps qualified into the artifact and round-trips it") {
+    assume(python3Available, "python3 not on PATH")
+    def run(recordLines: Seq[String]): (Int, String, java.nio.file.Path) = {
+      val f = java.nio.file.Files
+        .createTempDirectory("graft-stampcheck")
+        .resolve("BENCH_synthetic.json")
+      java.nio.file.Files.writeString(f, recordLines.mkString("\n") + "\n")
+      val out = new StringBuilder
+      import scala.sys.process._
+      val logger = ProcessLogger(l => { out.append(l).append('\n'); () })
+      val code = Process(
+        Seq("python3", "tools/benchcheck.py", f.toString),
+        new java.io.File(".")).!(logger)
+      (code, out.toString, f)
+    }
+    // refused record: the file itself must now say so
+    val (c1, _, f1) = run(lines(refQueries, bwEnd = 0.062))
+    assert(c1 != 0)
+    val body1 = java.nio.file.Files.readString(f1)
+    assert(body1.contains("\"qualified\": false")
+      || body1.contains("\"qualified\":false"), body1.takeRight(400))
+    // qualifying record stamps true, and re-running on the stamped
+    // file round-trips (same verdict, file still parses)
+    val (c2, _, f2) = run(lines(refQueries))
+    assert(c2 == 0)
+    val body2 = java.nio.file.Files.readString(f2)
+    assert(body2.contains("\"qualified\":true"), body2.takeRight(400))
+    import scala.sys.process._
+    val rerun = Process(Seq("python3", "tools/benchcheck.py",
+      f2.toString), new java.io.File(".")).!(ProcessLogger(_ => ()))
+    assert(rerun == 0, "stamped artifact must re-qualify identically")
   }
 }

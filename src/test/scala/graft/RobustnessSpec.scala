@@ -447,6 +447,15 @@ class RobustnessSpec extends SparkSpec {
         "probeMemo=off must re-probe and pick the salted path")
       assert(fresh.as[(Long, Long, Int)].collect().toSet == staleSet,
         "plan choice changed the pair set")
+      // loud parse (advisor round-15): 'true' used to silently mean
+      // OFF — a behavior flip nobody asked for; only on|off may pass
+      spark.conf.set("graft.signaturePairs.probeMemo", "true")
+      try {
+        val e = intercept[IllegalArgumentException] {
+          DedupQueries.signaturePairs(sigs)
+        }
+        assert(e.getMessage.contains("probeMemo"))
+      } finally spark.conf.unset("graft.signaturePairs.probeMemo")
     } finally {
       spark.conf.unset("graft.signaturePairs.hotPieceThreshold")
       DedupQueries.probeMemo.clear()

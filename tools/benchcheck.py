@@ -242,6 +242,44 @@ def main() -> int:
                f"cpu=({total.get('calib_start')},{total.get('calib_end')}) "
                f"io=({total.get('calib_io_start')},{io_end}) "
                f"inflated_vs_ref={len(inflated)}")
+    # Stamp the verdict INTO the artifact (round-16 verdict #5): a
+    # refused record must carry "qualified": false in its own total
+    # line so it can never be read as a measurement without also
+    # reading the refusal. Rewrite only the total line, in place;
+    # idempotent (re-running re-stamps the same field), and a
+    # read-only file degrades to the printed verdict alone.
+    # EXCEPT a git-tracked, unmodified file: the committed BENCH_LAST
+    # record predates the bandwidth bracket (grandfathered under the
+    # round-12 gates it qualified under) — re-checking it must not
+    # dirty the tree with a retroactive refusal.
+    def _committed_clean(p):
+        try:
+            d = os.path.dirname(os.path.abspath(p)) or "."
+            b = os.path.basename(p)
+            tracked = subprocess.run(
+                ["git", "-C", d, "ls-files", "--error-unmatch", b],
+                capture_output=True, timeout=10).returncode == 0
+            if not tracked:
+                return False
+            return subprocess.run(
+                ["git", "-C", d, "diff", "--quiet", "--", b],
+                capture_output=True, timeout=10).returncode == 0
+        except (OSError, subprocess.SubprocessError):
+            return False
+    try:
+        if _committed_clean(path):
+            raise OSError("tracked+clean: stamp skipped")
+        total["qualified"] = not problems
+        total["unqualified_reasons"] = len(problems)
+        stamped = []
+        for line in lines:
+            rec = json.loads(line)
+            stamped.append(json.dumps(total, separators=(",", ":"))
+                           if rec.get("metric") == "total" else line)
+        with open(path, "w") as g:
+            g.write("\n".join(stamped) + "\n")
+    except OSError:
+        pass
     if problems:
         print(f"UNQUALIFIED: {summary}")
         for p in problems:

@@ -17,6 +17,7 @@ Usage: python3 tools/quietrun.py <sfDir> <outRecord> [maxMinutes] [mode]
        python3 tools/quietrun.py merge-sf01 <sfDir> <outRecord> [maxMinutes]
        python3 tools/quietrun.py check-merge-accept <record> <post_bw_ms>
            <bw_floor_ms> <post_spin_s> <spin_floor_s>
+       python3 tools/quietrun.py check-merge-accept-query <record> <query>
 
 `merge-sf01` (round 15) applies the merge-sf1 micro-window machinery to
 the sf0.1 RECORD itself: re-measures EVERY registry query on current
@@ -114,6 +115,26 @@ def _parse(text):
         if isinstance(rec.get("queries"), dict):
             queries.update(rec["queries"])
     return total, queries
+
+
+def _parse_extras(text):
+    """(bw_brackets, errors) from a bench record's detail line —
+    bw_brackets maps query -> [bw_pre_ms, bw_post_ms, steal_ticks]
+    (round-16 Bench records one probe at every query boundary)."""
+    brackets, errors = {}, {}
+    for line in text.splitlines():
+        line = line.strip()
+        if not line:
+            continue
+        try:
+            rec = json.loads(line)
+        except json.JSONDecodeError:
+            return {}, {}
+        if isinstance(rec.get("bw_brackets"), dict):
+            brackets.update(rec["bw_brackets"])
+        if isinstance(rec.get("errors"), dict):
+            errors.update(rec["errors"])
+    return brackets, errors
 
 
 def self_qualified(path: str) -> bool:
@@ -227,6 +248,40 @@ def check_merge_accept(argv):
     return 0 if ok else 1
 
 
+def merge_accept_query(bracket, errored):
+    """Per-QUERY admission gate (round-16 verdict #1): when the batch as
+    a whole is refused, a query whose OWN boundary brackets are calm —
+    both bandwidth probes under the same 40 ms absolute cap the batch
+    gate uses, zero hypervisor steal across the query, and the query
+    didn't throw — is still an honest measurement: the co-tenant's ~15 s
+    calm gaps cover 1-3 queries mid-run even when the suite-level
+    brackets read hot. Pure function so BenchFormatSpec's negative
+    controls can drive every rejection path. `bracket` is the record's
+    [bw_pre_ms, bw_post_ms, steal_ticks] for the query (None when the
+    record predates per-query brackets — refused: an admission needs
+    its own bandwidth evidence)."""
+    if errored or not isinstance(bracket, (list, tuple)) or len(bracket) < 3:
+        return False
+    pre, post, steal = bracket[0], bracket[1], bracket[2]
+    return (isinstance(pre, (int, float)) and isinstance(post, (int, float))
+            and 0 < pre <= MERGE_BW_ABS * 1000
+            and 0 < post <= MERGE_BW_ABS * 1000
+            and steal == 0)
+
+
+def check_merge_accept_query(argv):
+    """CLI: check-merge-accept-query <record> <query> — exit 0 iff the
+    per-query gate admits that query from the record's own brackets."""
+    with open(argv[0]) as f:
+        text = f.read()
+    brackets, errors = _parse_extras(text)
+    q = argv[1]
+    ok = merge_accept_query(brackets.get(q), q in errors)
+    print(f"merge-accept-query {q}: {'ACCEPT' if ok else 'REJECT'} "
+          f"(bracket {brackets.get(q)}, errored {q in errors})", flush=True)
+    return 0 if ok else 1
+
+
 def _classes_fingerprint() -> str:
     """Content hash of the compiled classes a measurement runs against.
     merge-sf01 state admissions bind to it (review round-15): an sf0.1
@@ -236,17 +291,28 @@ def _classes_fingerprint() -> str:
     import hashlib
     h = hashlib.md5()
     root = "target/scala-2.13/classes"
+    nclass = 0
     for dirpath, dirnames, filenames in os.walk(root):
         dirnames.sort()
         for fn in sorted(filenames):
             if fn.endswith(".class"):
                 fp = os.path.join(dirpath, fn)
                 h.update(fp.encode())
+                nclass += 1
                 try:
                     with open(fp, "rb") as f:
                         h.update(f.read())
                 except OSError:
                     pass
+    # loud on an empty tree (advisor round-15): zero class files yields
+    # a CONSTANT fingerprint, so the binary-binding guard would keep
+    # stale admissions across exactly the recompile it exists to drop
+    if nclass == 0:
+        raise SystemExit(
+            f"classes fingerprint: no .class files under {root} — "
+            f"compile first (sbt compile); refusing to bind/resume "
+            f"admission state to an empty tree")
+    h.update(str(nclass).encode())
     return h.hexdigest()[:12]
 
 
@@ -257,8 +323,11 @@ def _attempt(attempt, sf_dir, batch, hist, bw_hist, tmp_prefix):
     floor bookkeeping, launches Bench on the batch with the calm wait
     armed, parses the artifact, gates via merge_accept against the
     PRE-append floors (round-14 advisor), then appends the post-run
-    probes. Returns (status, qs, prov_base): status in {'accept',
-    'reject', 'timeout', 'noartifact'}."""
+    probes. Returns (status, qs, prov_base, brackets, errors): status
+    in {'accept', 'reject', 'timeout', 'noartifact'}; brackets/errors
+    are the record's per-query boundary brackets and thrown-query map,
+    so a refused batch can still admit its bracket-calm subset
+    (round-16 verdict #1)."""
     s0 = steal_ticks()
     p = spin()
     bw = bw_probe()
@@ -279,10 +348,14 @@ def _attempt(attempt, sf_dir, batch, hist, bw_hist, tmp_prefix):
         os.unlink(tmp)
     except OSError:
         pass
+    # SPARK_GRAFT_WAIT_EACH (round 16): the JVM parks on its own probe
+    # before EVERY query, so one launch harvests every calm gap inside
+    # its timeout window instead of needing one gap to span the batch
     env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir,
                SPARK_GRAFT_ONLY=",".join(batch),
                SPARK_GRAFT_BENCH_OUT=tmp,
                SPARK_GRAFT_WAIT_CALM=str(MERGE_BW_ABS * 1000),
+               SPARK_GRAFT_WAIT_EACH="on",
                SPARK_GRAFT_WAIT_TIMEOUT="900")
     run_s0 = steal_ticks()
     subprocess.run(["tools/run.sh", "graft.Bench"], env=env,
@@ -293,23 +366,25 @@ def _attempt(attempt, sf_dir, batch, hist, bw_hist, tmp_prefix):
     post_p = spin()
     try:
         with open(tmp) as f:
-            tot, qs = _parse(f.read())
+            text = f.read()
+        tot, qs = _parse(text)
+        brackets, errs = _parse_extras(text)
     except OSError:
-        tot, qs = None, {}
+        tot, qs, brackets, errs = None, {}, {}, {}
     if tot is not None and tot.get("calm_wait") == "timeout":
         print(f"  in-JVM wait timed out (last bw "
               f"{tot.get('last_bw_ms')}ms) — nothing measured",
               flush=True)
         hist.append(post_p)
         bw_hist.append(post_bw)
-        return "timeout", {}, {}
+        return "timeout", {}, {}, {}, {}
     ok = merge_accept(tot, post_bw, post_p, bw_floor, floor)
     hist.append(post_p)
     bw_hist.append(post_bw)
     if tot is None:
         print("  no artifact written (Bench crashed or never launched) "
               "-> REJECT", flush=True)
-        return "noartifact", {}, {}
+        return "noartifact", {}, {}, {}, {}
     print(f"  lf={tot.get('load_factor', -1):.3f} "
           f"steal={tot.get('steal_pct', -1):.4f} "
           f"post_bw {post_bw * 1000:.1f}ms post_spin {post_p:.3f}s "
@@ -324,7 +399,7 @@ def _attempt(attempt, sf_dir, batch, hist, bw_hist, tmp_prefix):
                  "post_spin_s": post_p, "post_bw_ms": post_bw * 1000,
                  "run_steal_ticks": run_steal,
                  "wall": time.strftime("%Y-%m-%dT%H:%M:%S")}
-    return ("accept" if ok else "reject"), qs, prov_base
+    return ("accept" if ok else "reject"), qs, prov_base, brackets, errs
 
 
 def merge_sf1(sf_dir: str, out_record: str, budget_s: float) -> int:
@@ -351,6 +426,8 @@ def merge_sf1(sf_dir: str, out_record: str, budget_s: float) -> int:
     accepted = {q: [] for q in missing}
     prov = {q: [] for q in missing}
     noart = {}  # batch-key -> consecutive no-artifact failures
+    errcnt = {}  # query -> consecutive thrown-at-runtime attempts
+    dead = set()  # queries dropped (repeated runtime failures)
     t_start = time.time()
     hist = collections.deque([min(spin() for _ in range(3))],
                              maxlen=FLOOR_WINDOW)
@@ -359,13 +436,14 @@ def merge_sf1(sf_dir: str, out_record: str, budget_s: float) -> int:
     attempt = 0
     while time.time() - t_start < budget_s:
         todo = [b for b in batches
-                if any(len(accepted[q]) < MERGE_MIN_RUNS for q in b)
+                if any(len(accepted[q]) < MERGE_MIN_RUNS
+                       and q not in dead for q in b)
                 and noart.get(",".join(b), 0) < 2]
         if not todo:
             break
         batch = todo[0]
         attempt += 1
-        status, qs, prov_base = _attempt(
+        status, qs, prov_base, brackets, errs = _attempt(
             attempt, sf_dir, batch, hist, bw_hist,
             "/tmp/mergesf1_attempt")
         key = ",".join(batch)
@@ -378,18 +456,50 @@ def merge_sf1(sf_dir: str, out_record: str, budget_s: float) -> int:
             if noart[key] >= 2:
                 print(f"  batch {key} failed twice with no artifact — "
                       f"dropping it (stale registry entry?)", flush=True)
-        elif status == "accept":
-            noart[key] = 0
+        elif status in ("accept", "reject"):
+            noart.pop(key, None)
+            # failing-query wedge guard (advisor round-15, medium): a
+            # query that THROWS writes an artifact with nfailed>0, the
+            # batch gate rejects, and a deterministic batch order would
+            # retry it until the whole budget burned — drop it loudly
+            # after two consecutive runtime failures, like the
+            # no-artifact path drops stale registry entries
             for q in batch:
-                if q in qs:
-                    accepted[q].append(qs[q])
-                    prov[q].append(dict(prov_base, t=qs[q]))
+                if q in errs:
+                    errcnt[q] = errcnt.get(q, 0) + 1
+                    if errcnt[q] >= 2 and q not in dead:
+                        dead.add(q)
+                        print(f"  {q} threw {errs[q]} twice — dropping "
+                              f"it (fails at runtime on current code)",
+                              flush=True)
+                else:
+                    errcnt.pop(q, None)
+            for q in batch:
+                if q in qs and q not in errs:
+                    # batch-accept admits everything measured; a refused
+                    # batch still admits its bracket-calm subset — the
+                    # per-query gate (round-16 verdict #1)
+                    if status == "accept" or merge_accept_query(
+                            brackets.get(q), False):
+                        admit = "batch" if status == "accept" else "per-query"
+                        accepted[q].append(qs[q])
+                        prov[q].append(dict(prov_base, t=qs[q],
+                                            admit=admit,
+                                            bracket=brackets.get(q)))
+                        if admit == "per-query":
+                            print(f"    per-query admit {q} {qs[q]:.2f}s "
+                                  f"(bracket {brackets.get(q)})",
+                                  flush=True)
         time.sleep(2)
     short = {q: len(v) for q, v in accepted.items()
-             if len(v) < MERGE_MIN_RUNS}
+             if len(v) < MERGE_MIN_RUNS and q not in dead}
     if short:
         print(f"merge-sf1: budget exhausted with under-measured queries: "
               f"{short}", flush=True)
+        return 1
+    if dead:
+        print(f"merge-sf1: {len(dead)} queries failed at runtime and "
+              f"were NOT merged: {sorted(dead)}", flush=True)
         return 1
     merged = dict(committed)
     for q in missing:
@@ -536,6 +646,7 @@ def merge_sf01(sf_dir: str, out_record: str, budget_s: float) -> int:
     attempt = 0
     dead = set()  # registry-drift guard: queries Bench cannot run
     noart = {}
+    errcnt = {}  # query -> consecutive thrown-at-runtime attempts
     while time.time() - t_start < budget_s:
         todo = [q for q in order
                 if len(accepted[q]) < MERGE_MIN_RUNS and q not in dead]
@@ -546,12 +657,14 @@ def merge_sf01(sf_dir: str, out_record: str, budget_s: float) -> int:
         # (SPARK_GRAFT_WAIT_CALM) after its warmup and only measures
         # once two consecutive readings clear the absolute cap, so the
         # window a measurement needs no longer has to span JVM startup.
-        # A wait timeout aborts with a sentinel artifact (no hot
-        # measurement burned). Acceptance is UNCHANGED: merge_accept on
-        # the run's own brackets + the post-run probes.
+        # Round 16 shrinks the quantum further: the JVM re-parks before
+        # EVERY query (SPARK_GRAFT_WAIT_EACH) and records per-query
+        # boundary brackets, so a refused batch still admits the
+        # bracket-calm subset via merge_accept_query — one ~15 s calm
+        # gap lands the 1-3 queries it covered.
         batch = todo[:MERGE_BATCH]
         attempt += 1
-        status, qs, prov_base = _attempt(
+        status, qs, prov_base, brackets, errs = _attempt(
             attempt, sf_dir, batch, hist, bw_hist,
             "/tmp/mergesf01_attempt")
         key = ",".join(batch)
@@ -567,20 +680,46 @@ def merge_sf01(sf_dir: str, out_record: str, budget_s: float) -> int:
                 print(f"  batch {key} failed twice with no artifact — "
                       f"dropping its queries (stale registry entries?)",
                       flush=True)
-        elif status == "accept":
+        elif status in ("accept", "reject"):
             noart.pop(key, None)
+            # failing-query wedge guard (advisor round-15, medium): a
+            # query that THROWS at runtime writes nfailed>0, the batch
+            # gate rejects, and batch = todo[:MERGE_BATCH] is
+            # deterministic — the same batch would be retried until the
+            # whole budget burned with zero admissions for every query
+            # behind it. Two consecutive runtime failures drop the
+            # query loudly, exactly like the no-artifact path.
+            for q in batch:
+                if q in errs:
+                    errcnt[q] = errcnt.get(q, 0) + 1
+                    if errcnt[q] >= 2 and q not in dead:
+                        dead.add(q)
+                        print(f"  {q} threw {errs[q]} twice — dropping "
+                              f"it (fails at runtime on current code)",
+                              flush=True)
+                else:
+                    errcnt.pop(q, None)
+            admitted = []
             with open(state_path, "a") as sf:
                 for q in batch:
-                    if q in qs:
-                        pr = dict(prov_base, t=qs[q])
-                        accepted[q].append(qs[q])
-                        prov[q].append(pr)
-                        sf.write(json.dumps({"q": q, "t": qs[q],
-                                             "fp": fp,
-                                             "prov": pr}) + "\n")
-            nf, nc = write_composite()
-            print(f"  composite: {nf} fresh / {nc} carried -> "
-                  f"{out_record}", flush=True)
+                    if q in qs and q not in errs:
+                        if status == "accept" or merge_accept_query(
+                                brackets.get(q), False):
+                            admit = ("batch" if status == "accept"
+                                     else "per-query")
+                            pr = dict(prov_base, t=qs[q], admit=admit,
+                                      bracket=brackets.get(q))
+                            accepted[q].append(qs[q])
+                            prov[q].append(pr)
+                            sf.write(json.dumps({"q": q, "t": qs[q],
+                                                 "fp": fp,
+                                                 "prov": pr}) + "\n")
+                            admitted.append(q)
+            if admitted:
+                nf, nc = write_composite()
+                print(f"  admitted {len(admitted)} ({status}): "
+                      f"{','.join(admitted)}; composite: {nf} fresh / "
+                      f"{nc} carried -> {out_record}", flush=True)
         time.sleep(2)
     nf, nc = write_composite()
     if dead:
@@ -621,6 +760,11 @@ def main() -> int:
             print(__doc__)
             return 2
         return check_merge_accept(sys.argv[2:7])
+    if sys.argv[1] == "check-merge-accept-query":
+        if len(sys.argv) < 4:
+            print(__doc__)
+            return 2
+        return check_merge_accept_query(sys.argv[2:4])
     if sys.argv[1] == "merge-sf1":
         if len(sys.argv) < 4:
             print(__doc__)
