@@ -137,9 +137,13 @@ object Bench {
     require(!waitEach || capMsOpt.isDefined,
       "SPARK_GRAFT_WAIT_EACH=on requires SPARK_GRAFT_WAIT_CALM")
     val timeoutS = timeoutRaw.flatMap(_.toDoubleOption).getOrElse(600.0)
-    // One shared deadline for ALL waiting (initial + per-query): the
-    // merge loop's per-attempt budget, not a per-wait allowance.
-    val waitDeadline = System.nanoTime() + (timeoutS * 1e9).toLong
+    // One shared deadline for ALL waiting (initial + per-query) — a
+    // budget of WAIT time, not wall-clock: each measured query's own
+    // runtime is credited back below, so a calm stretch entered late
+    // in the window isn't truncated by the time the queries themselves
+    // take (review round-16: a box calm from t=800 of a 900 s window
+    // would otherwise mark the batch's tail unmeasured mid-harvest)
+    var waitDeadline = System.nanoTime() + (timeoutS * 1e9).toLong
     // Park until two bandwidth readings clear the cap. Cadence matters
     // more than it looks (round 16): the round-15 wait slept 15 s after
     // every hot reading while needing 2 consecutive calm ones — inside
@@ -225,7 +229,11 @@ object Bench {
             // reading IS this query's pre-bracket — re-streaming 256 MB
             // to re-learn what we just measured would only heat the box
             val (ok, last) = waitCalm(capMsOpt.get)
-            if (ok) { bwPrev = last; stealPrev = stealNow() }
+            // on expiry too: the sentinel must report the wait's LAST
+            // reading (how hot was the box when we gave up), not the
+            // stale pre-suite bracket (review round-16)
+            if (last > 0) bwPrev = last
+            if (ok) stealPrev = stealNow()
             ok
           }
         if (!waitedOk) { expired = true; unmeasured += name; None }
@@ -259,6 +267,9 @@ object Bench {
           brackets(name) = (ms1(bwPrev), ms1(bwPost), stealDelta)
           bwPrev = bwPost
           stealPrev = stealPost
+          // credit the measured query's runtime back to the wait
+          // budget — the deadline bounds waiting, not measuring
+          if (waitEach) waitDeadline += (t * 1e9).toLong
           Some(name -> t)
         }
       }

@@ -406,6 +406,15 @@ class BenchFormatSpec extends AnyFunSuite {
       .map(_.replaceAll(""""bw_brackets":\{[^}]*\},""", ""))
     val (c9, o9) = checkMergeAcceptQuery(legacy, "q_a")
     assert(c9 != 0 && o9.contains("REJECT"), o9)
+    // a CPU-contended run (hot load factor) must refuse even a
+    // bandwidth-calm bracket: the bw probes are blind to a same-guest
+    // CPU-only co-tenant, and the run-level lf is the gate that sees it
+    val cpuHot = Bench.summaryLines(Map("q_calm" -> 1.0), "sf",
+      0.45, 0.44, 0.2, 0.15, 0.30,
+      calibBwStart = 0.025, calibBwEnd = 0.025,
+      brackets = Map("q_calm" -> (26.0, 27.0, 0L)))
+    val (c10, o10) = checkMergeAcceptQuery(cpuHot, "q_calm")
+    assert(c10 != 0 && o10.contains("REJECT"), o10)
   }
 
   // ---- benchcheck verdict stamping (round-16 verdict #5) ----

@@ -261,16 +261,21 @@ def main() -> int:
                 capture_output=True, timeout=10).returncode == 0
             if not tracked:
                 return False
+            # vs HEAD, not the index (review round-16): a fresh record
+            # staged but not yet committed must still be stamped —
+            # worktree-vs-index would misread it as the committed one
             return subprocess.run(
-                ["git", "-C", d, "diff", "--quiet", "--", b],
+                ["git", "-C", d, "diff", "--quiet", "HEAD", "--", b],
                 capture_output=True, timeout=10).returncode == 0
         except (OSError, subprocess.SubprocessError):
             return False
     try:
         if _committed_clean(path):
             raise OSError("tracked+clean: stamp skipped")
+        # the reasons travel WITH the artifact (the stdout is long gone
+        # by the time anyone re-reads the record), not just a count
         total["qualified"] = not problems
-        total["unqualified_reasons"] = len(problems)
+        total["unqualified_reasons"] = problems
         stamped = []
         for line in lines:
             rec = json.loads(line)

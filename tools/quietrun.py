@@ -96,8 +96,13 @@ def bw_probe() -> float:
 
 
 def steal_ticks() -> int:
+    # aggregate cpu line: cpu user nice system idle iowait irq softirq
+    # steal ... -> steal is field 8 counting the 'cpu' label (review
+    # round-16: this read [6] = irq since round 10, so every python-side
+    # "steal 0" gate reading was the irq counter; the Scala probe
+    # (procStatCpu, drop(1) then f(7)) always read the correct field)
     with open("/proc/stat") as f:
-        return int(f.readline().split()[6])
+        return int(f.readline().split()[8])
 
 
 def _parse(text):
@@ -248,7 +253,7 @@ def check_merge_accept(argv):
     return 0 if ok else 1
 
 
-def merge_accept_query(bracket, errored):
+def merge_accept_query(bracket, errored, lf):
     """Per-QUERY admission gate (round-16 verdict #1): when the batch as
     a whole is refused, a query whose OWN boundary brackets are calm —
     both bandwidth probes under the same 40 ms absolute cap the batch
@@ -259,8 +264,17 @@ def merge_accept_query(bracket, errored):
     controls can drive every rejection path. `bracket` is the record's
     [bw_pre_ms, bw_post_ms, steal_ticks] for the query (None when the
     record predates per-query brackets — refused: an admission needs
-    its own bandwidth evidence)."""
+    its own bandwidth evidence).
+
+    The run-level load factor (`lf`) must ALSO be quiet (review
+    round-16): the bandwidth brackets are blind to a same-guest
+    CPU-only co-tenant, and the documented bandwidth thief reads lf
+    ~1.0 on every record — so requiring lf <= 1.05 keeps the intended
+    harvesting (bw-hot batch, calm per-query gaps) while refusing the
+    CPU-hot-but-bandwidth-calm run the batch gate would refuse."""
     if errored or not isinstance(bracket, (list, tuple)) or len(bracket) < 3:
+        return False
+    if not (lf is not None and 0 < lf <= 1.05):
         return False
     pre, post, steal = bracket[0], bracket[1], bracket[2]
     return (isinstance(pre, (int, float)) and isinstance(post, (int, float))
@@ -274,11 +288,14 @@ def check_merge_accept_query(argv):
     per-query gate admits that query from the record's own brackets."""
     with open(argv[0]) as f:
         text = f.read()
+    tot, _ = _parse(text)
     brackets, errors = _parse_extras(text)
     q = argv[1]
-    ok = merge_accept_query(brackets.get(q), q in errors)
+    lf = (tot or {}).get("load_factor")
+    ok = merge_accept_query(brackets.get(q), q in errors, lf)
     print(f"merge-accept-query {q}: {'ACCEPT' if ok else 'REJECT'} "
-          f"(bracket {brackets.get(q)}, errored {q in errors})", flush=True)
+          f"(bracket {brackets.get(q)}, errored {q in errors}, lf {lf})",
+          flush=True)
     return 0 if ok else 1
 
 
@@ -441,7 +458,12 @@ def merge_sf1(sf_dir: str, out_record: str, budget_s: float) -> int:
                 and noart.get(",".join(b), 0) < 2]
         if not todo:
             break
-        batch = todo[0]
+        # a dead query must leave the EXECUTED batch too (review
+        # round-16): todo[0] is the fixed partition of `missing`, so a
+        # deterministically-throwing query would otherwise re-run every
+        # attempt, force nfailed>0, and permanently block batch-accept
+        # for its batchmates
+        batch = [q for q in todo[0] if q not in dead]
         attempt += 1
         status, qs, prov_base, brackets, errs = _attempt(
             attempt, sf_dir, batch, hist, bw_hist,
@@ -472,7 +494,11 @@ def merge_sf1(sf_dir: str, out_record: str, budget_s: float) -> int:
                         print(f"  {q} threw {errs[q]} twice — dropping "
                               f"it (fails at runtime on current code)",
                               flush=True)
-                else:
+                elif q in qs:
+                    # only a MEASURED non-throwing run clears the
+                    # streak (review round-16): a wait-expired attempt
+                    # never ran the query and must not launder a
+                    # deterministically-failing one back to zero
                     errcnt.pop(q, None)
             for q in batch:
                 if q in qs and q not in errs:
@@ -480,7 +506,8 @@ def merge_sf1(sf_dir: str, out_record: str, budget_s: float) -> int:
                     # batch still admits its bracket-calm subset — the
                     # per-query gate (round-16 verdict #1)
                     if status == "accept" or merge_accept_query(
-                            brackets.get(q), False):
+                            brackets.get(q), False,
+                            prov_base.get("lf")):
                         admit = "batch" if status == "accept" else "per-query"
                         accepted[q].append(qs[q])
                         prov[q].append(dict(prov_base, t=qs[q],
@@ -697,14 +724,19 @@ def merge_sf01(sf_dir: str, out_record: str, budget_s: float) -> int:
                         print(f"  {q} threw {errs[q]} twice — dropping "
                               f"it (fails at runtime on current code)",
                               flush=True)
-                else:
+                elif q in qs:
+                    # only a MEASURED non-throwing run clears the
+                    # streak (review round-16): a wait-expired attempt
+                    # never ran the query and must not launder a
+                    # deterministically-failing one back to zero
                     errcnt.pop(q, None)
             admitted = []
             with open(state_path, "a") as sf:
                 for q in batch:
                     if q in qs and q not in errs:
                         if status == "accept" or merge_accept_query(
-                                brackets.get(q), False):
+                                brackets.get(q), False,
+                                prov_base.get("lf")):
                             admit = ("batch" if status == "accept"
                                      else "per-query")
                             pr = dict(prov_base, t=qs[q], admit=admit,
