@@ -30,26 +30,41 @@ object DocSink {
     * (docId: string, value: long); writes `{fieldName: value}` keyed by
     * docId, flushing atomically every `batchSize` docs, remainder at close.
     * Returns (documents written, batches committed) via accumulators.
+    *
+    * Feed-idempotency semantics (the store's change feed is the one
+    * non-idempotent side effect; doc upserts are always last-write-wins):
+    * each flush commits under key jobKey/partition/ordinal/contentHash.
+    * The CONTENT HASH term matters under retry (review round-16): a
+    * re-fetched shuffle partition may iterate in a different order, so
+    * ordinal f0 of attempt 2 can hold different docs than attempt 1's
+    * published f0 — without the hash, attempt 2's f0 would be suppressed
+    * by attempt 1's marker and its docs would be durable in the store
+    * yet MISSING from the feed forever. With it: exactly-once per flush
+    * when partition order is deterministic, and at-least-once (possible
+    * duplicates, never loss) when it is not — safe for the feed's
+    * consumers, which apply keyed last-write-wins upserts.
+    *
+    * `jobKey`: None (default) generates a fresh driver-side UUID — right
+    * for one-shot batch jobs (stable across task retries of the same
+    * job, unique across jobs). Streaming foreachBatch callers must pass
+    * a checkpoint-stable key (e.g. "<sink-name>/b<batchId>") so a
+    * micro-batch RE-EXECUTED after a restart does not republish its
+    * feed entries; one logical writer per collection per store root.
     */
   def writeBatched(
       df: DataFrame,
       factory: DocumentStoreFactory,
       collection: String,
       batchSize: Int = 500,
-      fieldName: String = "count"): (Long, Long) = {
+      fieldName: String = "count",
+      jobKey: Option[String] = None): (Long, Long) = {
     require(batchSize > 0, s"batchSize must be > 0, got $batchSize")
     val spark = df.sparkSession
     val docsWritten = spark.sparkContext.longAccumulator("docsWritten")
     val batchesCommitted = spark.sparkContext.longAccumulator("batchesCommitted")
     val flushNanos = spark.sparkContext.longAccumulator("flushNanos")
     val rows = df.toDF("docId", "value")
-    // job-level identity, generated ONCE on the driver and captured in the
-    // task closure: stable across task retries/speculative attempts of the
-    // SAME job (the closure serializes once), unique across jobs. Combined
-    // with (partitionId, flush ordinal) it keys each commit so stores with
-    // non-idempotent side effects (the file store's change feed) publish
-    // each logical batch at most once (DocumentStore.commitBatchKeyed).
-    val jobKey = java.util.UUID.randomUUID().toString
+    val key = jobKey.getOrElse(java.util.UUID.randomUUID().toString)
     rows.foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
       if (it.hasNext) {
         val pid = org.apache.spark.TaskContext.getPartitionId()
@@ -60,8 +75,14 @@ object DocSink {
             val docs = group.map { r =>
               r.getString(0) -> Map(fieldName -> r.getLong(1))
             }.toSeq
+            // order-insensitive content fingerprint of the flush (see
+            // the scaladoc's retry note): ids and values both participate
+            val ch = docs.map { case (id, f) =>
+              id.hashCode.toLong * 31 + f.values.sum
+            }.sorted.hashCode.toHexString
             val t0 = System.nanoTime()
-            store.commitBatchKeyed(s"$jobKey/p$pid/f$flushSeq", collection, docs)
+            store.commitBatchKeyed(s"$key/p$pid/f$flushSeq/c$ch",
+              collection, docs)
             flushSeq += 1
             // per-flush latency — the reference logs this in ms per flush
             // (FirestoreUpdateDoFn.java:83,92-93)

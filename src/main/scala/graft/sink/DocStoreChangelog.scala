@@ -109,19 +109,47 @@ object DocStoreChangelog {
     }
     val body = docs.map { case (id, fields) =>
       s"""{"collection": "${esc(collection)}", "doc_id": "${esc(id)}", """ +
-        s""""count": ${fields.getOrElse("count", 0L)}}"""
+        s""""count": ${feedValue(fields)}}"""
     }.mkString("", "\n", "\n")
-    var seq = maxClaimedSeq(root) + 1
+    // amortized O(1) claims (review round-16: listing + sorting the
+    // whole feed directory per append made N commits O(N^2) in dirent
+    // churn — hours of pure listing for a naive per-element write).
+    // The JVM-local hint is only a STARTING POINT: the collide-forward
+    // create-exclusive loop below stays the source of truth for
+    // multi-writer safety, and a hint whose entry no longer exists
+    // (feed dir wiped/recreated between jobs) falls back to a full list.
+    val hint = seqHint.get(root)
+    var seq = hint match {
+      case h: java.lang.Long if Files.exists(entryPath(root, h)) => h + 1L
+      case _ => maxClaimedSeq(root) + 1
+    }
     var claimed: Path = null
     while (claimed == null) {
       try claimed = Files.createFile(entryPath(root, seq))
       catch { case _: FileAlreadyExistsException => seq += 1 }
     }
+    seqHint.merge(root, seq, (a, b) => if (a >= b) a else b)
     val tmp = Files.createTempFile(dir(root), s".c$seq", ".tmp")
     Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, claimed, StandardCopyOption.REPLACE_EXISTING,
       StandardCopyOption.ATOMIC_MOVE)
   }
+
+  /** Last sequence this JVM claimed per store root — the probe start
+    * hint for [[append]]; never trusted without an existence check. */
+  private val seqHint =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  /** The feed's `count` column value for a doc's field map: the `count`
+    * field when present, else the single field's value (the sink writes
+    * exactly one field under a caller-chosen name — review round-16: a
+    * hardcoded `count` lookup silently published 0 for every doc written
+    * with a non-default fieldName), else 0 for multi-field docs whose
+    * map carries no `count` (no canonical value exists; the feed's row
+    * shape is fixed). */
+  private[graft] def feedValue(fields: Map[String, Long]): Long =
+    fields.getOrElse("count",
+      if (fields.size == 1) fields.head._2 else 0L)
 
   private def claimedSeqs(root: String): Seq[Long] = {
     val d = dir(root).toFile

@@ -59,7 +59,12 @@ trait DocumentStoreFactory extends Serializable {
 
 /** In-memory store for tests. JVM-local (works in local[*] where executors
   * share the driver JVM). Thread-safe: concurrently-running partitions all
-  * write to the shared map; batch atomicity is per-batch synchronized.
+  * write to the shared map; commits are serialized by a per-store lock so
+  * two batches never interleave their puts. (Honesty note: a concurrent
+  * READER iterating storeFor(name) without the lock can still observe a
+  * half-applied batch — full batch isolation for readers would need the
+  * TrieMap snapshot API; test assertions read after job completion, where
+  * this cannot occur.)
   */
 object InMemoryDocumentStore {
   private val stores =
@@ -81,7 +86,12 @@ object InMemoryDocumentStore {
       private val m = storeFor(name)
       def commitBatch(collection: String,
                       docs: Seq[(String, Map[String, Long])]): Unit = {
-        docs.foreach { case (id, fields) => m.put((collection, id), fields) }
+        // per-store lock: batches from concurrent partitions must not
+        // interleave (the commitBatch contract); see the object doc's
+        // honesty note on unlocked readers
+        m.synchronized {
+          docs.foreach { case (id, fields) => m.put((collection, id), fields) }
+        }
         commits.merge(name, 1L, (a, b) => a + b)
       }
     }
@@ -104,10 +114,15 @@ object InMemoryDocumentStore {
   */
 object FileDocumentStoreFactory {
   private[sink] def encodeId(id: String): String =
-    id.getBytes(StandardCharsets.UTF_8).flatMap { b =>
+    id.getBytes(StandardCharsets.UTF_8).zipWithIndex.flatMap { case (b, i) =>
       val c = b.toInt & 0xff
+      // a LEADING '.' is escaped (review round-16): '.x' would encode
+      // to the dot-file '.x.json', which readAll's dot-file filter
+      // excludes — the doc would be durable yet invisible to every
+      // batch read. Mid-id dots still pass through for readable names.
       if ((c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
-          (c >= '0' && c <= '9') || c == '-' || c == '_' || c == '.')
+          (c >= '0' && c <= '9') || c == '-' || c == '_' ||
+          (c == '.' && i > 0))
         c.toChar.toString
       else f"%%$c%02X"
     }.mkString
@@ -129,6 +144,18 @@ object FileDocumentStoreFactory {
       s"invalid collection name '$c': collections become directory names " +
         "and DSv2 partition values — use letters/digits/-/_/. and do not " +
         "start with '_' or '.'")
+
+  /** Field names are schema-level identifiers (DataFrame column names),
+    * not data like doc ids — validated, not encoded (review round-16: an
+    * unguarded '"', ':' or ',' in a field name writes a doc file the
+    * store's own reader then crashes or mis-parses on). */
+  private[sink] def requireValidField(k: String): Unit =
+    require(k.nonEmpty && !k.exists(ch =>
+      ch == '"' || ch == ':' || ch == ',' || ch == '{' || ch == '}' ||
+        ch == '\\' || ch.isControl),
+      s"invalid field name '$k': field names are written into the doc " +
+        "JSON — no quotes, colons, commas, braces, backslashes or " +
+        "control characters")
 }
 
 class FileDocumentStoreFactory(root: String) extends DocumentStoreFactory {
@@ -147,6 +174,7 @@ class FileDocumentStoreFactory(root: String) extends DocumentStoreFactory {
                       docs: Seq[(String, Map[String, Long])],
                       idempotencyKey: Option[String]): Unit = {
       requireValidCollection(collection)
+      docs.foreach(_._2.keys.foreach(requireValidField))
       val dir = Paths.get(root, collection)
       Files.createDirectories(dir)
       docs.foreach { case (id, fields) =>
@@ -165,6 +193,19 @@ class FileDocumentStoreFactory(root: String) extends DocumentStoreFactory {
       // the append retry-safe (at most one feed entry per logical batch).
       DocStoreChangelog.append(root, collection, docs, idempotencyKey)
     }
+  }
+
+  /** Doc ids only, from FILENAMES — no file body is opened or parsed.
+    * The DSv2 reader takes this path when the pruned schema needs no
+    * field values (review round-16: `SELECT doc_id` previously read and
+    * parsed every doc body just to discard the fields — the dominant
+    * I/O cost of exactly the scan column pruning claims to avoid). */
+  def readIds(collection: String): Seq[String] = {
+    val dir = new File(root, collection)
+    Option(dir.listFiles()).getOrElse(Array.empty[File])
+      .filter(f => f.getName.endsWith(".json") && !f.getName.startsWith("."))
+      .map(f => FileDocumentStoreFactory.decodeId(
+        f.getName.stripSuffix(".json"))).toSeq
   }
 
   def readAll(collection: String): Map[String, Map[String, Long]] = {

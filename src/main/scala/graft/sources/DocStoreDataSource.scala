@@ -354,17 +354,30 @@ class DocStoreReaderFactory extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val part = p.asInstanceOf[DocStorePartition]
     new PartitionReader[InternalRow] {
-      private val docs = new FileDocumentStoreFactory(part.root)
-        .readAll(part.collection).toSeq.sortBy(_._1).iterator
+      // pruning reaches the I/O layer (review round-16): a schema with
+      // no `count` column reads doc ids from FILENAMES only — no doc
+      // body is opened or parsed, so `SELECT doc_id` scans cost one
+      // directory listing instead of N file reads
+      private val needsFields = part.fields.contains("count")
+      private val store = new FileDocumentStoreFactory(part.root)
+      private val docs: Iterator[(String, Map[String, Long])] =
+        if (needsFields)
+          store.readAll(part.collection).toSeq.sortBy(_._1).iterator
+        else
+          store.readIds(part.collection).sorted.iterator
+            .map(_ -> Map.empty[String, Long])
       private var current: InternalRow = _
       override def next(): Boolean =
         if (docs.hasNext) {
           val (id, fields) = docs.next()
-          // project to the pruned schema, in its field order
+          // project to the pruned schema, in its field order; the feed
+          // value rule (count, else the lone field) matches the change
+          // feed's — batch scan and stream replay agree on non-default
+          // field names
           current = InternalRow(part.fields.map {
             case "collection" => UTF8String.fromString(part.collection)
             case "doc_id" => UTF8String.fromString(id)
-            case "count" => fields.getOrElse("count", 0L)
+            case "count" => graft.sink.DocStoreChangelog.feedValue(fields)
           }.toIndexedSeq: _*)
           true
         } else false

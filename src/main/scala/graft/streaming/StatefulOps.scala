@@ -114,7 +114,15 @@ object StatefulOps {
               else if (us - st.last_us > gapUs) {
                 out += ClosedSession(user, st.start_us, st.last_us, st.n)
                 st = SessionState(us, us, 1L)
-              } else st = SessionState(st.start_us, us, st.n + 1)
+              } else st = SessionState(
+                // min/max, not overwrite (the islandsStream rule): a
+                // late-but-within-watermark event from an EARLIER
+                // micro-batch era must widen the open session, never
+                // move last_us backwards — plain `last_us = us` could
+                // emit end_us < start_us and then mis-split the next
+                // on-time event against the shrunken last_us
+                math.min(st.start_us, us), math.max(st.last_us, us),
+                st.n + 1)
             }
             if (st != null) {
               state.update(st)
@@ -146,7 +154,9 @@ object StatefulOps {
     * EventTimeTimeout recipe — deterministic, no wall clock). This is
     * the streaming CDC→SCD2 path a warehouse runs between batch
     * rebuilds. State is O(1) per user: (island idx, current type,
-    * interval, count) — the store scales with ACTIVE users, not events.
+    * interval, count) — the store scales with users, not events (active
+    * users hold an open run; flushed users a ~48-byte index sentinel
+    * that keeps per-user island numbering unique across the flush).
     * In-batch arrival order is canonicalized to (us, event_id), the
     * batch query's exact tiebreak. */
   def islandsStream(
@@ -173,13 +183,26 @@ object StatefulOps {
             val st = state.get
             out += ClosedIsland(user, st.idx, st.etype,
               st.from_us, st.to_us, st.n)
-            state.remove()
+            // keep a COUNTER SENTINEL (n = 0, next index pre-advanced)
+            // instead of removing: a post-flush event would otherwise
+            // restart the per-user index at 1 and emit a duplicate
+            // (user_id, island) key — fatal for the SCD2 table keyed on
+            // it. No timeout is re-registered (EventTimeTimeout never
+            // fires without one), so the residual state is ~48 bytes
+            // per ever-flushed user — the same O(users) footprint as
+            // the SCD2 dimension this operator feeds; strict SCD2
+            // deployments (horizon = ∞) never create sentinels at all.
+            state.update(IslandState(st.idx + 1, "", 0L, 0L, 0L))
           } else {
             var st = state.getOption.orNull
             it.map(e => (Math.floorDiv(e.ts.getTime, 1000L) * 1000000L +
                 e.ts.getNanos / 1000L, e.event_id, e.event_type))
               .toSeq.sorted.foreach { case (us, _, t) =>
                 if (st == null) st = IslandState(1L, t, us, us, 1L)
+                else if (st.n == 0L)
+                  // sentinel: no open run; idx already points at the
+                  // next unused island index for this user
+                  st = IslandState(st.idx, t, us, us, 1L)
                 else if (t != st.etype) {
                   out += ClosedIsland(user, st.idx, st.etype,
                     st.from_us, st.to_us, st.n)

@@ -344,20 +344,31 @@ object StreamingJobs {
   /** Streaming word count into the batched document store. Each micro-batch
     * upserts the complete current counts (complete output mode), so the
     * store converges to the same state as the batch pipeline — idempotent
-    * under retry AND under re-delivery. */
+    * under retry AND under re-delivery: the sink key is derived from the
+    * epoch's batchId (checkpoint-stable), so a micro-batch re-executed
+    * after a restart finds its own feed markers and republishes nothing
+    * (review round-16: a per-invocation UUID key replayed every feed
+    * entry on epoch re-delivery). Assumes one logical writer per
+    * collection per store root — the reference's deployment shape. */
   def wordCountToStore(
       spark: SparkSession,
       textStream: DataFrame,
       factory: DocumentStoreFactory,
       collection: String,
-      maxBatchSize: Int = 500): StreamingQuery = {
+      maxBatchSize: Int = 500,
+      checkpoint: Option[String] = None): StreamingQuery = {
     val counts = WordCount.countWords(textStream, "text")
-    counts.writeStream
+    val w = counts.writeStream
       .outputMode("complete")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        DocSink.writeBatched(batch, factory, collection, maxBatchSize)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        DocSink.writeBatched(batch, factory, collection, maxBatchSize,
+          jobKey = Some(s"wcs/$collection/b$batchId"))
         ()
       }
-      .start()
+    // an explicit checkpoint is what makes the batchId-keyed feed
+    // idempotence meaningful across RESTARTS (a temp checkpoint only
+    // covers retries within one run)
+    checkpoint.foreach(c => w.option("checkpointLocation", c))
+    w.start()
   }
 }

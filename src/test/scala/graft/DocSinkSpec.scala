@@ -85,6 +85,139 @@ class DocSinkSpec extends SparkSpec {
       "sue" -> Map("count" -> 2L), "bob" -> Map("count" -> 2L)))
   }
 
+  private def feedEntries(root: String): Seq[java.io.File] =
+    Option(new java.io.File(root, graft.sink.DocStoreChangelog.DirName)
+      .listFiles()).getOrElse(Array.empty[java.io.File])
+      .filter(f => f.getName.endsWith(".json") && !f.getName.startsWith("."))
+      .toSeq
+
+  test("file store: leading-dot doc ids are durable AND visible") {
+    // '.x' must not encode to a dot-file ('.x.json') — readAll/readIds
+    // filter dot-files as temp/marker names, so the doc would be durable
+    // yet invisible to every batch read. Mid-id dots stay readable.
+    val dir = Files.createTempDirectory("graft-dotid").toString
+    val f = new FileDocumentStoreFactory(dir)
+    val s = f.open()
+    s.commitBatch("dots", Seq(
+      ".hidden" -> Map("count" -> 1L), "a.b" -> Map("count" -> 2L)))
+    s.close()
+    assert(f.readAll("dots") == Map(
+      ".hidden" -> Map("count" -> 1L), "a.b" -> Map("count" -> 2L)))
+    assert(f.readIds("dots").toSet == Set(".hidden", "a.b"))
+    // on disk: no non-marker dot-file; mid-id dot passes through
+    val names = Option(new java.io.File(dir, "dots").listFiles())
+      .get.map(_.getName).filter(_.endsWith(".json")).toSet
+    assert(names == Set("%2Ehidden.json", "a.b.json"), names.toString)
+  }
+
+  test("file store: field names that would poison the doc JSON are rejected") {
+    val dir = Files.createTempDirectory("graft-field").toString
+    val s = new FileDocumentStoreFactory(dir).open()
+    for (bad <- Seq("a\"b", "a:b", "a,b", "{x}", "a\\b", "", "a\nb"))
+      intercept[IllegalArgumentException] {
+        s.commitBatch("c", Seq("d" -> Map(bad -> 1L)))
+      }
+    s.commitBatch("c", Seq("d" -> Map("visits" -> 7L))) // normal name fine
+    s.close()
+    assert(new FileDocumentStoreFactory(dir).readAll("c") ==
+      Map("d" -> Map("visits" -> 7L)))
+  }
+
+  test("file store: readIds lists ids from filenames without opening bodies") {
+    val dir = Files.createTempDirectory("graft-ids").toString
+    val f = new FileDocumentStoreFactory(dir)
+    val s = f.open()
+    s.commitBatch("raw", Seq(
+      "good" -> Map("count" -> 1L), "bad" -> Map("count" -> 2L)))
+    s.close()
+    // corrupt one body: an id-only scan (SELECT doc_id) must not care
+    Files.write(java.nio.file.Paths.get(dir, "raw", "bad.json"),
+      "NOT JSON".getBytes)
+    assert(f.readIds("raw").toSet == Set("good", "bad"))
+    intercept[Throwable] { f.readAll("raw") } // the body-parsing path does
+  }
+
+  test("change feed: identical flush retry publishes once; changed content under the same key still publishes") {
+    val dir = Files.createTempDirectory("graft-retry").toString
+    val f = new FileDocumentStoreFactory(dir)
+    val df = Seq(("a", 1L), ("b", 2L)).toDF("docId", "value").coalesce(1)
+    DocSink.writeBatched(df, f, "c", 500, jobKey = Some("job1"))
+    val n1 = feedEntries(dir).size
+    assert(n1 == 1)
+    // deterministic retry of the same flush: same key + same content
+    // hash -> marker found -> feed NOT replayed
+    DocSink.writeBatched(df, f, "c", 500, jobKey = Some("job1"))
+    assert(feedEntries(dir).size == n1, "identical replay must be suppressed")
+    // same key, DIFFERENT content (the nondeterministic-retry shape): the
+    // content-hash term must publish it — suppression here would lose
+    // feed rows for docs that ARE durable in the store
+    val df2 = Seq(("a", 5L), ("b", 6L)).toDF("docId", "value").coalesce(1)
+    DocSink.writeBatched(df2, f, "c", 500, jobKey = Some("job1"))
+    assert(feedEntries(dir).size == n1 + 1,
+      "changed content under the same job key must still reach the feed")
+    assert(f.readAll("c") ==
+      Map("a" -> Map("count" -> 5L), "b" -> Map("count" -> 6L)))
+  }
+
+  test("feed value rule: count, else the lone field, else 0 — feed, DSv2 and store agree on a non-default fieldName") {
+    import graft.sink.DocStoreChangelog.feedValue
+    assert(feedValue(Map("count" -> 3L, "x" -> 9L)) == 3L)
+    assert(feedValue(Map("visits" -> 7L)) == 7L)
+    assert(feedValue(Map("a" -> 1L, "b" -> 2L)) == 0L)
+    val dir = Files.createTempDirectory("graft-fieldname").toString
+    val f = new FileDocumentStoreFactory(dir)
+    val df = Seq(("a", 1L), ("b", 2L)).toDF("docId", "value")
+    DocSink.writeBatched(df, f, "v", 500, fieldName = "visits")
+    assert(f.readAll("v")("a") == Map("visits" -> 1L))
+    // DSv2 batch scan surfaces the visits value in the count column
+    // (pre-fix: a hardcoded `count` lookup read 0 for every doc)
+    val back = spark.read.format("graft.sources.DocStoreDataSource")
+      .option("path", dir).load()
+      .select($"doc_id", $"count").as[(String, Long)].collect().toMap
+    assert(back == Map("a" -> 1L, "b" -> 2L))
+    // and the change feed published the same values
+    val last = graft.sink.DocStoreChangelog.latestComplete(dir)
+    val feed = graft.sink.DocStoreChangelog.entries(dir, -1L, last)
+      .map { case (_, id, n) => id -> n }.toMap
+    assert(feed == Map("a" -> 1L, "b" -> 2L))
+  }
+
+  test("change feed: warm-hint sequence claims stay dense and survive a feed wipe") {
+    val dir = Files.createTempDirectory("graft-seq").toString
+    val s = new FileDocumentStoreFactory(dir).open()
+    for (i <- 1 to 20)
+      s.commitBatch("c", Seq(s"d$i" -> Map("count" -> i.toLong)))
+    // dense 0..19 — the warm hint must not skip numbers
+    val cl = graft.sink.DocStoreChangelog
+    assert(cl.latestComplete(dir) == 19L)
+    // wipe the feed dir (operator reset between jobs): the JVM-local
+    // hint now points at a nonexistent entry and must fall back to a
+    // full listing instead of claiming a phantom high sequence
+    val d = new java.io.File(dir, cl.DirName)
+    d.listFiles().foreach(_.delete()); d.delete()
+    s.commitBatch("c", Seq("post" -> Map("count" -> 99L)))
+    s.close()
+    assert(cl.latestComplete(dir) == 0L)
+    assert(cl.entries(dir, -1L, 0L).map(_._2) == Seq("post"))
+  }
+
+  test("in-memory store: racing batch commits never interleave (batch atomicity)") {
+    val name = "race"
+    InMemoryDocumentStore.clear(name)
+    val store = InMemoryDocumentStore.factory(name).open()
+    val ids = (1 to 50).map(i => s"d$i")
+    def writer(v: Long) = new Thread(() => (1 to 200).foreach { _ =>
+      store.commitBatch("c", ids.map(_ -> Map("count" -> v)))
+    })
+    val ts = Seq(writer(1L), writer(2L))
+    ts.foreach(_.start()); ts.foreach(_.join())
+    // last COMMITTED batch wins wholesale: every doc carries the same
+    // value — an interleaved pair of batches would leave a mix
+    val vals = InMemoryDocumentStore.storeFor(name)
+      .values.map(_("count")).toSet
+    assert(vals.size == 1, s"interleaved batches visible: $vals")
+  }
+
   test("options parsing matches the reference's defaults and validation") {
     val o = Options.parse(Array("--inputFile=/tmp/x/kinglear.txt", "--outputDir=/tmp/o"))
     assert(o.implementation == "naive") // WordCountToFirestorePipeline.java:63

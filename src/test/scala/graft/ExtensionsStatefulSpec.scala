@@ -331,6 +331,89 @@ class ExtensionsStatefulSpec extends SparkSpec {
     assert(inverted.isEmpty, s"inverted intervals: ${inverted.toSeq}")
   }
 
+  test("streaming sessionizer: cross-batch in-watermark straggler widens, never shrinks, the open session") {
+    import spark.implicits._
+    import StatefulOps.{ClosedSession, SessEvent}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = 10000L
+    def at(min: Long) = new java.sql.Timestamp((base + min) * 60000L)
+    val us = 60L * 1000000L
+    val stream = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[SessEvent]
+    val q = StatefulOps.sessionizeStream(stream.toDS(), gapMin = 120)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sess_ooo").start()
+    try {
+      // batch 1: open a session covering [10, 20]
+      stream.addData(SessEvent(1L, at(10)), SessEvent(1L, at(20)))
+      q.processAllAvailable()
+      // batch 2: a straggler at minute 5 — earlier than the session's
+      // start, legal under the 120-min watermark. Pre-fix the plain
+      // `last_us = us` overwrite shrank the open end to 5 (< start 10),
+      // so the closer below would emit end_us < start_us AND mis-split
+      // against the shrunken last_us
+      stream.addData(SessEvent(1L, at(5)))
+      q.processAllAvailable()
+      // batch 3: past the gap (150 - 20 = 130 > 120) — closes [5, 20]
+      stream.addData(SessEvent(1L, at(150)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val closed = spark.table("sess_ooo").as[ClosedSession].collect()
+      .map(c => (c.user_id, c.start_us / us - base, c.end_us / us - base,
+        c.n_events)).toSet
+    assert(closed == Set((1L, 5L, 20L, 3L)), s"got $closed")
+  }
+
+  test("streaming SCD2 islands: post-flush events continue the per-user island numbering") {
+    import spark.implicits._
+    import StatefulOps.{ClosedIsland, IslandEvent}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // the SCD2 table this feeds is keyed on (user_id, island): a user
+    // whose open run was flushed by the inactivity timeout and who then
+    // comes BACK must continue numbering, not restart at 1 — pre-fix the
+    // state was removed at flush and the next run re-emitted island 1
+    val base = 10000L
+    def at(min: Long) = new java.sql.Timestamp((base + min) * 60000L)
+    val us = 60L * 1000000L
+    val stream = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[IslandEvent]
+    val q = StatefulOps.islandsStream(stream.toDS(), lateMin = 60,
+        flushHorizonMin = 60)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("isl_flush").start()
+    try {
+      // batch 1: open a "view" run [10, 20] for user 1
+      stream.addData(IslandEvent(1L, 1L, at(10), "view"),
+        IslandEvent(1L, 2L, at(20), "view"))
+      q.processAllAvailable()
+      // advance the watermark past to_us + flush horizon (wm = 145-60 =
+      // 85 > 20+60), then give the store a batch to fire the timeout
+      stream.addData(IslandEvent(-1L, -1L, at(145), "view"))
+      q.processAllAvailable()
+      stream.addData(IslandEvent(-1L, -2L, at(146), "view"))
+      q.processAllAvailable()
+      // user 1 returns after the flush; a different type then closes the
+      // new run so it emits
+      stream.addData(IslandEvent(1L, 3L, at(150), "click"))
+      q.processAllAvailable()
+      stream.addData(IslandEvent(1L, 4L, at(160), "view"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("isl_flush").as[ClosedIsland].collect()
+    // the flush sentinel itself must never surface as an island, and no
+    // later batch may re-fire it (EventTimeTimeout with no registration)
+    assert(!rows.exists(_.n_events == 0L),
+      s"sentinel leaked as an island: ${rows.toSeq}")
+    val user1 = rows.filter(_.user_id == 1L)
+      .map(c => (c.island, c.event_type,
+        c.valid_from_us / us - base, c.valid_to_us / us - base,
+        c.n_events)).toSet
+    assert(user1 == Set(
+      (1L, "view", 10L, 20L, 2L),   // flushed by the timeout
+      (2L, "click", 150L, 150L, 1L) // post-flush run: index CONTINUES
+    ), s"got $user1")
+  }
+
   test("transformWithState budget admission: per-source caps hold across micro-batches") {
     import spark.implicits._
     import graft.streaming.BudgetOps

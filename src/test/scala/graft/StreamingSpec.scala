@@ -276,6 +276,50 @@ class StreamingSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("streaming word count: a re-executed micro-batch republishes no feed entries") {
+    import graft.sink.{DocStoreChangelog, FileDocumentStoreFactory}
+    // Crash-recovery shape: batch 0 runs fully (docs durable, feed
+    // published) but the driver dies BEFORE writing the epoch commit —
+    // modeled by deleting ckpt/commits/0. On restart Spark re-executes
+    // batch 0 with the SAME batchId and data; the checkpoint-stable sink
+    // key + per-flush content hash must find the markers and republish
+    // NOTHING (pre-fix: a per-invocation UUID key replayed the whole
+    // feed, double-counting every doc for downstream CDC consumers).
+    val in = java.nio.file.Files.createTempDirectory("graft-wcs-in")
+    java.nio.file.Files.write(in.resolve("a.txt"),
+      "hi there\nhi\nhi sue bob\nhi sue\nbob hi\n".getBytes)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-wcs-store").toString
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-wcs-ckpt").toString
+    val factory = new FileDocumentStoreFactory(root)
+    def run(): Unit = {
+      val textStream = spark.readStream.text(in.toString).toDF("text")
+      val q = StreamingJobs.wordCountToStore(
+        spark, textStream, factory, "wc", 500, checkpoint = Some(ckpt))
+      try q.processAllAvailable() finally q.stop()
+    }
+    run()
+    val entries1 = DocStoreChangelog.latestComplete(root)
+    assert(entries1 >= 0L, "first run published nothing")
+    // drop the epoch commit: batch 0 is now un-committed and will
+    // re-execute from the retained offsets on restart
+    val commit0 = java.nio.file.Paths.get(ckpt, "commits", "0")
+    assert(java.nio.file.Files.deleteIfExists(commit0),
+      s"expected epoch commit at $commit0")
+    // the local-FS checksum shadow too, or the re-commit's rename hits
+    // a stale .0.crc and the restarted query dies
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(ckpt, "commits", ".0.crc"))
+    run()
+    assert(DocStoreChangelog.latestComplete(root) == entries1,
+      "re-executed epoch replayed feed entries")
+    // and the store itself converged to the batch counts
+    assert(factory.readAll("wc") == Map(
+      "hi" -> Map("count" -> 5L), "there" -> Map("count" -> 1L),
+      "sue" -> Map("count" -> 2L), "bob" -> Map("count" -> 2L)))
+  }
+
   test("streaming decontamination == batch decontam_overlap on a full replay") {
     val schema = StructType(Seq(
       StructField("doc_id", LongType), StructField("text", StringType),
