@@ -145,6 +145,17 @@ object FileDocumentStoreFactory {
         "and DSv2 partition values — use letters/digits/-/_/. and do not " +
         "start with '_' or '.'")
 
+  /** Parse one doc body (`{"k": v, ...}` with validated field names —
+    * see [[requireValidField]], which is what keeps this split-based
+    * reader sound). Shared by the full-scan and point-read paths. */
+  private[sink] def parseFields(body: String): Map[String, Long] =
+    body.stripPrefix("{").stripSuffix("}").split(",")
+      .filter(_.trim.nonEmpty)
+      .map { kv =>
+        val Array(k, v) = kv.split(":").map(_.trim)
+        k.stripPrefix("\"").stripSuffix("\"") -> v.toLong
+      }.toMap
+
   /** Field names are schema-level identifiers (DataFrame column names),
     * not data like doc ids — validated, not encoded (review round-16: an
     * unguarded '"', ':' or ',' in a field name writes a doc file the
@@ -195,6 +206,25 @@ class FileDocumentStoreFactory(root: String) extends DocumentStoreFactory {
     }
   }
 
+  /** Point read of ONE document by id — a single file probe + parse,
+    * no directory listing. The DSv2 reader takes this path when a
+    * doc_id equality/IN predicate was pushed down: a point lookup on a
+    * 100 TB store must cost O(requested ids), not O(collection).
+    * Returns None when the doc does not exist. */
+  def readDoc(collection: String, id: String): Option[Map[String, Long]] = {
+    val p = Paths.get(root, collection,
+      FileDocumentStoreFactory.encodeId(id) + ".json")
+    if (!Files.exists(p)) None
+    else Some(FileDocumentStoreFactory.parseFields(
+      new String(Files.readAllBytes(p), StandardCharsets.UTF_8)))
+  }
+
+  /** Existence probe only — the doc_id-pushdown twin of [[readIds]]:
+    * no listing AND no body read (`SELECT doc_id WHERE doc_id = 'x'`). */
+  def docExists(collection: String, id: String): Boolean =
+    Files.exists(Paths.get(root, collection,
+      FileDocumentStoreFactory.encodeId(id) + ".json"))
+
   /** Doc ids only, from FILENAMES — no file body is opened or parsed.
     * The DSv2 reader takes this path when the pruned schema needs no
     * field values (review round-16: `SELECT doc_id` previously read and
@@ -215,13 +245,7 @@ class FileDocumentStoreFactory(root: String) extends DocumentStoreFactory {
       .map { f =>
         val id = decodeId(f.getName.stripSuffix(".json"))
         val body = new String(Files.readAllBytes(f.toPath), StandardCharsets.UTF_8)
-        val fields = body.stripPrefix("{").stripSuffix("}").split(",")
-          .filter(_.trim.nonEmpty)
-          .map { kv =>
-            val Array(k, v) = kv.split(":").map(_.trim)
-            k.stripPrefix("\"").stripSuffix("\"") -> v.toLong
-          }.toMap
-        id -> fields
+        id -> FileDocumentStoreFactory.parseFields(body)
       }.toMap
   }
 }

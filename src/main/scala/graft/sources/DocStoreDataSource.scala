@@ -154,14 +154,18 @@ case class DocStoreWriteCommitted(partitionId: Int)
   *  - `SupportsPushDownFilters`: equality/IN predicates on `collection`
   *    prune whole collection DIRECTORIES at planning time (the
   *    connector's partition pruning — the store's layout makes
-  *    collection a partition column). Pruning is exact, so accepted
-  *    filters are fully consumed: Spark re-evaluates nothing.
+  *    collection a partition column), and equality/IN predicates on
+  *    `doc_id` turn the scan into direct file PROBES of the requested
+  *    ids (the store's layout makes a doc id a filename) — a point
+  *    lookup costs O(requested ids), never O(collection). Both prunes
+  *    are exact, so accepted filters are fully consumed: Spark
+  *    re-evaluates nothing.
   *  - `SupportsPushDownRequiredColumns`: readers materialize only the
   *    requested fields — `SELECT doc_id` never builds collection
   *    strings or parses counts.
   *
   * At a 100 TB store this is the difference between listing every
-  * directory and touching one. */
+  * directory and touching one file. */
 class DocStoreScanBuilder(root: String,
     maxEntriesPerTrigger: Option[Long] = None,
     staleClaimMs: Option[Long] = None) extends ScanBuilder with Scan
@@ -176,22 +180,41 @@ class DocStoreScanBuilder(root: String,
     val (ours, rest) = filters.partition {
       case EqualTo("collection", _: String) => true
       case In("collection", vs) if vs.forall(_.isInstanceOf[String]) => true
+      // doc_id prunes are exact too: the store's layout makes a doc id
+      // a FILENAME, so an equality/IN predicate becomes a direct file
+      // probe (readDoc/docExists) — a point lookup costs O(requested
+      // ids), never O(collection listing)
+      case EqualTo("doc_id", _: String) => true
+      case In("doc_id", vs) if vs.forall(_.isInstanceOf[String]) => true
       case _ => false
     }
     accepted = ours
-    rest // accepted filters are exact directory prunes — nothing residual
+    rest // accepted filters are exact prunes — nothing residual
   }
   override def pushedFilters(): Array[Filter] = accepted
 
-  /** Collections an accepted pushed filter admits. Pushed filters are
+  /** Values an accepted pushed filter admits. Pushed filters are
     * CONJUNCTS and Spark never re-applies accepted ones, so the admitted
-    * sets must be INTERSECTED — both in the batch directory prune and in
-    * the streaming allowlist (a union would leak rows a later conjunct
+    * sets must be INTERSECTED — both in the batch prunes and in the
+    * streaming allowlists (a union would leak rows a later conjunct
     * excludes, e.g. `isin("a","b") && === "b"`). */
   private def admitted(f: Filter): Set[String] = f match {
     case EqualTo(_, v: String) => Set(v)
     case In(_, vs) => vs.collect { case s: String => s }.toSet
     case other => sys.error(s"filter was never accepted: $other")
+  }
+
+  private def acceptedOn(attr: String): Array[Filter] = accepted.filter {
+    case EqualTo(a, _) => a == attr
+    case In(a, _) => a == attr
+    case _ => false
+  }
+
+  /** Intersection of all accepted doc_id conjuncts; None = no doc_id
+    * predicate was pushed (scan the whole collection). */
+  private def allowedDocs: Option[Set[String]] = {
+    val fs = acceptedOn("doc_id")
+    if (fs.isEmpty) None else Some(fs.map(admitted).reduce(_ intersect _))
   }
 
   override def pruneColumns(requiredSchema: StructType): Unit =
@@ -208,10 +231,12 @@ class DocStoreScanBuilder(root: String,
       .getOrElse(Array.empty[File])
       .filter(f => f.isDirectory && !f.getName.startsWith("_"))
       .map(_.getName).sorted
-    val allowed = accepted.foldLeft(all.toSet)((acc, f) =>
+    val allowed = acceptedOn("collection").foldLeft(all.toSet)((acc, f) =>
       acc.intersect(admitted(f)))
+    val docs = allowedDocs.map(_.toSeq.sorted)
     all.filter(allowed)
-      .map(c => DocStorePartition(root, c, required.fieldNames): InputPartition)
+      .map(c => DocStorePartition(root, c, required.fieldNames,
+        docs): InputPartition)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -227,11 +252,12 @@ class DocStoreScanBuilder(root: String,
   override def toMicroBatchStream(
       checkpointLocation: String): org.apache.spark.sql.connector.read
         .streaming.MicroBatchStream = {
+    val cols = acceptedOn("collection")
     val allowed: Option[Set[String]] =
-      if (accepted.isEmpty) None
-      else Some(accepted.map(admitted).reduce(_ intersect _))
+      if (cols.isEmpty) None
+      else Some(cols.map(admitted).reduce(_ intersect _))
     new DocStoreMicroBatchStream(root, required.fieldNames, allowed,
-      maxEntriesPerTrigger, staleClaimMs)
+      maxEntriesPerTrigger, staleClaimMs, allowedDocs)
   }
 }
 
@@ -250,7 +276,8 @@ class DocStoreScanBuilder(root: String,
   * would be truncated/archived (kept here — replay is the test story). */
 class DocStoreMicroBatchStream(root: String, fields: Array[String],
     allowed: Option[Set[String]], maxEntriesPerTrigger: Option[Long] = None,
-    staleClaimMs: Option[Long] = None)
+    staleClaimMs: Option[Long] = None,
+    allowedDocs: Option[Set[String]] = None)
   extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
   with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
   with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
@@ -310,7 +337,8 @@ class DocStoreMicroBatchStream(root: String, fields: Array[String],
     val s = start.asInstanceOf[SeqOffset].seq
     val e = end.asInstanceOf[SeqOffset].seq
     ((s + 1) to e).map(n =>
-      DocStoreFeedPartition(root, n, fields, allowed): InputPartition).toArray
+      DocStoreFeedPartition(root, n, fields, allowed,
+        allowedDocs): InputPartition).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -318,16 +346,23 @@ class DocStoreMicroBatchStream(root: String, fields: Array[String],
 }
 
 case class DocStoreFeedPartition(root: String, seq: Long,
-    fields: Array[String], allowed: Option[Set[String]])
+    fields: Array[String], allowed: Option[Set[String]],
+    allowedDocs: Option[Set[String]] = None)
   extends InputPartition
 
 class DocStoreFeedReaderFactory extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val part = p.asInstanceOf[DocStoreFeedPartition]
     new PartitionReader[InternalRow] {
+      // reader-enforced allowlists: accepted pushed filters are never
+      // re-evaluated by Spark, so BOTH the collection and doc_id
+      // conjuncts must be applied here (feed entries interleave docs,
+      // so doc_id pushdown filters rows, not entries)
       private val rows = graft.sink.DocStoreChangelog
         .entries(part.root, part.seq - 1, part.seq)
-        .filter { case (c, _, _) => part.allowed.forall(_.contains(c)) }
+        .filter { case (c, id, _) =>
+          part.allowed.forall(_.contains(c)) &&
+            part.allowedDocs.forall(_.contains(id)) }
         .iterator
       private var current: InternalRow = _
       override def next(): Boolean =
@@ -347,7 +382,7 @@ class DocStoreFeedReaderFactory extends PartitionReaderFactory {
 }
 
 case class DocStorePartition(root: String, collection: String,
-    fields: Array[String])
+    fields: Array[String], docIds: Option[Seq[String]] = None)
   extends InputPartition
 
 class DocStoreReaderFactory extends PartitionReaderFactory {
@@ -357,15 +392,27 @@ class DocStoreReaderFactory extends PartitionReaderFactory {
       // pruning reaches the I/O layer (review round-16): a schema with
       // no `count` column reads doc ids from FILENAMES only — no doc
       // body is opened or parsed, so `SELECT doc_id` scans cost one
-      // directory listing instead of N file reads
+      // directory listing instead of N file reads. A pushed doc_id
+      // predicate goes further: direct file PROBES of just the
+      // requested ids — no listing at all (the point-lookup path; a
+      // probe of a missing id yields no row, which is exactly the
+      // predicate's semantics since accepted filters are consumed)
       private val needsFields = part.fields.contains("count")
       private val store = new FileDocumentStoreFactory(part.root)
       private val docs: Iterator[(String, Map[String, Long])] =
-        if (needsFields)
-          store.readAll(part.collection).toSeq.sortBy(_._1).iterator
-        else
-          store.readIds(part.collection).sorted.iterator
-            .map(_ -> Map.empty[String, Long])
+        part.docIds match {
+          case Some(ids) if needsFields =>
+            ids.iterator.flatMap(id =>
+              store.readDoc(part.collection, id).map(id -> _))
+          case Some(ids) =>
+            ids.iterator.filter(store.docExists(part.collection, _))
+              .map(_ -> Map.empty[String, Long])
+          case None if needsFields =>
+            store.readAll(part.collection).toSeq.sortBy(_._1).iterator
+          case None =>
+            store.readIds(part.collection).sorted.iterator
+              .map(_ -> Map.empty[String, Long])
+        }
       private var current: InternalRow = _
       override def next(): Boolean =
         if (docs.hasNext) {

@@ -53,6 +53,73 @@ class DocStoreSourceSpec extends SparkSpec {
       Seq(1L, 1L, 1L, 2L, 2L, 2L))
   }
 
+  test("DSv2 doc_id pushdown: point lookups probe files, never list or parse the collection") {
+    val root = Files.createTempDirectory("graft-dsv2id").toString
+    val store = new FileDocumentStoreFactory(root).open()
+    store.commitBatch("c", Seq("d1" -> Map("count" -> 1L),
+      "d2" -> Map("count" -> 2L), "d3" -> Map("count" -> 3L)))
+    store.commitBatch("other", Seq("d1" -> Map("count" -> 9L)))
+    store.close()
+    import org.apache.spark.sql.sources.{EqualTo, Filter, In}
+    // builder-level: doc_id equality/IN are consumed exactly
+    val b = new graft.sources.DocStoreScanBuilder(root)
+    val residual = b.pushFilters(Array[Filter](
+      EqualTo("collection", "c"), EqualTo("doc_id", "d2")))
+    assert(residual.isEmpty, "exact file probe must leave no residual")
+    assert(b.pushedFilters().length == 2)
+    // conjuncts on doc_id INTERSECT (accepted filters are never
+    // re-evaluated by Spark — a union would leak rows)
+    val b2 = new graft.sources.DocStoreScanBuilder(root)
+    b2.pushFilters(Array[Filter](
+      In("doc_id", Array("d1", "d2")), EqualTo("doc_id", "d2")))
+    // end-to-end: point lookup returns exactly the requested doc
+    val df = spark.read.format("graft.sources.DocStoreDataSource")
+      .option("path", root).load()
+    assert(df.filter($"collection" === "c" && $"doc_id" === "d2")
+      .select($"count").as[Long].collect().toSeq == Seq(2L))
+    // a MISSING id yields zero rows (the probe carries the predicate's
+    // semantics — nothing re-filters after the scan)
+    assert(df.filter($"collection" === "c" && $"doc_id" === "nope")
+      .count() == 0L)
+    // IN over collections: the probe repeats per admitted collection
+    assert(df.filter($"doc_id" === "d1").select($"collection", $"count")
+      .as[(String, Long)].collect().toSet == Set("c" -> 1L, "other" -> 9L))
+    // intersecting doc_id conjuncts end-to-end
+    assert(df.filter($"doc_id".isin("d1", "d2") && $"doc_id" === "d2")
+      .select($"doc_id").as[String].collect().toSeq == Seq("d2", "d2").distinct)
+    // proof the point path parses ONLY the probed file: corrupt d3's
+    // body — a full-collection scan now throws, the point lookup doesn't
+    Files.write(java.nio.file.Paths.get(root, "c", "d3.json"),
+      "NOT JSON".getBytes)
+    assert(df.filter($"collection" === "c" && $"doc_id" === "d1")
+      .select($"count").as[Long].collect().toSeq == Seq(1L))
+    intercept[Throwable] {
+      df.filter($"collection" === "c").select($"count").as[Long].collect()
+    }
+    // and an id-only point SELECT reads no body either (existence probe)
+    assert(df.filter($"collection" === "c" && $"doc_id" === "d3")
+      .select($"doc_id").as[String].collect().toSeq == Seq("d3"))
+  }
+
+  test("streaming change feed honors doc_id pushdown (reader-enforced rows filter)") {
+    val root = Files.createTempDirectory("graft-feedid").toString
+    val store = new FileDocumentStoreFactory(root).open()
+    store.commitBatch("c", Seq("a" -> Map("count" -> 1L),
+      "b" -> Map("count" -> 2L)))
+    store.commitBatch("c", Seq("a" -> Map("count" -> 3L)))
+    store.close()
+    val out = spark.readStream.format("graft.sources.DocStoreDataSource")
+      .option("path", root).load()
+      .filter($"doc_id" === "a")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("feed_docid").start()
+    try out.processAllAvailable() finally out.stop()
+    val rows = spark.table("feed_docid")
+      .select($"doc_id", $"count").as[(String, Long)].collect().toSeq
+    assert(rows.sorted == Seq("a" -> 1L, "a" -> 3L),
+      s"feed rows under doc_id pushdown: $rows")
+  }
+
   test("DSv2 write -> read round-trip; append is idempotent upsert") {
     val root = Files.createTempDirectory("graft-dsv2w").toString
     val counts = WordCount.countWords(Tables.documents(spark, sf0001), "text")
