@@ -67,7 +67,12 @@ class DocStoreTable(root: String, maxBatchSize: Int = 500)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new DocStoreScanBuilder(root,
       Option(options.get("maxEntriesPerTrigger")).map(_.toLong),
-      Option(options.get("staleClaimMs")).map(_.toLong))
+      Option(options.get("staleClaimMs")).map(_.toLong),
+      Option(options.get("maxDocsPerPartition")).map { v =>
+        require(v.matches("[0-9]+") && v.toInt > 0,
+          s"maxDocsPerPartition must be a positive integer, got '$v'")
+        v.toInt
+      }.getOrElse(DocStoreScanBuilder.DefaultMaxDocsPerPartition))
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     val in = info.schema()
     val expected = DocStoreDataSource.schema.map(f => f.name -> f.dataType)
@@ -165,12 +170,37 @@ case class DocStoreWriteCommitted(partitionId: Int)
   *    strings or parses counts.
   *
   * At a 100 TB store this is the difference between listing every
-  * directory and touching one file. */
+  * directory and touching one file.
+  *
+  * Two more scale surfaces:
+  *
+  *  - INTRA-collection parallelism: a collection larger than
+  *    `maxDocsPerPartition` (option; default 10k) is split into id
+  *    slices — ids are listed ONCE on the driver (filenames only, the
+  *    InMemoryFileIndex pattern) and each task point-reads its slice,
+  *    so one giant collection no longer serializes into one task.
+  *  - `SupportsRuntimeFiltering`: collection/doc_id equality and IN
+  *    predicates that only materialize at RUNTIME (broadcast-join keys
+  *    — DPP-style) narrow the scan the same way planning-time pushdown
+  *    does; a store-side join against a small dim of doc ids becomes
+  *    point probes instead of a full scan. Runtime pruning here is
+  *    exact, but Spark re-checks join keys anyway, so under-pruning
+  *    on unsupported shapes is safe (they are simply ignored). */
+object DocStoreScanBuilder {
+  /** Collections above this many docs split into multiple input
+    * partitions. Sized so a slice's point-reads stay a few seconds of
+    * task work while listings this size remain trivial driver state. */
+  val DefaultMaxDocsPerPartition: Int = 10000
+}
+
 class DocStoreScanBuilder(root: String,
     maxEntriesPerTrigger: Option[Long] = None,
-    staleClaimMs: Option[Long] = None) extends ScanBuilder with Scan
+    staleClaimMs: Option[Long] = None,
+    maxDocsPerPartition: Int = DocStoreScanBuilder.DefaultMaxDocsPerPartition)
+    extends ScanBuilder with Scan
     with Batch with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns {
+    with SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
   import org.apache.spark.sql.sources.{EqualTo, Filter, In}
 
   private var required: StructType = DocStoreDataSource.schema
@@ -217,6 +247,32 @@ class DocStoreScanBuilder(root: String,
     if (fs.isEmpty) None else Some(fs.map(admitted).reduce(_ intersect _))
   }
 
+  // ---- SupportsRuntimeFiltering: DPP-style pruning at execution ----
+  // Runtime filters arrive AFTER planning (broadcast-join key sets);
+  // accepting the same exact shapes simply appends them to `accepted`,
+  // and planInputPartitions — which Spark re-invokes after filter() —
+  // recomputes the directory/file prunes. Unsupported shapes are
+  // dropped: runtime pruning may under-prune (the join re-checks its
+  // keys), never over-prune (the shapes we accept are exact).
+  override def filterAttributes():
+      Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(
+      org.apache.spark.sql.connector.expressions.Expressions
+        .column("collection"),
+      org.apache.spark.sql.connector.expressions.Expressions
+        .column("doc_id"))
+
+  override def filter(filters: Array[Filter]): Unit = {
+    val ours = filters.filter {
+      case EqualTo("collection", _: String) => true
+      case In("collection", vs) if vs.forall(_.isInstanceOf[String]) => true
+      case EqualTo("doc_id", _: String) => true
+      case In("doc_id", vs) if vs.forall(_.isInstanceOf[String]) => true
+      case _ => false
+    }
+    accepted = accepted ++ ours
+  }
+
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
@@ -234,9 +290,25 @@ class DocStoreScanBuilder(root: String,
     val allowed = acceptedOn("collection").foldLeft(all.toSet)((acc, f) =>
       acc.intersect(admitted(f)))
     val docs = allowedDocs.map(_.toSeq.sorted)
-    all.filter(allowed)
-      .map(c => DocStorePartition(root, c, required.fieldNames,
-        docs): InputPartition)
+    val store = new FileDocumentStoreFactory(root)
+    all.filter(allowed).flatMap { c =>
+      // ids to read in this collection: the pushed doc_id set if any,
+      // else — only when the collection is big enough that slicing
+      // pays — a driver-side filename listing (never bodies)
+      val ids: Option[Seq[String]] = docs.orElse {
+        val listed = store.readIds(c)
+        if (listed.size > maxDocsPerPartition) Some(listed.sorted) else None
+      }
+      ids match {
+        case Some(s) if s.size > maxDocsPerPartition =>
+          s.grouped(maxDocsPerPartition).map(slice =>
+            DocStorePartition(root, c, required.fieldNames,
+              Some(slice)): InputPartition).toSeq
+        case other =>
+          Seq(DocStorePartition(root, c, required.fieldNames,
+            other): InputPartition)
+      }
+    }
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

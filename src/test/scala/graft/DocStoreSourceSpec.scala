@@ -101,6 +101,75 @@ class DocStoreSourceSpec extends SparkSpec {
       .select($"doc_id").as[String].collect().toSeq == Seq("d3"))
   }
 
+  test("DSv2 intra-collection split: a big collection fans out across id-slice partitions") {
+    val root = Files.createTempDirectory("graft-split").toString
+    val store = new FileDocumentStoreFactory(root).open()
+    store.commitBatch("big",
+      (1 to 25).map(i => f"d$i%03d" -> Map("count" -> i.toLong)))
+    store.commitBatch("small", Seq("s1" -> Map("count" -> 100L)))
+    store.close()
+    // builder-level: 25 docs at maxDocsPerPartition=10 -> 3 slices for
+    // `big`, 1 unsliced partition for `small`; slices are disjoint and
+    // complete
+    val b = new graft.sources.DocStoreScanBuilder(root,
+      maxDocsPerPartition = 10)
+    val parts = b.planInputPartitions()
+      .map(_.asInstanceOf[graft.sources.DocStorePartition])
+    assert(parts.count(_.collection == "big") == 3)
+    assert(parts.count(_.collection == "small") == 1)
+    val sliced = parts.filter(_.collection == "big").flatMap(_.docIds.get)
+    assert(sliced.length == 25 && sliced.toSet.size == 25)
+    // end-to-end through the option: results identical to the unsplit scan
+    val df = spark.read.format("graft.sources.DocStoreDataSource")
+      .option("path", root).option("maxDocsPerPartition", "10").load()
+    val got = df.filter($"collection" === "big")
+      .select($"doc_id", $"count").as[(String, Long)].collect().toSet
+    assert(got == (1 to 25).map(i => f"d$i%03d" -> i.toLong).toSet)
+    assert(df.rdd.getNumPartitions == 4)
+    intercept[IllegalArgumentException] {
+      spark.read.format("graft.sources.DocStoreDataSource")
+        .option("path", root).option("maxDocsPerPartition", "-3").load()
+        .collect()
+    }
+  }
+
+  test("DSv2 runtime filtering: join-time collection/doc_id filters narrow the scan like pushdown") {
+    val root = Files.createTempDirectory("graft-rtf").toString
+    val store = new FileDocumentStoreFactory(root).open()
+    for (c <- Seq("alpha", "beta"))
+      store.commitBatch(c, Seq("d1" -> Map("count" -> 1L),
+        "d2" -> Map("count" -> 2L)))
+    store.close()
+    import org.apache.spark.sql.sources.{EqualTo, Filter, In}
+    val b = new graft.sources.DocStoreScanBuilder(root)
+    val scan = b.build()
+      .asInstanceOf[org.apache.spark.sql.connector.read
+        .SupportsRuntimeFiltering]
+    assert(scan.filterAttributes().map(_.describe()).toSet ==
+      Set("collection", "doc_id"))
+    // runtime filters arrive post-planning (broadcast join keys);
+    // partitions recompute under them exactly like planned pushdown
+    scan.filter(Array[Filter](In("collection", Array("beta")),
+      EqualTo("doc_id", "d2")))
+    val parts = b.planInputPartitions()
+      .map(_.asInstanceOf[graft.sources.DocStorePartition])
+    assert(parts.length == 1 && parts.head.collection == "beta")
+    assert(parts.head.docIds.contains(Seq("d2")))
+    // an unsupported runtime shape is ignored (under-pruning is safe —
+    // the join re-checks its keys)
+    scan.filter(Array[Filter](
+      org.apache.spark.sql.sources.GreaterThan("count", 0L)))
+    assert(b.planInputPartitions().length == 1)
+    // end-to-end sanity: a broadcast join over doc_id stays correct
+    // whether or not Spark injects the runtime filter
+    val df = spark.read.format("graft.sources.DocStoreDataSource")
+      .option("path", root).load()
+    val dim = Seq("d2").toDF("doc_id")
+    val joined = df.join(broadcast(dim), "doc_id")
+      .select($"collection", $"count").as[(String, Long)].collect().toSet
+    assert(joined == Set("alpha" -> 2L, "beta" -> 2L))
+  }
+
   test("streaming change feed honors doc_id pushdown (reader-enforced rows filter)") {
     val root = Files.createTempDirectory("graft-feedid").toString
     val store = new FileDocumentStoreFactory(root).open()
