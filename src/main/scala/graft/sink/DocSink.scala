@@ -26,6 +26,27 @@ import org.apache.spark.util.LongAccumulator
   */
 object DocSink {
 
+  /** Order-insensitive fingerprint of a flush's CONTENT — the content
+    * term of feed-idempotency keys (see writeBatched's scaladoc). Doc
+    * encodings are length-prefixed (ids/fields may contain any
+    * character) and sorted before hashing, so the same doc set in any
+    * iteration order fingerprints identically; SHA-256 (not a 32-bit
+    * hashCode — review round-16: a hashCode collision between two
+    * DIFFERENT flush contents would wrongly suppress the differing
+    * retry's feed entry, i.e. silent feed loss) truncated to 64 bits. */
+  private[graft] def contentKey(
+      docs: Seq[(String, Map[String, Long])]): String = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    docs.map { case (id, fields) =>
+      s"${id.length}:$id=" + fields.toSeq.sorted
+        .map { case (k, v) => s"${k.length}:$k:$v" }.mkString(",")
+    }.sorted.foreach { s =>
+      md.update(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      md.update(0.toByte)
+    }
+    md.digest().take(8).map(b => f"${b & 0xff}%02x").mkString
+  }
+
   /** Batched sink — intended O7 semantics. Expects a 2-column DataFrame
     * (docId: string, value: long); writes `{fieldName: value}` keyed by
     * docId, flushing atomically every `batchSize` docs, remainder at close.
@@ -75,13 +96,9 @@ object DocSink {
             val docs = group.map { r =>
               r.getString(0) -> Map(fieldName -> r.getLong(1))
             }.toSeq
-            // order-insensitive content fingerprint of the flush (see
-            // the scaladoc's retry note): ids and values both participate
-            val ch = docs.map { case (id, f) =>
-              id.hashCode.toLong * 31 + f.values.sum
-            }.sorted.hashCode.toHexString
             val t0 = System.nanoTime()
-            store.commitBatchKeyed(s"$key/p$pid/f$flushSeq/c$ch",
+            store.commitBatchKeyed(
+              s"$key/p$pid/f$flushSeq/c${contentKey(docs)}",
               collection, docs)
             flushSeq += 1
             // per-flush latency — the reference logs this in ms per flush
@@ -106,9 +123,10 @@ object DocSink {
       df: DataFrame,
       factory: DocumentStoreFactory,
       collection: String,
-      fieldName: String = "count"): Long = {
+      fieldName: String = "count",
+      jobKey: Option[String] = None): Long = {
     val docsWritten = df.sparkSession.sparkContext.longAccumulator("docsWritten")
-    val jobKey = java.util.UUID.randomUUID().toString // see writeBatched
+    val key = jobKey.getOrElse(java.util.UUID.randomUUID().toString)
     df.toDF("docId", "value").foreachPartition {
       (it: Iterator[org.apache.spark.sql.Row]) =>
         if (it.hasNext) {
@@ -116,10 +134,14 @@ object DocSink {
           var i = 0L
           val store = factory.open()
           // one blocking single-doc commit per element (= the reference's
-          // per-element `put`), keyed per element for retry-safe feeds
+          // per-element `put`), keyed per element for retry-safe feeds;
+          // the content term matters here exactly as in writeBatched —
+          // a reordered retry's element e0 holds a DIFFERENT doc, and
+          // suppressing it by ordinal alone would lose its feed entry
           try it.foreach { r =>
-            store.commitBatchKeyed(s"$jobKey/p$pid/e$i", collection,
-              Seq(r.getString(0) -> Map(fieldName -> r.getLong(1))))
+            val doc = Seq(r.getString(0) -> Map(fieldName -> r.getLong(1)))
+            store.commitBatchKeyed(
+              s"$key/p$pid/e$i/c${contentKey(doc)}", collection, doc)
             i += 1
             docsWritten.add(1)
           } finally store.close()

@@ -128,7 +128,13 @@ object DocStoreChangelog {
       try claimed = Files.createFile(entryPath(root, seq))
       catch { case _: FileAlreadyExistsException => seq += 1 }
     }
-    seqHint.merge(root, seq, (a, b) => if (a >= b) a else b)
+    // plain put, not merge-max (review round-16): after a feed wipe the
+    // fallback claims a LOW sequence, and a max-merge would pin the
+    // stale high hint forever — every subsequent append re-listing the
+    // whole directory until the counter climbed back. A racing writer
+    // moving the hint down is harmless: the hint is only a probe start
+    // and the existence check + collide-forward loop stay authoritative.
+    seqHint.put(root, seq)
     val tmp = Files.createTempFile(dir(root), s".c$seq", ".tmp")
     Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, claimed, StandardCopyOption.REPLACE_EXISTING,

@@ -225,6 +225,17 @@ class FileDocumentStoreFactory(root: String) extends DocumentStoreFactory {
     Files.exists(Paths.get(root, collection,
       FileDocumentStoreFactory.encodeId(id) + ".json"))
 
+  /** Doc COUNT from raw filenames — no decode, no body reads. The
+    * cheapest possible size probe (the DSv2 planner uses it to decide
+    * whether intra-collection splitting pays before doing the real
+    * listing — review round-16: an unconditional readIds per collection
+    * percent-decoded every filename of every small collection on the
+    * driver just to discard the result). */
+  def docCount(collection: String): Int =
+    Option(new File(root, collection).list())
+      .map(_.count(n => n.endsWith(".json") && !n.startsWith(".")))
+      .getOrElse(0)
+
   /** Doc ids only, from FILENAMES — no file body is opened or parsed.
     * The DSv2 reader takes this path when the pruned schema needs no
     * field values (review round-16: `SELECT doc_id` previously read and

@@ -69,9 +69,10 @@ class DocStoreTable(root: String, maxBatchSize: Int = 500)
       Option(options.get("maxEntriesPerTrigger")).map(_.toLong),
       Option(options.get("staleClaimMs")).map(_.toLong),
       Option(options.get("maxDocsPerPartition")).map { v =>
-        require(v.matches("[0-9]+") && v.toInt > 0,
+        val n = v.toIntOption // not a regex — "3000000000" must fail HERE
+        require(n.exists(_ > 0),
           s"maxDocsPerPartition must be a positive integer, got '$v'")
-        v.toInt
+        n.get
       }.getOrElse(DocStoreScanBuilder.DefaultMaxDocsPerPartition))
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     val in = info.schema()
@@ -109,19 +110,26 @@ case class DocStoreWriterFactory(root: String, maxBatchSize: Int,
       private val store = new FileDocumentStoreFactory(root).open()
       private val buf =
         scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
-      // flush ordinal within this partition: with a deterministic input
-      // (a Spark task retry re-reads the same rows in the same order)
-      // the (queryId, partitionId, flushSeq, collection) key is stable
-      // across attempts — NOT taskId, which changes per attempt — so the
-      // store can suppress duplicate change-feed entries from retries
-      // and speculative duplicates (commitBatchKeyed)
+      // flush ordinal within this partition: keyed by (queryId,
+      // partitionId, flushSeq, collection, contentHash) — NOT taskId,
+      // which changes per attempt — so the store suppresses duplicate
+      // change-feed entries from retries and speculative duplicates
+      // (commitBatchKeyed). The CONTENT term handles the retry whose
+      // re-fetched input iterates in a different order: its flush f0
+      // holds different docs than the published f0 and must still
+      // reach the feed (at-least-once, never loss) rather than being
+      // suppressed by the ordinal marker alone — same contract as
+      // DocSink.writeBatched.
       private var flushSeq = 0
 
       private def flush(): Unit = if (buf.nonEmpty) {
         buf.groupBy(_._1).toSeq.sortBy(_._1).foreach { case (collection, rows) =>
+          val docs = rows.toSeq.map { case (_, id, n) =>
+            id -> Map("count" -> n) }
           store.commitBatchKeyed(
-            s"$queryId/p$partitionId/f$flushSeq/$collection", collection,
-            rows.toSeq.map { case (_, id, n) => id -> Map("count" -> n) })
+            s"$queryId/p$partitionId/f$flushSeq/$collection" +
+              s"/c${graft.sink.DocSink.contentKey(docs)}",
+            collection, docs)
         }
         flushSeq += 1
         buf.clear()
@@ -206,18 +214,24 @@ class DocStoreScanBuilder(root: String,
   private var required: StructType = DocStoreDataSource.schema
   private var accepted: Array[Filter] = Array.empty
 
+  /** The one accept predicate BOTH pushdown surfaces share (planned
+    * pushFilters and runtime filter() must never drift apart — a shape
+    * one accepts and the other drops would make planning-time and
+    * runtime pruning disagree). collection prunes directories; doc_id
+    * prunes are exact too: the store's layout makes a doc id a
+    * FILENAME, so an equality/IN predicate becomes a direct file probe
+    * (readDoc/docExists) — a point lookup costs O(requested ids),
+    * never O(collection listing). */
+  private def accepts(f: Filter): Boolean = f match {
+    case EqualTo("collection", _: String) => true
+    case In("collection", vs) if vs.forall(_.isInstanceOf[String]) => true
+    case EqualTo("doc_id", _: String) => true
+    case In("doc_id", vs) if vs.forall(_.isInstanceOf[String]) => true
+    case _ => false
+  }
+
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    val (ours, rest) = filters.partition {
-      case EqualTo("collection", _: String) => true
-      case In("collection", vs) if vs.forall(_.isInstanceOf[String]) => true
-      // doc_id prunes are exact too: the store's layout makes a doc id
-      // a FILENAME, so an equality/IN predicate becomes a direct file
-      // probe (readDoc/docExists) — a point lookup costs O(requested
-      // ids), never O(collection listing)
-      case EqualTo("doc_id", _: String) => true
-      case In("doc_id", vs) if vs.forall(_.isInstanceOf[String]) => true
-      case _ => false
-    }
+    val (ours, rest) = filters.partition(accepts)
     accepted = ours
     rest // accepted filters are exact prunes — nothing residual
   }
@@ -262,16 +276,8 @@ class DocStoreScanBuilder(root: String,
       org.apache.spark.sql.connector.expressions.Expressions
         .column("doc_id"))
 
-  override def filter(filters: Array[Filter]): Unit = {
-    val ours = filters.filter {
-      case EqualTo("collection", _: String) => true
-      case In("collection", vs) if vs.forall(_.isInstanceOf[String]) => true
-      case EqualTo("doc_id", _: String) => true
-      case In("doc_id", vs) if vs.forall(_.isInstanceOf[String]) => true
-      case _ => false
-    }
-    accepted = accepted ++ ours
-  }
+  override def filter(filters: Array[Filter]): Unit =
+    accepted = accepted ++ filters.filter(accepts)
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
@@ -293,11 +299,14 @@ class DocStoreScanBuilder(root: String,
     val store = new FileDocumentStoreFactory(root)
     all.filter(allowed).flatMap { c =>
       // ids to read in this collection: the pushed doc_id set if any,
-      // else — only when the collection is big enough that slicing
-      // pays — a driver-side filename listing (never bodies)
+      // else — only when a cheap raw-filename COUNT says the collection
+      // is big enough that slicing pays — a driver-side id listing
+      // (filenames only, never bodies). Small collections skip the
+      // decode entirely and keep executor-side listing.
       val ids: Option[Seq[String]] = docs.orElse {
-        val listed = store.readIds(c)
-        if (listed.size > maxDocsPerPartition) Some(listed.sorted) else None
+        if (store.docCount(c) > maxDocsPerPartition)
+          Some(store.readIds(c).sorted)
+        else None
       }
       ids match {
         case Some(s) if s.size > maxDocsPerPartition =>

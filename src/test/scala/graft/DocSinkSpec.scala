@@ -159,6 +159,28 @@ class DocSinkSpec extends SparkSpec {
       Map("a" -> Map("count" -> 5L), "b" -> Map("count" -> 6L)))
   }
 
+  test("naive sink: reordered retry under the same job key loses no feed entries") {
+    // per-element keys carry the same content term as batched flushes: a
+    // retry whose re-fetched partition iterates in a different order has
+    // DIFFERENT docs at each ordinal — they must publish, not be
+    // suppressed by the prior attempt's ordinal markers
+    val dir = Files.createTempDirectory("graft-naive-retry").toString
+    val f = new FileDocumentStoreFactory(dir)
+    val a = Seq(("x", 1L), ("y", 2L)).toDF("docId", "value").coalesce(1)
+    DocSink.writeNaive(a, f, "c", jobKey = Some("nj"))
+    val n1 = feedEntries(dir).size
+    DocSink.writeNaive(a, f, "c", jobKey = Some("nj")) // identical replay
+    assert(feedEntries(dir).size == n1, "identical naive replay must be suppressed")
+    // reordered "retry": same key, same docs, reversed order — ordinal
+    // e0 now holds y; its feed entry must not be lost
+    val rev = Seq(("y", 2L), ("x", 1L)).toDF("docId", "value").coalesce(1)
+    DocSink.writeNaive(rev, f, "c", jobKey = Some("nj"))
+    val last = graft.sink.DocStoreChangelog.latestComplete(dir)
+    val fed = graft.sink.DocStoreChangelog.entries(dir, -1L, last)
+      .map { case (_, id, n) => id -> n }.toSet
+    assert(fed == Set("x" -> 1L, "y" -> 2L), s"feed lost entries: $fed")
+  }
+
   test("feed value rule: count, else the lone field, else 0 — feed, DSv2 and store agree on a non-default fieldName") {
     import graft.sink.DocStoreChangelog.feedValue
     assert(feedValue(Map("count" -> 3L, "x" -> 9L)) == 3L)
@@ -196,9 +218,16 @@ class DocSinkSpec extends SparkSpec {
     val d = new java.io.File(dir, cl.DirName)
     d.listFiles().foreach(_.delete()); d.delete()
     s.commitBatch("c", Seq("post" -> Map("count" -> 99L)))
+    // the hint must RESET to the freshly claimed low sequence (a
+    // max-merge would pin the stale high hint and re-list the whole
+    // directory on every append until the counter climbed back) —
+    // observable as dense fresh numbering continuing from 0
+    s.commitBatch("c", Seq("post2" -> Map("count" -> 1L)))
+    s.commitBatch("c", Seq("post3" -> Map("count" -> 2L)))
     s.close()
-    assert(cl.latestComplete(dir) == 0L)
-    assert(cl.entries(dir, -1L, 0L).map(_._2) == Seq("post"))
+    assert(cl.latestComplete(dir) == 2L)
+    assert(cl.entries(dir, -1L, 2L).map(_._2) ==
+      Seq("post", "post2", "post3"))
   }
 
   test("in-memory store: racing batch commits never interleave (batch atomicity)") {

@@ -131,6 +131,14 @@ class DocStoreSourceSpec extends SparkSpec {
         .option("path", root).option("maxDocsPerPartition", "-3").load()
         .collect()
     }
+    // all-digits but overflowing Int must hit the same loud message,
+    // not a raw NumberFormatException from deep in planning
+    val e = intercept[IllegalArgumentException] {
+      spark.read.format("graft.sources.DocStoreDataSource")
+        .option("path", root).option("maxDocsPerPartition", "3000000000")
+        .load().collect()
+    }
+    assert(e.getMessage.contains("positive integer"), e.getMessage)
   }
 
   test("DSv2 runtime filtering: join-time collection/doc_id filters narrow the scan like pushdown") {
@@ -490,6 +498,22 @@ class DocStoreSourceSpec extends SparkSpec {
     assert(last == 1L, s"expected 2 feed entries (2 flushes), got ${last + 1}")
     assert(DocStoreChangelog.entries(root, -1, last) ==
       Seq(("wc", "a", 1L), ("wc", "b", 2L), ("wc", "c", 3L)))
+    // a REORDERED retry (nondeterministic re-fetched input): flush f0
+    // now holds {c,b}, not the published {a,b} — the content term must
+    // let it through (at-least-once, never loss), not suppress it by
+    // ordinal. Every doc's feed entry must exist afterwards.
+    val w = f.createWriter(0, 9)
+    for ((id, n) <- Seq(("c", 3L), ("b", 2L), ("a", 1L)))
+      w.write(org.apache.spark.sql.catalyst.InternalRow(
+        org.apache.spark.unsafe.types.UTF8String.fromString("wc"),
+        org.apache.spark.unsafe.types.UTF8String.fromString(id), n))
+    w.commit(); w.close()
+    val last2 = DocStoreChangelog.latestComplete(root)
+    assert(last2 > last, "reordered retry's differing flushes were " +
+      "suppressed — feed entries lost")
+    val fed = DocStoreChangelog.entries(root, -1, last2)
+      .map { case (_, id, n) => id -> n }.toSet
+    assert(fed == Set("a" -> 1L, "b" -> 2L, "c" -> 3L))
   }
 
   test("DSv2 source parallelizes by collection and supports SQL") {
