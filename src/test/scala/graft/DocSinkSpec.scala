@@ -230,6 +230,31 @@ class DocSinkSpec extends SparkSpec {
       Seq("post", "post2", "post3"))
   }
 
+  test("content key: order-insensitive, collision-free on adjacent shapes, content-sensitive") {
+    val ck = (docs: Seq[(String, Map[String, Long])]) =>
+      graft.sink.DocSink.contentKey(docs)
+    val a = Seq("x" -> Map("count" -> 1L), "y" -> Map("count" -> 2L))
+    // same doc set, any iteration order -> same key (retry-suppression
+    // must not depend on partition iteration order)
+    assert(ck(a) == ck(a.reverse))
+    // any content change -> different key (suppressing a DIFFERING
+    // retry is feed loss): id, value, field name each participate
+    assert(ck(a) != ck(Seq("x" -> Map("count" -> 1L), "z" -> Map("count" -> 2L))))
+    assert(ck(a) != ck(Seq("x" -> Map("count" -> 1L), "y" -> Map("count" -> 3L))))
+    assert(ck(a) != ck(Seq("x" -> Map("count" -> 1L), "y" -> Map("visits" -> 2L))))
+    // adjacent-boundary shapes must not collide: the encoding is
+    // length-prefixed, so id/field text cannot bleed across separators
+    assert(ck(Seq("ab" -> Map("c" -> 1L))) != ck(Seq("a" -> Map("bc" -> 1L))))
+    assert(ck(Seq("a:1" -> Map("b" -> 2L))) != ck(Seq("a" -> Map("1:b" -> 2L))))
+    // doc multiplicity matters; subsets differ
+    assert(ck(a) != ck(a.take(1)))
+    // multi-field docs: field order irrelevant, field set not
+    val m1 = Seq("d" -> Map("p" -> 1L, "q" -> 2L))
+    val m2 = Seq("d" -> Map("q" -> 2L, "p" -> 1L))
+    assert(ck(m1) == ck(m2))
+    assert(ck(m1) != ck(Seq("d" -> Map("p" -> 1L))))
+  }
+
   test("in-memory store: racing batch commits never interleave (batch atomicity)") {
     val name = "race"
     InMemoryDocumentStore.clear(name)
