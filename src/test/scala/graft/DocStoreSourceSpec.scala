@@ -101,6 +101,28 @@ class DocStoreSourceSpec extends SparkSpec {
       .select($"doc_id").as[String].collect().toSeq == Seq("d3"))
   }
 
+  test("DSv2 pushdown is plan-visible: consumed predicates leave no post-scan Filter") {
+    // the scan CONSUMES collection/doc_id equality (empty residual), so
+    // the physical plan must carry no FilterExec above it — if a future
+    // change made the prune partial, Spark would silently re-add the
+    // filter and the O(requested ids) claim would quietly stop holding
+    val root = Files.createTempDirectory("graft-planshape").toString
+    val store = new FileDocumentStoreFactory(root).open()
+    store.commitBatch("c", Seq("d1" -> Map("count" -> 1L)))
+    store.close()
+    val df = spark.read.format("graft.sources.DocStoreDataSource")
+      .option("path", root).load()
+    def hasPostScanFilter(q: org.apache.spark.sql.DataFrame): Boolean =
+      q.queryExecution.executedPlan.exists(
+        _.isInstanceOf[org.apache.spark.sql.execution.FilterExec])
+    assert(!hasPostScanFilter(
+      df.filter($"collection" === "c" && $"doc_id" === "d1")),
+      "consumed pushdown predicates re-appeared as a FilterExec")
+    // a predicate the scan can NOT consume (count) must stay a Filter
+    assert(hasPostScanFilter(df.filter($"count" > 0)),
+      "residual predicate lost — correctness would depend on the scan")
+  }
+
   test("DSv2 intra-collection split: a big collection fans out across id-slice partitions") {
     val root = Files.createTempDirectory("graft-split").toString
     val store = new FileDocumentStoreFactory(root).open()
