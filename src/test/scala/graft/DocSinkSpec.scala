@@ -255,6 +255,34 @@ class DocSinkSpec extends SparkSpec {
     assert(ck(m1) != ck(Seq("d" -> Map("p" -> 1L))))
   }
 
+  test("change feed: concurrent writers claim dense sequences, no entry lost or torn") {
+    // the multi-writer protocol's core claim: create-exclusive claims
+    // collide FORWARD, so N racing appenders produce exactly N dense
+    // fully-written entries — no overwrites, no holes, no torn bodies
+    val dir = Files.createTempDirectory("graft-mw").toString
+    val cl = graft.sink.DocStoreChangelog
+    val writers = 8
+    val perWriter = 25
+    val threads = (0 until writers).map { w =>
+      new Thread(() => {
+        val s = new FileDocumentStoreFactory(dir).open()
+        try (0 until perWriter).foreach { i =>
+          s.commitBatch("c", Seq(s"w$w-e$i" -> Map("count" -> i.toLong)))
+        } finally s.close()
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    val last = cl.latestComplete(dir)
+    assert(last == writers * perWriter - 1L,
+      s"expected ${writers * perWriter} dense entries, got ${last + 1}")
+    val fed = cl.entries(dir, -1L, last).map(_._2)
+    assert(fed.size == writers * perWriter)
+    assert(fed.toSet.size == fed.size, "duplicate feed entries")
+    assert(fed.toSet ==
+      (for (w <- 0 until writers; i <- 0 until perWriter)
+        yield s"w$w-e$i").toSet)
+  }
+
   test("in-memory store: racing batch commits never interleave (batch atomicity)") {
     val name = "race"
     InMemoryDocumentStore.clear(name)
