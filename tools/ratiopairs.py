@@ -22,6 +22,13 @@ import time
 
 
 def run_bench(sf_dir, names, out):
+    # a bench that dies before writing must read as "no artifact", not
+    # as the PREVIOUS run's numbers (same stale-artifact hole quietrun
+    # closed in round 15)
+    try:
+        os.unlink(out)
+    except OSError:
+        pass
     env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir,
                SPARK_GRAFT_ONLY=",".join(names),
                SPARK_GRAFT_BENCH_OUT=out)
@@ -68,6 +75,15 @@ def main():
                     "lf1": (t1 or {}).get("load_factor"),
                     "steal01": (t01 or {}).get("steal_pct"),
                     "steal1": (t1 or {}).get("steal_pct"),
+                    # each half's own bandwidth brackets (and the calm
+                    # wait's verdict when armed) — a SCALE.md pair entry
+                    # needs BOTH halves' <=40ms provenance on its face
+                    "bw01": [(t01 or {}).get("calib_bw_start"),
+                             (t01 or {}).get("calib_bw_end")],
+                    "bw1": [(t1 or {}).get("calib_bw_start"),
+                            (t1 or {}).get("calib_bw_end")],
+                    "wait01": (t01 or {}).get("calm_wait"),
+                    "wait1": (t1 or {}).get("calm_wait"),
                 }
                 log.write(json.dumps(rec) + "\n")
                 log.flush()
