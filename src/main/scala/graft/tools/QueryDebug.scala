@@ -12,11 +12,37 @@ import org.apache.spark.sql.SparkSession
 object QueryDebug {
   def main(args: Array[String]): Unit = args(0) match {
     case "explain" => explain(args.drop(1))
+    case "explainf" => explainf(args.drop(1))
     case "time"    => time(args.drop(1))
     case "audit"   => audit(args.drop(1))
     case "dump"    => dump(args.drop(1))
     case other =>
-      sys.error(s"unknown mode '$other' (expected explain|time|audit|dump)")
+      sys.error(s"unknown mode '$other' (expected explain|explainf|time|audit|dump)")
+  }
+
+  /** explainf <names,comma-sep> <outDir> <suffix> [sfDir]: writes each
+    * query's `.explain("formatted")` output to <outDir>/<name>_<suffix>.txt
+    * — the plans/r16 optimization-evidence artifact. */
+  private def explainf(args: Array[String]): Unit = {
+    val names = args(0).split(",")
+    val outDir = args(1)
+    val suffix = args(2)
+    val sfDir = if (args.length > 3) args(3) else "/root/testdata/sf0.01"
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", 8)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
+    for (n <- names) {
+      val df = graft.SparkEntry.queries(n)(spark, sfDir)
+      val txt = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(outDir, s"${n}_$suffix.txt"), txt)
+      println(s"wrote $outDir/${n}_$suffix.txt (${txt.length} chars)")
+    }
+    spark.stop()
   }
 
   /** dump <sfDir> <names,comma-sep> <outDir>: Verify's per-query parquet
