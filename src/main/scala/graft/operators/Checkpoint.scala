@@ -43,10 +43,35 @@ object Checkpoint {
   def lazily(df: DataFrame): DataFrame =
     if (inlineForAudit) df else df.localCheckpoint(eager = false)
 
+  /** Checkpoint an index/build table KEYED for its consumers: shuffle to
+    * `HashPartitioning(keys, spark.sql.shuffle.partitions)` with a pinned
+    * partition count (REPARTITION_BY_NUM, so AQE cannot coalesce it and
+    * the claimed layout is physically exact), materialize, then re-stamp
+    * the LogicalRDD with that partitioning (see
+    * `GraftBridge.stampHashPartitioning` — `localCheckpoint` alone
+    * reports UnknownPartitioning under AQE). Consumers that join, group
+    * or window on a prefix of `keys` then plan WITHOUT their own
+    * exchange: the one build shuffle replaces every per-consumer
+    * re-shuffle of the same materialized rows (round-16 optimization;
+    * partition count stays scale-adaptive via spark.sql.shuffle.
+    * partitions rather than a constant). Audit mode keeps lineage and
+    * the build exchange visible, like `apply`. */
+  def partitionedBy(df: DataFrame, keys: Seq[String]): DataFrame = {
+    val cols = keys.map(df.col)
+    if (inlineForAudit) df.repartition(cols: _*)
+    else {
+      val n = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+      GraftBridge.stampHashPartitioning(
+        df.repartition(n, cols: _*).localCheckpoint(), n, keys: _*)
+    }
+  }
+
   /** Postfix form so call sites keep the `.localCheckpoint()` shape. */
   implicit class CheckpointOps(private val df: DataFrame) extends AnyVal {
     def buildCheckpoint(): DataFrame = Checkpoint(df)
     def lazyCheckpoint(): DataFrame = Checkpoint.lazily(df)
+    def buildCheckpointBy(keys: String*): DataFrame =
+      Checkpoint.partitionedBy(df, keys)
   }
 
   /** Poison a column of an audit-only plan: planning and plan-walking

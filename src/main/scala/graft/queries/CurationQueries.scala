@@ -115,8 +115,7 @@ object CurationQueries {
       val sh = Tables.documents(s, d)
         .select(col("doc_id"), col("source"),
           explode(shingles(col("text"), 3)).as("s"))
-        .repartition(col("doc_id"))
-        .buildCheckpoint()
+        .buildCheckpointBy("doc_id")
       val benchSh = sh.filter(col("source") === "src0")
         .select(col("doc_id").as("bench_id"), col("s"))
       val corpusSh = sh.filter(col("source") =!= "src0")
@@ -275,8 +274,7 @@ object CurationQueries {
       val docs = Tables.documents(s, d)
         .withColumn("w", tokens(col("text")))
         .select("doc_id", "w")
-        .repartition(col("doc_id"))
-        .buildCheckpoint() // referenced by toks, grams, and the final join
+        .buildCheckpointBy("doc_id") // referenced by toks, grams, and the final join
       // corpus-relative threshold: one count() action on the checkpointed
       // rows (same bounded-model-state pattern as the Bloom/IVF builds)
       val k = math.max(5L, math.ceil(0.004 * docs.count()).toLong)
@@ -363,8 +361,7 @@ object CurationQueries {
         .select(col("doc_id"), explode(shingles(col("text"), 3)).as("s"))
         .join(canonIds, Seq("doc_id"), "left_semi")
         // index-build exchange (see DedupQueries.exactJaccardPairs)
-        .repartition(col("doc_id"))
-        .buildCheckpoint() // sizes + both self-join sides (see DedupQueries)
+        .buildCheckpointBy("doc_id") // sizes + both self-join sides (see DedupQueries)
       val pairs = DedupQueries.exactJaccardOn(canonSh)
         .filter(col("jaccard") >= 0.8)
         .select("doc_a", "doc_b")
@@ -644,7 +641,11 @@ object CurationQueries {
           lit(false).as("sem_dup"), lit(false).as("proto_kept"),
           lit(false).as("survives")).limit(0)
       else {
+        // one row per vector; referenced twice (survivor filter + final
+        // verdict join) — the lazy checkpoint stops the second reference
+        // re-running the whole SemDeDup subtree (r16 opt)
         val sem = DedupQueries.queries("dedup_semantic")(s, d)
+          .lazyCheckpoint()
         val surv = sem.filter(!col("is_dup"))
           .select(col("vec_id"), col("cell"))
         val cdf = centroids.zipWithIndex.map { case (c, i) => (i, c) }

@@ -67,7 +67,11 @@ object DedupQueries {
     * unknown corpus. */
   private[graft] def exactJaccardOn(
       sh: DataFrame, pruneSingletons: Boolean = false): DataFrame = {
+    // doc-count table: ~|docs| rows, referenced TWICE by the verify tail
+    // (na and nb joins) — lazy checkpoint so the second reference reads
+    // the materialized rows instead of re-scanning the index (r16 opt)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      .lazyCheckpoint()
     val joinSide =
       if (pruneSingletons) {
         val df2 = sh.groupBy("s").agg(count(lit(1)).as("df"))
@@ -126,7 +130,7 @@ object DedupQueries {
     * the one-time build cost of a reusable artifact, not a per-query
     * wide-payload shuffle. */
   private[graft] def exactJaccardPairs(s: SparkSession, d: String): DataFrame = {
-    val sh = shingleIndex(s, d).repartition(col("doc_id")).buildCheckpoint()
+    val sh = shingleIndex(s, d).buildCheckpointBy("doc_id")
     exactJaccardOn(sh, pruneSingletons = singletonPruningPaysOff(sh))
   }
 
@@ -162,7 +166,7 @@ object DedupQueries {
     // the per-doc rank/size window below runs over the FULL index on
     // doc_id, so the checkpoint's partitioning lets it plan
     // exchange-free instead of re-shuffling every (doc_id, s, df) row
-    val sh = shingleIndex(s, d).repartition(col("doc_id")).buildCheckpoint()
+    val sh = shingleIndex(s, d).buildCheckpointBy("doc_id")
     // df via hash aggregate (sort-free) broadcast back; per-doc rank and
     // size share ONE window shuffle on doc_id
     val dfreq = sh.groupBy("s").agg(count(lit(1)).as("df"))
@@ -176,7 +180,11 @@ object DedupQueries {
       // which would shorten the prefix by one and break the exactness proof
       .filter(col("rk") <= col("n") - ceil(col("n") * t - lit(1e-9)) + 1)
       .select("doc_id", "s")
-      .buildCheckpoint() // both sides of the candidate self-join
+      // partition the prefix index by the JOIN key before materializing:
+      // the checkpoint's s-partitioning is preserved, so the candidate
+      // self-join below plans with ZERO exchanges (one build-time
+      // exchange replaces two join-time ones — r16 opt)
+      .buildCheckpointBy("s") // both sides of the candidate self-join
     val cand = prefixed.toDF("doc_a", "s")
       .join(prefixed.toDF("doc_b", "s"), "s")
       .filter(col("doc_a") < col("doc_b"))
@@ -185,9 +193,14 @@ object DedupQueries {
       .buildCheckpoint() // candDocs + the verification join
     val candDocs = cand.select(col("doc_a").as("doc_id"))
       .union(cand.select(col("doc_b").as("doc_id"))).distinct()
+    // candidate-doc index: previously re-derived (scan sh + broadcast
+    // semi) THREE times — both verify self-join sides and the sizes
+    // aggregate. Materialize once, keyed by the verify join's key so
+    // its self-join is exchange-free too (r16 opt)
     val candSh = sh
       .join(broadcast(candDocs), Seq("doc_id"), "left_semi")
       .select("doc_id", "s")
+      .buildCheckpointBy("s")
     cand.join(exactJaccardOn(candSh), Seq("doc_a", "doc_b"))
       .filter(col("jaccard") >= t)
       .select(col("doc_a"), col("doc_b"),
@@ -292,12 +305,15 @@ object DedupQueries {
   }
 
   private[graft] def connectedComponents(pairs: DataFrame): DataFrame = {
+    // both checkpoints carry their hash partitioning (r16 opt): edges by
+    // dst and labels by id make the per-round neighbor join co-partitioned
+    // — the edge table is shuffled ONCE at build instead of once per round
     val edges = pairs.toDF("src", "dst")
       .unionAll(pairs.toDF("dst", "src").select("src", "dst"))
-      .buildCheckpoint()
+      .buildCheckpointBy("dst")
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
-      .buildCheckpoint()
+      .buildCheckpointBy("id")
     // One round: label ← min(label, neighbors' labels, label[label]).
     // The final left join follows the candidate label one hop through
     // the PREVIOUS round's label table (pointer jumping); every label
@@ -338,7 +354,7 @@ object DedupQueries {
           .as("label"))
     var changed = 1L
     while (changed > 0) {
-      val next = round(labels).buildCheckpoint()
+      val next = round(labels).buildCheckpointBy("id")
       changed = next.filter(col("label") =!= col("old_label")).count()
       labels = next.select("id", "label")
     }
@@ -443,8 +459,10 @@ object DedupQueries {
     // the PPJoin prefix rule applies unchanged (containment ≥ t bounds
     // the intersection by ⌈t·|contained|⌉, same pigeonhole).
     "dedup_containment" -> ((s, d) => {
-      val sh = shingleIndex(s, d).repartition(col("doc_id")).buildCheckpoint()
+      val sh = shingleIndex(s, d).buildCheckpointBy("doc_id")
+      // read twice by the verify tail — lazy checkpoint (r16 opt)
       val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+        .lazyCheckpoint()
       // the jaccard family's adaptive df≥2 pruning applies verbatim:
       // a df=1 shingle joins with nothing, and sizes always count the
       // FULL sets — exactness preserved, measured 2× at sf1 where the
@@ -482,9 +500,14 @@ object DedupQueries {
     // Vocab broadcast matches prefixJaccardPairs; at 100 TB both become
     // a persisted df-annotated index.
     "dedup_containment_prefix" -> ((s, d) => {
-      val sh = shingleIndex(s, d).repartition(col("doc_id")).buildCheckpoint()
+      val sh = shingleIndex(s, d).buildCheckpointBy("doc_id")
+      // sizes: ~|docs| rows, read twice by the verify tail; dfreq:
+      // vocab-sized, read twice (prefix broadcast + the df≥2 filter) —
+      // lazy checkpoints so neither re-aggregates the index (r16 opt)
       val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+        .lazyCheckpoint()
       val dfreq = sh.groupBy("s").agg(count(lit(1)).as("df"))
+        .lazyCheckpoint()
       val wDoc = Window.partitionBy("doc_id")
       // rank over the FULL set (positions in the pigeonhole argument are
       // full-set positions; n from the same window), then drop df=1 —
@@ -498,8 +521,11 @@ object DedupQueries {
         .filter(col("df") >= 2)
         .select("doc_id", "s")
       val df2 = dfreq.filter(col("df") >= 2).select("s")
+      // keyed by the join key at materialization: the candidate probe's
+      // full side arrives pre-partitioned and the verification
+      // self-join plans exchange-free (r16 opt)
       val full = sh.join(df2, Seq("s"), "left_semi").select("doc_id", "s")
-        .buildCheckpoint() // candidate probe + verification both read it
+        .buildCheckpointBy("s") // candidate probe + verification both read it
       val cand = prefixed.toDF("doc_a", "s")
         .join(full.toDF("doc_b", "s"), "s")
         .filter(col("doc_a") =!= col("doc_b"))
@@ -511,6 +537,7 @@ object DedupQueries {
       val candSh = full
         .join(broadcast(candDocs), Seq("doc_id"), "left_semi")
         .select("doc_id", "s")
+        .buildCheckpoint() // both verification self-join sides (r16 opt)
       val inter = candSh.toDF("doc_a", "s")
         .join(candSh.toDF("doc_b", "s"), "s")
         .filter(col("doc_a") < col("doc_b"))
@@ -695,8 +722,7 @@ object DedupQueries {
       // one materialization of the index for banding + verification
       // (see prefixJaccardPairs for why localCheckpoint, not cache;
       // see exactJaccardPairs for the index-build repartition)
-      val sh = shingleIndex(s, d).repartition(col("doc_id"))
-        .buildCheckpoint()
+      val sh = shingleIndex(s, d).buildCheckpointBy("doc_id")
       val banded = sh
         .select(col("doc_id"), xxhash64(col("s")).as("h"))
         .groupBy("doc_id").agg(minhash64(col("h")).as("sig"))
@@ -767,8 +793,7 @@ object DedupQueries {
           explode(shingles(col("text"), 3)).as("s"))
         // index-build exchange: consumers run at the checkpoint's
         // partition count (see exactJaccardPairs)
-        .repartition(col("doc_id"))
-        .buildCheckpoint() // sizes + both sides of the pair join
+        .buildCheckpointBy("doc_id") // sizes + both sides of the pair join
       val sizes = idx.groupBy("doc_id").agg(count(lit(1)).as("n"))
       val a = idx.toDF("doc_a", "a_base", "s")
       val b = idx.toDF("doc_b", "b_base", "s")

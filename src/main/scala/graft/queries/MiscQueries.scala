@@ -86,12 +86,19 @@ object MiscQueries {
         .distinct()
       val bi = eo.unionAll(
         eo.select(col("dst").as("src"), col("src").as("dst")))
-        .buildCheckpoint() // 3 iterations + degree all re-scan the edges
+        // keyed by src with the partitioning stamped (r16 opt): the
+        // degree aggregate and every iteration's rank/deg joins are then
+        // co-partitioned — the edge table shuffles ONCE at build instead
+        // of once per iteration
+        .buildCheckpointBy("src") // 3 iterations + degree all re-scan the edges
       // deg deliberately NOT fused into the checkpointed edge table: an
       // sf0.1 A/B (one join per iteration vs two) showed no gain beyond
       // box noise — the deg build side is tiny either way, and fusing
       // widens every checkpointed row by a column.
+      // lazy checkpoint (r16 opt): deg is consumed by nn's count and by
+      // every iteration — materialize the ~|nodes| rows once
       val deg = bi.groupBy("src").agg(count(lit(1)).as("deg"))
+        .lazyCheckpoint()
       val nn = deg.count() // bounded driver state: one scalar
       var ranks = deg.select(col("src").as("node"),
         lit(1.0 / nn).as("r"))
@@ -257,12 +264,28 @@ object MiscQueries {
     // query is meaningful at every SF and the threshold never needs
     // retuning.
     //
-    // 100 TB shape: the basket table is checkpointed once (narrow:
-    // oid, item) and every self-join shuffles on oid — co-partitioned
-    // after the first. L1/L2 are VOCABULARY-sized (≤ brands, ≤ brand
-    // pairs) so every prune join broadcasts; per-basket fan-out is
-    // bounded by the Apriori guarantee that candidates shrink level
-    // over level. No driver-side loop: three fixed levels, one DAG.
+    // 100 TB shape (reworked in the round-16 optimization pass): ONE
+    // basket-array table replaces the oid self-joins. The old ladder
+    // shuffled the (oid, item) table by oid on BOTH sides of the pair
+    // join, again for the extension join, and re-evaluated the p2/l2
+    // subtrees inside every downstream broadcast build (29 exchanges,
+    // 6 sort-merge joins of the same 550k-row table at sf0.1). Now the
+    // L1-filtered basket is aggregated once into a sorted item ARRAY
+    // (one oid exchange, the only basket-volume shuffle after the
+    // distinct); pairs explode LOCALLY from the array (identical rows
+    // to the a.item < c.item self-join, zero exchanges — and the l2
+    // count then partial-aggregates map-side to vocabulary size before
+    // its shuffle); the L3 extension joins frequent-pair occurrences
+    // back to the SAME checkpointed array table, co-partitioned on oid
+    // (checkpoint partitioning is preserved, so no new exchange), and
+    // explodes the z > y tail of the array — exactly the e.item > f.y
+    // rows of the old extension join. L1/L2/nb are vocabulary-sized
+    // (≤ brands, ≤ brand pairs, 1 row) and lazy-checkpointed so the
+    // four prune-broadcast builds evaluate them once instead of
+    // re-running the whole ladder per build. Candidates still extend
+    // frequent pair OCCURRENCES only (the Apriori guarantee); the full
+    // all-2-subsets prune is unchanged. Per-basket fan-out is the same
+    // ΣC(k,2) the join produced — computed where the data sits.
     "q79_apriori" -> ((s, d) => {
       val b = Tables.lineitem(s, d)
         .join(broadcast(Tables.part(s, d)
@@ -271,26 +294,32 @@ object MiscQueries {
         .select(col("l_orderkey").as("oid"), col("p_brand").as("item"))
         .distinct()
         .buildCheckpoint()
-      val nb = b.agg(countDistinct(col("oid")).as("nb"))
+      val nb = b.agg(countDistinct(col("oid")).as("nb")).lazyCheckpoint()
       def freq(df: DataFrame, keys: Seq[String]): DataFrame =
         df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("sup"))
           .crossJoin(broadcast(nb))
           .filter(col("sup") * 10000L >= lit(10L) * col("nb"))
           .select(keys.map(col) :+ col("sup"): _*)
-      val l1 = freq(b, Seq("item"))
-      val bf = b.join(broadcast(l1.select("item")), Seq("item"),
-        "left_semi").buildCheckpoint()
-      val p2 = bf.as("a").join(bf.as("c"),
-        col("a.oid") === col("c.oid") && col("a.item") < col("c.item"))
-        .select(col("a.oid").as("oid"), col("a.item").as("x"),
-          col("c.item").as("y"))
-      val l2 = freq(p2, Seq("x", "y"))
+      val l1 = freq(b, Seq("item")).lazyCheckpoint()
+      // one row per basket: the sorted L1-surviving item set (items are
+      // distinct within a basket by the distinct() above, so i < j in
+      // the sorted array IS the item_i < item_j pair orientation)
+      val baskets = b.join(broadcast(l1.select("item")), Seq("item"),
+        "left_semi")
+        .groupBy("oid").agg(sort_array(collect_list(col("item"))).as("its"))
+        .buildCheckpointBy("oid") // the L3 extension joins back on oid
+      val p2 = baskets.select(col("oid"), explode(flatten(
+        transform(col("its"), (x, i) => transform(
+          slice(col("its"), i + lit(2),
+            greatest(size(col("its")) - i - 1, lit(0))),
+          y => struct(x.as("x"), y.as("y")))))).as("p"))
+        .select(col("oid"), col("p.x").as("x"), col("p.y").as("y"))
+      val l2 = freq(p2, Seq("x", "y")).lazyCheckpoint()
       val fp2 = p2.join(broadcast(l2.select("x", "y")), Seq("x", "y"),
         "left_semi")
-      val tri = fp2.as("f").join(bf.as("e"),
-        col("f.oid") === col("e.oid") && col("e.item") > col("f.y"))
-        .select(col("f.oid").as("oid"), col("f.x").as("x"),
-          col("f.y").as("y"), col("e.item").as("z"))
+      val tri = fp2.join(baskets, Seq("oid"))
+        .select(col("oid"), col("x"), col("y"),
+          explode(filter(col("its"), z => z > col("y"))).as("z"))
         .join(broadcast(l2.select(col("x"), col("y").as("z"))),
           Seq("x", "z"), "left_semi")
         .join(broadcast(l2.select(col("x").as("y"), col("y").as("z"))),
@@ -402,17 +431,26 @@ object MiscQueries {
     // the only order-key shuffle; it is checkpointed once and re-read
     // by the degree pass, the orientation pass, and the closing join.
     "graph_triangles" -> ((s, d) => {
+      // keyed+stamped checkpoint (r16 opt): the co-purchase self-join was
+      // previously UNCHECKPOINTED — both sides re-ran the lineitem⋈part
+      // scan — and exchanged both sides on ok; now it materializes once,
+      // co-partitioned
       val li = Tables.lineitem(s, d)
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
         .join(Tables.part(s, d).filter(col("p_size") <= 5)
           .select(col("p_partkey")), col("pk") === col("p_partkey"))
         .select("ok", "pk").distinct()
+        .buildCheckpointBy("ok")
       val e = li.as("a").join(li.as("b"),
           expr("a.ok = b.ok AND a.pk < b.pk"))
         .select(col("a.pk").as("pu"), col("b.pk").as("pv")).distinct()
         .buildCheckpoint() // scanned by degree, orientation, and close
+      // vocabulary-sized (≤ |parts|); read by the two orientation joins,
+      // the wedge-degree join, and each previously re-aggregated the
+      // edge table — lazy checkpoint materializes it once (r16 opt)
       val deg = e.select(explode(array(col("pu"), col("pv"))).as("n"))
         .groupBy("n").agg(count(lit(1)).as("deg"))
+        .lazyCheckpoint()
       val ed = e
         .join(deg.withColumnRenamed("n", "pu").withColumnRenamed("deg", "du"),
           "pu")
@@ -422,8 +460,13 @@ object MiscQueries {
         (col("du") === col("dv") && col("pu") < col("pv"))
       val o = ed.select(when(fwd, col("pu")).otherwise(col("pv")).as("s"),
         when(fwd, col("pv")).otherwise(col("pu")).as("t"))
+        .buildCheckpoint() // read by the wedge build and the close join
+      // wedge input, keyed by the wedge-join key and stamped: the x/y
+      // self-join below plans exchange-free, and o2 materializes once
+      // instead of once per side (r16 opt)
       val o2 = o.join(
         deg.withColumnRenamed("n", "t").withColumnRenamed("deg", "dt"), "t")
+        .buildCheckpointBy("s")
       val w = o2.as("x").join(o2.as("y"),
           expr("x.s = y.s AND (x.dt < y.dt OR (x.dt = y.dt AND x.t < y.t))"))
         .select(col("x.s").as("x"), col("x.t").as("y"), col("y.t").as("z"))
@@ -451,11 +494,13 @@ object MiscQueries {
     // are vocabulary-sized broadcasts; the only big shuffles key on
     // (u,v) longs.
     "graph_linkpred" -> ((s, d) => {
+      // keyed+stamped checkpoint (r16 opt) — same move as graph_triangles
       val li = Tables.lineitem(s, d)
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
         .join(Tables.part(s, d).filter(col("p_size") <= 5)
           .select(col("p_partkey")), col("pk") === col("p_partkey"))
         .select("ok", "pk").distinct()
+        .buildCheckpointBy("ok")
       val e = li.as("a").join(li.as("b"),
           expr("a.ok = b.ok AND a.pk < b.pk"))
         .select(col("a.pk").as("pu"), col("b.pk").as("pv")).distinct()
@@ -464,8 +509,12 @@ object MiscQueries {
         .unionAll(e.select(col("pv").as("ctr"), col("pu").as("nb")))
       val deg = adj.groupBy("ctr").agg(count(lit(1)).as("deg"))
         .buildCheckpoint() // ≤ |parts| rows; re-read 3×
+      // keyed+stamped (r16 opt): sm was re-derived for BOTH wedge sides
+      // (two e scans + broadcast joins each); now it materializes once,
+      // and the wedge self-join below is co-partitioned on ctr
       val sm = adj.join(broadcast(deg.filter(col("deg") <= 64)), Seq("ctr"))
         .select("ctr", "nb")
+        .buildCheckpointBy("ctr")
       val cn = sm.as("x").join(sm.as("y"),
           expr("x.ctr = y.ctr AND x.nb < y.nb"))
         .select(col("x.nb").as("u"), col("y.nb").as("v"))

@@ -363,7 +363,11 @@ object SimilarityQueries {
     // ever shuffle.
     "eval_ann_recall" -> ((s, d) => {
       val k = 10
-      val ann = annBatch(s, d, nProbe = 4)
+      // |queries|·k rows, referenced TWICE (hit count + MRR probe) — the
+      // lazy checkpoint stops the second reference re-expanding (and
+      // re-running) the ENTIRE annBatch serving plan, which alone halves
+      // this query's 200 KB formatted plan (r16 opt)
+      val ann = annBatch(s, d, nProbe = 4).lazyCheckpoint()
       val e = rawVecs(s, d)
       val qset = Tables.embeddings(s, d).filter(col("label") === 0)
         .select(col("vec_id").as("qid"),

@@ -205,10 +205,80 @@ object QueryDebug {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     try graft.SparkEntry.entry(spark).count() catch { case _: Throwable => }
+    // Contention-proof work counters per rep: the box's roaming
+    // bandwidth co-tenant makes wall-clock A/Bs swing ±50%, while job/
+    // stage/task counts and shuffle bytes are deterministic properties
+    // of the executed plan — the primary optimization evidence.
+    val jobs = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
+    val done = new java.util.concurrent.ConcurrentLinkedQueue[(Int, Double, String)]()
+    val nJobs = new java.util.concurrent.atomic.AtomicLong
+    val nStages = new java.util.concurrent.atomic.AtomicLong
+    val nTasks = new java.util.concurrent.atomic.AtomicLong
+    val taskMs = new java.util.concurrent.atomic.AtomicLong
+    val shufWrite = new java.util.concurrent.atomic.AtomicLong
+    val shufRead = new java.util.concurrent.atomic.AtomicLong
+    val inputB = new java.util.concurrent.atomic.AtomicLong
+    val stageLog = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          nJobs.incrementAndGet()
+          jobs.put(j.jobId, (System.nanoTime(),
+            Option(j.properties.getProperty("spark.job.description"))
+              .getOrElse(j.stageInfos.headOption.map(_.name).getOrElse(""))))
+        }
+        override def onJobEnd(
+            j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+          val st = jobs.remove(j.jobId)
+          if (st != null) done.add((j.jobId,
+            (System.nanoTime() - st._1) / 1e9, st._2))
+        }
+        override def onStageCompleted(
+            s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          nStages.incrementAndGet()
+          val m = s.stageInfo.taskMetrics
+          if (m != null) {
+            taskMs.addAndGet(m.executorRunTime)
+            shufWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+            shufRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+            inputB.addAndGet(m.inputMetrics.bytesRead)
+            if (m.executorRunTime >= 300)
+              stageLog.add(f"stage${s.stageInfo.stageId}%-5d " +
+                f"taskTime=${m.executorRunTime / 1000.0}%7.1f s " +
+                f"tasks=${s.stageInfo.numTasks}%-4d " +
+                f"shufR=${m.shuffleReadMetrics.totalBytesRead / 1048576.0}%7.1f MB " +
+                f"in=${m.inputMetrics.bytesRead / 1048576.0}%7.1f MB  " +
+                s.stageInfo.name.take(90))
+          }
+        }
+        override def onTaskEnd(
+            t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          nTasks.incrementAndGet()
+      })
+    val verbose = sys.env.get("GRAFT_TIME_JOBS").contains("1")
     for (r <- 1 to reps; n <- names) {
+      done.clear(); stageLog.clear()
+      Seq(nJobs, nStages, nTasks, taskMs, shufWrite, shufRead, inputB)
+        .foreach(_.set(0L))
       val t0 = System.nanoTime()
       val cnt = graft.SparkEntry.queries(n)(spark, sfDir).count()
-      println(f"rep$r $n%-28s ${(System.nanoTime() - t0) / 1e9}%6.2f s  rows=$cnt")
+      val wall = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(150) // let stage-completed events drain
+      println(f"rep$r $n%-28s $wall%6.2f s  rows=$cnt  " +
+        f"jobs=${nJobs.get}%-3d stages=${nStages.get}%-3d tasks=${nTasks.get}%-5d " +
+        f"taskTime=${taskMs.get / 1000.0}%7.1f s  " +
+        f"shufW=${shufWrite.get / 1048576.0}%8.2f MB shufR=${shufRead.get / 1048576.0}%8.2f MB " +
+        f"input=${inputB.get / 1048576.0}%8.2f MB")
+      if (verbose) {
+        done.forEach { case (id, secs, desc) =>
+          if (secs >= 0.05)
+            println(f"    job$id%-5d ${secs}%6.2f s  ${desc.take(110)}")
+        }
+        stageLog.forEach(l => println("    " + l))
+      }
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
     }
     spark.stop()
   }
