@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.Tables
+import graft.operators.Checkpoint.CheckpointOps
 import graft.functions.CountMinAggregator
 import graft.functions.TextFunctions._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -264,10 +265,15 @@ object CorpusQueries {
           conv(substring(md5(col("sgl").cast("binary")), 1, 15), 16, 10)
             .cast("long").as("h"))
         .distinct()
+      // ≤ k·|sources| rows, referenced THREE times (source list + both
+      // tagged branches) and each reference re-planned the full
+      // explode→md5→distinct→window subtree — lazy checkpoint
+      // materializes the tiny sketch table once (r16 opt)
       val km = sh.withColumn("rn", row_number().over(
           Window.partitionBy("source").orderBy(col("h").asc)))
         .filter(col("rn") <= k)
         .select(col("source"), col("h"))
+        .lazyCheckpoint()
       val srcs = km.select(col("source")).distinct()
       val pairs = broadcast(srcs.select(col("source").as("src_a"))
         .join(srcs.select(col("source").as("src_b")),

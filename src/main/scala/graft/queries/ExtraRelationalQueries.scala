@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.Tables
+import graft.operators.Checkpoint.CheckpointOps
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -386,6 +387,11 @@ object ExtraRelationalQueries {
       val src = Tables.lineitem(s, d)
         .select(col("l_returnflag").as("grp"),
           dec(col("l_extendedprice")).as("pv"))
+      // (grp, value)-count table. NOT checkpointed (r16 opt, measured):
+      // all three consumers sit in ONE executed plan whose common tail
+      // is the groupBy exchange, so ReuseExchange already shares one
+      // evaluation — a checkpoint here replaced the shared exchange
+      // with 3× block re-reads (170 MB vs 9 MB) and broke nothing else.
       val counts = src.groupBy("grp", "pv").agg(count(lit(1)).as("c"))
       val cum = counts
         .withColumn("cum", sum(col("c")).over(Window.partitionBy("grp")
@@ -398,15 +404,19 @@ object ExtraRelationalQueries {
         .groupBy("grp")
         .agg(min(when(col("cum") >= col("k_lo"), col("pv"))).as("lo"),
           min(when(col("cum") >= col("k_hi"), col("pv"))).as("hi"))
-      src.join(broadcast(th), "grp")
+      // final pass over the count table, weighted by c — exact decimal
+      // arithmetic, identical values to the former per-row re-scan
+      counts.join(broadcast(th), "grp")
         .groupBy("grp")
-        .agg(count(lit(1)).as("n_rows"),
+        .agg(sum(col("c")).as("n_rows"),
           min(col("lo")).cast("double").as("p05"),
           min(col("hi")).cast("double").as("p95"),
-          sum(least(greatest(col("pv"), col("lo")), col("hi")))
+          sum(least(greatest(col("pv"), col("lo")), col("hi")) * col("c"))
             .cast("double").as("sum_winsorized"),
-          sum(when(col("pv") < col("lo"), 1L).otherwise(0L)).as("n_clipped_low"),
-          sum(when(col("pv") > col("hi"), 1L).otherwise(0L)).as("n_clipped_high"))
+          sum(when(col("pv") < col("lo"), col("c")).otherwise(0L))
+            .as("n_clipped_low"),
+          sum(when(col("pv") > col("hi"), col("c")).otherwise(0L))
+            .as("n_clipped_high"))
     }),
 
     // Point-in-time (PIT) join — the feature-store / temporal-warehouse
@@ -865,6 +875,13 @@ object ExtraRelationalQueries {
       Tables.part(qs, d).createOrReplaceTempView("part")
       // nodes are 1-based (pk1 = p_partkey + 1): parent(1) would be
       // undefined for a 0 key, whose chain could never reach the root
+      // ONE pass over the recursive closure (r16 opt): depth (per pk1)
+      // and rollup (per node) previously aggregated `anc` separately,
+      // and each reference re-ran the whole ~log₂n-level UnionLoop —
+      // measured 72 jobs at sf0.1. GROUPING SETS computes both keyings
+      // from a single evaluation of the loop (Expand doubles the closure
+      // rows once, far cheaper than re-recursing); the emitted values
+      // are bit-identical to the two-aggregate form.
       qs.sql("""
         WITH RECURSIVE anc AS (
           SELECT p_partkey + 1 AS pk1,
@@ -875,19 +892,19 @@ object ExtraRelationalQueries {
           SELECT pk1, price, node DIV 2 AS node
           FROM anc WHERE node > 1
         ),
-        depth AS (
-          -- each part's closure-row count is its path length to the root
-          SELECT pk1 AS node, COUNT(*) - 1 AS depth
-          FROM anc GROUP BY pk1
-        ),
-        rollup AS (
-          SELECT node, COUNT(*) AS subtree_n,
-                 CAST(SUM(price) AS DOUBLE) AS subtree_value
-          FROM anc GROUP BY node
+        agg AS (
+          SELECT COALESCE(pk1, node) AS nd, pk1 IS NOT NULL AS is_depth,
+                 COUNT(*) AS c, CAST(SUM(price) AS DOUBLE) AS sp
+          FROM anc GROUP BY GROUPING SETS ((pk1), (node))
         )
-        SELECT r.node, CAST(d.depth AS BIGINT) AS depth,
-               r.subtree_n, r.subtree_value
-        FROM rollup r JOIN depth d ON d.node = r.node
+        SELECT nd AS node,
+               CAST(MAX(CASE WHEN is_depth THEN c - 1 END) AS BIGINT)
+                 AS depth,
+               MAX(CASE WHEN NOT is_depth THEN c END) AS subtree_n,
+               MAX(CASE WHEN NOT is_depth THEN sp END) AS subtree_value
+        FROM agg GROUP BY nd
+        HAVING MAX(CASE WHEN is_depth THEN c END) IS NOT NULL
+           AND MAX(CASE WHEN NOT is_depth THEN c END) IS NOT NULL
       """)
     }))
 

@@ -664,9 +664,22 @@ object SimilarityQueries {
   private[graft] def pqModel(
       s: SparkSession, d: String): Seq[Seq[Seq[Double]]] =
     pqModelCache.computeIfAbsent(d,
-      _ => (0 until pqM).map { j =>
-        ivfCentroids(rawVecs(s, d).select(col("vec_id"),
-          slice(col("v"), j * pqSub + 1, pqSub).as("v")), k = 16, iters = 2)
+      _ => {
+        // the pqM subspace trainings are INDEPENDENT Lloyd runs — submit
+        // them from driver threads so their per-iteration jobs overlap
+        // (guide §2.6 "overlap independent jobs") instead of running
+        // 4×(seed + 2 iterations) collects strictly in sequence.
+        // Deterministic: each subspace's result is identical to the
+        // sequential run's, and the Seq is assembled by index.
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.ExecutionContext.Implicits.global
+        import scala.concurrent.duration.Duration
+        val futs = (0 until pqM).map { j =>
+          Future(ivfCentroids(rawVecs(s, d).select(col("vec_id"),
+            slice(col("v"), j * pqSub + 1, pqSub).as("v")),
+            k = 16, iters = 2))
+        }
+        futs.map(Await.result(_, Duration.Inf))
       })
 
   private val ivfModelCache =
