@@ -115,7 +115,9 @@ object CurationQueries {
       val sh = Tables.documents(s, d)
         .select(col("doc_id"), col("source"),
           explode(shingles(col("text"), 3)).as("s"))
-        .buildCheckpointBy("doc_id")
+        // plain repartition+checkpoint (r16 opt, measured): the stamped
+        // doc_id variant regressed this query +0.3 s at bench scale
+        .repartition(col("doc_id")).buildCheckpoint()
       val benchSh = sh.filter(col("source") === "src0")
         .select(col("doc_id").as("bench_id"), col("s"))
       val corpusSh = sh.filter(col("source") =!= "src0")
@@ -274,7 +276,8 @@ object CurationQueries {
       val docs = Tables.documents(s, d)
         .withColumn("w", tokens(col("text")))
         .select("doc_id", "w")
-        .buildCheckpointBy("doc_id") // referenced by toks, grams, and the final join
+        .repartition(col("doc_id"))
+        .buildCheckpoint() // referenced by toks, grams, and the final join
       // corpus-relative threshold: one count() action on the checkpointed
       // rows (same bounded-model-state pattern as the Bloom/IVF builds)
       val k = math.max(5L, math.ceil(0.004 * docs.count()).toLong)
@@ -361,7 +364,8 @@ object CurationQueries {
         .select(col("doc_id"), explode(shingles(col("text"), 3)).as("s"))
         .join(canonIds, Seq("doc_id"), "left_semi")
         // index-build exchange (see DedupQueries.exactJaccardPairs)
-        .buildCheckpointBy("doc_id") // sizes + both self-join sides (see DedupQueries)
+        .repartition(col("doc_id"))
+        .buildCheckpoint() // sizes + both self-join sides (see DedupQueries)
       val pairs = DedupQueries.exactJaccardOn(canonSh)
         .filter(col("jaccard") >= 0.8)
         .select("doc_a", "doc_b")

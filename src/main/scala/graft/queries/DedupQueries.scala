@@ -180,11 +180,12 @@ object DedupQueries {
       // which would shorten the prefix by one and break the exactness proof
       .filter(col("rk") <= col("n") - ceil(col("n") * t - lit(1e-9)) + 1)
       .select("doc_id", "s")
-      // partition the prefix index by the JOIN key before materializing:
-      // the checkpoint's s-partitioning is preserved, so the candidate
-      // self-join below plans with ZERO exchanges (one build-time
-      // exchange replaces two join-time ones — r16 opt)
-      .buildCheckpointBy("s") // both sides of the candidate self-join
+      // NOT keyed by s (r16 opt, measured): an s-keyed stamped checkpoint
+      // here removed the candidate self-join's two exchanges but cost
+      // more than it saved at bench scale (interleaved A/B: +0.9 s from
+      // 32-task stage overhead on a tiny prefix table); the plain
+      // checkpoint keeps the one materialization that matters
+      .buildCheckpoint() // both sides of the candidate self-join
     val cand = prefixed.toDF("doc_a", "s")
       .join(prefixed.toDF("doc_b", "s"), "s")
       .filter(col("doc_a") < col("doc_b"))
@@ -193,14 +194,9 @@ object DedupQueries {
       .buildCheckpoint() // candDocs + the verification join
     val candDocs = cand.select(col("doc_a").as("doc_id"))
       .union(cand.select(col("doc_b").as("doc_id"))).distinct()
-    // candidate-doc index: previously re-derived (scan sh + broadcast
-    // semi) THREE times — both verify self-join sides and the sizes
-    // aggregate. Materialize once, keyed by the verify join's key so
-    // its self-join is exchange-free too (r16 opt)
     val candSh = sh
       .join(broadcast(candDocs), Seq("doc_id"), "left_semi")
       .select("doc_id", "s")
-      .buildCheckpointBy("s")
     cand.join(exactJaccardOn(candSh), Seq("doc_a", "doc_b"))
       .filter(col("jaccard") >= t)
       .select(col("doc_a"), col("doc_b"),
@@ -305,15 +301,16 @@ object DedupQueries {
   }
 
   private[graft] def connectedComponents(pairs: DataFrame): DataFrame = {
-    // both checkpoints carry their hash partitioning (r16 opt): edges by
-    // dst and labels by id make the per-round neighbor join co-partitioned
-    // — the edge table is shuffled ONCE at build instead of once per round
+    // plain checkpoints (r16 opt, measured): dst/id-stamped variants made
+    // every round co-partitioned but regressed pipeline_e2e +0.6 s at
+    // bench scale — pinned-count stages cost more than the tiny per-round
+    // exchanges they replaced; see OPTIMIZATION_r16.md
     val edges = pairs.toDF("src", "dst")
       .unionAll(pairs.toDF("dst", "src").select("src", "dst"))
-      .buildCheckpointBy("dst")
+      .buildCheckpoint()
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
-      .buildCheckpointBy("id")
+      .buildCheckpoint()
     // One round: label ← min(label, neighbors' labels, label[label]).
     // The final left join follows the candidate label one hop through
     // the PREVIOUS round's label table (pointer jumping); every label
@@ -354,7 +351,7 @@ object DedupQueries {
           .as("label"))
     var changed = 1L
     while (changed > 0) {
-      val next = round(labels).buildCheckpointBy("id")
+      val next = round(labels).buildCheckpoint()
       changed = next.filter(col("label") =!= col("old_label")).count()
       labels = next.select("id", "label")
     }
@@ -500,7 +497,8 @@ object DedupQueries {
     // Vocab broadcast matches prefixJaccardPairs; at 100 TB both become
     // a persisted df-annotated index.
     "dedup_containment_prefix" -> ((s, d) => {
-      val sh = shingleIndex(s, d).buildCheckpointBy("doc_id")
+      val sh = shingleIndex(s, d).repartition(col("doc_id"))
+        .buildCheckpoint()
       // sizes: ~|docs| rows, read twice by the verify tail; dfreq:
       // vocab-sized, read twice (prefix broadcast + the df≥2 filter) —
       // lazy checkpoints so neither re-aggregates the index (r16 opt)
@@ -521,11 +519,11 @@ object DedupQueries {
         .filter(col("df") >= 2)
         .select("doc_id", "s")
       val df2 = dfreq.filter(col("df") >= 2).select("s")
-      // keyed by the join key at materialization: the candidate probe's
-      // full side arrives pre-partitioned and the verification
-      // self-join plans exchange-free (r16 opt)
+      // plain checkpoint (r16 opt, measured): the s-keyed stamped variant
+      // removed the probe/verify exchanges but regressed +0.4 s at bench
+      // scale from 32-task stage overhead — see OPTIMIZATION_r16.md
       val full = sh.join(df2, Seq("s"), "left_semi").select("doc_id", "s")
-        .buildCheckpointBy("s") // candidate probe + verification both read it
+        .buildCheckpoint() // candidate probe + verification both read it
       val cand = prefixed.toDF("doc_a", "s")
         .join(full.toDF("doc_b", "s"), "s")
         .filter(col("doc_a") =!= col("doc_b"))
@@ -537,7 +535,6 @@ object DedupQueries {
       val candSh = full
         .join(broadcast(candDocs), Seq("doc_id"), "left_semi")
         .select("doc_id", "s")
-        .buildCheckpoint() // both verification self-join sides (r16 opt)
       val inter = candSh.toDF("doc_a", "s")
         .join(candSh.toDF("doc_b", "s"), "s")
         .filter(col("doc_a") < col("doc_b"))
@@ -722,7 +719,11 @@ object DedupQueries {
       // one materialization of the index for banding + verification
       // (see prefixJaccardPairs for why localCheckpoint, not cache;
       // see exactJaccardPairs for the index-build repartition)
-      val sh = shingleIndex(s, d).buildCheckpointBy("doc_id")
+      // plain repartition+checkpoint (r16 opt, measured): the stamped
+      // variant regressed this query +0.5 s at bench scale (the same
+      // conversion HELPED dedup_ngram_jaccard — consumer weight differs)
+      val sh = shingleIndex(s, d).repartition(col("doc_id"))
+        .buildCheckpoint()
       val banded = sh
         .select(col("doc_id"), xxhash64(col("s")).as("h"))
         .groupBy("doc_id").agg(minhash64(col("h")).as("sig"))

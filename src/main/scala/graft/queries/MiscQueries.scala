@@ -86,19 +86,17 @@ object MiscQueries {
         .distinct()
       val bi = eo.unionAll(
         eo.select(col("dst").as("src"), col("src").as("dst")))
-        // keyed by src with the partitioning stamped (r16 opt): the
-        // degree aggregate and every iteration's rank/deg joins are then
-        // co-partitioned — the edge table shuffles ONCE at build instead
-        // of once per iteration
-        .buildCheckpointBy("src") // 3 iterations + degree all re-scan the edges
+        // plain checkpoint (r16 opt, measured): the src-stamped variant
+        // made every iteration's joins co-partitioned but regressed
+        // +0.6 s at bench scale (interleaved A/B) — pinned-count stages
+        // cost more than the per-iteration narrow exchanges they replace
+        // at this data size; see OPTIMIZATION_r16.md
+        .buildCheckpoint() // 3 iterations + degree all re-scan the edges
       // deg deliberately NOT fused into the checkpointed edge table: an
       // sf0.1 A/B (one join per iteration vs two) showed no gain beyond
       // box noise — the deg build side is tiny either way, and fusing
       // widens every checkpointed row by a column.
-      // lazy checkpoint (r16 opt): deg is consumed by nn's count and by
-      // every iteration — materialize the ~|nodes| rows once
       val deg = bi.groupBy("src").agg(count(lit(1)).as("deg"))
-        .lazyCheckpoint()
       val nn = deg.count() // bounded driver state: one scalar
       var ranks = deg.select(col("src").as("node"),
         lit(1.0 / nn).as("r"))
@@ -431,26 +429,23 @@ object MiscQueries {
     // the only order-key shuffle; it is checkpointed once and re-read
     // by the degree pass, the orientation pass, and the closing join.
     "graph_triangles" -> ((s, d) => {
-      // keyed+stamped checkpoint (r16 opt): the co-purchase self-join was
-      // previously UNCHECKPOINTED — both sides re-ran the lineitem⋈part
-      // scan — and exchanged both sides on ok; now it materializes once,
-      // co-partitioned
+      // reverted to the round-15 shape after an interleaved A/B (r16
+      // opt, measured): the keyed+stamped li/o2 checkpoints + lazy deg
+      // cut the plan from 21 to 3 exchanges but regressed wall +0.8 s at
+      // bench scale — AQE's runtime stage reuse already shared the
+      // repeated exchange subtrees, and the pinned-count stages cost
+      // more than they saved; see OPTIMIZATION_r16.md
       val li = Tables.lineitem(s, d)
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
         .join(Tables.part(s, d).filter(col("p_size") <= 5)
           .select(col("p_partkey")), col("pk") === col("p_partkey"))
         .select("ok", "pk").distinct()
-        .buildCheckpointBy("ok")
       val e = li.as("a").join(li.as("b"),
           expr("a.ok = b.ok AND a.pk < b.pk"))
         .select(col("a.pk").as("pu"), col("b.pk").as("pv")).distinct()
         .buildCheckpoint() // scanned by degree, orientation, and close
-      // vocabulary-sized (≤ |parts|); read by the two orientation joins,
-      // the wedge-degree join, and each previously re-aggregated the
-      // edge table — lazy checkpoint materializes it once (r16 opt)
       val deg = e.select(explode(array(col("pu"), col("pv"))).as("n"))
         .groupBy("n").agg(count(lit(1)).as("deg"))
-        .lazyCheckpoint()
       val ed = e
         .join(deg.withColumnRenamed("n", "pu").withColumnRenamed("deg", "du"),
           "pu")
@@ -460,13 +455,8 @@ object MiscQueries {
         (col("du") === col("dv") && col("pu") < col("pv"))
       val o = ed.select(when(fwd, col("pu")).otherwise(col("pv")).as("s"),
         when(fwd, col("pv")).otherwise(col("pu")).as("t"))
-        .buildCheckpoint() // read by the wedge build and the close join
-      // wedge input, keyed by the wedge-join key and stamped: the x/y
-      // self-join below plans exchange-free, and o2 materializes once
-      // instead of once per side (r16 opt)
       val o2 = o.join(
         deg.withColumnRenamed("n", "t").withColumnRenamed("deg", "dt"), "t")
-        .buildCheckpointBy("s")
       val w = o2.as("x").join(o2.as("y"),
           expr("x.s = y.s AND (x.dt < y.dt OR (x.dt = y.dt AND x.t < y.t))"))
         .select(col("x.s").as("x"), col("x.t").as("y"), col("y.t").as("z"))
@@ -494,13 +484,12 @@ object MiscQueries {
     // are vocabulary-sized broadcasts; the only big shuffles key on
     // (u,v) longs.
     "graph_linkpred" -> ((s, d) => {
-      // keyed+stamped checkpoint (r16 opt) — same move as graph_triangles
+      // reverted like graph_triangles (r16 opt, measured: +0.5 s)
       val li = Tables.lineitem(s, d)
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
         .join(Tables.part(s, d).filter(col("p_size") <= 5)
           .select(col("p_partkey")), col("pk") === col("p_partkey"))
         .select("ok", "pk").distinct()
-        .buildCheckpointBy("ok")
       val e = li.as("a").join(li.as("b"),
           expr("a.ok = b.ok AND a.pk < b.pk"))
         .select(col("a.pk").as("pu"), col("b.pk").as("pv")).distinct()
@@ -509,12 +498,8 @@ object MiscQueries {
         .unionAll(e.select(col("pv").as("ctr"), col("pu").as("nb")))
       val deg = adj.groupBy("ctr").agg(count(lit(1)).as("deg"))
         .buildCheckpoint() // ≤ |parts| rows; re-read 3×
-      // keyed+stamped (r16 opt): sm was re-derived for BOTH wedge sides
-      // (two e scans + broadcast joins each); now it materializes once,
-      // and the wedge self-join below is co-partitioned on ctr
       val sm = adj.join(broadcast(deg.filter(col("deg") <= 64)), Seq("ctr"))
         .select("ctr", "nb")
-        .buildCheckpointBy("ctr")
       val cn = sm.as("x").join(sm.as("y"),
           expr("x.ctr = y.ctr AND x.nb < y.nb"))
         .select(col("x.nb").as("u"), col("y.nb").as("v"))
