@@ -50,7 +50,10 @@ object Checkpoint {
     * the LogicalRDD with that partitioning (see
     * `GraftBridge.stampHashPartitioning` — `localCheckpoint` alone
     * reports UnknownPartitioning under AQE). Consumers that join, group
-    * or window on a prefix of `keys` then plan WITHOUT their own
+    * or window on a superset of `keys` (exactly `keys` for joins —
+    * HashPartitioning(keys) satisfies ClusteredDistribution only when
+    * the clustering expressions cover every key; a PREFIX consumer
+    * still shuffles) then plan WITHOUT their own
     * exchange: the one build shuffle replaces every per-consumer
     * re-shuffle of the same materialized rows (round-16 optimization;
     * partition count stays scale-adaptive via spark.sql.shuffle.
@@ -59,12 +62,20 @@ object Checkpoint {
   def partitionedBy(df: DataFrame, keys: Seq[String]): DataFrame = {
     val cols = keys.map(df.col)
     if (inlineForAudit) df.repartition(cols: _*)
-    else {
-      val n = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
-      GraftBridge.stampHashPartitioning(
-        df.repartition(n, cols: _*).localCheckpoint(), n, keys: _*)
+    else numShufflePartitions(df) match {
+      // "auto"-style non-numeric partition settings: fall back to the
+      // plain keyed checkpoint (correct, just unstamped) instead of
+      // turning every call site into a NumberFormatException
+      case None => df.repartition(cols: _*).localCheckpoint()
+      case Some(n) =>
+        GraftBridge.stampHashPartitioning(
+          df.repartition(n, cols: _*).localCheckpoint(), n, keys: _*)
     }
   }
+
+  private def numShufflePartitions(df: DataFrame): Option[Int] =
+    scala.util.Try(
+      df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt).toOption
 
   /** Postfix form so call sites keep the `.localCheckpoint()` shape. */
   implicit class CheckpointOps(private val df: DataFrame) extends AnyVal {

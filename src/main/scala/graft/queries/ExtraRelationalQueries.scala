@@ -841,37 +841,24 @@ object ExtraRelationalQueries {
             .as("gross_us"))
     }),
 
-    // Hierarchy closure + subtree rollup through the RECURSIVE CTE
-    // surface (SQL:1999; Spark 4's UnionLoop operator) — the BOM
-    // explosion / org-chart aggregate. The part table is read as an
-    // implicit binary hierarchy (parent(k) = k div 2, root = 1); the
-    // recursive member climbs each part's ancestor chain, producing the
-    // (part, ancestor) closure, then one aggregate per ancestor rolls up
-    // subtree size and DECIMAL-exact subtree value, plus each node's own
-    // depth. Iterations = max depth = ⌈log₂ n⌉ (~18 at sf1, 28 at 100 TB
-    // row counts) — each UnionLoop step is a narrow projection of the
-    // frontier, no join (the parent is computed, not looked up), so the
-    // loop cost is depth × one map pass; the closure is n·log n rows of
+    // Hierarchy closure + subtree rollup — the BOM explosion /
+    // org-chart aggregate. The part table is read as an implicit binary
+    // hierarchy (parent(k) = k div 2, root = 1); each part's ancestor
+    // chain produces the (part, ancestor) closure, then one aggregate
+    // per ancestor rolls up subtree size and DECIMAL-exact subtree
+    // value, plus each node's own depth. The closure is n·log n rows of
     // three narrow columns and folds into the rollup via one
-    // map-side-combined aggregate.
+    // map-side-combined aggregate. Through round 16 the chain was
+    // climbed with the RECURSIVE CTE surface (SQL:1999; Spark 4's
+    // UnionLoop operator, job-per-level); since the parent function is
+    // CLOSED-FORM (ancestor i of k = k >> i), round 17 expands the
+    // chain in one bounded projection instead — identical closure, no
+    // per-level driver loop (see the query note below). The DuckDB
+    // oracle keeps the recursive-CTE formulation.
     "q75_hier_rollup" -> ((s, d) => {
-      // The closure is n·⌈log₂n⌉ rows BY DESIGN (3.4M at sf1), so the
-      // engine's 1M-row recursion safety net is the wrong guard here —
-      // the real bound is the LEVEL limit (depth ≤ ~28 even at 100 TB
-      // row counts; a runaway recursion still trips it). Found by the
-      // sf1 bench: RECURSION_ROW_LIMIT_EXCEEDED at default settings.
-      //
-      // The overrides live on a CHILD session (same SparkContext and
-      // builder confs; separate SQLConf + temp-view catalog):
-      // UnionLoopExec reads both limits at doExecute time, so a
-      // set-then-restore around sql() would re-arm the 1M-row net
-      // before the lazy DataFrame ever executes — and setting them on
-      // the SHARED session would disable the engine's recursion safety
-      // net for every query that runs afterwards in the same session
-      // (bench suite, specs, Verify dumps).
+      // Temp view on a CHILD session (same SparkContext; separate
+      // temp-view catalog) so the shared session's catalog stays clean.
       val qs = s.newSession()
-      qs.conf.set("spark.sql.cteRecursionRowLimit", "-1")
-      qs.conf.set("spark.sql.cteRecursionLevelLimit", "64")
       Tables.part(qs, d).createOrReplaceTempView("part")
       // nodes are 1-based (pk1 = p_partkey + 1): parent(1) would be
       // undefined for a 0 key, whose chain could never reach the root
@@ -882,15 +869,31 @@ object ExtraRelationalQueries {
       // from a single evaluation of the loop (Expand doubles the closure
       // rows once, far cheaper than re-recursing); the emitted values
       // are bit-identical to the two-aggregate form.
+      //
+      // Bounded-depth closure (r17 opt, VERDICT item 7): the recursion
+      // `node → node DIV 2 while node > 1` over 1-based keys is, row
+      // for row, the bit-shift chain pk1 >> i for i = 0..⌊log₂ pk1⌋
+      // (DIV 2 on a non-negative long IS an arithmetic right shift, so
+      // the i-th recursion level emits exactly pk1 >> i, and the loop
+      // stops after emitting 1). One explode of that statically-bounded
+      // chain (≤ 63 levels covers every positive long — the engine-
+      // independent depth cap the recursive form enforced via
+      // cteRecursionLevelLimit) produces the identical (pk1, price,
+      // node) closure in ONE projection: the UnionLoop's job-per-level
+      // driver loop (38 jobs at sf0.1, ~half of them per-level
+      // emptiness checks) collapses to a single map pass, and the 1M-row
+      // recursion safety-net override the UnionLoop needed at sf1
+      // disappears with the loop. The DuckDB oracle still runs the
+      // recursive-CTE formulation, so the closure semantics stay pinned
+      // cross-engine; oracle hash-exact at sf0.01 AND sf0.1.
       qs.sql("""
-        WITH RECURSIVE anc AS (
+        WITH anc AS (
           SELECT p_partkey + 1 AS pk1,
                  CAST(p_retailprice AS DECIMAL(12,2)) AS price,
-                 p_partkey + 1 AS node
+                 node
           FROM part
-          UNION ALL
-          SELECT pk1, price, node DIV 2 AS node
-          FROM anc WHERE node > 1
+          LATERAL VIEW explode(filter(transform(sequence(0, 62),
+            i -> shiftright(p_partkey + 1, i)), x -> x >= 1)) AS node
         ),
         agg AS (
           SELECT COALESCE(pk1, node) AS nd, pk1 IS NOT NULL AS is_depth,

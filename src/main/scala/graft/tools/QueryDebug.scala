@@ -264,7 +264,9 @@ object QueryDebug {
       val t0 = System.nanoTime()
       val cnt = graft.SparkEntry.queries(n)(spark, sfDir).count()
       val wall = (System.nanoTime() - t0) / 1e9
-      Thread.sleep(150) // let stage-completed events drain
+      // drain listener events deterministically: a fixed sleep under-
+      // counted jobs/stages/shuffle on a loaded box (advisor round-16)
+      org.apache.spark.sql.GraftBridge.drainListenerBus(spark, 10000)
       println(f"rep$r $n%-28s $wall%6.2f s  rows=$cnt  " +
         f"jobs=${nJobs.get}%-3d stages=${nStages.get}%-3d tasks=${nTasks.get}%-5d " +
         f"taskTime=${taskMs.get / 1000.0}%7.1f s  " +
@@ -277,6 +279,12 @@ object QueryDebug {
         }
         stageLog.forEach(l => println("    " + l))
       }
+      // INVARIANT (advisor round-16): unpersisting locally-checkpointed
+      // RDDs makes them unrecomputable — safe ONLY because every query
+      // rebuilds its state per rep and the cross-call memo caches hold
+      // collected driver values / on-disk paths, never live checkpointed
+      // DataFrames. A future DataFrame-level cross-rep cache would crash
+      // on rep 2 with missing checkpoint blocks if this line stays.
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
     }
