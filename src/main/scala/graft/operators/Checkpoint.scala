@@ -77,12 +77,70 @@ object Checkpoint {
     scala.util.Try(
       df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt).toOption
 
+  /** Size-ADAPTIVE keyed stamp (r17, VERDICT item 3), for the sites
+    * where the round-16 A/Bs measured the pinned-count stamped
+    * checkpoint LOSING at bench scale (pinning the partition count
+    * defeats AQE's small-partition coalescing downstream, and
+    * ~0.1–0.2 s/task fixed overhead on 32-task stages outweighs the
+    * removed narrow exchanges on tiny tables) while the 100 TB story
+    * wants exactly that stamp (exchange bytes grow linearly with the
+    * input; per-task overhead amortizes).
+    *
+    * Mechanics: materialize the plain checkpoint EXACTLY as the call
+    * site does today (callers keep their own repartition, so the
+    * below-threshold plan is byte-identical to round 16's measured
+    * winner), read the checkpoint's MEASURED storage footprint from the
+    * block manager, and only at/above `spark.graft.stamp.minBytes`
+    * (default 256 MB ≈ 8 MB/task at 32 shuffle partitions — where
+    * per-consumer exchange bytes start dominating per-task overhead;
+    * production tunes the threshold with the cluster) pay ONE more
+    * keyed shuffle over the already-materialized rows to produce the
+    * stamped co-partitioned table every consumer then reads
+    * exchange-free. The plain checkpoint's blocks are dropped once the
+    * stamped copy exists. Decision input is measured bytes, not plan
+    * estimates — UDF/explode-heavy builds estimate garbage.
+    * AdaptiveStampSpec pins both paths. */
+  def adaptivelyStampedBy(df: DataFrame, keys: Seq[String]): DataFrame = {
+    if (inlineForAudit) return df
+    val ck = df.localCheckpoint()
+    if (checkpointedBytes(ck) < stampMinBytes(df)) ck
+    else {
+      val stamped = partitionedBy(ck, keys)
+      checkpointedRdd(ck).foreach(_.unpersist(blocking = false))
+      stamped
+    }
+  }
+
+  /** Measured storage footprint (memory + disk) of an eager
+    * localCheckpoint's blocks; 0 when the plan is not a bare
+    * checkpoint or the block manager has no record (safe: reads as
+    * below-threshold, i.e. the unstamped round-16 behavior). */
+  private def checkpointedBytes(ck: DataFrame): Long =
+    checkpointedRdd(ck).flatMap { rdd =>
+      ck.sparkSession.sparkContext.getRDDStorageInfo
+        .find(_.id == rdd.id).map(i => i.memSize + i.diskSize)
+    }.getOrElse(0L)
+
+  private def checkpointedRdd(ck: DataFrame)
+      : Option[org.apache.spark.rdd.RDD[_]] =
+    GraftBridge.analyzedPlan(ck) match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => Some(lr.rdd)
+      case _ => None
+    }
+
+  private def stampMinBytes(df: DataFrame): Long =
+    scala.util.Try(df.sparkSession.conf
+      .get("spark.graft.stamp.minBytes", (256L << 20).toString).toLong)
+      .getOrElse(256L << 20)
+
   /** Postfix form so call sites keep the `.localCheckpoint()` shape. */
   implicit class CheckpointOps(private val df: DataFrame) extends AnyVal {
     def buildCheckpoint(): DataFrame = Checkpoint(df)
     def lazyCheckpoint(): DataFrame = Checkpoint.lazily(df)
     def buildCheckpointBy(keys: String*): DataFrame =
       Checkpoint.partitionedBy(df, keys)
+    def buildCheckpointAdaptiveBy(keys: String*): DataFrame =
+      Checkpoint.adaptivelyStampedBy(df, keys)
   }
 
   /** Poison a column of an audit-only plan: planning and plan-walking

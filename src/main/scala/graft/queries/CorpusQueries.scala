@@ -336,9 +336,24 @@ object CorpusQueries {
       val toks = Tables.documents(s, d)
         .select(explode(tokens(col("text"))).as("word"))
       val cms = udaf(CountMinAggregator)
-      val sketch: Seq[Long] = toks
-        .select(cms(cmsPosMd5(0, col("word")), cmsPosMd5(1, col("word")),
-          cmsPosMd5(2, col("word")), cmsPosMd5(3, col("word"))).as("sk"))
+      // ONE md5 per token, by construction (r17): the four
+      // cmsPosMd5(i, word) inputs each embed their own md5(word) call
+      // and single evaluation depended on the aggregate input
+      // projection's subexpression elimination. Hashing once in an
+      // explicit projection below the aggregate guarantees it
+      // independent of optimizer internals. Interleaved A/B at sf0.1
+      // measured PAR (tokenize/explode dominates the build pass here;
+      // the saved digests matter per-row at corpus scale, not at this
+      // one). Row positions are the same disjoint 8-hex-char slices,
+      // so the sketch — and the oracle's cell-for-cell re-simulation —
+      // is bit-identical.
+      val hexed = toks.select(md5(col("word").cast("binary")).as("hx"))
+      def posFromHex(i: Int): Column = pmod(
+        conv(substring(col("hx"), 1 + 8 * i, 8), 16, 10).cast("long"),
+        lit(CountMinAggregator.Width.toLong))
+      val sketch: Seq[Long] = hexed
+        .select(cms(posFromHex(0), posFromHex(1),
+          posFromHex(2), posFromHex(3)).as("sk"))
         .head().getSeq[Long](0)
       val skLit = typedlit(sketch)
       val est = (0 until CountMinAggregator.Depth).map { i =>

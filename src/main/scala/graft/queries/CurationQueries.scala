@@ -115,9 +115,12 @@ object CurationQueries {
       val sh = Tables.documents(s, d)
         .select(col("doc_id"), col("source"),
           explode(shingles(col("text"), 3)).as("s"))
-        // plain repartition+checkpoint (r16 opt, measured): the stamped
-        // doc_id variant regressed this query +0.3 s at bench scale
-        .repartition(col("doc_id")).buildCheckpoint()
+        // size-ADAPTIVE stamp (r17): below the threshold identical to
+        // the plain repartition+checkpoint (r16 measured the always-on
+        // doc_id stamp at +0.3 s here); above it both sides' signature
+        // aggregates and the verify join read a doc_id-co-partitioned
+        // index exchange-free
+        .repartition(col("doc_id")).buildCheckpointAdaptiveBy("doc_id")
       val benchSh = sh.filter(col("source") === "src0")
         .select(col("doc_id").as("bench_id"), col("s"))
       val corpusSh = sh.filter(col("source") =!= "src0")
@@ -277,7 +280,13 @@ object CurationQueries {
         .withColumn("w", tokens(col("text")))
         .select("doc_id", "w")
         .repartition(col("doc_id"))
-        .buildCheckpoint() // referenced by toks, grams, and the final join
+        // size-ADAPTIVE stamp (r17): r16 found localCheckpoint reports
+        // UnknownPartitioning, so the co-partitioning this comment
+        // promises was LOST at the seam (every consumer re-shuffled);
+        // the always-on stamp regressed at bench scale, the adaptive
+        // one restores the investment exactly when the exploded token
+        // side is big enough for it to pay
+        .buildCheckpointAdaptiveBy("doc_id") // toks, grams, final join
       // corpus-relative threshold: one count() action on the checkpointed
       // rows (same bounded-model-state pattern as the Bloom/IVF builds)
       val k = math.max(5L, math.ceil(0.004 * docs.count()).toLong)
@@ -363,9 +372,11 @@ object CurationQueries {
       val canonSh = staged.filter(col("passed_quality"))
         .select(col("doc_id"), explode(shingles(col("text"), 3)).as("s"))
         .join(canonIds, Seq("doc_id"), "left_semi")
-        // index-build exchange (see DedupQueries.exactJaccardPairs)
+        // index-build exchange (see DedupQueries.exactJaccardPairs);
+        // size-ADAPTIVE stamp (r17): plain below the threshold (the r16
+        // A/B reverted the always-on doc_id stamp), co-partitioned above
         .repartition(col("doc_id"))
-        .buildCheckpoint() // sizes + both self-join sides (see DedupQueries)
+        .buildCheckpointAdaptiveBy("doc_id") // sizes + both self-join sides
       val pairs = DedupQueries.exactJaccardOn(canonSh)
         .filter(col("jaccard") >= 0.8)
         .select("doc_a", "doc_b")

@@ -180,12 +180,13 @@ object DedupQueries {
       // which would shorten the prefix by one and break the exactness proof
       .filter(col("rk") <= col("n") - ceil(col("n") * t - lit(1e-9)) + 1)
       .select("doc_id", "s")
-      // NOT keyed by s (r16 opt, measured): an s-keyed stamped checkpoint
-      // here removed the candidate self-join's two exchanges but cost
-      // more than it saved at bench scale (interleaved A/B: +0.9 s from
-      // 32-task stage overhead on a tiny prefix table); the plain
-      // checkpoint keeps the one materialization that matters
-      .buildCheckpoint() // both sides of the candidate self-join
+      // size-ADAPTIVE stamp (r17): below the threshold identical to the
+      // plain checkpoint (the r16 A/B measured the always-on s-keyed
+      // stamp at +0.9 s here — 32-task stage overhead on a tiny prefix
+      // table); above it the prefix table co-partitions by s and the
+      // candidate self-join plans exchange-free — the at-scale shape
+      // the r16 revert had hard-coded away
+      .buildCheckpointAdaptiveBy("s") // both sides of the candidate self-join
     val cand = prefixed.toDF("doc_a", "s")
       .join(prefixed.toDF("doc_b", "s"), "s")
       .filter(col("doc_a") < col("doc_b"))
@@ -301,16 +302,23 @@ object DedupQueries {
   }
 
   private[graft] def connectedComponents(pairs: DataFrame): DataFrame = {
-    // plain checkpoints (r16 opt, measured): dst/id-stamped variants made
-    // every round co-partitioned but regressed pipeline_e2e +0.6 s at
-    // bench scale — pinned-count stages cost more than the tiny per-round
-    // exchanges they replaced; see OPTIMIZATION_r16.md
+    // size-ADAPTIVE stamps (r17, VERDICT item 3): below the threshold
+    // these are byte-identical to the plain checkpoints the r16 A/B
+    // measured as the bench-scale winners (dst/id-stamped variants
+    // regressed pipeline_e2e +0.6 s — pinned-count stages cost more
+    // than the tiny per-round exchanges they replaced); above it the
+    // edge table co-partitions by dst for every round's neighbor join
+    // and the label table by id — the 100 TB shape. The per-ROUND
+    // label checkpoint stays unstamped: it flows through
+    // localCheckpointCounting (the fused convergence count), and each
+    // round's table is the same size as the init labels, whose
+    // adaptive decision already reflects that size.
     val edges = pairs.toDF("src", "dst")
       .unionAll(pairs.toDF("dst", "src").select("src", "dst"))
-      .buildCheckpoint()
+      .buildCheckpointAdaptiveBy("dst")
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
-      .buildCheckpoint()
+      .buildCheckpointAdaptiveBy("id")
     // One round: label ← min(label, neighbors' labels, label[label]).
     // The final left join follows the candidate label one hop through
     // the PREVIOUS round's label table (pointer jumping); every label
@@ -503,8 +511,12 @@ object DedupQueries {
     // Vocab broadcast matches prefixJaccardPairs; at 100 TB both become
     // a persisted df-annotated index.
     "dedup_containment_prefix" -> ((s, d) => {
+      // size-ADAPTIVE stamp (r17): plain below the threshold (the r16
+      // A/B reverted the always-on doc_id stamp here), co-partitioned
+      // by doc_id above it — the rank/size window then plans
+      // exchange-free on the full index
       val sh = shingleIndex(s, d).repartition(col("doc_id"))
-        .buildCheckpoint()
+        .buildCheckpointAdaptiveBy("doc_id")
       // sizes: ~|docs| rows, read twice by the verify tail; dfreq:
       // vocab-sized, read twice (prefix broadcast + the df≥2 filter) —
       // lazy checkpoints so neither re-aggregates the index (r16 opt)
@@ -525,11 +537,12 @@ object DedupQueries {
         .filter(col("df") >= 2)
         .select("doc_id", "s")
       val df2 = dfreq.filter(col("df") >= 2).select("s")
-      // plain checkpoint (r16 opt, measured): the s-keyed stamped variant
-      // removed the probe/verify exchanges but regressed +0.4 s at bench
-      // scale from 32-task stage overhead — see OPTIMIZATION_r16.md
+      // size-ADAPTIVE stamp (r17): below the threshold identical to the
+      // plain checkpoint (r16 measured the always-on s-keyed stamp at
+      // +0.4 s here); above it the df≥2 index co-partitions by s for
+      // the candidate probe and the verification self-join
       val full = sh.join(df2, Seq("s"), "left_semi").select("doc_id", "s")
-        .buildCheckpoint() // candidate probe + verification both read it
+        .buildCheckpointAdaptiveBy("s") // candidate probe + verification
       val cand = prefixed.toDF("doc_a", "s")
         .join(full.toDF("doc_b", "s"), "s")
         .filter(col("doc_a") =!= col("doc_b"))
@@ -725,11 +738,13 @@ object DedupQueries {
       // one materialization of the index for banding + verification
       // (see prefixJaccardPairs for why localCheckpoint, not cache;
       // see exactJaccardPairs for the index-build repartition)
-      // plain repartition+checkpoint (r16 opt, measured): the stamped
-      // variant regressed this query +0.5 s at bench scale (the same
-      // conversion HELPED dedup_ngram_jaccard — consumer weight differs)
+      // size-ADAPTIVE stamp (r17): below the threshold identical to the
+      // plain repartition+checkpoint (r16 measured the always-on stamp
+      // at +0.5 s here — the same conversion HELPED dedup_ngram_jaccard;
+      // consumer weight differs); above it the index co-partitions by
+      // doc_id for the signature groupBy and the verify semi-join
       val sh = shingleIndex(s, d).repartition(col("doc_id"))
-        .buildCheckpoint()
+        .buildCheckpointAdaptiveBy("doc_id")
       val banded = sh
         .select(col("doc_id"), xxhash64(col("s")).as("h"))
         .groupBy("doc_id").agg(minhash64(col("h")).as("sig"))

@@ -79,10 +79,18 @@ object ExtraRelationalQueries {
       keyed.agg(array_sort(array_distinct(
         percentile_approx(col("__grn_key"), typedLit(probs), lit(100))))
         .as("__grn_bnds")))
-    val bucketed = keyed.crossJoin(broadcast(boundsRow))
-      .withColumn("__grn_bucket",
-        size(filter(col("__grn_bnds"), b => col("__grn_key") > b)))
-      .drop("__grn_bnds")
+    // Lazily checkpoint the bucketed rows (r17): the ranked side and
+    // the offsets side both consume this frame, and the offsets side —
+    // built first, as the broadcast join's build job — otherwise
+    // re-runs the whole upstream scan+bucket pipeline that the ranked
+    // side then runs AGAIN. First execution materializes once (narrow
+    // key columns only at every call site), the other side reads the
+    // materialized rows: one input scan instead of two per evaluation.
+    val bucketed = graft.operators.Checkpoint.lazily(
+      keyed.crossJoin(broadcast(boundsRow))
+        .withColumn("__grn_bucket",
+          size(filter(col("__grn_bnds"), b => col("__grn_key") > b)))
+        .drop("__grn_bnds"))
     val wIn = Window.partitionBy("__grn_bucket").orderBy(sortCols: _*)
     val ranked = bucketed.withColumn("__grn_rn", row_number().over(wIn))
     // per-bucket sizes -> cumulative offsets (windows here run over

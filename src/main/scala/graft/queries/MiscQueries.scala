@@ -86,12 +86,15 @@ object MiscQueries {
         .distinct()
       val bi = eo.unionAll(
         eo.select(col("dst").as("src"), col("src").as("dst")))
-        // plain checkpoint (r16 opt, measured): the src-stamped variant
-        // made every iteration's joins co-partitioned but regressed
-        // +0.6 s at bench scale (interleaved A/B) — pinned-count stages
+        // size-ADAPTIVE stamp (r17, VERDICT item 3): below
+        // spark.graft.stamp.minBytes this is byte-identical to the plain
+        // checkpoint the r16 A/B measured as the bench-scale winner (the
+        // src-stamped variant regressed +0.6 s — pinned-count stages
         // cost more than the per-iteration narrow exchanges they replace
-        // at this data size; see OPTIMIZATION_r16.md
-        .buildCheckpoint() // 3 iterations + degree all re-scan the edges
+        // on tiny tables); above it the edges re-checkpoint keyed+stamped
+        // by src so every iteration's edge join is co-partitioned — the
+        // 100 TB shape the r16 revert had hard-coded away.
+        .buildCheckpointAdaptiveBy("src") // 3 iterations + degree re-scan
       // deg deliberately NOT fused into the checkpointed edge table: an
       // sf0.1 A/B (one join per iteration vs two) showed no gain beyond
       // box noise — the deg build side is tiny either way, and fusing
