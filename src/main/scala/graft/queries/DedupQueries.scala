@@ -511,12 +511,16 @@ object DedupQueries {
     // Vocab broadcast matches prefixJaccardPairs; at 100 TB both become
     // a persisted df-annotated index.
     "dedup_containment_prefix" -> ((s, d) => {
-      // size-ADAPTIVE stamp (r17): plain below the threshold (the r16
-      // A/B reverted the always-on doc_id stamp here), co-partitioned
-      // by doc_id above it — the rank/size window then plans
-      // exchange-free on the full index
+      // plain checkpoint — ADAPTIVE STAMP TRIED AND REVERTED (r17):
+      // at sf1, where the index crosses the stamp threshold, the
+      // doc_id/s stamped pair below measured jobs 19→28, tasks
+      // 440→751, shuffle 1535→2318 MB, wall +7..+40% (both A/B
+      // rounds) — this query's candidate probe reads the PREFIX table
+      // (tiny) against the full index, so the pinned-count stamps cost
+      // more than the exchanges they remove at every size measured,
+      // unlike the minhash/pagerank sites where the stamp pays.
       val sh = shingleIndex(s, d).repartition(col("doc_id"))
-        .buildCheckpointAdaptiveBy("doc_id")
+        .buildCheckpoint()
       // sizes: ~|docs| rows, read twice by the verify tail; dfreq:
       // vocab-sized, read twice (prefix broadcast + the df≥2 filter) —
       // lazy checkpoints so neither re-aggregates the index (r16 opt)
@@ -537,12 +541,11 @@ object DedupQueries {
         .filter(col("df") >= 2)
         .select("doc_id", "s")
       val df2 = dfreq.filter(col("df") >= 2).select("s")
-      // size-ADAPTIVE stamp (r17): below the threshold identical to the
-      // plain checkpoint (r16 measured the always-on s-keyed stamp at
-      // +0.4 s here); above it the df≥2 index co-partitions by s for
-      // the candidate probe and the verification self-join
+      // plain checkpoint — adaptive s-stamp tried and reverted with the
+      // sh site above (r17 sf1 A/B; r16 had measured the always-on
+      // stamp at +0.4 s at bench scale for the same reason)
       val full = sh.join(df2, Seq("s"), "left_semi").select("doc_id", "s")
-        .buildCheckpointAdaptiveBy("s") // candidate probe + verification
+        .buildCheckpoint() // candidate probe + verification both read it
       val cand = prefixed.toDF("doc_a", "s")
         .join(full.toDF("doc_b", "s"), "s")
         .filter(col("doc_a") =!= col("doc_b"))
@@ -883,7 +886,15 @@ object DedupQueries {
     // all-pairs nested-loop join.
     "dedup_embedding" -> ((s, d) => {
       val unit = unitEmbeddings(s, d)
-      val a = unit.toDF("vec_a", "u_a")
+      // streamed-side parallelism floor for the all-pairs BNLJ (r17,
+      // the eval_ann_recall lesson): the streamed side arrives as scan
+      // splits (2 tasks on the single-file fixture) while every row
+      // costs |corpus| dot products above the exchange — sf1 measured
+      // 17.5 → 4.1 s. Engages only when the scan provides fewer
+      // partitions than spark.sql.shuffle.partitions (Parallelism.
+      // floor); the banded twin (dedup_embedding_lsh) stays the
+      // at-scale answer.
+      val a = graft.operators.Parallelism.floor(unit.toDF("vec_a", "u_a"))
       val b = unit.toDF("vec_b", "u_b")
       a.join(b, col("vec_a") < col("vec_b"))
         // compute the dot ONCE into a column, filter on it, round after:

@@ -500,7 +500,10 @@ object MiscQueries {
       val adj = e.select(col("pu").as("ctr"), col("pv").as("nb"))
         .unionAll(e.select(col("pv").as("ctr"), col("pu").as("nb")))
       val deg = adj.groupBy("ctr").agg(count(lit(1)).as("deg"))
-        .buildCheckpoint() // ≤ |parts| rows; re-read 3×
+        // lazy (r17): the eager form paid a dedicated materialization
+        // job; the first broadcast build materializes it instead, the
+        // other two reads reuse — one fewer driver job, same rows
+        .lazyCheckpoint() // ≤ |parts| rows; re-read 3×
       val sm = adj.join(broadcast(deg.filter(col("deg") <= 64)), Seq("ctr"))
         .select("ctr", "nb")
       val cn = sm.as("x").join(sm.as("y"),

@@ -368,7 +368,17 @@ object SimilarityQueries {
       // re-running) the ENTIRE annBatch serving plan, which alone halves
       // this query's 200 KB formatted plan (r16 opt)
       val ann = annBatch(s, d, nProbe = 4).lazyCheckpoint()
-      val e = rawVecs(s, d)
+      // GT pair-join parallelism floor (r17, measured at sf1): the
+      // corpus side arrives as scan splits — 2 tasks on the single-file
+      // fixture — while the exact ground truth multiplies every corpus
+      // row by |Q| cosines (2033 at sf1), so the brute-force stage ran
+      // 117 s of taskTime on 2 of 32 cores; flooring it read 79 → 19 s.
+      // Engages ONLY when the scan provides fewer partitions than
+      // spark.sql.shuffle.partitions (see Parallelism.floor) — at real
+      // scale the scan is already split and no bytes move. (The rawVecs
+      // no-repartition rule is right for every LINEAR consumer; this
+      // quadratic one is the documented exception.)
+      val e = graft.operators.Parallelism.floor(rawVecs(s, d))
       val qset = Tables.embeddings(s, d).filter(col("label") === 0)
         .select(col("vec_id").as("qid"),
           col("embedding").cast("array<double>").as("q_v"))

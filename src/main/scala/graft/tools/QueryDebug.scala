@@ -153,7 +153,25 @@ object QueryDebug {
       "dedup_semantic" -> (Set("u", "prior_u") ->
         ("SemDeDup cell self-join must co-locate cluster members for " +
           "the within-cluster unit-dot verify -- the embedding is the " +
-          "operator's reduced representation, never the raw text")))
+          "operator's reduced representation, never the raw text")),
+      // Parallelism.floor exchanges (r17): round-robin repartition of
+      // the streamed side of a QUADRATIC all-pairs stage, engaged only
+      // when the scan provides fewer partitions than
+      // spark.sql.shuffle.partitions (at real scale the scan is split
+      // and NO exchange exists; the audit's sf0.01 single-file fixture
+      // always engages it). Bytes moved are one linear pass of the
+      // vector table vs |other side| x that in compute above -- the
+      // one shape where manufacturing parallelism is always amortized
+      // (measured sf1: eval_ann_recall 79 -> 19 s, dedup_embedding
+      // 17.5 -> 4.1 s).
+      "eval_ann_recall" -> (Set("v") ->
+        ("parallelism floor for the exact-ground-truth all-pairs join " +
+          "-- engaged only below the shuffle-partition count; one " +
+          "linear vector pass vs |Q|x compute above it")),
+      "dedup_embedding" -> (Set("u_a") ->
+        ("parallelism floor for the all-pairs BNLJ baseline -- engaged " +
+          "only below the shuffle-partition count; one linear vector " +
+          "pass vs |corpus|x compute above it")))
     var hits = 0
     var errors = 0
     graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
